@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every operator from SURVEY.md §2; `oracle_sql()`
+gives the DuckDB-equivalent ANSI SQL for each hash-checkable one.
+Column names AND integer widths are aligned between the two sides
+(computed ints are BIGINT everywhere; doubles feeding the value hash
+are rounded identically on both sides).
 """
 
 from __future__ import annotations
@@ -13,26 +13,339 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mimir_spark.operators import core, dedup, graph, multimodal, octree, relational, similarity, textstats
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1 pricing summary on sf0.001."""
+    return relational.q1_pricing_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- core MapReduce surface (Mimir parity) ---
+        "wordcount": core.wordcount,
+        "wordcount_topk": core.wordcount_topk,
+        "inverted_index": core.inverted_index,
+        "kv_combine": core.wordcount_via_pipeline,
+        "kv_reduce": core.kv_reduce,
+        "distinct_keys": core.distinct_keys,
+        "histogram": core.histogram,
+        "group_topk": core.group_topk,
+        "approx_distinct": core.approx_distinct,
+        "bfs_levels": graph.bfs_levels,
+        "octree_bin": octree.octree_bin,
+        # --- relational / analytics ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "sessionize": relational.sessionize,
+        "event_windows": relational.event_windows,
+        # --- dedup ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding": dedup.dedup_embedding,
+        # --- similarity search ---
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        # --- text analysis ---
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "token_count": textstats.token_count,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        # --- multimodal ---
+        "multimodal_meta": multimodal.multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOK = r"\s+"
+
+_SHINGLES = r"""
+    SELECT doc_id,
+           list_distinct(
+             list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' ')))  AS s
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+          FROM documents)
+"""
+
+_COS_PAIR = """
+    round(
+      list_sum(list_transform(generate_series(1, 64),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "wordcount": rf"""
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(text, '{_TOK}')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word
+        """,
+        "wordcount_topk": rf"""
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(text, '{_TOK}')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word
+            ORDER BY cnt DESC, word LIMIT 25
+        """,
+        "inverted_index": rf"""
+            SELECT word, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest(string_split_regex(text, '{_TOK}')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word
+        """,
+        "kv_combine": rf"""
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(text, '{_TOK}')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word
+        """,
+        "kv_reduce": """
+            SELECT user_id, round(sum(value), 4) AS sum_value,
+                   count(*) AS n_events, max(value) AS max_value
+            FROM events GROUP BY user_id
+        """,
+        "distinct_keys": "SELECT DISTINCT event_type FROM events",
+        "histogram": """
+            SELECT floor(value / 25.0)::BIGINT AS bin,
+                   (floor(value / 25.0)::BIGINT * 25.0)::DOUBLE AS lo,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        """,
+        "group_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders)
+            WHERE rk <= 3
+        """,
+        "bfs_levels": """
+            WITH RECURSIVE edges AS (
+              SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+              UNION
+              SELECT DISTINCT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst FROM lineitem
+            ), bfs(node, lvl) AS (
+              SELECT (SELECT min(l_orderkey) * 2 FROM lineitem), 0
+              UNION
+              SELECT e.dst, b.lvl + 1
+              FROM bfs b JOIN edges e ON e.src = b.node
+              WHERE b.lvl < 8
+            )
+            SELECT node, min(lvl) AS level FROM bfs GROUP BY node
+        """,
+        "octree_bin": """
+            WITH binned AS (
+              SELECT
+                least(greatest(floor((l_quantity - 0.0) / 51.0 * 8), 0), 7)::BIGINT AS cx,
+                least(greatest(floor((l_extendedprice - 0.0) / 110000.0 * 8), 0), 7)::BIGINT AS cy,
+                least(greatest(floor((l_discount - 0.0) / 0.11 * 8), 0), 7)::BIGINT AS cz
+              FROM lineitem)
+            SELECT cx * 64 + cy * 8 + cz AS cell_id, cx, cy, cz, count(*) AS cnt
+            FROM binned GROUP BY cx, cy, cz
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   o_orderdate
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                          WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+                          ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(sum(value), 4) AS session_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "event_windows": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT doc_id, n_dups FROM (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY text) AS n_dups
+              FROM documents)
+            WHERE rn = 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+        """,
+        "dedup_embedding": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_PAIR} AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COS_PAIR} >= 0.45
+        """,
+        "ann_bruteforce_topk": f"""
+            WITH scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_PAIR} AS cos
+              FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+              JOIN embeddings b ON a.vec_id <> b.vec_id)
+            SELECT query_id, neighbor_id, cos, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "lang_id": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, lang,
+                len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS s_de,
+                len(list_filter(toks, x -> x IN ('the','and','of','to','a')))     AS s_en,
+                len(list_filter(toks, x -> x IN ('el','la','los','que','de')))    AS s_es,
+                len(list_filter(toks, x -> x IN ('le','la','les','et','des')))    AS s_fr,
+                len(list_filter(toks, x -> x IN ('的','是','了','在','我')))        AS s_zh
+              FROM t),
+            p AS (
+              SELECT doc_id, lang,
+                CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                     WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                     WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                     WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                     ELSE 'zh' END AS pred_lang
+              FROM s)
+            SELECT doc_id, pred_lang, (pred_lang = lang)::BIGINT AS is_correct FROM p
+        """,
+        "quality_score": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(toks)::BIGINT AS n_tokens,
+                     alpha_chars / n_chars AS alpha_ratio,
+                     len(list_filter(toks,
+                         x -> x IN ('the','a','of','and','to','in','is','it'))) / len(toks) AS stop_ratio,
+                     n_chars / len(toks) AS mean_tok_len,
+                     CASE WHEN n_chars >= 100 AND n_chars <= 2000 THEN 1.0 ELSE 0.5 END AS len_band
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(stop_ratio, 6) AS stop_ratio,
+                   round(0.3 * len_band + 0.3 * alpha_ratio
+                         + 0.25 * least(stop_ratio * 4.0, 1.0)
+                         + 0.15 * least(mean_tok_len / 8.0, 1.0), 6) AS quality
+            FROM m
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS re_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(regexp_extract_all(text, '[\s\S]'),
+                                      c -> ascii(c)::BIGINT)),
+                     (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text))::INT AS n_bytes,
+                   (octet_length(encode(text)) % 640 + 1)::INT AS fake_width,
+                   ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS fake_height,
+                   'image' AS modality
+            FROM documents
+        """,
+    }

@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design: exact dedup is a hash-groupBy (one shuffle on a 64-bit
+text hash, never on the full text). Near-dup goes through MinHash+LSH
+banding so candidate generation is a bucket join (shuffle bounded by
+band signatures), never an O(n²) cross join; the exact-Jaccard
+verification runs only on candidate pairs. The `dedup_ngram_jaccard`
+operator is the small-SF *correctness* path (exact, oracle-checkable);
+at 100 TB you run `dedup_minhash_lsh`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import word_shingles
+from mimir_spark.functions.vectors import cosine_sim
+from mimir_spark.sources.tables import load_table
+
+SHINGLE_WORDS = 3
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-text dedup: keep the smallest doc_id per distinct text.
+    Group key is xxhash64(text) + length (cheap, fixed-width shuffle
+    key); the window tie-break keeps the survivor deterministic.
+    Returns surviving (doc_id, n_dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.xxhash64("text").alias("h"), F.length("text").alias("len")
+    )
+    w = Window.partitionBy("h", "len").orderBy("doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(Window.partitionBy("h", "len")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_dups")
+    )
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(word_shingles("text", SHINGLE_WORDS)).alias("sh")
+    )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over 3-word shingle sets: pairs with J ≥ threshold.
+
+    Implemented as the standard shingle self-join: explode shingles,
+    join on shingle to count intersections, then J = |∩|/(|A|+|B|−|∩|).
+    The join key is the shingle string — fine at verification scale; the
+    LSH variant below is the candidate-generation path at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.select(
+        "doc_id", F.size(word_shingles("text", SHINGLE_WORDS)).alias("n_sh")
+    )
+    sh = _shingled(docs)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---- MinHash + LSH -----------------------------------------------------
+
+N_HASHES = 128
+N_BANDS = 32  # 4 rows/band → catches J≈0.5+ pairs with high probability
+# 31-bit Mersenne prime: a·x + b stays < 2^62, no long overflow under
+# ANSI arithmetic.
+MERSENNE = (1 << 31) - 1
+
+
+def _minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → array<long> of n_hashes min-hash values.
+
+    Shingle → 64-bit xxhash64 folded to 31 bits, then n universal-hash
+    permutations h_i(x) = (a_i·x + b_i) mod p. All vectorized Column
+    expressions: the per-doc signature is an aggregate of element-wise
+    minima — one shuffle on doc_id (map-side partial min applies).
+    """
+    import random
+
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE)) for _ in range(n_hashes)]
+    sh = _shingled(docs).withColumn(
+        "x", (F.xxhash64("sh").bitwiseAND(F.lit(MERSENNE)))
+    )
+    mins = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidates(
+    sig: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket; docs
+    sharing any (band, bucket) are candidates. The bucket join shuffles
+    on (band, bucket_hash) — bounded, skew-safe via AQE."""
+    rows = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.slice("sig", i * rows + 1, rows).cast("string")).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash(128)+LSH candidates, then exact-Jaccard verify on the
+    candidate pairs only. Output identical in shape to
+    dedup_ngram_jaccard (its exact twin), but with O(n) candidate
+    generation instead of a shingle self-join over everything."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(docs)
+    cand = lsh_candidates(sig)
+
+    sh = _shingled(docs)
+    sizes = docs.select(
+        "doc_id", F.size(word_shingles("text", SHINGLE_WORDS)).alias("n_sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(
+            b,
+            (cand.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---- SimHash -----------------------------------------------------------
+
+
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """64-bit SimHash over word shingles; near-dup pairs = hamming ≤ k.
+
+    Fingerprint: per doc, for each bit position, sign of Σ ±1 weighted
+    by shingle hash bit — computed with array expressions (no UDF).
+    Pair generation blocks on 4 16-bit chunks (pigeonhole: hamming ≤ 3
+    ⇒ at least one identical chunk), so the join is a bounded
+    bucket-join, never all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingled(docs).withColumn("h", F.xxhash64("sh"))
+    # bit i contribution: +1 if set else -1 → sum per (doc, bit)
+    bit_sums = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.shiftleft(
+                    F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i
+                )
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("fp"),
+    )
+    chunks = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("fp", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "fp", "cc.chunk", "cc.key")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold. Small-SF exact
+    path is a blocked self-join; the ANN-LSH operator in similarity.py
+    is the candidate-generation path at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_sim("ea", "eb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,80 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched pandas UDFs via mapInPandas.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic stub (clearly marked); everything Spark-side — the binary
+column, the schema contract, the mapInPandas batch shape, the
+partitioning — is real and is what carries over unchanged when a real
+decoder (PIL / torchaudio / pyav) is dropped in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.sources.tables import load_table
+
+META_SCHEMA = (
+    "doc_id long, n_bytes int, fake_width int, fake_height int, modality string"
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int]:
+    """STUB decoder: derives a deterministic fake (width, height) from
+    the payload instead of parsing a real container format. Replace
+    with e.g. PIL.Image.open(io.BytesIO(payload)).size in production.
+    """
+    n = len(payload)
+    return (n % 640) + 1, ((n * 7) % 480) + 1
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # One pandas DataFrame per Arrow batch — the decode loop runs over
+    # a batch (thousands of rows), not per-row Python dispatch.
+    for pdf in batches:
+        sizes = pdf["payload"].map(_decode_stub)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "fake_width": sizes.map(lambda s: s[0]).astype("int32"),
+                "fake_height": sizes.map(lambda s: s[1]).astype("int32"),
+                "modality": "image",
+            }
+        )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary column (here: utf-8 bytes of the text,
+    standing in for image/audio bytes read from object storage)."""
+    return docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload → typed metadata via mapInPandas. The plan keeps
+    the payload column out of every stage except the decode (column
+    pruning), and the decode parallelism follows the input partitioning
+    — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(_decode_batches, META_SCHEMA)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 10) -> DataFrame:
+    """Video-frame-sampling plumbing demo: explode a payload into
+    'frame' offsets and keep every Nth — the decode itself is stubbed
+    (no codecs in container) but the fan-out schema and partition
+    behavior are the real thing."""
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    n_frames = (F.length("payload") / 100).cast("int") + 1
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % every_n == 0)
+    )

@@ -1,0 +1,46 @@
+"""Generic readers/writers.
+
+Mimir's text reader splits files by byte ranges across ranks and fixes
+up record boundaries; Spark's text source does the same per input
+split, so `read_text_tokens` is the whole parity story for
+`map_text_file`-style entry points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_text_tokens(
+    spark: SparkSession, path: str, delimiter: str = r"\s+"
+) -> DataFrame:
+    """Read raw text file(s) → one row per token (Mimir map_text_file
+    parity). Splitting + exploding stays JVM-side (codegen'd)."""
+    lines = spark.read.text(path)
+    return (
+        lines.select(F.explode(F.split(F.col("value"), delimiter)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV with an explicit schema — inference is an extra full scan."""
+    return spark.read.csv(path, schema=schema, header=True)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet writer (Mimir per-rank output files parity).
+    Partition columns should be low-cardinality; high-cardinality
+    partitioning creates a small-files problem at scale."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)

@@ -1,0 +1,85 @@
+"""Structured Streaming twins of the batch operators.
+
+Each job takes a streaming DataFrame (file source over the test
+parquet, rate source, or anything schema-compatible) and returns the
+transformed streaming DataFrame — callers attach the sink. Tests run
+them with a memory sink and processAllAvailable().
+
+Mimir has no streaming story; this is part of the beyond-reference
+pipeline surface. The batch/stream pairs share grouping logic so a
+backfill (batch) and live path produce the same answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.sources.tables import SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch here; on a cluster this is a drop-in for a Kafka
+    source with the same schema)."""
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def streaming_wordcount(docs_stream: DataFrame) -> DataFrame:
+    """Incremental wordcount in update mode — state is the per-word
+    running count (Spark's state store holds the KV table Mimir keeps
+    in its paged containers)."""
+    return (
+        docs_stream.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+    )
+
+
+def streaming_event_windows(events_stream: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed counts with a 2-hour watermark: late
+    rows beyond the watermark are dropped and state is evicted —
+    bounded memory at any throughput."""
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session windows via the built-in session_window (gap-based,
+    watermarked) — the streaming twin of operators.relational.sessionize."""
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
