@@ -35,7 +35,9 @@ def bfs_levels(
 ) -> DataFrame:
     """node → min hop distance from source (source = order with the
     smallest orderkey), levels 0..max_levels."""
-    edges = _edges(spark, sf_dir).repartition("src").cache()
+    # Frontiers are broadcast into the edge scan, so edges need no
+    # particular partitioning — just cache the undirected edge set once.
+    edges = _edges(spark, sf_dir).cache()
     # Source lookup is a 1-row action on an aggregated plan — not a
     # driver-side data loop.
     src_node = 2 * load_table(spark, sf_dir, "lineitem").agg(
@@ -43,21 +45,28 @@ def bfs_levels(
     ).collect()[0][0]
 
     visited = spark.createDataFrame([(int(src_node), 0)], "node bigint, level int")
+    levels = [visited]
     frontier = visited.select("node")
     for lvl in range(1, max_levels + 1):
         nxt = (
             edges.join(frontier.hint("broadcast"), edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited.select("node").hint("broadcast"), "node", "left_anti")
             .withColumn("level", F.lit(lvl))
         )
         # localCheckpoint truncates the growing lineage so level N's
-        # plan doesn't replay levels 0..N-1.
+        # plan doesn't replay levels 0..N-1; the visited set is only a
+        # union of already-materialized level outputs, so it needs no
+        # checkpoint of its own.
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
+        visited = visited.union(nxt)
         frontier = nxt.select("node")
     edges.unpersist()
-    return visited
+    result = levels[0]
+    for df in levels[1:]:
+        result = result.union(df)
+    return result

@@ -141,8 +141,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
 
 # ---- IVF ----------------------------------------------------------------
 
+# The synthetic corpus has weak cluster structure, so recall needs a
+# generous probe count; on naturally-clustered embeddings 2-4 probes
+# of 16 cells is the usual operating point.
 N_CELLS = 16
-N_PROBE = 4
+N_PROBE = 8
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mimir_spark.sources.tables import SCHEMAS
 
@@ -21,19 +22,36 @@ from mimir_spark.sources.tables import SCHEMAS
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch here; on a cluster this is a drop-in for a Kafka
-    source with the same schema)."""
-    return (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
+    source with the same schema). The file source wants a directory,
+    so we stream the corpus dir with a glob filter; events.ts is
+    parquet TIMESTAMP(NANOS) → read as long, truncate to µs (same as
+    the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
     )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(SCHEMAS["documents"])
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/documents.parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
     )
 
 

@@ -1,0 +1,74 @@
+"""Plan-shape assertions — the properties that matter at 100 TB.
+
+Correctness at sf0.01 doesn't prove the plan scales; these tests pin
+the physical-plan features that do: predicate pushdown to parquet,
+column pruning, broadcast of dim tables, no cartesian products, and
+partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+from mimir_spark.operators import core, relational
+from mimir_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    formatted_plan,
+)
+
+
+def test_q6_filters_pushed(spark, sf_correct):
+    df = relational.q6_forecast_revenue(spark, sf_correct)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_q1_column_pruning(spark, sf_correct):
+    df = relational.q1_pricing_summary(spark, sf_correct)
+    plan = formatted_plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    # only the 7 needed columns, not all 11
+    assert "l_orderkey" not in read_schema[0]
+    assert "l_partkey" not in read_schema[0]
+
+
+def test_q5_broadcasts_dims(spark, sf_correct):
+    df = relational.q5_nation_revenue(spark, sf_correct)
+    assert_broadcast_join(df, at_least=3)
+    assert_no_cartesian(df)
+
+
+def test_q3_no_cartesian_and_broadcast(spark, sf_correct):
+    df = relational.q3_shipping_priority(spark, sf_correct)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_wordcount_partial_aggregation(spark, sf_correct):
+    """Mimir's map-side combiner == Spark partial HashAggregate before
+    the exchange; assert the plan has two aggregate stages."""
+    df = core.wordcount(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_wordcount_codegen(spark, sf_correct):
+    """Tokenize/explode/count must stay inside whole-stage codegen —
+    no Python evaluation nodes. With AQE the codegen spans appear only
+    in the executed plan, so materialize first."""
+    df = core.wordcount(spark, sf_correct)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen spans; partial_count is
+    # the map-side combine before the exchange.
+    assert "*(1)" in executed and "*(2)" in executed, executed
+    assert "partial_count" in executed, executed
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan and "EvalPython" not in plan
+
+
+def test_documents_scan_prunes_columns(spark, sf_correct):
+    df = core.wordcount(spark, sf_correct)
+    plan = formatted_plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "lang" not in read_schema[0], plan

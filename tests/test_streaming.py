@@ -1,0 +1,70 @@
+"""Structured Streaming jobs run against the file source with a memory
+sink; results compared to their batch twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimir_spark.operators.core import wordcount
+from mimir_spark.streaming.jobs import (
+    read_documents_stream,
+    read_events_stream,
+    streaming_event_windows,
+    streaming_sessionize,
+    streaming_wordcount,
+)
+
+
+def _run_to_completion(sdf, name: str, mode: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", f"/tmp/mimir_ckpt_{name}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_wordcount_matches_batch(spark, sf_smoke, tmp_path):
+    import shutil
+
+    shutil.rmtree(f"/tmp/mimir_ckpt_wc_t", ignore_errors=True)
+    stream = read_documents_stream(spark, sf_smoke)
+    _run_to_completion(streaming_wordcount(stream), "wc_t", "complete")
+    got = {
+        (r.word, r["count"]) for r in spark.sql("SELECT * FROM wc_t").collect()
+    }
+    expect = {(r.word, r.cnt) for r in wordcount(spark, sf_smoke).collect()}
+    assert got == expect
+
+
+def test_streaming_event_windows_runs(spark, sf_smoke):
+    import shutil
+
+    shutil.rmtree(f"/tmp/mimir_ckpt_ew_t", ignore_errors=True)
+    stream = read_events_stream(spark, sf_smoke)
+    _run_to_completion(streaming_event_windows(stream), "ew_t", "append")
+    n = spark.sql("SELECT count(*) FROM ew_t").collect()[0][0]
+    # append mode emits only watermark-closed windows; with a single
+    # micro-batch most windows stay open, so just assert liveness of
+    # the pipeline and schema.
+    cols = spark.table("ew_t").columns
+    assert cols == ["window_start", "event_type", "n_events", "total_value"]
+
+
+def test_streaming_sessionize_runs(spark, sf_smoke):
+    import shutil
+
+    shutil.rmtree(f"/tmp/mimir_ckpt_ss_t", ignore_errors=True)
+    stream = read_events_stream(spark, sf_smoke)
+    _run_to_completion(streaming_sessionize(stream), "ss_t", "append")
+    cols = spark.table("ss_t").columns
+    assert cols == [
+        "session_start",
+        "session_end",
+        "user_id",
+        "n_events",
+        "session_value",
+    ]
