@@ -13,7 +13,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mimir_spark.operators import core, dedup, graph, multimodal, octree, relational, similarity, textstats
+from mimir_spark.operators import (
+    core,
+    dedup,
+    graph,
+    multimodal,
+    octree,
+    relational,
+    relational2,
+    similarity,
+    textstats,
+    textstats2,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -45,6 +56,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": relational.q10_returned_items,
         "sessionize": relational.sessionize,
         "event_windows": relational.event_windows,
+        "q4_order_priority": relational2.q4_order_priority,
+        "q14_promo_revenue": relational2.q14_promo_revenue,
+        "q18_large_orders": relational2.q18_large_orders,
+        "q19_bracketed_revenue": relational2.q19_bracketed_revenue,
+        "semi_anti_join": relational2.semi_anti_join,
+        "rollup_revenue": relational2.rollup_revenue,
+        "pivot_status_priority": relational2.pivot_status_priority,
+        "median_order_value": relational2.median_order_value,
+        "approx_quantiles": relational2.approx_quantiles,
+        "secondary_sort": relational2.secondary_sort,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -56,6 +77,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # --- text analysis ---
+        "pii_scrub": textstats2.pii_scrub,
+        "repetition_ratio": textstats2.repetition_ratio,
+        "text_normalize": textstats2.text_normalize,
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
         "token_count": textstats.token_count,
@@ -238,6 +262,111 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q14_promo_revenue": """
+            SELECT round(
+                     sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END) * 100.0
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-05-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 4) > 150.0)
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+            FROM big JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_bracketed_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 35)
+        """,
+        "semi_anti_join": """
+            SELECT c_custkey, 'with_orders' AS bucket FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT c_custkey, 'no_orders' AS bucket FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_extendedprice), 4) AS total_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_status_priority": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "median_order_value": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "secondary_sort": """
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber
+            FROM lineitem
+            ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+            LIMIT 100
+        """,
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b'))::BIGINT AS n_phones,
+                   length(regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b', '<PHONE>', 'g'))::BIGINT AS clean_len
+            FROM documents
+        """,
+        "repetition_ratio": r"""
+            WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+                       FROM documents),
+            pw AS (SELECT doc_id, word, count(*) AS c
+                   FROM w WHERE word <> '' GROUP BY 1, 2)
+            SELECT doc_id, round(max(c) / sum(c), 6) AS rep_ratio,
+                   sum(c)::BIGINT AS n_tokens
+            FROM pw GROUP BY doc_id
+        """,
+        "text_normalize": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                       ' +', ' ', 'g')) AS norm
+              FROM documents)
+            SELECT doc_id, length(norm)::BIGINT AS norm_len,
+                   substr(norm, 1, 32) AS norm_prefix
+            FROM n
         """,
         "dedup_exact": """
             SELECT doc_id, n_dups FROM (

@@ -1,0 +1,73 @@
+"""Text-pipeline batch 2: PII scrubbing, repetition scoring, text
+normalization — standard pre-training-corpus cleaning passes, all
+JVM-side expressions, all oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import tokens_col
+from mimir_spark.sources.tables import load_table
+
+# RE2-compatible (no lookaround) so the DuckDB oracle matches Java.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + redact email/phone patterns per document. Output is the
+    redaction audit (counts + post-scrub length); the scrubbed text
+    itself stays an internal column a sink would write."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("clean_len"),
+    )
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max single-word frequency / total tokens — the classic
+    repetitive-doc filter. Two aggregations, both keyed on doc_id, so
+    the second groupBy reuses the first shuffle's partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("word")
+    )
+    per_word = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("n_toks"))
+        .select(
+            "doc_id",
+            F.round(F.col("max_c") / F.col("n_toks"), 6).alias("rep_ratio"),
+            F.col("n_toks").alias("n_tokens"),
+        )
+    )
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical form: lowercase, strip non-alphanumerics to spaces,
+    collapse runs, trim. Output: normalized length + the first 32
+    chars (portable witness of the transform)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " "), r" +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.substring(norm, 1, 32).alias("norm_prefix"),
+    )
