@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mimir_spark.operators import (
+    advanced,
     core,
     dedup,
     graph,
@@ -66,6 +67,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_order_value": relational2.median_order_value,
         "approx_quantiles": relational2.approx_quantiles,
         "secondary_sort": relational2.secondary_sort,
+        # --- advanced / composite ---
+        "tfidf": advanced.tfidf,
+        "ngram_counts": advanced.ngram_counts,
+        "json_extract_agg": advanced.json_extract_agg,
+        "window_suite": advanced.window_suite,
+        "asof_join": advanced.asof_join,
+        "salted_agg": advanced.salted_agg,
+        "embedding_centroids": advanced.embedding_centroids,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -262,6 +271,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "tfidf": r"""
+            WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+                       FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM w WHERE word <> '' GROUP BY 1, 2),
+            df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT tf.doc_id, tf.word, tf.tf,
+                   round(tf.tf * ln((n.n_docs + 1) / (df.df + 1)), 6) AS tfidf
+            FROM tf JOIN df USING (word), n
+        """,
+        "ngram_counts": r"""
+            WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+            g AS (SELECT unnest(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+1], ' '))) AS gram
+                  FROM t WHERE len(toks) >= 2)
+            SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        """,
+        "json_extract_agg": """
+            SELECT event_type,
+                   sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                   max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+                   count(CASE WHEN props->>'$.k' IS NULL THEN 1 END) AS n_null_k
+            FROM events GROUP BY event_type
+        """,
+        "window_suite": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+                   round(value - coalesce(lag(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id), 0.0), 4) AS delta,
+                   row_number() OVER (PARTITION BY user_id
+                         ORDER BY value DESC, event_id) AS value_rank
+            FROM events
+        """,
+        "asof_join": """
+            WITH c AS (SELECT user_id, ts, max(value) AS click_value
+                       FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            p AS (SELECT user_id, ts, event_id
+                  FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, c.click_value AS last_click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "salted_agg": """
+            SELECT event_type, round(sum(value), 4) AS total_value,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "embedding_centroids": """
+            SELECT label, i::BIGINT AS pos,
+                   round(avg(embedding[i]::DOUBLE), 6) AS mean_x
+            FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+            GROUP BY label, i
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count

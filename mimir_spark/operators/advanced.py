@@ -1,0 +1,172 @@
+"""Advanced operator batch: TF-IDF and n-gram counting (classic
+MapReduce workloads a Mimir user chains by hand), as-of join, JSON
+extraction, a window-function suite, skew-salted aggregation, and
+per-label embedding centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import tokens_col
+from mimir_spark.sources.tables import load_table
+
+
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, word): tf · ln((N+1)/(df+1)).
+
+    Three aggregations, all keyed on word or (doc, word) — the doc
+    count N joins in as a broadcast single-row aggregate, never a
+    collected literal, so the plan is one job at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf"),
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """Word-bigram occurrence counts across the corpus (every
+    occurrence, unlike the distinct shingles dedup uses). Same
+    single-shuffle shape as wordcount."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = docs.select(
+        F.explode(
+            F.when(F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+            .otherwise(F.array())
+        ).alias("gram")
+    )
+    return grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+
+
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON column and aggregate an extracted
+    field — get_json_object stays JVM-side (Jackson), no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
+    )
+
+
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum, delta-vs-previous, and per-user value rank in one
+    pass — a single shuffle on user_id serves all three frames."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrank = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value", 1).over(w), F.lit(0.0)), 4).alias(
+            "delta"
+        ),
+        F.row_number().over(wrank).cast("long").alias("value_rank"),
+    )
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (DuckDB `ASOF JOIN` semantics): for each purchase
+    event, the value of the same user's latest click at ts ≤ purchase
+    ts — the classic attribution query.
+
+    Spark lacks a native as-of join; the scalable pattern is the
+    merged-stream trick: union both sides tagged, then within each
+    user partition carry the last click value forward with
+    last(ignoreNulls) over (ts, tag). One shuffle on user_id, no
+    per-row lookup, no UDF, no unpartitioned window — this is the
+    shape that survives 100 TB (contrast: a windowless global sort
+    funnels everything through one task).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # dedup clicks per (user, ts) so the as-of value is well-defined
+    # under ties on both engines
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    tagged_c = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "click_value",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    tagged_p = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id",
+    )
+    merged = tagged_c.unionByName(tagged_p)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn(
+        "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", "last_click_value"
+    )
+
+
+def salted_agg(spark: SparkSession, sf_dir: str, salts: int = 8) -> DataFrame:
+    """Skew-mitigated aggregation: pre-aggregate on (key, salt), then
+    merge per key. Result is identical to a plain groupBy — the point
+    is the shape: a hot key's rows split across `salts` reducers in
+    stage 1 instead of hammering one. (Spark's AQE skew handling covers
+    joins; explicit salting is the pattern for skewed aggregations
+    whose partials are large, e.g. collect_set.)"""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(salts)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.sum("value").alias("pv"), F.count("*").alias("pc")
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("pv"), 4).alias("total_value"),
+        F.sum("pc").alias("n_events"),
+    )
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, emitted as (label, pos, mean) — the long
+    form avoids re-assembling arrays through a shuffle and is what a
+    k-means iteration aggregates anyway."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("mean_x"))
+        .select("label", (F.col("pos") + 1).cast("long").alias("pos"), "mean_x")
+    )

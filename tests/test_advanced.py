@@ -1,0 +1,74 @@
+"""Semantics + plan tests for the advanced operator batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimir_spark.operators import advanced
+from mimir_spark.plans.checks import formatted_plan
+from mimir_spark.sources.tables import load_table
+
+
+def test_tfidf_broadcasts_small_sides(spark, sf_correct):
+    plan = formatted_plan(advanced.tfidf(spark, sf_correct))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_user_partitioned(spark, sf_correct):
+    """The merged-stream as-of must partition its window by user_id —
+    an empty partition spec would funnel 100 TB through one task."""
+    df = advanced.asof_join(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "user_id" in plan
+    # every purchase appears exactly once
+    ev = load_table(spark, sf_correct, "events")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert df.count() == n_purchases
+
+
+def test_asof_value_correct_for_one_user(spark, sf_smoke):
+    """Hand-check one user's attribution against a driver-side replay."""
+    ev = load_table(spark, sf_smoke, "events").collect()
+    out = {r.event_id: r.last_click_value for r in advanced.asof_join(spark, sf_smoke).collect()}
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r.ts, 0 if r.event_type == "click" else 1)):
+        if r.event_type == "click":
+            cur = by_user.setdefault(r.user_id, {}).get("clicks", {})
+            cur[r.ts] = max(cur.get(r.ts, float("-inf")), r.value)
+            by_user[r.user_id]["clicks"] = cur
+        elif r.event_type == "purchase":
+            clicks = by_user.get(r.user_id, {}).get("clicks", {})
+            eligible = [v for t, v in clicks.items() if t <= r.ts]
+            expect = None
+            if eligible:
+                last_ts = max(t for t in clicks if t <= r.ts)
+                expect = clicks[last_ts]
+            assert out.get(r.event_id) == expect, (r.event_id, out.get(r.event_id), expect)
+
+
+def test_salted_agg_equals_plain(spark, sf_smoke):
+    plain = {
+        (r.event_type, r.total_value, r.n_events)
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"), F.count("*").alias("n_events"))
+        .collect()
+    }
+    salted = {
+        (r.event_type, r.total_value, r.n_events)
+        for r in advanced.salted_agg(spark, sf_smoke).collect()
+    }
+    assert plain == salted
+
+
+def test_ngram_total(spark, sf_smoke):
+    """Σ bigram counts == Σ max(len(toks)-1, 0) over docs."""
+    docs = load_table(spark, sf_smoke, "documents")
+    from mimir_spark.functions.text import tokens_col
+
+    expect = docs.select(
+        F.greatest(F.size(tokens_col("text")) - 1, F.lit(0)).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    got = advanced.ngram_counts(spark, sf_smoke).agg(F.sum("cnt")).collect()[0][0]
+    assert got == expect
