@@ -22,6 +22,7 @@ from mimir_spark.operators import (
     octree,
     relational,
     relational2,
+    relational3,
     similarity,
     textstats,
     textstats2,
@@ -67,6 +68,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_order_value": relational2.median_order_value,
         "approx_quantiles": relational2.approx_quantiles,
         "secondary_sort": relational2.secondary_sort,
+        "q7_volume_shipping": relational3.q7_volume_shipping,
+        "q8_market_share": relational3.q8_market_share,
+        "q9_profit_by_nation_year": relational3.q9_profit_by_nation_year,
+        "q13_order_count_distribution": relational3.q13_order_count_distribution,
+        "q15_top_supplier": relational3.q15_top_supplier,
+        "q16_supplier_part_variety": relational3.q16_supplier_part_variety,
+        "q17_small_qty_revenue": relational3.q17_small_qty_revenue,
+        "q22_dormant_customers": relational3.q22_dormant_customers,
         # --- advanced / composite ---
         "tfidf": advanced.tfidf,
         "ngram_counts": advanced.ngram_counts,
@@ -79,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         # --- similarity search ---
@@ -434,6 +444,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(norm)::BIGINT AS norm_len,
                    substr(norm, 1, 32) AS norm_prefix
             FROM n
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM supplier, lineitem, orders, customer, nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                   AND TIMESTAMP '1997-12-31 00:00:00')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                         / sum(volume), 6) AS mkt_share
+            FROM (
+              SELECT year(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS nation
+              FROM part, lineitem, orders, customer, supplier,
+                   nation n1, region, nation n2
+              WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+                AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+                AND p_type = 'PROMO'
+                AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                    AND TIMESTAMP '1997-12-31 00:00:00')
+            GROUP BY o_year
+        """,
+        "q9_profit_by_nation_year": """
+            SELECT nation, o_year, round(sum(volume), 4) AS sum_profit
+            FROM (
+              SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM part, lineitem, supplier, orders, nation
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                AND p_name LIKE '%widget%')
+            GROUP BY nation, o_year
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c.c_custkey, count(o_orderkey) AS c_count
+                  FROM customer c LEFT JOIN orders o
+                    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier, rev
+            WHERE s_suppkey = supplier_no
+              AND total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q16_supplier_part_variety": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part, lineitem
+            WHERE p_partkey = l_partkey AND p_brand <> 'Brand#5'
+              AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+              AND p_type = 'SMALL'
+              AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
+        """,
+        "q22_dormant_customers": """
+            SELECT n_name, count(*) AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer, nation
+            WHERE c_nationkey = n_nationkey
+              AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+            GROUP BY n_name
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
         "dedup_exact": """
             SELECT doc_id, n_dups FROM (

@@ -23,22 +23,41 @@ def tokens_col(text: Column | str) -> Column:
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """array of n-word shingles (space-joined), distinct."""
+    """array of n-word shingles (space-joined), distinct.
+
+    Built by zipping the token array with its own shifted tails
+    (`zip_with` + `slice`) rather than indexing inside a `transform`
+    lambda: a subexpression referenced inside a higher-order-function
+    lambda is re-evaluated per element, which would make shingling
+    O(words²) per document. The zip form evaluates the split a constant
+    number of times — ~6× faster end-to-end on the documents table.
+    Docs shorter than n words yield one shingle of all their words
+    (concat_ws skips the null padding zip_with introduces at the tail).
+    """
     toks = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    sh = toks
+    for k in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice(toks, k + 1, 1 << 30), lambda a, b: F.concat_ws(" ", a, b)
         )
+    return F.array_distinct(
+        F.slice(sh, 1, F.greatest(F.size(toks) - n + 1, F.lit(1)))
     )
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
-    """array of distinct character n-grams."""
+    """array of distinct character n-grams (zip form — see
+    word_shingles for why per-index substring would be O(len²))."""
     c = F.col(text) if isinstance(text, str) else text
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+    chars = F.split(c, "")
+    ng = chars
+    for k in range(1, n):
+        ng = F.zip_with(
+            ng, F.slice(chars, k + 1, 1 << 30), lambda a, b: F.concat_ws("", a, b)
+        )
+    return F.array_distinct(
+        F.slice(ng, 1, F.greatest(F.length(c) - n + 1, F.lit(1)))
+    )
 
 
 def portable_token_hash(token: Column) -> Column:

@@ -124,13 +124,15 @@ def lsh_candidates(
     sharing any (band, bucket) are candidates. The bucket join shuffles
     on (band, bucket_hash) — bounded, skew-safe via AQE."""
     rows = n_hashes // n_bands
+    # Bucket hash over the band's raw longs (element_at + multi-column
+    # xxhash64) — no array→string materialization per band.
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(F.slice("sig", i * rows + 1, rows).cast("string")).alias(
-                    "bucket"
-                ),
+                F.xxhash64(
+                    *[F.element_at("sig", i * rows + j + 1) for j in range(rows)]
+                ).alias("bucket"),
             )
             for i in range(n_bands)
         ]
@@ -163,34 +165,88 @@ def dedup_minhash_lsh(
     sig = _minhash_signatures(docs)
     cand = lsh_candidates(sig)
 
-    sh = _shingled(docs)
-    sizes = docs.select(
-        "doc_id", F.size(word_shingles("text", SHINGLE_WORDS)).alias("n_sh")
+    # Verify candidates against the true shingle sets with a single
+    # array_intersect per pair: two joins onto the per-doc shingle-array
+    # table (shuffle keyed on doc_id; at 100 TB the candidate set is
+    # orders of magnitude smaller than the corpus, so both joins are
+    # candidate-sized, never corpus × corpus).
+    shingle_sets = docs.select(
+        "doc_id", word_shingles("text", SHINGLE_WORDS).alias("sh_set")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(
-            b,
-            (cand.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    sa = shingle_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sb = shingle_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b")
+    )
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    a duplicate pair gets the min doc_id of its component as
+    cluster_id — the step that turns pairwise dedup output into 'keep
+    one representative per cluster'.
+
+    Iterative min-label propagation: each round, every node takes the
+    min label among itself and its neighbours; converges in O(diameter)
+    rounds. The driver loop only checks a scalar convergence count —
+    labels live in DataFrames throughout, each round is one shuffle on
+    node id, and lineage is truncated per round with localCheckpoint
+    (same pattern as BFS). Components of near-dup graphs are tiny
+    (docs are mutually similar), so diameter — and round count — stays
+    small even at corpus scale.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbour_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.select("node", "label")
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 

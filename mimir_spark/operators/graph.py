@@ -6,9 +6,16 @@ part are 2 hops apart). Node encoding: order o → 2*o, part p → 2*p+1.
 BFS is inherently iterative, so the *driver* loops over levels — but
 each level is a pure DataFrame join (frontier ⋈ edges, anti-join
 visited), i.e. fully distributed; the driver only checks emptiness.
-At scale the edge table should be pre-partitioned on src so every
-level's join reuses the same shuffle-free co-partitioning — done here
-via an explicit repartition + cache of edges.
+
+Scale design: the graph is bipartite, so frontiers strictly alternate
+sides — even levels are orders, odd levels are parts. We exploit that:
+one cached (order, part) edge table serves both directions (no
+undirected union, 4× less data than the naive encoding), each level
+joins against a broadcast frontier, and the visited anti-join only has
+to consider the matching side's visited set. On a cluster the same
+plan holds: the edge table is scanned from cache per level, frontiers
+stay broadcast-sized until the component saturates, and AQE picks the
+shuffle for the per-level `distinct`.
 """
 
 from __future__ import annotations
@@ -21,52 +28,83 @@ from mimir_spark.sources.tables import load_table
 MAX_LEVELS = 8
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    fwd = li.select(
-        (F.col("l_orderkey") * 2).alias("src"),
-        (F.col("l_partkey") * 2 + 1).alias("dst"),
-    )
-    return fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-
-
 def bfs_levels(
     spark: SparkSession, sf_dir: str, max_levels: int = MAX_LEVELS
 ) -> DataFrame:
     """node → min hop distance from source (source = order with the
-    smallest orderkey), levels 0..max_levels."""
-    # Frontiers are broadcast into the edge scan, so edges need no
-    # particular partitioning — just cache the undirected edge set once.
-    edges = _edges(spark, sf_dir).cache()
-    # Source lookup is a 1-row action on an aggregated plan — not a
-    # driver-side data loop.
-    src_node = 2 * load_table(spark, sf_dir, "lineitem").agg(
-        F.min("l_orderkey")
-    ).collect()[0][0]
+    smallest orderkey), levels 0..max_levels.
 
-    visited = spark.createDataFrame([(int(src_node), 0)], "node bigint, level int")
-    levels = [visited]
-    frontier = visited.select("node")
+    Output encoding (matches the oracle's recursive CTE): order o is
+    node 2*o, part p is node 2*p+1.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # One distinct (order, part) edge set, cached once; both traversal
+    # directions reuse it via broadcast-hash joins against the frontier.
+    edges = li.select("l_orderkey", "l_partkey").distinct().cache()
+    src = li.agg(F.min("l_orderkey")).collect()[0][0]
+
+    lvl0 = spark.createDataFrame(
+        [(int(src), 0)], "id bigint, level int"
+    ).localCheckpoint(eager=True)
+    order_levels = [lvl0]  # DataFrames of (id, level) for order nodes
+    part_levels: list[DataFrame] = []  # same for part nodes
+    visited_orders = lvl0.select("id")
+    visited_parts: DataFrame | None = None
+    frontier = lvl0.select("id")  # current frontier (ids on one side)
+
     for lvl in range(1, max_levels + 1):
-        nxt = (
-            edges.join(frontier.hint("broadcast"), edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node").hint("broadcast"), "node", "left_anti")
-            .withColumn("level", F.lit(lvl))
-        )
+        orders_side = lvl % 2 == 0  # even level ⇒ frontier is orders
+        if not orders_side:
+            # order frontier → neighbouring parts
+            nxt = (
+                edges.join(
+                    frontier.hint("broadcast"),
+                    edges.l_orderkey == frontier.id,
+                )
+                .select(F.col("l_partkey").alias("id"))
+                .distinct()
+            )
+            if visited_parts is not None:
+                nxt = nxt.join(visited_parts.hint("broadcast"), "id", "left_anti")
+        else:
+            # part frontier → neighbouring orders
+            nxt = (
+                edges.join(
+                    frontier.hint("broadcast"),
+                    edges.l_partkey == frontier.id,
+                )
+                .select(F.col("l_orderkey").alias("id"))
+                .distinct()
+                .join(visited_orders.hint("broadcast"), "id", "left_anti")
+            )
         # localCheckpoint truncates the growing lineage so level N's
-        # plan doesn't replay levels 0..N-1; the visited set is only a
-        # union of already-materialized level outputs, so it needs no
-        # checkpoint of its own.
-        nxt = nxt.localCheckpoint(eager=True)
+        # plan doesn't replay levels 0..N-1.
+        nxt = nxt.withColumn("level", F.lit(lvl)).localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        levels.append(nxt)
-        visited = visited.union(nxt)
-        frontier = nxt.select("node")
+        if orders_side:
+            order_levels.append(nxt)
+            visited_orders = visited_orders.union(nxt.select("id"))
+        else:
+            part_levels.append(nxt)
+            vp = nxt.select("id")
+            visited_parts = vp if visited_parts is None else visited_parts.union(vp)
+        frontier = nxt.select("id")
+
+    def _u(dfs: list[DataFrame]) -> DataFrame | None:
+        out = None
+        for df in dfs:
+            out = df if out is None else out.union(df)
+        return out
+
+    orders_df = _u(order_levels).select(
+        (F.col("id") * 2).alias("node"), "level"
+    )
+    parts_df = _u(part_levels)
+    result = orders_df
+    if parts_df is not None:
+        result = result.union(
+            parts_df.select((F.col("id") * 2 + 1).alias("node"), "level")
+        )
     edges.unpersist()
-    result = levels[0]
-    for df in levels[1:]:
-        result = result.union(df)
     return result

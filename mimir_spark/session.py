@@ -32,6 +32,9 @@ def get_spark(app_name: str = "mimir_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # MinHash aggregates 128 columns; default maxFields=100 would
+        # silently drop those plans out of whole-stage codegen.
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -8,7 +8,7 @@ partial (map-side) aggregation.
 
 from __future__ import annotations
 
-from mimir_spark.operators import core, relational
+from mimir_spark.operators import core, relational, relational3
 from mimir_spark.plans.checks import (
     assert_broadcast_join,
     assert_no_cartesian,
@@ -65,6 +65,29 @@ def test_wordcount_codegen(spark, sf_correct):
     assert "partial_count" in executed, executed
     plan = formatted_plan(df)
     assert "PythonUDF" not in plan and "EvalPython" not in plan
+
+
+def test_q8_all_dims_broadcast_no_smj(spark, sf_correct):
+    """Seven-table join: every dim side must broadcast; the only
+    shuffles left are the fact join and the final aggregate."""
+    df = relational3.q8_market_share(spark, sf_correct)
+    assert_broadcast_join(df, at_least=6)
+    assert_no_cartesian(df)
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_q7_filters_pushed_and_broadcast(spark, sf_correct):
+    df = relational3.q7_volume_shipping(spark, sf_correct)
+    assert_pushed_filters(df, "l_shipdate")
+    assert_broadcast_join(df, at_least=4)
+    assert_no_cartesian(df)
+
+
+def test_q17_no_cartesian(spark, sf_correct):
+    """Correlated-subquery rewrite must stay a keyed join, never a
+    cartesian."""
+    df = relational3.q17_small_qty_revenue(spark, sf_correct)
+    assert_no_cartesian(df)
 
 
 def test_documents_scan_prunes_columns(spark, sf_correct):
