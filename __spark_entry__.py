@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mimir_spark.operators import (
     advanced,
+    clustering,
     core,
     dedup,
     graph,
@@ -82,13 +83,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_agg": advanced.json_extract_agg,
         "window_suite": advanced.window_suite,
         "asof_join": advanced.asof_join,
+        "interval_join": advanced.interval_join,
         "salted_agg": advanced.salted_agg,
         "embedding_centroids": advanced.embedding_centroids,
+        "kmeans_embeddings": clustering.kmeans_embeddings,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_survivors": dedup.dedup_survivors,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         # --- similarity search ---
@@ -130,6 +134,32 @@ _COS_PAIR = """
          * sqrt(list_sum(list_transform(generate_series(1, 64),
                i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)
 """
+
+
+# Shared CTE chain: shingle-Jaccard duplicate pairs → undirected edges
+# → transitive closure (connected components), used by the
+# dedup_clusters / dedup_survivors oracles.
+_CLUSTER_CTES = f"""
+            WITH RECURSIVE sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -542,27 +572,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "dedup_clusters": f"""
-            WITH RECURSIVE sh AS ({_SHINGLES}),
-            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            pairs AS (
-              SELECT doc_a, doc_b FROM inter
-              JOIN sizes sa ON sa.doc_id = doc_a
-              JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5),
-            edges AS (
-              SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION
-              SELECT doc_b AS src, doc_a AS dst FROM pairs),
-            reach(a, b) AS (
-              SELECT src, src FROM edges
-              UNION
-              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+            {_CLUSTER_CTES}
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        "dedup_survivors": f"""
+            {_CLUSTER_CTES},
+            comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+                     FROM reach GROUP BY a)
+            SELECT cluster_id, survivor_doc_id, n_members FROM (
+              SELECT c.cluster_id, d.doc_id AS survivor_doc_id,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+                     count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+              FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+            WHERE rn = 1
+        """,
+        "interval_join": """
+            SELECT p.event_id, p.user_id,
+                   count(c.ts) AS n_recent_clicks,
+                   round(coalesce(sum(c.value), 0), 4) AS recent_click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'click') c
+              ON c.user_id = p.user_id AND c.ts < p.ts
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE
+            GROUP BY p.event_id, p.user_id
         """,
         "dedup_exact": """
             SELECT doc_id, n_dups FROM (

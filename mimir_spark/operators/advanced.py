@@ -170,3 +170,49 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("x"), 6).alias("mean_x"))
         .select("label", (F.col("pos") + 1).cast("long").alias("pos"), "mean_x")
     )
+
+
+def interval_join(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    """Time-range join: for each purchase event, count + sum the same
+    user's clicks in the preceding 30 minutes ([ts-30min, ts)).
+
+    Spark has no native range join; the naive inequality join is a
+    per-user cross product. The scalable pattern is BUCKETING: both
+    sides get a bucket = floor(epoch / gap); because the window length
+    equals the bucket width, every qualifying click lives in the
+    purchase's bucket or the one before, so the probe side explodes to
+    exactly 2 (user, bucket) keys and the join is a bounded equi-join —
+    shuffle keyed on (user_id, bucket), never a per-user cross join.
+    The exact range predicate then filters inside the matched buckets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.col("ts").cast("double") / gap_s).cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ts_c"),
+        F.col("value").alias("click_value"),
+        bucket.alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    probes = purchases.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(F.array(bucket, bucket - 1)).alias("bucket"),
+    )
+    matched = probes.join(clicks, ["user_id", "bucket"]).filter(
+        (F.col("ts_c") < F.col("ts"))
+        & (F.col("ts_c") >= F.col("ts") - F.expr(f"INTERVAL {gap_s} SECONDS"))
+    )
+    per_purchase = matched.groupBy("event_id").agg(
+        F.count("*").alias("n_recent_clicks"),
+        F.sum("click_value").alias("v"),
+    )
+    return purchases.join(per_purchase, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_recent_clicks", F.lit(0)).alias("n_recent_clicks"),
+        F.round(F.coalesce("v", F.lit(0.0)), 4).alias("recent_click_value"),
+    )

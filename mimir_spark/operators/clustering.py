@@ -1,0 +1,101 @@
+"""Iterative clustering over the embeddings table.
+
+`kmeans_embeddings` is full Lloyd's k-means expressed the way a
+distributed engine should run it (MLlib uses the same structure): the
+k·dim centroid matrix is bounded METADATA, so it lives driver-side as
+a literal expression each round — the corpus never moves. Per
+iteration the plan is:
+
+- assignment: a pure map over the points — squared distance to each of
+  the k literal centroids (`transform` + `aggregate` over a constant
+  array), argmin via `array_position(dists, array_min(dists))` (ties →
+  lowest centroid id). ZERO shuffle.
+- update: one groupBy(cid) with count + 64 per-dimension element sums —
+  partial (map-side) aggregation reduces each partition to ≤k rows, so
+  the shuffle moves k·(dim+1) values per partition regardless of
+  corpus size.
+
+The only driver traffic is k rows per round (the new centroids) — the
+direct analogue of BFS's scalar frontier check, and the standard
+pattern for bounded-state iterative ML on Spark. Deterministic: seeds
+are the k lowest vec_ids, exactly n_iters rounds, first-min
+tie-breaks — the unit test pins it to a NumPy reference
+implementation bit-for-bit (modulo summation-order ULPs absorbed by
+rounding the reported inertia).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.sources.tables import load_table
+
+K = 8
+N_ITERS = 5
+
+
+def _sq_dist_to(centroid_lit):
+    """Squared L2 distance from array column `e` to a literal centroid."""
+    return F.aggregate(
+        F.zip_with(F.col("e"), centroid_lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(pts: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    carr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(carr, lambda ce: _sq_dist_to(ce))
+    return pts.select(
+        "vec_id",
+        "e",
+        F.array_position(dists, F.array_min(dists)).alias("cid"),
+        F.array_min(dists).alias("d"),
+    )
+
+
+def kmeans_embeddings(
+    spark: SparkSession, sf_dir: str, k: int = K, n_iters: int = N_ITERS
+) -> DataFrame:
+    """Deterministic k-means over `embeddings`; returns per-cluster
+    (cluster_id, n_points, inertia)."""
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    # Seeds: the k lowest vec_ids. k rows of bounded metadata — the one
+    # acceptable collect (same class as BFS's 1-row source lookup).
+    seeds = pts.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r.e) for r in seeds]
+    dim = len(centroids[0])
+
+    for _ in range(n_iters):
+        assigned = _assign(pts, centroids)
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("e", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_c = list(centroids)  # empty clusters keep their centroid
+        for r in stats:
+            new_c[r.cid - 1] = [r[f"s{i}"] / r.n for i in range(dim)]
+        centroids = new_c
+
+    return (
+        _assign(pts, centroids)
+        .groupBy(F.col("cid").cast("long").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.sum("d"), 4).alias("inertia"),
+        )
+    )

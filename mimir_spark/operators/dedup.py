@@ -250,6 +250,35 @@ def dedup_clusters(
     )
 
 
+def dedup_survivors(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """The end of the dedup pipeline: per near-dup cluster, keep the
+    LONGEST document (ties → lowest doc_id). Returns one row per
+    cluster: (cluster_id, survivor_doc_id, n_members) — the keep-list a
+    corpus build joins against. Composes dedup_clusters with a
+    per-cluster window top-1; the join onto documents only carries
+    doc_id + n_chars (pruned scan)."""
+    clusters = dedup_clusters(spark, sf_dir, threshold)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "n_members",
+        )
+    )
+
+
 # ---- SimHash -----------------------------------------------------------
 
 
