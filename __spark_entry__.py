@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         # --- multimodal ---
         "multimodal_meta": multimodal.multimodal_meta,
+        "frame_sample": multimodal.frame_sample,
+        "multimodal_features": multimodal.multimodal_features,
     }
 
 
@@ -586,6 +588,14 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER (PARTITION BY c.cluster_id) AS n_members
               FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
             WHERE rn = 1
+        """,
+        "frame_sample": """
+            SELECT doc_id, frame_idx
+            FROM (SELECT doc_id,
+                         unnest(generate_series(0,
+                             (octet_length(encode(text)) // 100)::BIGINT)) AS frame_idx
+                  FROM documents)
+            WHERE frame_idx % 10 = 0
         """,
         "interval_join": """
             SELECT p.event_id, p.user_id,

@@ -74,7 +74,42 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 10) -> DataFra
     return (
         docs.select(
             "doc_id",
-            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("fi"),
         )
+        .select("doc_id", F.col("fi").cast("long").alias("frame_idx"))
         .filter(F.col("frame_idx") % every_n == 0)
+    )
+
+
+FEATURES_SCHEMA = "doc_id long, features array<float>"
+N_FEATURES = 16
+
+
+def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB feature extractor: a deterministic 16-dim byte-histogram
+    'embedding' per payload (replace with a real vision/audio encoder
+    forward pass batched over the Arrow batch). The batch loop, output
+    array column, and schema contract are the production shape."""
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(arr % N_FEATURES, minlength=N_FEATURES).astype(
+                "float32"
+            )
+            total = hist.sum()
+            feats.append(hist / total if total else hist)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload → dense feature vector via mapInPandas — the
+    decode→embed step that feeds the ANN/dedup operators. No shuffle:
+    featurization follows input partitioning; downstream similarity
+    ops treat `features` exactly like the embeddings table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(
+        _featurize_batches, FEATURES_SCHEMA
     )

@@ -44,3 +44,31 @@ def write_partitioned_parquet(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (hash-partitioned into n_buckets files
+    per write task, registered in the catalog). Two tables bucketed on
+    the same key with the same bucket count join WITHOUT a shuffle —
+    the pre-partitioning replaces the exchange. This is the 100 TB
+    answer for a fact-fact join that recurs across queries (e.g.
+    orders ⋈ lineitem on orderkey): pay one shuffle at write time,
+    never again at read time.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols).sortBy(*bucket_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def read_table_from_catalog(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a catalog table (e.g. one written by write_bucketed);
+    bucket metadata rides along and lets the planner elide exchanges."""
+    return spark.table(table_name)

@@ -101,3 +101,40 @@ def streaming_sessionize(events_stream: DataFrame, gap_minutes: int = 30) -> Dat
             "session_value",
         )
     )
+
+
+def streaming_dedup(docs_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each text hash wins.
+    dropDuplicates keys the state store on the 64-bit hash (never the
+    full text); at 100 TB you'd add a watermark column and use
+    dropDuplicatesWithinWatermark to bound state."""
+    return docs_stream.withColumn("h", F.xxhash64("text")).dropDuplicates(["h"])
+
+
+def streaming_click_purchase_join(events_stream: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks in the preceding 30 minutes. Both sides are watermarked so
+    the join state evicts; the range condition bounds which click rows
+    each purchase can still match (Spark uses it to compute state
+    expiry). The streaming twin of operators.advanced.interval_join."""
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("ts_c"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("ts_c", "1 hour")
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("ts_c") < F.col("ts"))
+        & (F.col("ts_c") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("event_id", "user_id", "ts", "ts_c", "click_value")

@@ -113,3 +113,20 @@ def test_frame_sample_plumbing(spark, sf_smoke):
 
     fs = frame_sample(spark, sf_smoke, every_n=10)
     assert fs.filter(F.col("frame_idx") % 10 != 0).count() == 0
+
+
+def test_multimodal_features_contract(spark, sf_smoke):
+    """Feature vectors: one row per doc, fixed dim, L1-normalized,
+    deterministic across runs, no shuffle in the plan."""
+    from mimir_spark.operators.multimodal import N_FEATURES, multimodal_features
+
+    out = multimodal_features(spark, sf_smoke)
+    rows = out.collect()
+    n_docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert all(len(r.features) == N_FEATURES for r in rows[:50])
+    assert all(abs(sum(r.features) - 1.0) < 1e-5 for r in rows[:50])
+    rows2 = {r.doc_id: r.features for r in multimodal_features(spark, sf_smoke).collect()}
+    assert rows2[rows[0].doc_id] == rows[0].features
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

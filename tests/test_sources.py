@@ -64,3 +64,31 @@ def test_pipeline_output_parquet(spark, sf_smoke, tmp_path):
         .output_parquet(out)
     )
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_smoke, tmp_path):
+    """orders and lineitem bucketed on orderkey with the same bucket
+    count must sort-merge-join with NO exchange on either side — the
+    write-time shuffle replaces every future read-time shuffle."""
+    from mimir_spark.sources.io import read_table_from_catalog, write_bucketed
+
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8, path=str(tmp_path / "ob"))
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 8, path=str(tmp_path / "lb"))
+    try:
+        ob = read_table_from_catalog(spark, "t_orders_b")
+        lb = read_table_from_catalog(spark, "t_lineitem_b")
+        # force the SMJ path so the bucketing (not a broadcast) is what
+        # saves the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        joined.count()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -68,3 +68,41 @@ def test_streaming_sessionize_runs(spark, sf_smoke):
         "n_events",
         "session_value",
     ]
+
+
+def test_streaming_dedup_matches_batch(spark, sf_smoke):
+    import shutil
+
+    from mimir_spark.operators.dedup import dedup_exact
+    from mimir_spark.streaming.jobs import streaming_dedup
+
+    shutil.rmtree("/tmp/mimir_ckpt_dd_t", ignore_errors=True)
+    stream = read_documents_stream(spark, sf_smoke)
+    _run_to_completion(streaming_dedup(stream), "dd_t", "append")
+    # one survivor per distinct text, same count as the batch dedup
+    n_stream = spark.sql("SELECT count(*) FROM dd_t").collect()[0][0]
+    n_batch = dedup_exact(spark, sf_smoke).count()
+    assert n_stream == n_batch
+
+
+def test_streaming_click_purchase_join_matches_batch(spark, sf_smoke):
+    import shutil
+
+    from mimir_spark.operators.advanced import interval_join
+    from mimir_spark.streaming.jobs import streaming_click_purchase_join
+
+    shutil.rmtree("/tmp/mimir_ckpt_ij_t", ignore_errors=True)
+    stream = read_events_stream(spark, sf_smoke)
+    _run_to_completion(streaming_click_purchase_join(stream), "ij_t", "append")
+    got = (
+        spark.table("ij_t")
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("click_value"), 4).alias("v"))
+    )
+    got_map = {r.event_id: (r.n, r.v) for r in got.collect()}
+    expect = {
+        r.event_id: (r.n_recent_clicks, r.recent_click_value)
+        for r in interval_join(spark, sf_smoke).collect()
+        if r.n_recent_clicks > 0
+    }
+    assert got_map == expect
