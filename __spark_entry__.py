@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_variety": relational3.q16_supplier_part_variety,
         "q17_small_qty_revenue": relational3.q17_small_qty_revenue,
         "q22_dormant_customers": relational3.q22_dormant_customers,
+        "cube_revenue": relational3.cube_revenue,
+        "grouping_sets_revenue": relational3.grouping_sets_revenue,
+        "moving_avg_revenue": relational3.moving_avg_revenue,
         # --- advanced / composite ---
         "tfidf": advanced.tfidf,
         "ngram_counts": advanced.ngram_counts,
@@ -101,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # --- text analysis ---
         "pii_scrub": textstats2.pii_scrub,
+        "bpe_pair_counts": textstats2.bpe_pair_counts,
         "repetition_ratio": textstats2.repetition_ratio,
         "text_normalize": textstats2.text_normalize,
         "lang_id": textstats.lang_id,
@@ -572,6 +576,43 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
             GROUP BY n_name
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "grouping_sets_revenue": """
+            SELECT o_orderpriority, o_orderstatus,
+                   round(sum(o_totalprice), 4) AS total_price,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """,
+        "moving_avg_revenue": """
+            WITH daily AS (
+              SELECT date_trunc('day', l_shipdate) AS day,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              FROM lineitem GROUP BY 1)
+            SELECT day, revenue,
+                   round(avg(revenue) OVER (
+                     ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4)
+                   AS ma7
+            FROM daily
+        """,
+        "bpe_pair_counts": r"""
+            SELECT pair, count(*) AS cnt
+            FROM (SELECT unnest(list_transform(
+                           generate_series(1, length(word) - 1),
+                           i -> word[i:i+1])) AS pair
+                  FROM (SELECT unnest(list_filter(
+                                 string_split_regex(text, '\s+'),
+                                 x -> x <> '')) AS word
+                        FROM documents))
+            GROUP BY pair
         """,
         "dedup_clusters": f"""
             {_CLUSTER_CTES}

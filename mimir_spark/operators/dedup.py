@@ -95,23 +95,58 @@ MERSENNE = (1 << 31) - 1
 def _minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """doc_id → array<long> of n_hashes min-hash values.
 
-    Shingle → 64-bit xxhash64 folded to 31 bits, then n universal-hash
-    permutations h_i(x) = (a_i·x + b_i) mod p. All vectorized Column
-    expressions: the per-doc signature is an aggregate of element-wise
-    minima — one shuffle on doc_id (map-side partial min applies).
+    Shingle → 64-bit xxhash64 folded to 31 bits (JVM, codegen'd), then
+    n universal-hash permutations h_i(x) = (a_i·x + b_i) mod p.
+
+    The 128-way hash×min is the hot loop and a 128-column JVM aggregate
+    falls out of whole-stage codegen (interpreted eval ≈ 10× slower),
+    so the per-batch PARTIAL minima are computed vectorized in NumPy
+    via mapInPandas — no shuffle, one Python call per Arrow batch, a
+    (batch×128) matrix op per call. The JVM then finishes with the same
+    128-min aggregate over only ~(batches × docs-per-batch-boundary)
+    partial rows (thousands, not the full shingle table), which also
+    gives map-side partial aggregation on the single doc_id shuffle.
     """
     import random
 
+    import numpy as np
+    import pandas as pd
+
     rng = random.Random(42)
-    coeffs = [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE)) for _ in range(n_hashes)]
-    sh = _shingled(docs).withColumn(
-        "x", (F.xxhash64("sh").bitwiseAND(F.lit(MERSENNE)))
-    )
-    mins = [
-        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
+    coeffs = [
+        (rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
+        for _ in range(n_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    sh = _shingled(docs).select(
+        "doc_id", (F.xxhash64("sh").bitwiseAND(F.lit(MERSENNE))).alias("x")
+    )
+
+    partial_schema = "doc_id long, " + ", ".join(
+        f"h{i} long" for i in range(n_hashes)
+    )
+
+    def _partial_mins(batches):
+        for pdf in batches:
+            doc = pdf["doc_id"].to_numpy(np.int64)
+            x = pdf["x"].to_numpy(np.int64)
+            order = np.argsort(doc, kind="stable")
+            doc_s, x_s = doc[order], x[order]
+            # x < 2^31 and a < 2^31 ⇒ a·x + b < 2^62: no int64 overflow.
+            h = (x_s[:, None] * A[None, :] + B[None, :]) % MERSENNE
+            bounds = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+            mins = np.minimum.reduceat(h, bounds, axis=0)
+            out = {"doc_id": doc_s[bounds]}
+            for i in range(n_hashes):
+                out[f"h{i}"] = mins[:, i]
+            yield pd.DataFrame(out)
+
+    partial = sh.mapInPandas(_partial_mins, partial_schema)
+    sig = partial.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
     return sig.select(
         "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
     )

@@ -219,3 +219,51 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combos in
+    one pass — Catalyst expands the cube BEFORE the shuffle so partial
+    aggregation still applies to every grouping set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_revenue()), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority), (status), ()): the sparse
+    subset of the cube a report actually needs — 3 grouping sets
+    instead of 4, still one scan + one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue — a RANGE window frame
+    (interval-based, handles gap days correctly, unlike ROWS). The
+    daily pre-aggregation shrinks the window input to one row per day,
+    so the unpartitioned window runs over ~2.4k rows no matter the
+    corpus size — pre-agg-then-window is the scale pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 4).alias("ma7"),
+    )

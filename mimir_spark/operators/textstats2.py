@@ -71,3 +71,25 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("long").alias("norm_len"),
         F.substring(norm, 1, 32).alias("norm_prefix"),
     )
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies over all word occurrences —
+    the counting step of one BPE tokenizer-training merge round.
+    Chars are zipped with their own shifted tail (no per-index
+    substring → linear per word, multibyte-safe); one explode + one
+    counting aggregate, map-side combine included."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens_col("text")).alias("word"))
+    chars = F.split("word", "")
+    pairs_all = F.zip_with(
+        chars, F.slice(chars, 2, 1 << 30), lambda a, b: F.concat(a, b)
+    )
+    pairs = F.slice(
+        pairs_all, 1, F.greatest(F.length("word") - 1, F.lit(0))
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -25,6 +25,8 @@ def duck_connection(sf_dir: str = SF_DIR) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    if v is None:
+        return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -32,13 +34,24 @@ def _norm(v):
         return round(v, 9)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     if isinstance(v, bool):
         return int(v)
     return v
 
 
+def _sort_key(row):
+    # None must sort against strings/ints (NULL grouping keys from
+    # CUBE/ROLLUP): prefix every value with an is-null flag so the
+    # comparison never reaches a None-vs-value compare.
+    return tuple((v is None, "" if v is None else str(v)) for v in row)
+
+
 def rows_to_set(rows, columns):
-    return sorted(tuple(_norm(v) for v in r) for r in rows)
+    return sorted(
+        (tuple(_norm(v) for v in r) for r in rows), key=_sort_key
+    )
 
 
 def compare(spark_df, sql: str, con) -> tuple[bool, str]:
