@@ -39,8 +39,22 @@ def main() -> None:
     spark = get_spark("mimir_spark_bench")
     queries = entrymod.queries()
 
-    # JVM + parquet-footer warmup (not counted): a trivial count.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warmup (not counted): JVM + codegen, the Python worker pool used
+    # by the Arrow-vectorized operators, and one full cold read of each
+    # table so measurements are hot-cache query times rather than
+    # first-touch page-cache population.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    region.mapInPandas(lambda it: it, region.schema).count()
+    from mimir_spark.sources.tables import load_table  # noqa: E402
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        df = load_table(spark, sf_dir, t)
+        df.select(
+            F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("x")
+        ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -38,9 +38,12 @@ def bfs_levels(
     node 2*o, part p is node 2*p+1.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # One distinct (order, part) edge set, cached once; both traversal
-    # directions reuse it via broadcast-hash joins against the frontier.
-    edges = li.select("l_orderkey", "l_partkey").distinct().cache()
+    # One (order, part) edge table, cached once; both traversal
+    # directions reuse it via broadcast-hash joins against the
+    # frontier. No distinct here — deduping 600k pairs costs a full
+    # shuffle, and each level's own `distinct` over the (much smaller)
+    # frontier expansion already collapses duplicate edges.
+    edges = li.select("l_orderkey", "l_partkey").cache()
     src = li.agg(F.min("l_orderkey")).collect()[0][0]
 
     lvl0 = spark.createDataFrame(
