@@ -21,6 +21,7 @@ from mimir_spark.operators import (
     graph,
     multimodal,
     octree,
+    pipeline,
     relational,
     relational2,
     relational3,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": core.approx_distinct,
         "bfs_levels": graph.bfs_levels,
         "octree_bin": octree.octree_bin,
+        "octree_adaptive": octree.octree_adaptive,
         # --- relational / analytics ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -105,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis ---
         "pii_scrub": textstats2.pii_scrub,
         "bpe_pair_counts": textstats2.bpe_pair_counts,
+        "sample_stratified": pipeline.sample_stratified,
+        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
         "repetition_ratio": textstats2.repetition_ratio,
         "text_normalize": textstats2.text_normalize,
         "lang_id": textstats.lang_id,
@@ -238,6 +242,31 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem)
             SELECT cx * 64 + cy * 8 + cz AS cell_id, cx, cy, cz, count(*) AS cnt
             FROM binned GROUP BY cx, cy, cz
+        """,
+        "octree_adaptive": """
+            WITH cells AS (
+              SELECT d,
+                least(greatest(floor(l_quantity / 51.0 * (1 << d)), 0),
+                      (1 << d) - 1)::BIGINT AS cx,
+                least(greatest(floor(l_extendedprice / 110000.0 * (1 << d)), 0),
+                      (1 << d) - 1)::BIGINT AS cy,
+                least(greatest(floor(l_discount / 0.11 * (1 << d)), 0),
+                      (1 << d) - 1)::BIGINT AS cz
+              FROM lineitem
+              CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS d)),
+            counts AS (
+              SELECT d, cx, cy, cz, count(*) AS cnt
+              FROM cells GROUP BY 1, 2, 3, 4),
+            leaves AS (
+              SELECT * FROM counts WHERE cnt <= 1000 OR d = 5)
+            SELECT l.d AS depth, l.cx, l.cy, l.cz, l.cnt
+            FROM leaves l
+            WHERE NOT EXISTS (
+              SELECT 1 FROM leaves p
+              WHERE p.d < l.d
+                AND (l.cx >> ((l.d - p.d)::INT)) = p.cx
+                AND (l.cy >> ((l.d - p.d)::INT)) = p.cy
+                AND (l.cz >> ((l.d - p.d)::INT)) = p.cz)
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -576,6 +605,29 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
             GROUP BY n_name
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 % 100
+                  < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+        """,
+        "corpus_clean_pipeline": r"""
+            WITH surv AS (
+              SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+            w AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+                  FROM documents),
+            pw AS (SELECT doc_id, word, count(*) AS c
+                   FROM w WHERE word <> '' GROUP BY 1, 2),
+            stats AS (SELECT doc_id, round(max(c) / sum(c), 6) AS rep_ratio,
+                             sum(c)::BIGINT AS n_tokens
+                      FROM pw GROUP BY doc_id)
+            SELECT s.doc_id, s.lang, st.n_tokens
+            FROM surv s JOIN stats st ON st.doc_id = s.doc_id
+            WHERE st.rep_ratio <= 0.12 AND st.n_tokens BETWEEN 20 AND 10000
         """,
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,73 @@
+"""Corpus-curation pipeline operators: deterministic sampling and the
+end-to-end clean step a training-data build runs before tokenization.
+
+Both are pure Column-expression plans (no UDFs), so they compose with
+any upstream filter and stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import tokens_col
+from mimir_spark.sources.tables import load_table
+
+# Knuth multiplicative hash constants — plain integer arithmetic so the
+# EXACT same formula runs in the DuckDB oracle (engine hash functions
+# like xxhash64 are not portable across engines).
+_HASH_MULT = 2654435761
+_HASH_MOD = 4294967296
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 10% of 'en' docs and 30%
+    of every other language, selected by a multiplicative hash of
+    doc_id — reproducible across runs, engines, and cluster sizes
+    (unlike rng-based df.sample, whose output depends on partitioning).
+    This is how a 100 TB corpus pins its eval split."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD) % 100
+    rate = F.when(F.col("lang") == "en", 10).otherwise(30)
+    return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pre-tokenization clean, one declarative plan:
+    exact-dedup (keep min doc_id per text) → repetition filter
+    (max-word-frequency ratio ≤ 0.12, drops the ~20% most
+    repetitive docs) → length filter (20..10000 whitespace tokens,
+    drops the shortest ~10%). Returns surviving (doc_id, lang, n_tokens).
+
+    Catalyst fuses all three stages over ONE scan of documents; the
+    shuffles are the dedup window (keyed on the text hash) and the
+    per-(doc, word) count — both map-side-combined. No stage
+    materializes an intermediate corpus, which is what makes
+    clean-then-tokenize one job instead of three at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    # survivors of exact dedup: smallest doc_id per identical text
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.xxhash64("text"), F.length("text")).orderBy("doc_id")
+    survivors = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    word_counts = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = word_counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("rep_ratio"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return (
+        survivors.join(stats, "doc_id")
+        .filter(
+            (F.col("rep_ratio") <= 0.12)
+            & F.col("n_tokens").between(20, 10000)
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
