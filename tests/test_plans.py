@@ -95,3 +95,35 @@ def test_documents_scan_prunes_columns(spark, sf_correct):
     plan = formatted_plan(df)
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "lang" not in read_schema[0], plan
+
+
+def test_octree_adaptive_no_cartesian_broadcast_anti(spark, sf_correct):
+    from mimir_spark.operators import octree
+
+    df = octree.octree_adaptive(spark, sf_correct)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_corpus_clean_single_scan_count(spark, sf_correct):
+    """The fused clean pipeline must not scan documents more than
+    twice (dedup window + token counts) — no per-stage rescans."""
+    from mimir_spark.operators import pipeline
+
+    df = pipeline.corpus_clean_pipeline(spark, sf_correct)
+    plan = formatted_plan(df)
+    # formatted output repeats the plan under AQE; count DISTINCT scans
+    scans = {l.strip() for l in plan.splitlines() if "ReadSchema" in l}
+    assert len(scans) <= 2, plan
+
+
+def test_sample_stratified_pushdown(spark, sf_correct):
+    """The hash-sample filter is pure arithmetic on scanned columns —
+    column pruning must reach the scan (only doc_id + lang read)."""
+    from mimir_spark.operators import pipeline
+
+    df = pipeline.sample_stratified(spark, sf_correct)
+    plan = formatted_plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" not in read_schema[0], plan

@@ -92,3 +92,27 @@ def test_bucketed_join_elides_shuffle(spark, sf_smoke, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_zorder_write_clusters_both_dims(spark, sf_smoke, tmp_path):
+    """Z-ordered files must cover a much smaller (orderkey × partkey)
+    rectangle per file than the natural write order, which is only
+    clustered on orderkey — that rectangle area is exactly what
+    row-group min/max skipping prunes by."""
+    from mimir_spark.functions.zorder import write_zordered
+
+    li = load_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_partkey")
+    z_path, n_path = str(tmp_path / "z"), str(tmp_path / "n")
+    write_zordered(li, z_path, ["l_orderkey", "l_partkey"], n_files=8)
+    li.repartition(8).write.parquet(n_path)
+
+    def mean_area(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        spans = df.groupBy("f").agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("so"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("sp"),
+        )
+        r = spans.agg(F.avg(F.col("so") * F.col("sp"))).collect()[0][0]
+        return float(r)
+
+    assert mean_area(z_path) < 0.5 * mean_area(n_path)
