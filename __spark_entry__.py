@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_variety": relational3.q16_supplier_part_variety,
         "q17_small_qty_revenue": relational3.q17_small_qty_revenue,
         "q22_dormant_customers": relational3.q22_dormant_customers,
+        "q12_ship_delay": relational3.q12_ship_delay,
         "cube_revenue": relational3.cube_revenue,
         "grouping_sets_revenue": relational3.grouping_sets_revenue,
         "moving_avg_revenue": relational3.moving_avg_revenue,
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis ---
         "pii_scrub": textstats2.pii_scrub,
         "bpe_pair_counts": textstats2.bpe_pair_counts,
+        "top_ngrams_per_lang": textstats2.top_ngrams_per_lang,
         "sample_stratified": pipeline.sample_stratified,
         "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
         "repetition_ratio": textstats2.repetition_ratio,
@@ -605,6 +607,38 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
             GROUP BY n_name
+        """,
+        "q12_ship_delay": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN d <= 30 THEN 1 ELSE 0 END)::BIGINT AS fast_cnt,
+                   sum(CASE WHEN d > 30 AND d <= 90 THEN 1 ELSE 0 END)::BIGINT AS mid_cnt,
+                   sum(CASE WHEN d > 90 THEN 1 ELSE 0 END)::BIGINT AS slow_cnt
+            FROM (SELECT o_orderpriority,
+                         date_diff('day', o_orderdate, l_shipdate) AS d
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            GROUP BY o_orderpriority
+        """,
+        "top_ngrams_per_lang": r"""
+            WITH t AS (
+              SELECT lang,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            bg AS (
+              SELECT lang,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+              FROM t),
+            counts AS (
+              SELECT lang, bigram, count(*) AS cnt
+              FROM bg GROUP BY 1, 2)
+            SELECT lang, bigram, cnt, rank FROM (
+              SELECT lang, bigram, cnt,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY cnt DESC, bigram) AS rank
+              FROM counts)
+            WHERE rank <= 5
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

@@ -267,3 +267,26 @@ def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.avg("revenue").over(w), 4).alias("ma7"),
     )
+
+
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no shipmode/commitdate in the schema): per
+    order priority, count lineitems shipped ≤30 / 31-90 / >90 days
+    after the order date. One fact-fact join on orderkey, the CASE
+    buckets fold into the aggregate — single shuffle after the join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(delay <= 30, 1).otherwise(0)).alias("fast_cnt"),
+            F.sum(F.when((delay > 30) & (delay <= 90), 1).otherwise(0)).alias(
+                "mid_cnt"
+            ),
+            F.sum(F.when(delay > 90, 1).otherwise(0)).alias("slow_cnt"),
+        )
+    )

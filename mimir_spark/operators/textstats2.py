@@ -93,3 +93,30 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def top_ngrams_per_lang(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k word bigrams per language — group-wise top-k over text
+    (per-key rank window AFTER a counting aggregate, so the window
+    input is one row per (lang, bigram), not per occurrence)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    bigrams_all = F.zip_with(
+        toks, F.slice(toks, 2, 1 << 30), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    bigrams = F.slice(
+        bigrams_all, 1, F.greatest(F.size(toks) - 1, F.lit(0))
+    )
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "bigram", "cnt", "rank")
+    )
