@@ -3,8 +3,10 @@
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default all cores).
-Each query is fully materialized (count + a cheap checksum collect) so
-the measured time includes the whole plan, not just planning.
+Each query is fully materialized: the measured action is a count plus
+an xxhash64 checksum over EVERY output column, so Catalyst cannot prune
+any expression out of the timed plan (a bare count() lets it drop
+unreferenced computed columns).
 """
 
 from __future__ import annotations
@@ -30,6 +32,11 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "octree_bin",
     "bfs_levels",
+    # LLM-pipeline breadth: the scale-path cluster dedup (LSH pair
+    # source), the fused corpus clean, and a group-wise text op.
+    "dedup_clusters_lsh",
+    "corpus_clean_pipeline",
+    "top_ngrams_per_lang",
 ]
 
 
@@ -61,9 +68,15 @@ def main() -> None:
         fn = queries[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # One action that touches every output column: count + max of a
+        # row hash. Unlike bare count(), this forces the full plan —
+        # Catalyst cannot prune computed columns the action never reads.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
+        ).collect()[0]
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        print(f"# {name}: {row['n']} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

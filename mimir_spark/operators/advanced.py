@@ -41,16 +41,30 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_counts(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
-    """Word-bigram occurrence counts across the corpus (every
+    """Word n-gram occurrence counts across the corpus (every
     occurrence, unlike the distinct shingles dedup uses). Same
-    single-shuffle shape as wordcount."""
+    single-shuffle shape as wordcount.
+
+    Grams are built by zipping the token array with its own shifted
+    tails (zip_with + slice), NOT by indexing inside a transform
+    lambda: a subexpression referenced inside a higher-order-function
+    lambda is re-evaluated PER ELEMENT, making the lambda form
+    O(tokens²) per document — the exact pitfall functions/text.py
+    word_shingles documents and avoids."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col("text")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = toks
+    for k in range(1, n):
+        gram = F.zip_with(
+            gram, F.slice(toks, k + 1, 1 << 30), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    # keep only full n-grams: positions 1..size-n+1 (docs shorter than
+    # n words contribute nothing, matching the oracle's len>=n guard)
     grams = docs.select(
         F.explode(
-            F.when(F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
-            .otherwise(F.array())
+            F.when(
+                F.size(toks) >= n, F.slice(gram, 1, F.size(toks) - n + 1)
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("gram")
     )
     return grams.groupBy("gram").agg(F.count("*").alias("cnt"))

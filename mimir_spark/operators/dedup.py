@@ -23,17 +23,26 @@ SHINGLE_WORDS = 3
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-text dedup: keep the smallest doc_id per distinct text.
-    Group key is xxhash64(text) + length (cheap, fixed-width shuffle
-    key); the window tie-break keeps the survivor deterministic.
+
+    The window key is (xxhash64(text), length(text), text): the
+    fixed-width hash+length prefix decides shuffle partitioning and
+    almost every sort comparison, while the trailing text column makes
+    the grouping EXACT — without it, a 64-bit hash+length collision
+    between two distinct documents silently merges them, which at
+    corpus scale is a real (if small) risk and also breaks parity with
+    the oracle (which partitions by full text). The text bytes ride the
+    shuffle anyway whenever the survivor's content is wanted; here they
+    cost one extra shuffled column in exchange for exactness.
     Returns surviving (doc_id, n_dups)."""
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
-        "doc_id", F.xxhash64("text").alias("h"), F.length("text").alias("len")
+        "doc_id", F.xxhash64("text").alias("h"), F.length("text").alias("len"), "text"
     )
-    w = Window.partitionBy("h", "len").orderBy("doc_id")
+    key = [F.col("h"), F.col("len"), F.col("text")]
+    w = Window.partitionBy(*key).orderBy("doc_id")
     return (
         keyed.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_dups", F.count("*").over(Window.partitionBy("h", "len")))
+        .withColumn("n_dups", F.count("*").over(Window.partitionBy(*key)))
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_dups")
     )
@@ -231,13 +240,52 @@ def dedup_minhash_lsh(
     )
 
 
+def near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    pair_source: str = "exact",
+) -> DataFrame:
+    """Pair-generation stage shared by the cluster/survivor pipeline.
+
+    ``pair_source``:
+    - ``"exact"`` — the shingle self-join (dedup_ngram_jaccard). This
+      is the ORACLE twin: complete by construction, but a shingle
+      shared by k docs produces k² join rows, so a skewed corpus
+      (boilerplate shingles) blows it up. Correctness path, small SF.
+    - ``"lsh"`` — MinHash+LSH banding (dedup_minhash_lsh): candidate
+      generation is a bounded bucket join, never quadratic in a
+      shingle's popularity. The 100 TB path.
+    - a callable ``(spark, sf_dir, threshold) -> DataFrame`` for custom
+      sources (e.g. simhash); must return (doc_a, doc_b, ...).
+    """
+    if callable(pair_source):
+        return pair_source(spark, sf_dir, threshold)
+    if pair_source == "exact":
+        return dedup_ngram_jaccard(spark, sf_dir, threshold)
+    if pair_source == "lsh":
+        return dedup_minhash_lsh(spark, sf_dir, threshold)
+    raise ValueError(f"unknown pair_source {pair_source!r}")
+
+
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5, max_iters: int = 20
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_iters: int = 20,
+    pair_source: str = "exact",
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in
     a duplicate pair gets the min doc_id of its component as
     cluster_id — the step that turns pairwise dedup output into 'keep
     one representative per cluster'.
+
+    ``pair_source`` picks the pair generator (see near_dup_pairs):
+    "exact" (default) is the oracle-checkable twin; "lsh" is the path
+    a real corpus build runs — at 100 TB the exact shingle self-join
+    is quadratic in hot-shingle popularity, while LSH banding keeps
+    candidate generation bounded. dedup_clusters_lsh below exposes the
+    scale path as its own queries() entry.
 
     Iterative min-label propagation: each round, every node takes the
     min label among itself and its neighbours; converges in O(diameter)
@@ -248,7 +296,9 @@ def dedup_clusters(
     (docs are mutually similar), so diameter — and round count — stays
     small even at corpus scale.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(spark, sf_dir, threshold, pair_source).select(
+        "doc_a", "doc_b"
+    )
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .toDF("src", "dst")
@@ -285,16 +335,29 @@ def dedup_clusters(
     )
 
 
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters on the MinHash+LSH pair source — the plan a
+    100 TB corpus build actually runs (bounded bucket join for
+    candidates instead of the quadratic shingle self-join). Rows-only
+    at the driver gate: LSH banding recall is probabilistic, so the
+    exact-pair twin (dedup_clusters) carries the hash check."""
+    return dedup_clusters(spark, sf_dir, pair_source="lsh")
+
+
 def dedup_survivors(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    pair_source: str = "exact",
 ) -> DataFrame:
     """The end of the dedup pipeline: per near-dup cluster, keep the
     LONGEST document (ties → lowest doc_id). Returns one row per
     cluster: (cluster_id, survivor_doc_id, n_members) — the keep-list a
-    corpus build joins against. Composes dedup_clusters with a
+    corpus build joins against. Composes dedup_clusters (same
+    pair_source choice: "exact" oracle twin / "lsh" scale path) with a
     per-cluster window top-1; the join onto documents only carries
     doc_id + n_chars (pruned scan)."""
-    clusters = dedup_clusters(spark, sf_dir, threshold)
+    clusters = dedup_clusters(spark, sf_dir, threshold, pair_source=pair_source)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
@@ -390,17 +453,113 @@ def dedup_simhash(
     )
 
 
+N_EMB_CELLS = 16
+
+
 def dedup_embedding(
     spark: SparkSession, sf_dir: str, threshold: float = 0.45
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold. Small-SF exact
-    path is a blocked self-join; the ANN-LSH operator in similarity.py
-    is the candidate-generation path at scale."""
+    """Near-dup pairs by embedding cosine ≥ threshold — EXACT output
+    through a cell-blocked plan (no cartesian, no inequality-only
+    join).
+
+    Angular distance θ = arccos(cos) is a metric on the unit sphere,
+    so Voronoi blocking with triangle-inequality pruning gives exact
+    recall with bounded equi-joins:
+    1. assign every vector to its nearest of N_EMB_CELLS seed
+       centroids (broadcast join + map-side max-struct agg — one
+       corpus pass);
+    2. per cell, the angular radius r_c = max member angle to the
+       centroid (16-row aggregate, collected — bounded metadata, like
+       k-means centroids);
+    3. a cell pair (i, j) can contain a qualifying pair only if
+       θ(c_i, c_j) ≤ θ_t + r_i + r_j (triangle inequality, both ways
+       around) — the allowed-pair list is computed driver-side from
+       the 16 collected centroids/radii and broadcast back;
+    4. candidates = two equi-joins through the allowed (cell_a,
+       cell_b) table; exact cosine verify on candidates only.
+
+    Every pair with θ(a,b) ≤ θ_t satisfies
+    θ(c_i,c_j) ≤ θ(c_i,a) + θ(a,b) + θ(b,c_j) ≤ r_i + θ_t + r_j,
+    so recall is 100% and the output matches the all-pairs oracle
+    row-for-row. On this synthetic corpus the clusters are weak, so
+    pruning is mild — but the JOINS are equi-joins on cell keys either
+    way (AQE splits skewed cells), which is the shape that survives
+    100 TB; with naturally clustered embeddings and more cells the
+    pruning does the heavy lifting. Contrast round 1's
+    `a.join(b, id_a < id_b)`: an inequality-only condition is a
+    BroadcastNestedLoop/cartesian — O(n²) rows through one join.
+    """
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    # Deterministic seed centroids (orderBy pins limit's choice).
+    cents = (
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(N_EMB_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cent"))
+    )
+    # Nearest centroid per vector: broadcast the 16 centroids, take the
+    # max (sim, -cell) struct — a map-side-combined aggregate, cheaper
+    # than a window (no per-vector sort, partial agg before the
+    # exchange). first(embedding) is safe: identical within the group.
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("sim", cosine_sim("embedding", "cent"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negc"))).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            (-F.col("best.negc")).alias("cell"),
+            F.acos(
+                F.least(F.greatest(F.col("best.sim"), F.lit(-1.0)), F.lit(1.0))
+            ).alias("theta"),
+        )
+        .localCheckpoint(eager=True)  # reused by radii + both join sides
+    )
+    # Bounded-metadata collects (16 rows each), the k-means precedent:
+    # the centroid vectors and per-cell radii that define the pruning.
+    cent_rows = {r["cell"]: r["cent"] for r in cents.collect()}
+    radii = {
+        r["cell"]: r["r"]
+        for r in assigned.groupBy("cell").agg(F.max("theta").alias("r")).collect()
+    }
+
+    def _angle(u, v):
+        d = sum(float(x) * float(y) for x, y in zip(u, v))
+        nu = math.sqrt(sum(float(x) * float(x) for x in u))
+        nv = math.sqrt(sum(float(x) * float(x) for x in v))
+        return math.acos(max(-1.0, min(1.0, d / (nu * nv))))
+
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    allowed = [
+        (int(i), int(j))
+        for i in radii
+        for j in radii
+        if _angle(cent_rows[i], cent_rows[j])
+        <= theta_t + radii[i] + radii[j]
+    ]
+    allowed_df = spark.createDataFrame(allowed, "cell_a long, cell_b long")
+
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("cell").alias("cell_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("cell").alias("cell_b"),
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(allowed_df), "cell_a")
+        .join(b, "cell_b")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(cosine_sim("ea", "eb"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -9,13 +9,19 @@ visited), i.e. fully distributed; the driver only checks emptiness.
 
 Scale design: the graph is bipartite, so frontiers strictly alternate
 sides — even levels are orders, odd levels are parts. We exploit that:
-one cached (order, part) edge table serves both directions (no
-undirected union, 4× less data than the naive encoding), each level
-joins against a broadcast frontier, and the visited anti-join only has
-to consider the matching side's visited set. On a cluster the same
-plan holds: the edge table is scanned from cache per level, frontiers
-stay broadcast-sized until the component saturates, and AQE picks the
-shuffle for the per-level `distinct`.
+one cached (order, part) edge table serves both directions, each level
+joins against the frontier, and the visited anti-join only has to
+consider the matching side's visited set. On a cluster the same plan
+holds: the edge table is scanned from cache per level and AQE picks
+the shuffle for the per-level `distinct`.
+
+Broadcast policy: frontier/visited sets are broadcast ONLY while their
+known row count (free — each level is localCheckpointed and counted
+for the emptiness test anyway) stays under BROADCAST_MAX_ROWS. At BFS
+saturation on a 100×-scale graph those sets are NOT broadcast-sized;
+an unconditional hint would OOM executors, so past the threshold the
+hint is dropped and the join degrades gracefully to a shuffle join
+(AQE still free to pick better at runtime).
 """
 
 from __future__ import annotations
@@ -26,6 +32,13 @@ from pyspark.sql import functions as F
 from mimir_spark.sources.tables import load_table
 
 MAX_LEVELS = 8
+# ~4M ids × 8 B ≈ 32 MB serialized — comfortably under executor
+# broadcast budgets; beyond this a shuffle join is the safer plan.
+BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return df.hint("broadcast") if n_rows <= BROADCAST_MAX_ROWS else df
 
 
 def bfs_levels(
@@ -54,6 +67,11 @@ def bfs_levels(
     visited_orders = lvl0.select("id")
     visited_parts: DataFrame | None = None
     frontier = lvl0.select("id")  # current frontier (ids on one side)
+    # Exact set sizes, maintained incrementally from the per-level
+    # counts (no extra jobs) — they gate the broadcast hints.
+    frontier_n = 1
+    visited_orders_n = 1
+    visited_parts_n = 0
 
     for lvl in range(1, max_levels + 1):
         orders_side = lvl % 2 == 0  # even level ⇒ frontier is orders
@@ -61,37 +79,50 @@ def bfs_levels(
             # order frontier → neighbouring parts
             nxt = (
                 edges.join(
-                    frontier.hint("broadcast"),
+                    _maybe_broadcast(frontier, frontier_n),
                     edges.l_orderkey == frontier.id,
                 )
                 .select(F.col("l_partkey").alias("id"))
                 .distinct()
             )
             if visited_parts is not None:
-                nxt = nxt.join(visited_parts.hint("broadcast"), "id", "left_anti")
+                nxt = nxt.join(
+                    _maybe_broadcast(visited_parts, visited_parts_n),
+                    "id",
+                    "left_anti",
+                )
         else:
             # part frontier → neighbouring orders
             nxt = (
                 edges.join(
-                    frontier.hint("broadcast"),
+                    _maybe_broadcast(frontier, frontier_n),
                     edges.l_partkey == frontier.id,
                 )
                 .select(F.col("l_orderkey").alias("id"))
                 .distinct()
-                .join(visited_orders.hint("broadcast"), "id", "left_anti")
+                .join(
+                    _maybe_broadcast(visited_orders, visited_orders_n),
+                    "id",
+                    "left_anti",
+                )
             )
         # localCheckpoint truncates the growing lineage so level N's
-        # plan doesn't replay levels 0..N-1.
+        # plan doesn't replay levels 0..N-1; count() on the
+        # materialized checkpoint is cheap and doubles as the
+        # emptiness test AND the next level's broadcast gate.
         nxt = nxt.withColumn("level", F.lit(lvl)).localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        frontier_n = nxt.count()
+        if frontier_n == 0:
             break
         if orders_side:
             order_levels.append(nxt)
             visited_orders = visited_orders.union(nxt.select("id"))
+            visited_orders_n += frontier_n
         else:
             part_levels.append(nxt)
             vp = nxt.select("id")
             visited_parts = vp if visited_parts is None else visited_parts.union(vp)
+            visited_parts_n += frontier_n
         frontier = nxt.select("id")
 
     def _u(dfs: list[DataFrame]) -> DataFrame | None:

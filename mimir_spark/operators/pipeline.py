@@ -45,10 +45,15 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes an intermediate corpus, which is what makes
     clean-then-tokenize one job instead of three at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    # survivors of exact dedup: smallest doc_id per identical text
+    # survivors of exact dedup: smallest doc_id per identical text.
+    # Key = (hash, length, text): the fixed-width prefix carries the
+    # shuffle/sort work, the trailing text makes equality exact (no
+    # silent merge on a 64-bit collision — see dedup_exact).
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.xxhash64("text"), F.length("text")).orderBy("doc_id")
+    w = Window.partitionBy(
+        F.xxhash64("text"), F.length("text"), F.col("text")
+    ).orderBy("doc_id")
     survivors = (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -32,6 +32,12 @@ def get_spark(app_name: str = "mimir_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is parquet TIMESTAMP(NANOS); the vectorized reader
+        # rejects it unless it's surfaced as a raw long (load_table then
+        # truncates to micros). Set here so sessions built through this
+        # factory never flip SQL confs mid-flight; load_table also sets
+        # it defensively for vanilla sessions (the driver's gate).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # MinHash aggregates 128 columns; default maxFields=100 would
         # silently drop those plans out of whole-stage codegen.
         .config("spark.sql.codegen.maxFields", "256")

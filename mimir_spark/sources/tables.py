@@ -11,8 +11,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 # Declared schemas for every table the engine reads. Parquet carries its
-# own types, so these serve as contracts: load_table verifies the file
-# matches, which catches drift before a 6-hour job does.
+# own types, so these serve as contracts: load_table asserts the file
+# matches (names + types, nullability ignored), which catches drift
+# before a 6-hour job does.
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
         [
@@ -113,6 +114,31 @@ TABLES = tuple(SCHEMAS)
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
+def _canon_type(dt: T.DataType) -> str:
+    # TIMESTAMP vs TIMESTAMP_NTZ: the corpus files carry NTZ and the
+    # session timezone is pinned UTC, so the two are semantically
+    # interchangeable here — don't fail the contract on that axis.
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    return dt.simpleString()
+
+
+def _assert_schema(name: str, df: DataFrame) -> DataFrame:
+    """Assert the file's schema matches the declared contract (names +
+    types in order; nullability ignored — parquet writers disagree on
+    it and it doesn't affect semantics; TIMESTAMP/TIMESTAMP_NTZ are
+    interchangeable under the pinned-UTC session). Schema comparison is
+    pure metadata: no extra scan, catches drift before a 6-hour job
+    does."""
+    got = [(f.name, _canon_type(f.dataType)) for f in df.schema.fields]
+    want = [(f.name, _canon_type(f.dataType)) for f in SCHEMAS[name].fields]
+    if got != want:
+        raise ValueError(
+            f"schema drift in table {name!r}: file has {got}, contract is {want}"
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table. Column pruning + predicate pushdown are
     Catalyst's job — callers just select/filter and the scan narrows."""
@@ -123,12 +149,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects; read the raw int64 nanos and truncate to the
         # microsecond precision of TimestampType (same truncation DuckDB
         # applies when it maps TIMESTAMP_NS → TIMESTAMP).
+        #
+        # NOTE: nanosAsLong is a session-level SQL conf (there is no
+        # per-read option for it) — get_spark() sets it at session
+        # construction, but the driver's correctness gate hands us a
+        # VANILLA SparkSession, so it must also be set here. Side
+        # effect: any other TIMESTAMP(NANOS) parquet read in the same
+        # session also comes back as long — acceptable because events
+        # is the only nanos table in this corpus, and documented here.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _assert_schema(
+            name, raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return _assert_schema(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -30,8 +30,13 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 and long-double artifacts
-        return round(v, 9)
+        # Tag floats so an int-valued float (e.g. DuckDB HUGEINT →
+        # float64 99111.0) does NOT compare equal to Spark's BIGINT
+        # 99111: the driver hashes string representations, so a width
+        # drift that Python's 99111.0 == 99111 would forgive is a
+        # driver hash FAIL — the local gate must be at least as strict.
+        # (round collapses -0.0 and long-double artifacts.)
+        return ("f", round(v, 9))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):

@@ -34,6 +34,50 @@ def test_minhash_lsh_superset_check(spark, sf_smoke):
     assert len(exact - lsh) <= max(1, int(0.05 * len(exact) + 1))
 
 
+def test_dedup_embedding_matches_allpairs(spark, sf_smoke):
+    """The cell-blocked exact plan must reproduce the brute-force
+    all-pairs result row-for-row (triangle-inequality pruning is
+    lossless)."""
+    from mimir_spark.functions.vectors import cosine_sim
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    brute = {
+        (r.id_a, r.id_b, r.cos)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_sim("ea", "eb"), 6))
+        .filter(F.col("cos") >= 0.45)
+        .collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, r.cos)
+        for r in dedup.dedup_embedding(spark, sf_smoke).collect()
+    }
+    assert blocked == brute
+
+
+def test_dedup_clusters_lsh_refines_exact(spark, sf_smoke):
+    """LSH-sourced clusters must be a refinement of the exact-pair
+    clusters: LSH pairs are a (verified) subset of exact pairs, so two
+    docs clustered together under LSH must share an exact cluster."""
+    exact = {
+        r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, sf_smoke).collect()
+    }
+    lsh = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters_lsh(spark, sf_smoke).collect()
+    }
+    assert set(lsh) <= set(exact)
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for doc, cl in lsh.items():
+        groups[cl].add(doc)
+    for members in groups.values():
+        assert len({exact[d] for d in members}) == 1
+
+
 def test_simhash_pairs_are_near(spark, sf_smoke):
     out = dedup.dedup_simhash(spark, sf_smoke).collect()
     for r in out:

@@ -118,6 +118,56 @@ def test_corpus_clean_single_scan_count(spark, sf_correct):
     assert len(scans) <= 2, plan
 
 
+def _join_key_lines(plan: str) -> list[str]:
+    """Lines of a formatted plan that carry join keys/conditions."""
+    return [
+        l
+        for l in plan.splitlines()
+        if "keys" in l or "condition" in l.lower() or "Join" in l
+    ]
+
+
+def test_dedup_lsh_pair_source_no_shingle_selfjoin(spark, sf_smoke):
+    """The 'lsh' pair source (the 100 TB path for dedup_clusters /
+    dedup_survivors) must not contain the quadratic shingle self-join:
+    no join keyed on the shingle column, and the MinHash partial-min
+    stage (MapInPandas) must be present."""
+    from mimir_spark.operators import dedup
+
+    lsh = dedup.near_dup_pairs(spark, sf_smoke, pair_source="lsh")
+    plan = formatted_plan(lsh)
+    assert "MapInPandas" in plan, plan
+    assert not any("sh#" in l for l in _join_key_lines(plan)), plan
+    # sanity: the detector does fire on the exact path's shingle join
+    exact = dedup.near_dup_pairs(spark, sf_smoke, pair_source="exact")
+    eplan = formatted_plan(exact)
+    assert any("sh#" in l for l in _join_key_lines(eplan)), eplan
+
+
+def test_dedup_embedding_no_cartesian(spark, sf_smoke):
+    """The cell-blocked embedding dedup must be all equi-joins — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere (round 1's
+    inequality-only self-join was exactly that)."""
+    from mimir_spark.operators import dedup
+
+    df = dedup.dedup_embedding(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bfs_drops_broadcast_hint_above_threshold(spark, sf_smoke, monkeypatch):
+    """With the broadcast-row threshold forced to 0, BFS must still
+    produce the identical result through shuffle joins — the graceful
+    degradation the 100×-scale case relies on."""
+    from mimir_spark.operators import graph
+
+    base = {(r.node, r.level) for r in graph.bfs_levels(spark, sf_smoke).collect()}
+    monkeypatch.setattr(graph, "BROADCAST_MAX_ROWS", 0)
+    nohint = {(r.node, r.level) for r in graph.bfs_levels(spark, sf_smoke).collect()}
+    assert base == nohint
+
+
 def test_sample_stratified_pushdown(spark, sf_correct):
     """The hash-sample filter is pure arithmetic on scanned columns —
     column pruning must reach the scan (only doc_id + lang read)."""
