@@ -17,6 +17,7 @@ from mimir_spark.operators import (
     advanced,
     clustering,
     core,
+    corpus,
     dedup,
     graph,
     multimodal,
@@ -78,6 +79,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal.multimodal_features,
         # --- round-1 driver FAIL, oracle fixed this round ---
         "json_extract_agg": advanced.json_extract_agg,
+        # --- new in round 2 ---
+        "contamination_check": corpus.contamination_check,
+        "token_entropy": corpus.token_entropy,
+        "doc_length_stats": corpus.doc_length_stats,
+        "source_mix_report": corpus.source_mix_report,
+        "skew_join_salted": advanced.skew_join_salted,
         # --- previously driver-green (CORRECTNESS_r01) ---
         # core MapReduce surface (Mimir parity)
         "wordcount": core.wordcount,
@@ -851,6 +858,48 @@ def oracle_sql() -> dict[str, str]:
                                       c -> ascii(c)::BIGINT)),
                      (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
             FROM documents
+        """,
+        "contamination_check": f"""
+            WITH sh AS ({_SHINGLES}),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            ev AS (SELECT doc_id AS eval_doc_id, g FROM ex WHERE doc_id % 97 = 0),
+            co AS (SELECT doc_id, g FROM ex WHERE doc_id % 97 <> 0)
+            SELECT co.doc_id, ev.eval_doc_id, count(*) AS n_common
+            FROM co JOIN ev ON co.g = ev.g
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
+        "token_entropy": r"""
+            WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+                       FROM documents),
+            pw AS (SELECT doc_id, word, count(*) AS c
+                   FROM w WHERE word <> '' GROUP BY 1, 2)
+            SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+            FROM pw GROUP BY doc_id
+        """,
+        "doc_length_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS mean_chars,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99_chars
+            FROM documents GROUP BY lang
+        """,
+        "source_mix_report": """
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   round(count(*)::DOUBLE
+                         / sum(count(*)) OVER (PARTITION BY lang), 6) AS doc_share
+            FROM documents GROUP BY lang, source
+        """,
+        "skew_join_salted": """
+            WITH dim AS (SELECT event_type, avg(value) AS mean_value
+                         FROM events GROUP BY 1)
+            SELECT e.event_type, count(*) AS n_events,
+                   sum(CASE WHEN e.value > d.mean_value THEN 1 ELSE 0 END)::BIGINT
+                     AS n_above_mean
+            FROM events e JOIN dim d USING (event_type) GROUP BY 1
         """,
         "multimodal_meta": """
             SELECT doc_id,

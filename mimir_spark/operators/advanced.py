@@ -173,6 +173,36 @@ def salted_agg(spark: SparkSession, sf_dir: str, salts: int = 8) -> DataFrame:
     )
 
 
+def skew_join_salted(spark: SparkSession, sf_dir: str, salts: int = 8) -> DataFrame:
+    """Skew-replicated shuffle-join demo: events joined to a per-type
+    reference stat on (event_type, salt) instead of event_type alone.
+
+    event_type has ~5 distinct values — the worst case for a shuffle
+    join (≤5 active reducers, one hot). Salting fixes it structurally:
+    the fact side appends salt = pmod(event_id, salts); the tiny build
+    side is replicated ×salts with an explode; the join key becomes
+    (event_type, salt), spreading each hot key across `salts` reducers.
+    The build side carries a SHUFFLE_HASH hint because a broadcast
+    join (which Spark would otherwise pick for a 40-row table) is
+    already skew-immune — the point of the demo is the salted SHUFFLE
+    shape that applies when the build side is too big to broadcast.
+    Result is identical to the unsalted join, which is what the oracle
+    checks."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("mean_value"))
+    replicated = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salts)]))
+    )
+    fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(salts)).cast("int"))
+    joined = fact.join(replicated.hint("shuffle_hash"), ["event_type", "salt"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("value") > F.col("mean_value"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_above_mean"),
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, emitted as (label, pos, mean) — the long
     form avoids re-assembling arrays through a shuffle and is what a

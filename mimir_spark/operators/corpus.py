@@ -1,0 +1,112 @@
+"""Corpus-level analytics for training-data builds: benchmark
+contamination checking, per-doc token entropy, length-distribution
+reports, and source-mix composition.
+
+All four are pure Column-expression plans (JVM-side, codegen'd) with
+DuckDB-portable arithmetic so every one is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import tokens_col, word_shingles
+from mimir_spark.operators.dedup import SHINGLE_WORDS
+from mimir_spark.sources.tables import load_table
+
+# Every ~97th doc plays the "benchmark/eval set" role in the
+# contamination check — in production this is the held-out eval corpus.
+EVAL_MOD = 97
+MIN_COMMON_SHINGLES = 2
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every training doc, count the
+    distinct word shingles it shares with each eval-set doc; report
+    pairs sharing ≥ MIN_COMMON_SHINGLES (the n-gram-overlap test every
+    serious pre-training build runs before training).
+
+    Scale shape: eval sets are tiny relative to the corpus (here ~1%,
+    in production a fixed few-MB benchmark suite), so the eval shingle
+    table is BROADCAST and the corpus side streams through one
+    map-side hash join — no shuffle of corpus shingles, no self-join.
+    The only shuffle is the (doc, eval_doc) counting aggregate, which
+    is candidate-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", SHINGLE_WORDS)).alias("sh")
+    )
+    eval_sh = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "sh"
+    )
+    corpus_sh = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= MIN_COMMON_SHINGLES)
+    )
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (nats) — low
+    entropy flags repetitive/templated docs a quality filter drops.
+
+    Uses the single-aggregate identity H = ln(n) − (Σ c·ln c)/n so the
+    whole computation is two keyed aggregations (per-(doc,word) count,
+    then per-doc), both map-side combined; the SAME formula runs in the
+    oracle so float results agree to the rounding precision."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+    per_word = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log("c")).alias("clc"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(F.log("n") - F.col("clc") / F.col("n"), 6).alias("entropy"),
+        )
+    )
+
+
+def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-distribution report: doc count, mean chars,
+    and exact interpolated p50/p90/p99 — the profile that sizes
+    truncation/packing decisions for a tokenizer run. One groupBy;
+    `percentile` is Spark's exact interpolated quantile, matching
+    DuckDB's quantile_cont."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(F.percentile("n_chars", 0.5), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", 0.9), 4).alias("p90_chars"),
+        F.round(F.percentile("n_chars", 0.99), 4).alias("p99_chars"),
+    )
+
+
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: per (lang, source) doc count, char volume,
+    and each source's share of its language's docs — the mix table a
+    data-curation review reads first. Aggregate-then-window: the share
+    window runs over the (lang, source) AGGREGATE (tiny), never the
+    raw corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    w = Window.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "sum_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+    )

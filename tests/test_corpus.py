@@ -1,0 +1,75 @@
+"""Semantics + plan-shape tests for the corpus-analytics batch and the
+skew-salted join demo."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimir_spark.operators import advanced, corpus
+from mimir_spark.plans.checks import assert_no_cartesian, formatted_plan
+from mimir_spark.sources.tables import load_table
+
+
+def test_contamination_eval_side_broadcast(spark, sf_smoke):
+    """The eval shingle table must be the broadcast side — the corpus
+    side must not shuffle its shingles for the join."""
+    df = corpus.contamination_check(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_contamination_no_self_pairs(spark, sf_smoke):
+    rows = corpus.contamination_check(spark, sf_smoke).collect()
+    for r in rows:
+        assert r.doc_id % corpus.EVAL_MOD != 0
+        assert r.eval_doc_id % corpus.EVAL_MOD == 0
+        assert r.n_common >= corpus.MIN_COMMON_SHINGLES
+
+
+def test_token_entropy_bounds(spark, sf_smoke):
+    """0 ≤ H ≤ ln(n_tokens) (uniform distribution is the max)."""
+    rows = corpus.token_entropy(spark, sf_smoke).collect()
+    import math
+
+    # entropy is rounded to 6 dp, so allow that much slack at the top
+    for r in rows:
+        assert -1e-6 <= r.entropy <= math.log(r.n_tokens) + 1e-6
+
+
+def test_doc_length_stats_monotone_percentiles(spark, sf_smoke):
+    for r in corpus.doc_length_stats(spark, sf_smoke).collect():
+        assert r.p50_chars <= r.p90_chars <= r.p99_chars
+
+
+def test_source_mix_shares_sum_to_one(spark, sf_smoke):
+    rows = corpus.source_mix_report(spark, sf_smoke).collect()
+    by_lang: dict[str, float] = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0.0) + r.doc_share
+    for lang, total in by_lang.items():
+        assert abs(total - 1.0) < 1e-4, (lang, total)
+
+
+def test_skew_join_salted_shape_and_equivalence(spark, sf_smoke):
+    """The salted join must (a) be a shuffle join keyed on
+    (event_type, salt) — not a broadcast, which would be skew-immune
+    anyway — and (b) produce exactly the unsalted result."""
+    df = advanced.skew_join_salted(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "salt" in plan, plan
+
+    ev = load_table(spark, sf_smoke, "events")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("mean_value"))
+    plain = (
+        ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("value") > F.col("mean_value"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above_mean"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))

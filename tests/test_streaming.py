@@ -85,6 +85,57 @@ def test_streaming_dedup_matches_batch(spark, sf_smoke):
     assert n_stream == n_batch
 
 
+def test_streaming_minhash_matches_batch(spark, sf_smoke, tmp_path):
+    """Incremental MinHash over a 2-file split of the corpus must end
+    with exactly the batch operator's verified pair set — every pair is
+    caught in the micro-batch that delivers its later member."""
+    import shutil
+
+    from mimir_spark.operators.dedup import dedup_minhash_lsh
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.minhash import streaming_minhash_dedup
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        in_dir + "/b0", compression="none"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        in_dir + "/b1", compression="none"
+    )
+    # flatten the part files into one dir so maxFilesPerTrigger=1 gives
+    # two deterministic micro-batches
+    import glob as globmod
+    import os
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_minhash_dedup(
+        spark,
+        flat,
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    expect = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_lsh(spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
 def test_streaming_click_purchase_join_matches_batch(spark, sf_smoke):
     import shutil
 
