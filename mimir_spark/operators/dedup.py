@@ -316,6 +316,9 @@ def dedup_clusters(
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # lazy checkpoint: the convergence count right below is the
+        # first action, so it materializes the checkpoint in the same
+        # job (eager + count would run two jobs per round).
         new_labels = (
             labels.join(neighbour_min, labels.node == F.col("node2"), "left")
             .select(
@@ -325,7 +328,7 @@ def dedup_clusters(
                 ),
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.select("node", "label")
         if n_changed == 0:

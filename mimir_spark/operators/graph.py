@@ -107,10 +107,11 @@ def bfs_levels(
                 )
             )
         # localCheckpoint truncates the growing lineage so level N's
-        # plan doesn't replay levels 0..N-1; count() on the
-        # materialized checkpoint is cheap and doubles as the
-        # emptiness test AND the next level's broadcast gate.
-        nxt = nxt.withColumn("level", F.lit(lvl)).localCheckpoint(eager=True)
+        # plan doesn't replay levels 0..N-1. LAZY checkpoint: the
+        # count() right after materializes it, so emptiness test,
+        # broadcast gate and checkpoint share ONE job per level
+        # (eager + count would run two).
+        nxt = nxt.withColumn("level", F.lit(lvl)).localCheckpoint(eager=False)
         frontier_n = nxt.count()
         if frontier_n == 0:
             break
