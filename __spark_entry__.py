@@ -19,6 +19,7 @@ from mimir_spark.operators import (
     core,
     corpus,
     dedup,
+    features,
     graph,
     multimodal,
     octree,
@@ -85,6 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": corpus.doc_length_stats,
         "source_mix_report": corpus.source_mix_report,
         "skew_join_salted": advanced.skew_join_salted,
+        "ngram_novelty": corpus.ngram_novelty,
+        "user_activity_profile": features.user_activity_profile,
+        "winsorize_events": features.winsorize_events,
+        "embedding_norm_stats": features.embedding_norm_stats,
         # --- previously driver-green (CORRECTNESS_r01) ---
         # core MapReduce surface (Mimir parity)
         "wordcount": core.wordcount,
@@ -900,6 +905,54 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN e.value > d.mean_value THEN 1 ELSE 0 END)::BIGINT
                      AS n_above_mean
             FROM events e JOIN dim d USING (event_type) GROUP BY 1
+        """,
+        "ngram_novelty": f"""
+            WITH sh AS ({_SHINGLES}),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            fs AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
+            SELECT ex.doc_id, count(*) AS n_shingles,
+                   sum(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END)::BIGINT
+                     AS n_novel,
+                   round(sum(CASE WHEN fs.first_doc = ex.doc_id
+                                  THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                     AS novelty
+            FROM ex JOIN fs ON ex.g = fs.g
+            GROUP BY ex.doc_id
+        """,
+        "user_activity_profile": """
+            SELECT user_id, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   count(DISTINCT date_trunc('day', ts)) AS active_days,
+                   round(sum(value), 4) AS total_value,
+                   round(avg(value), 4) AS mean_value,
+                   round(quantile_cont(value, 0.9), 4) AS p90_value
+            FROM events GROUP BY user_id
+        """,
+        "winsorize_events": """
+            WITH s AS (SELECT event_type,
+                              round(quantile_cont(value, 0.01), 6) AS lo,
+                              round(quantile_cont(value, 0.99), 6) AS hi
+                       FROM events GROUP BY 1)
+            SELECT e.event_type,
+                   round(min(lo), 4) AS p01, round(min(hi), 4) AS p99,
+                   sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT
+                     AS n_clipped_low,
+                   sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT
+                     AS n_clipped_high,
+                   round(avg(greatest(least(value, hi), lo)), 4) AS wins_mean
+            FROM events e JOIN s USING (event_type) GROUP BY e.event_type
+        """,
+        "embedding_norm_stats": """
+            WITH n AS (
+              SELECT label,
+                     sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS norm
+              FROM embeddings)
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(norm), 6) AS mean_norm,
+                   round(min(norm), 6) AS min_norm,
+                   round(max(norm), 6) AS max_norm
+            FROM n GROUP BY label
         """,
         "multimodal_meta": """
             SELECT doc_id,

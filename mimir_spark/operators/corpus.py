@@ -50,6 +50,35 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: the share of a doc's distinct shingles whose
+    FIRST appearance (by doc_id order) is in that doc — the incremental
+    n-gram novelty curve a dataset-mixing decision reads (a doc full of
+    already-seen shingles adds nothing at its position in the stream).
+
+    Two keyed aggregations: per-shingle min doc_id (shuffle on the
+    shingle), then the join back + per-doc ratio (shuffle on doc_id).
+    Both are map-side combined; no self-join anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(word_shingles("text", SHINGLE_WORDS)).alias("sh")
+    )
+    first_seen = ex.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6)
+        )
+    )
+
+
 def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon entropy of the token distribution (nats) — low
     entropy flags repetitive/templated docs a quality filter drops.

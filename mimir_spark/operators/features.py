@@ -1,0 +1,83 @@
+"""Feature-engineering / data-QA operators: per-user activity
+profiles, per-type winsorized statistics, and embedding-norm QA —
+the numeric-hygiene passes a feature store or vector pipeline runs
+before training.
+
+All pure Column expressions; thresholds that feed comparisons are
+rounded to a fixed precision on BOTH engines so count aggregates can't
+flip on a last-ulp difference in percentile interpolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.vectors import dot
+from mimir_spark.sources.tables import load_table
+
+
+def user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioural features: event volume, type diversity,
+    active days, and value stats — one groupBy, all partial-aggregated
+    map-side. The classic feature-store fan-in."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("active_days"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90_value"),
+    )
+
+
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization report: p01/p99 clip thresholds,
+    how many rows each side clips, and the winsorized mean — outlier
+    hygiene before a value column feeds a model.
+
+    Two-phase: a tiny per-type percentile aggregate is broadcast back
+    onto the fact table (no second shuffle of events beyond the final
+    groupBy). Thresholds are rounded to 6 dp BEFORE the comparisons so
+    the clip counts are engine-portable (percentile interpolation can
+    differ in the last ulp between engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.01), 6).alias("lo"),
+        F.round(F.percentile("value", 0.99), 6).alias("hi"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.round(F.min("lo"), 4).alias("p01"),
+        F.round(F.min("hi"), 4).alias("p99"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.round(
+            F.avg(F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))), 4
+        ).alias("wins_mean"),
+    )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution of the embedding column —
+    the first QA check on any vector ingest (zero/huge norms flag a
+    broken encoder). Norm is a fold over the array (JVM expression);
+    one groupBy on label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(dot(e, e))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("mean_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )

@@ -68,6 +68,32 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Compact a small-files parquet dataset into ~target-size files.
+
+    The small-files problem is the classic slow death of a long-lived
+    100 TB table: thousands of KB-sized files from incremental writes
+    turn every scan into open/seek overhead and blow up the driver's
+    split planning. This rewrites the dataset into
+    ceil(total_bytes / target_bytes) files via a round-robin
+    repartition (even sizes, no key skew). Size comes from Catalyst's
+    relation statistics (file-footer sums — no data scan). Returns the
+    output file count."""
+    df = spark.read.parquet(in_path)
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # type: ignore[attr-defined]
+    )
+    n_files = max(1, -(-size // target_bytes))  # ceil
+    df.repartition(n_files).write.mode(mode).parquet(out_path)
+    return n_files
+
+
 def read_table_from_catalog(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a catalog table (e.g. one written by write_bucketed);
     bucket metadata rides along and lets the planner elide exchanges."""

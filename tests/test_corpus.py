@@ -51,6 +51,67 @@ def test_source_mix_shares_sum_to_one(spark, sf_smoke):
         assert abs(total - 1.0) < 1e-4, (lang, total)
 
 
+def test_ngram_novelty_first_doc_fully_novel(spark, sf_smoke):
+    """The smallest doc_id in the corpus can only contain first-seen
+    shingles → novelty 1.0; and novelty is always in [0, 1]."""
+    rows = corpus.ngram_novelty(spark, sf_smoke).collect()
+    first = min(r.doc_id for r in rows)
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[first].novelty == 1.0
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_novel <= r.n_shingles
+
+
+def test_user_activity_profile_sane(spark, sf_smoke):
+    from mimir_spark.operators import features
+
+    rows = features.user_activity_profile(spark, sf_smoke).collect()
+    for r in rows:
+        assert r.n_types <= r.n_events
+        assert r.active_days <= r.n_events
+
+
+def test_winsorize_bounds_and_counts(spark, sf_smoke):
+    from mimir_spark.operators import features
+
+    ev = load_table(spark, sf_smoke, "events")
+    totals = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for r in features.winsorize_events(spark, sf_smoke).collect():
+        assert r.p01 <= r.p99
+        # each tail clips ~1%
+        assert r.n_clipped_low <= 0.02 * totals[r.event_type] + 2
+        assert r.n_clipped_high <= 0.02 * totals[r.event_type] + 2
+        assert r.p01 <= r.wins_mean <= r.p99
+
+
+def test_embedding_norm_stats_positive(spark, sf_smoke):
+    from mimir_spark.operators import features
+
+    for r in features.embedding_norm_stats(spark, sf_smoke).collect():
+        assert 0 < r.min_norm <= r.mean_norm <= r.max_norm
+
+
+def test_compact_files_roundtrip(spark, sf_smoke, tmp_path):
+    """Fragment the documents table into many files, compact, and
+    check file count shrinks to the computed target with no row loss."""
+    import glob
+
+    from mimir_spark.sources.io import compact_files
+
+    frag = str(tmp_path / "frag")
+    docs = load_table(spark, sf_smoke, "documents")
+    docs.repartition(24).write.parquet(frag)
+    assert len(glob.glob(frag + "/part-*.parquet")) == 24
+
+    out = str(tmp_path / "compact")
+    n_files = compact_files(spark, frag, out, target_bytes=64 * 1024 * 1024)
+    produced = glob.glob(out + "/part-*.parquet")
+    assert len(produced) == n_files
+    assert len(produced) < 24
+    assert spark.read.parquet(out).count() == docs.count()
+
+
 def test_skew_join_salted_shape_and_equivalence(spark, sf_smoke):
     """The salted join must (a) be a shuffle join keyed on
     (event_type, salt) — not a broadcast, which would be skew-immune
