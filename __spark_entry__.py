@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_profile": features.user_activity_profile,
         "winsorize_events": features.winsorize_events,
         "embedding_norm_stats": features.embedding_norm_stats,
+        "pagerank": graph.pagerank,
         # --- previously driver-green (CORRECTNESS_r01) ---
         # core MapReduce surface (Mimir parity)
         "wordcount": core.wordcount,

@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_clusters_lsh",
     "corpus_clean_pipeline",
     "top_ngrams_per_lang",
+    # iterative-graph breadth beyond BFS
+    "pagerank",
 ]
 
 

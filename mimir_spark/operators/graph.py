@@ -143,3 +143,67 @@ def bfs_levels(
         )
     edges.unpersist()
     return result
+
+
+N_PAGERANK_ITERS = 10
+DAMPING = 0.85
+
+
+def pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = N_PAGERANK_ITERS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """PageRank over the undirected order–part bipartite graph (same
+    node encoding as bfs_levels) — the other canonical iterative
+    MapReduce benchmark alongside BFS.
+
+    Power iteration, fixed ``iters`` rounds:
+      rank' = (1−d)/N + d · Σ_in rank(src)/deg(src)
+
+    Scale shape: the (src, dst, deg) contribution table is built ONCE
+    (degree aggregate joined back to edges) and checkpointed; each
+    round joins the RANK table into it — rank rows number one per
+    node, orders of magnitude fewer than edges, so while they fit the
+    broadcast budget (gated on the known node count, same
+    BROADCAST_MAX_ROWS policy as BFS) the edge table is NEVER
+    re-shuffled: the round's only exchange is the groupBy(dst)
+    contribution sum, which partial-aggregates map-side. Past the
+    gate it degrades to a shuffle join. Ranks are lazily
+    localCheckpointed per round: Catalyst plans each round against a
+    flat leaf instead of a 10-deep nested plan. Every node of the
+    undirected graph has out-degree ≥ 1, so there is no dangling-mass
+    correction term. Output: (node, rank) rounded to 6 dp — rows-only
+    at the driver gate (fixed-point iteration isn't SQL-expressible);
+    pinned against a NumPy reference in tests.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    contrib_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        r = _maybe_broadcast(ranks, n_nodes)
+        ranks = (
+            contrib_edges.join(r, contrib_edges.src == r.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(teleport) + F.lit(damping) * F.col("in_sum")).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

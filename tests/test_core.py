@@ -102,3 +102,39 @@ def test_bfs_levels_monotone_frontier(spark, sf_smoke):
     assert lv.count() == lv.select("node").distinct().count()
     # level 0 is exactly the source
     assert lv.filter(F.col("level") == 0).count() == 1
+
+
+def test_pagerank_matches_numpy_reference(spark, sf_smoke):
+    """Fixed-iteration PageRank pinned against a NumPy power iteration
+    on the collected edge list (sf0.001: ~6k edges)."""
+    import numpy as np
+
+    from mimir_spark.operators.graph import DAMPING, pagerank
+
+    got = {r.node: r.rank for r in pagerank(spark, sf_smoke).collect()}
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    pairs = {
+        (int(r.l_orderkey) * 2, int(r.l_partkey) * 2 + 1)
+        for r in li.select("l_orderkey", "l_partkey").distinct().collect()
+    }
+    edges = list(pairs) + [(b, a) for a, b in pairs]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(10):
+        new = np.full(n, (1.0 - DAMPING) / n)
+        contrib = rank / deg
+        for s, d in edges:
+            new[idx[d]] += DAMPING * contrib[idx[s]]
+        rank = new
+
+    assert set(got) == set(idx)
+    for node, i in idx.items():
+        assert abs(got[node] - rank[i]) < 1e-5, (node, got[node], rank[i])
+    # ranks are a probability distribution (no dangling mass lost)
+    assert abs(sum(got.values()) - 1.0) < 1e-3
