@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_events": features.winsorize_events,
         "embedding_norm_stats": features.embedding_norm_stats,
         "pagerank": graph.pagerank,
+        "vocab_encode": corpus.vocab_encode,
         # --- previously driver-green (CORRECTNESS_r01) ---
         # core MapReduce surface (Mimir parity)
         "wordcount": core.wordcount,
@@ -942,6 +943,28 @@ def oracle_sql() -> dict[str, str]:
                      AS n_clipped_high,
                    round(avg(greatest(least(value, hi), lo)), 4) AS wins_mean
             FROM events e JOIN s USING (event_type) GROUP BY e.event_type
+        """,
+        "vocab_encode": r"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id,
+                         unnest(toks) AS word,
+                         unnest(generate_series(1, len(toks))) AS pos
+                  FROM t),
+            counts AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+            vocab AS (SELECT word, rn::BIGINT AS id FROM (
+                        SELECT word,
+                               row_number() OVER (ORDER BY c DESC, word) AS rn
+                        FROM counts)
+                      WHERE rn <= 25),
+            enc AS (SELECT doc_id, pos, coalesce(v.id, 0) AS id
+                    FROM w LEFT JOIN vocab v USING (word))
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+                   array_to_string(list(id ORDER BY pos)[1:16], ',') AS ids_prefix
+            FROM enc GROUP BY doc_id
         """,
         "embedding_norm_stats": """
             WITH n AS (

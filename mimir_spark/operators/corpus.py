@@ -120,6 +120,56 @@ def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 25
+OOV_ID = 0
+
+
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + token-id encoding — the core of a tokenizer
+    pipeline: rank the top VOCAB_SIZE words by corpus frequency
+    (ties → lexicographic), assign ids 1..V, encode every doc's token
+    stream (OOV → 0), and report per doc the token/OOV counts plus the
+    first 16 ids as a portable witness of the full encoding.
+
+    Scale shape: the vocab is selected with a distributed
+    orderBy+limit (TakeOrdered — no global sort materialization) and
+    only the V surviving rows pass through the ranking window (single
+    tiny partition BY CONSTRUCTION, not by luck); encoding is a
+    broadcast join of that V-row table onto the exploded token stream;
+    the per-doc fan-in is one groupBy with an order-restoring
+    sort_array(collect_list(struct(pos, id)))."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), "word")
+        .limit(VOCAB_SIZE)
+        .withColumn(
+            "id",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), "word")
+            ).cast("long"),
+        )
+        .select("word", "id")
+    )
+    enc = words.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(OOV_ID)).alias("id")
+    )
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "id"))),
+        lambda s: s["id"].cast("string"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("id") == OOV_ID, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.array_join(F.slice(ordered_ids, 1, 16), ",").alias("ids_prefix"),
+    )
+
+
 def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition: per (lang, source) doc count, char volume,
     and each source's share of its language's docs — the mix table a

@@ -134,3 +134,24 @@ def test_skew_join_salted_shape_and_equivalence(spark, sf_smoke):
         )
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_vocab_encode_contract(spark, sf_smoke):
+    """Vocabulary ids are dense 1..V by frequency; OOV tokens map to 0;
+    prefix length ≤ 16; token counts match the tokenizer."""
+    rows = corpus.vocab_encode(spark, sf_smoke).collect()
+    from mimir_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n_toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tokens_col("text")).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert r.n_tokens == n_toks[r.doc_id]
+        assert 0 <= r.n_oov <= r.n_tokens
+        ids = [int(x) for x in r.ids_prefix.split(",") if x != ""]
+        assert len(ids) == min(16, r.n_tokens)
+        assert all(0 <= i <= corpus.VOCAB_SIZE for i in ids)
