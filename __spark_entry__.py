@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_survivors": dedup.dedup_survivors,
         "dedup_clusters_lsh": dedup.dedup_clusters_lsh,
+        "dedup_survivors_lsh": dedup.dedup_survivors_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         # --- similarity search (driver-unchecked in r01) ---

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mimir_spark.functions.text import word_shingles
+from mimir_spark.functions.text import word_shingle_hashes, word_shingles
 from mimir_spark.functions.vectors import cosine_sim
 from mimir_spark.sources.tables import load_table
 
@@ -129,8 +129,12 @@ def _minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
 
-    sh = _shingled(docs).select(
-        "doc_id", (F.xxhash64("sh").bitwiseAND(F.lit(MERSENNE))).alias("x")
+    # hashed shingles: tokens are hash-folded once and shingle ids are
+    # arithmetic combinations — skips per-shingle string building AND
+    # the separate xxhash64 fold this explode used to need.
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingle_hashes("text", SHINGLE_WORDS)).alias("x"),
     )
 
     partial_schema = "doc_id long, " + ", ".join(
@@ -213,9 +217,12 @@ def dedup_minhash_lsh(
     # array_intersect per pair: two joins onto the per-doc shingle-array
     # table (shuffle keyed on doc_id; at 100 TB the candidate set is
     # orders of magnitude smaller than the corpus, so both joins are
-    # candidate-sized, never corpus × corpus).
+    # candidate-sized, never corpus × corpus). Hashed shingle sets:
+    # long-array intersect, no string materialization (Jaccard is
+    # identical up to ~1e-5-probability 31-bit collisions, which only
+    # ever merge elements — see word_shingle_hashes).
     shingle_sets = docs.select(
-        "doc_id", word_shingles("text", SHINGLE_WORDS).alias("sh_set")
+        "doc_id", word_shingle_hashes("text", SHINGLE_WORDS).alias("sh_set")
     )
     sa = shingle_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a")
@@ -345,6 +352,13 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the driver gate: LSH banding recall is probabilistic, so the
     exact-pair twin (dedup_clusters) carries the hash check."""
     return dedup_clusters(spark, sf_dir, pair_source="lsh")
+
+
+def dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_survivors on the MinHash+LSH pair source — the keep-list a
+    100 TB corpus build actually materializes. Rows-only at the driver
+    gate (see dedup_clusters_lsh)."""
+    return dedup_survivors(spark, sf_dir, pair_source="lsh")
 
 
 def dedup_survivors(

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
-from mimir_spark.functions.text import word_shingles
+from mimir_spark.functions.text import word_shingle_hashes
 from mimir_spark.operators.dedup import (
     SHINGLE_WORDS,
     _minhash_signatures,
@@ -87,8 +87,10 @@ def streaming_minhash_dedup(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # hashed shingle sets — must match the batch operator's
+        # verification representation bit for bit
         sh_new = batch.select(
-            "doc_id", word_shingles("text", SHINGLE_WORDS).alias("sh_set")
+            "doc_id", word_shingle_hashes("text", SHINGLE_WORDS).alias("sh_set")
         )
         sig_new = _minhash_signatures(batch).join(sh_new, "doc_id")
         # Arrival order within a micro-batch is one batch — localCheckpoint
