@@ -104,8 +104,9 @@ MERSENNE = (1 << 31) - 1
 def _minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """doc_id → array<long> of n_hashes min-hash values.
 
-    Shingle → 64-bit xxhash64 folded to 31 bits (JVM, codegen'd), then
-    n universal-hash permutations h_i(x) = (a_i·x + b_i) mod p.
+    Shingles arrive as 31-bit hashes (word_shingle_hashes — computed
+    entirely JVM-side), then n universal-hash permutations
+    h_i(x) = (a_i·x + b_i) mod p.
 
     The 128-way hash×min is the hot loop and a 128-column JVM aggregate
     falls out of whole-stage codegen (interpreted eval ≈ 10× slower),
