@@ -410,7 +410,12 @@ def dedup_simhash(
     bucket-join, never all-pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingled(docs).withColumn("h", F.xxhash64("sh"))
+    # hashed shingles (see word_shingle_hashes) re-spread to 64 bits —
+    # SimHash needs well-distributed bits, and xxhash64 of the 31-bit
+    # shingle id gives them without ever materializing shingle strings
+    sh = docs.select(
+        "doc_id", F.explode(word_shingle_hashes("text", SHINGLE_WORDS)).alias("x")
+    ).withColumn("h", F.xxhash64("x"))
     # bit i contribution: +1 if set else -1 → sum per (doc, bit)
     bit_sums = sh.groupBy("doc_id").agg(
         *[

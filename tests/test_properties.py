@@ -76,3 +76,42 @@ def test_tokenizer_parity_on_generated_text(words):
     ]
     con.close()
     assert duck == words
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef gh", min_size=0, max_size=12),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_hashed_shingles_track_string_shingles(spark, texts):
+    """word_shingle_hashes must agree with word_shingles on set
+    CARDINALITY and on pairwise intersection sizes (it only renames
+    elements injectively, modulo ~1e-5 31-bit collisions that can't
+    occur at these sizes) — the property the MinHash path's Jaccard
+    equivalence rests on."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.functions.text import word_shingle_hashes, word_shingles
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.size(word_shingles("text", 3)).alias("n_str"),
+        F.size(word_shingle_hashes("text", 3)).alias("n_hash"),
+        word_shingles("text", 3).alias("s"),
+        word_shingle_hashes("text", 3).alias("h"),
+    )
+    got = df.collect()
+    for r in got:
+        assert r.n_str == r.n_hash, (r.s, r.h)
+    # pairwise intersection cardinalities agree
+    for a in got:
+        for b in got:
+            si = len(set(a.s) & set(b.s))
+            hi = len(set(a.h) & set(b.h))
+            assert si == hi, (a.s, b.s, a.h, b.h)

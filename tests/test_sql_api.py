@@ -13,6 +13,7 @@ import pytest
 
 import __spark_entry__ as entrymod
 from mimir_spark.sources.tables import register_views
+from tests.parity import rows_to_set
 
 # Oracle statements that are pure ANSI (no DuckDB list_*/quantile_cont/
 # date_diff dialect) — they run verbatim on Spark SQL.
@@ -27,6 +28,22 @@ SQL_PORTABLE = [
     "secondary_sort",
     "distinct_keys",
     "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q22_dormant_customers",
+    "semi_anti_join",
+    "rollup_revenue",
+    "cube_revenue",
+    "grouping_sets_revenue",
+    "salted_agg",
+    "event_windows",
+    "skew_join_salted",
 ]
 
 
@@ -43,6 +60,7 @@ def test_sql_api_matches_dataframe_operator(name, spark, views):
     via_df = entrymod.queries()[name](spark, views)
     assert sorted(via_sql.columns) == sorted(via_df.columns)
     cols = sorted(via_sql.columns)
-    rows_sql = sorted(map(tuple, via_sql.select(cols).collect()))
-    rows_df = sorted(map(tuple, via_df.select(cols).collect()))
+    # null-safe normalized compare (CUBE/ROLLUP emit NULL group keys)
+    rows_sql = rows_to_set(map(tuple, via_sql.select(cols).collect()), cols)
+    rows_df = rows_to_set(map(tuple, via_df.select(cols).collect()), cols)
     assert rows_sql == rows_df, f"{name}: SQL API and DataFrame API disagree"
