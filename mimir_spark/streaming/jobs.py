@@ -19,7 +19,9 @@ from pyspark.sql import types as T
 from mimir_spark.sources.tables import SCHEMAS
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch here; on a cluster this is a drop-in for a Kafka
     source with the same schema). The file source wants a directory,
@@ -40,7 +42,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

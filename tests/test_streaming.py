@@ -157,3 +157,72 @@ def test_streaming_click_purchase_join_matches_batch(spark, sf_smoke):
         if r.n_recent_clicks > 0
     }
     assert got_map == expect
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Pin the 2-hour watermark semantics of streaming_event_windows:
+    once a window has been closed by the advancing watermark, a late
+    row for it is DROPPED — the window is never re-emitted or
+    incremented.
+
+    Watermark updates take effect one micro-batch after the data that
+    advances them (standard Structured Streaming behavior), so the
+    scenario needs three batches:
+    - batch 0: 3 events in hour-1 plus events through hour-10 (the
+      watermark computed from this batch is hour-8);
+    - batch 1: one hour-11 event — during this batch the hour-8
+      watermark is active, so windows h1..h8 close and emit (h1 with
+      exactly its 3 on-time rows);
+    - batch 2: one LATE hour-1 event (vs active watermark hour-9 →
+      dropped; h1 must NOT appear again) and one hour-12 event (its
+      window stays open and is never emitted)."""
+    import glob as g
+    import shutil
+    import time
+
+    from mimir_spark.streaming.jobs import (
+        read_events_stream,
+        streaming_event_windows,
+    )
+
+    H = 3_600_000_000_000  # one hour in nanoseconds
+
+    def mk(rows, name):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        d = str(tmp_path / ("src_" + name))
+        df.coalesce(1).write.parquet(d)
+        (part,) = g.glob(d + "/part-*.parquet")
+        shutil.copy(part, str(tmp_path / f"{name}.parquet"))
+        time.sleep(1.2)  # distinct mtimes → deterministic batch order
+
+    batch0 = [(i, 1 * H + i * 1000, 1, "click", 1.0, "{}") for i in range(3)]
+    batch0 += [(100 + h, h * H, 1, "click", 1.0, "{}") for h in range(2, 11)]
+    mk(batch0, "batch_0")
+    mk([(800, 11 * H, 3, "click", 1.0, "{}")], "batch_1")
+    mk([(900, 1 * H + 5000, 2, "click", 1.0, "{}"),  # late hour-1 row
+        (901, 12 * H, 2, "click", 1.0, "{}")], "batch_2")
+
+    stream = read_events_stream(spark, str(tmp_path), glob="batch_*.parquet")
+    q = (
+        streaming_event_windows(stream)
+        .writeStream.format("memory")
+        .queryName("wm_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("SELECT * FROM wm_t").collect()
+    by_hour: dict[int, list[int]] = {}
+    for r in out:
+        by_hour.setdefault(r.window_start.hour, []).append(r.n_events)
+    # hour-1 closed exactly once with exactly the 3 on-time rows; the
+    # late arrival neither re-emitted nor incremented it
+    assert by_hour.get(1) == [3], by_hour
+    # the still-open hour-12 window was not emitted
+    assert 12 not in by_hour, by_hour
