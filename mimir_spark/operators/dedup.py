@@ -499,8 +499,9 @@ def dedup_embedding(
        θ(c_i, c_j) ≤ θ_t + r_i + r_j (triangle inequality, both ways
        around) — the allowed-pair list is computed driver-side from
        the 16 collected centroids/radii and broadcast back;
-    4. candidates = two equi-joins through the allowed (cell_a,
-       cell_b) table; exact cosine verify on candidates only.
+    4. verification = blocked all-pairs: vectors replicate to their
+       allowed cell-pair buckets and one NumPy block matmul per bucket
+       emits qualifying pairs (see the comment below).
 
     Every pair with θ(a,b) ≤ θ_t satisfies
     θ(c_i,c_j) ≤ θ(c_i,a) + θ(a,b) + θ(b,c_j) ≤ r_i + θ_t + r_j,
