@@ -524,6 +524,17 @@ def dedup_embedding(
         .limit(N_EMB_CELLS)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cent"))
     )
+    if not cents.take(1):
+        # The stride filter can yield zero rows on a tiny table (or one
+        # with no vec_id ≡ 0 mod 31); without seeds every vector would
+        # get no cell and the op would silently return nothing. Fall
+        # back to the first N ids — one bounded extra job, small-input
+        # path only.
+        cents = (
+            emb.orderBy("vec_id")
+            .limit(N_EMB_CELLS)
+            .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cent"))
+        )
     # Nearest centroid per vector: broadcast the 16 centroids, take the
     # max (sim, -cell) struct — a map-side-combined aggregate, cheaper
     # than a window (no per-vector sort, partial agg before the
@@ -560,7 +571,12 @@ def dedup_embedding(
         nv = math.sqrt(sum(float(x) * float(x) for x in v))
         return math.acos(max(-1.0, min(1.0, d / (nu * nv))))
 
-    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    # Rounding margin: qualification uses cos ROUNDED to 6dp
+    # (round(cos, 6) >= threshold), so a pair with true cos in
+    # [threshold - 5e-7, threshold) still qualifies. Widen the pruning
+    # angle to cover that half-ulp band, or a bucket holding such a
+    # pair could be pruned while the oracle keeps the pair.
+    theta_t = math.acos(max(-1.0, min(1.0, threshold - 5e-7)))
     # unordered allowed cell pairs (i ≤ j); (i, i) is always allowed
     allowed = [
         (int(i), int(j))

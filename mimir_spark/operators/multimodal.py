@@ -81,7 +81,7 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 10) -> DataFra
     )
 
 
-FEATURES_SCHEMA = "doc_id long, features array<float>"
+FEATURES_SCHEMA = "doc_id long, n_bytes int, features array<float>"
 N_FEATURES = 16
 
 
@@ -101,7 +101,13 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             )
             total = hist.sum()
             feats.append(hist / total if total else hist)
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "features": feats,
+            }
+        )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,3 +119,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_binary_payload(docs).mapInPandas(
         _featurize_batches, FEATURES_SCHEMA
     )
+
+
+def multimodal_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of `multimodal_features`: the exact
+    integer byte-bucket counts behind the normalized vector.
+
+    count_i = round(f_i * n_bytes) recovers the stub's bincount exactly
+    (float32 relative error ~1e-7 × n_bytes ≪ 0.5), turning the
+    float-array output — which an external comparator can neither sort
+    nor hash portably — into 16 BIGINT columns with a clean SQL oracle
+    (per-char code-point-mod-16 histogram). Same plan as the parent op
+    plus one stateless projection; still zero shuffles."""
+    feats = multimodal_features(spark, sf_dir)
+    counts = [
+        F.round(F.element_at("features", i + 1).cast("double") * F.col("n_bytes"))
+        .cast("long")
+        .alias(f"n{i}")
+        for i in range(N_FEATURES)
+    ]
+    return feats.select("doc_id", *counts)

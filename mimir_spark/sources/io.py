@@ -82,13 +82,25 @@ def compact_files(
     turn every scan into open/seek overhead and blow up the driver's
     split planning. This rewrites the dataset into
     ceil(total_bytes / target_bytes) files via a round-robin
-    repartition (even sizes, no key skew). Size comes from Catalyst's
-    relation statistics (file-footer sums — no data scan). Returns the
-    output file count."""
+    repartition (even sizes, no key skew). Size is the on-disk
+    (compressed) byte total from a recursive Hadoop FileSystem listing
+    — a stable public API (vs. Catalyst's internal stats chain), no
+    data scan, works on any supported filesystem (local / HDFS /
+    object store). Input and output are both compressed parquet, so
+    on-disk size is the right basis for sizing output files; expect
+    files near target_bytes modulo re-encoding drift, not the (much
+    larger) decompressed in-memory size. Returns the output file
+    count."""
     df = spark.read.parquet(in_path)
-    size = int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # type: ignore[attr-defined]
-    )
+    jvm = spark._jvm  # py4j gateway to the PUBLIC Hadoop FS API
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    size, it = 0, fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            size += status.getLen()
     n_files = max(1, -(-size // target_bytes))  # ceil
     df.repartition(n_files).write.mode(mode).parquet(out_path)
     return n_files

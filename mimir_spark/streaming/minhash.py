@@ -10,10 +10,12 @@ time:
   deterministic hash family as the batch operator (a doc's signature
   depends only on its own shingles, so batch and stream agree bit for
   bit);
-- state is an APPEND-ONLY parquet signature store (doc_id, sig,
-  sh_set) — the streaming analogue of a feature store; Spark's state
-  store isn't used because the LSH join needs the full signature
-  history, not per-key running values;
+- state is an append-only parquet signature store (doc_id, sig,
+  sh_set), laid out as one batch_id=N subdirectory per micro-batch so
+  a foreachBatch retry (at-least-once) overwrites its own output
+  instead of duplicating it — the streaming analogue of a feature
+  store; Spark's state store isn't used because the LSH join needs
+  the full signature history, not per-key running values;
 - per batch, LSH band buckets are joined batch-vs-(store ∪ batch), so
   the work per batch is bounded by bucket collisions against the
   batch — never a rescan of all historical pairs;
@@ -97,7 +99,12 @@ def streaming_minhash_dedup(
         # so signatures are computed once, not per downstream use.
         sig_new = sig_new.localCheckpoint(eager=True)
         try:
-            store = spark.read.parquet(store_dir)
+            # batch_id is a discovered partition column (each batch
+            # writes its own batch_id=N subdirectory, see below); drop
+            # it so the store unions cleanly with the new signatures.
+            store = spark.read.parquet(store_dir).select(
+                "doc_id", "sig", "sh_set"
+            )
         except AnalysisException:
             store = None
         all_sigs = (
@@ -125,8 +132,21 @@ def streaming_minhash_dedup(
         verified = _verified_pairs(
             cand_new, all_sigs.select("doc_id", "sh_set"), threshold
         )
-        verified.write.mode("append").parquet(pairs_dir)
-        sig_new.write.mode("append").parquet(store_dir)
+        # Idempotent per-batch writes (the standard foreachBatch
+        # exactly-once recipe): foreachBatch is at-least-once, so a
+        # failure/retry re-runs _process with the SAME batch_id. A
+        # blind append would duplicate pair rows and — worse —
+        # duplicate signatures in the store, multiplying every future
+        # bucket join. Writing each batch to its own batch_id=N
+        # subdirectory with overwrite makes the retry rewrite exactly
+        # its own output; readers see batch_id as a discovered
+        # partition column.
+        verified.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch_id={batch_id}"
+        )
+        sig_new.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={batch_id}"
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_process)
