@@ -24,6 +24,7 @@ from mimir_spark.operators import (
     multimodal,
     octree,
     pipeline,
+    quality,
     relational,
     relational2,
     relational3,
@@ -91,7 +92,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r02 FAIL, fixed this round (exact integer projection) ---
         "multimodal_features": multimodal.multimodal_features_hist,
         # --- new in round 3 ---
-        # (added as built; keep inside the ~50-key driver window)
+        "gopher_quality_filter": quality.gopher_quality_filter,
+        "quality_topk_select": quality.quality_topk_select,
+        "zipf_slope": quality.zipf_slope,
+        "cooccurrence_pmi": corpus.cooccurrence_pmi,
+        "anomaly_zscore": features.anomaly_zscore,
+        "dedup_prefix": dedup.dedup_prefix,
+        "dedup_containment": dedup.dedup_containment,
+        "ann_range_search": similarity.ann_range_search,
+        "knn_graph": similarity.knn_graph,
         # --- r02-green (CORRECTNESS_r02) ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -983,6 +992,157 @@ def oracle_sql() -> dict[str, str]:
                    ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS fake_height,
                    'image' AS modality
             FROM documents
+        """,
+        "gopher_quality_filter": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+                     length(regexp_replace(text, '\s+', '', 'g')) AS swl
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(toks)::BIGINT AS n_words,
+                     round(swl / len(toks), 6) AS mean_word_len,
+                     round(len(list_filter(toks,
+                         x -> contains(x, '#') OR contains(x, '...'))) / len(toks), 6)
+                       AS symbol_ratio,
+                     round(len(list_filter(toks,
+                         x -> regexp_matches(x, '[A-Za-z]'))) / len(toks), 6)
+                       AS alpha_word_ratio,
+                     len(list_filter(toks, x -> x IN
+                         ('the','be','to','of','and','that','have','with')))::BIGINT
+                       AS n_stopwords
+              FROM t)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_word_ratio, n_stopwords,
+                   (n_words BETWEEN 50 AND 100000)::BIGINT AS flag_word_count,
+                   (mean_word_len BETWEEN 3.0 AND 10.0)::BIGINT AS flag_mean_word_len,
+                   (symbol_ratio <= 0.1)::BIGINT AS flag_symbol_ratio,
+                   (alpha_word_ratio >= 0.8)::BIGINT AS flag_alpha_words,
+                   (n_stopwords >= 2)::BIGINT AS flag_stopwords,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                    AND symbol_ratio <= 0.1
+                    AND alpha_word_ratio >= 0.8
+                    AND n_stopwords >= 2)::BIGINT AS passes_gopher
+            FROM m
+        """,
+        "quality_topk_select": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+              FROM documents),
+            m AS (
+              SELECT doc_id, lang,
+                     alpha_chars / n_chars AS alpha_ratio,
+                     len(list_filter(toks,
+                         x -> x IN ('the','a','of','and','to','in','is','it')))
+                       / len(toks) AS stop_ratio,
+                     n_chars / len(toks) AS mean_tok_len,
+                     CASE WHEN n_chars >= 100 AND n_chars <= 2000
+                          THEN 1.0 ELSE 0.5 END AS len_band
+              FROM t),
+            q AS (
+              SELECT doc_id, lang,
+                     round(0.3 * len_band + 0.3 * alpha_ratio
+                           + 0.25 * least(stop_ratio * 4.0, 1.0)
+                           + 0.15 * least(mean_tok_len / 8.0, 1.0), 6) AS quality
+              FROM m)
+            SELECT doc_id, lang, quality, rk FROM (
+              SELECT doc_id, lang, quality,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY quality DESC, doc_id) AS rk
+              FROM q)
+            WHERE rk <= 20
+        """,
+        "zipf_slope": r"""
+            WITH w AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS word
+                       FROM documents),
+            c AS (SELECT lang, word, count(*) AS c
+                  FROM w WHERE word <> '' GROUP BY 1, 2),
+            r AS (SELECT lang, c,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY c DESC, word) AS rank
+                  FROM c)
+            SELECT lang, count(*)::BIGINT AS n_words,
+                   round(regr_slope(ln(c), ln(rank)), 6) AS slope
+            FROM r WHERE rank <= 100 GROUP BY lang
+        """,
+        "cooccurrence_pmi": r"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(toks) AS word,
+                         unnest(generate_series(1, len(toks))) AS pos
+                  FROM t),
+            bg AS (SELECT a.word AS w1, b.word AS w2
+                   FROM w a JOIN w b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            pc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+            lm AS (SELECT w1, sum(n_pair) AS c1 FROM pc GROUP BY 1),
+            rm AS (SELECT w2, sum(n_pair) AS c2 FROM pc GROUP BY 1),
+            tot AS (SELECT sum(n_pair)::DOUBLE AS n_total FROM pc)
+            SELECT w1, w2, n_pair::BIGINT AS n_pair,
+                   round(ln((n_pair * n_total) / (c1::DOUBLE * c2::DOUBLE)), 6) AS pmi
+            FROM pc JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+            WHERE n_pair >= 5
+        """,
+        "anomaly_zscore": """
+            WITH s AS (SELECT event_type,
+                              round(avg(value), 6) AS mean_v,
+                              round(stddev_pop(value), 6) AS std_v
+                       FROM events GROUP BY 1)
+            SELECT event_id, event_type, value,
+                   round((value - mean_v) / std_v, 4) AS z
+            FROM events JOIN s USING (event_type)
+            WHERE abs(round((value - mean_v) / std_v, 4)) >= 3.0
+        """,
+        "dedup_prefix": r"""
+            WITH t AS (SELECT doc_id,
+                              array_to_string(
+                                list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> '')[1:8], ' ') AS p
+                       FROM documents)
+            SELECT doc_id, n_dups FROM (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY p ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY p) AS n_dups
+              FROM t)
+            WHERE rn = 1 AND n_dups >= 2
+        """,
+        "dedup_containment": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(n_common / least(sa.n, sb.n), 6) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common / least(sa.n, sb.n), 6) >= 0.8
+        """,
+        "ann_range_search": f"""
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_PAIR} AS cos
+            FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+            JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE {_COS_PAIR} >= 0.35
+        """,
+        "knn_graph": f"""
+            WITH scored AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, {_COS_PAIR} AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            SELECT vec_id, neighbor_id, cos, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 3
         """,
         # The stub featurizer is a byte-histogram (utf-8 byte % 16) of
         # the payload; the driver-facing projection recovers the exact

@@ -189,3 +189,62 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_chars",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
     )
+
+
+MIN_PAIR_COUNT = 5
+
+
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs:
+    pmi(w1,w2) = ln(c12·N / (c1·c2)) with c1/c2 the left/right
+    marginals over all bigram occurrences and N their total — the
+    collocation signal behind phrase mining and tokenizer-merge
+    scoring. Pairs below MIN_PAIR_COUNT occurrences are dropped (PMI
+    of rare pairs is noise).
+
+    Scale shape: one corpus scan explodes bigrams into a (w1,w2)
+    count aggregate (map-side combined; the reduce side is
+    vocabulary², not corpus-sized). Marginals are re-aggregations of
+    that pair table — no second corpus pass — and join back on word
+    keys; N is a 1-row broadcast cross join. All downstream of the
+    first aggregate is vocabulary-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    # adjacent pairs via zip_with + slice (the O(n) shingling form)
+    pair = F.zip_with(
+        toks,
+        F.slice(toks, 2, 1 << 30),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2, F.slice(pair, 1, F.size(toks) - 1)
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    left = pc.groupBy("w1").agg(F.sum("n_pair").alias("c1"))
+    right = pc.groupBy("w2").agg(F.sum("n_pair").alias("c2"))
+    total = pc.agg(F.sum("n_pair").cast("double").alias("n_total"))
+    return (
+        pc.filter(F.col("n_pair") >= MIN_PAIR_COUNT)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            # marginal product in double: exact below 2^53 (matching
+            # the oracle's exact integer product → double divide) and
+            # overflow-proof at corpus scale where c1·c2 exceeds long
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("n_total"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mimir_spark.functions.text import word_shingle_hashes, word_shingles
+from mimir_spark.functions.text import (
+    tokens_col,
+    word_shingle_hashes,
+    word_shingles,
+)
 from mimir_spark.functions.vectors import cosine_sim, dot
 from mimir_spark.sources.tables import load_table
 
@@ -44,6 +48,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .withColumn("n_dups", F.count("*").over(Window.partitionBy(*key)))
         .filter(F.col("rn") == 1)
+        .select("doc_id", "n_dups")
+    )
+
+
+PREFIX_WORDS = 8
+
+
+def dedup_prefix(
+    spark: SparkSession, sf_dir: str, n_words: int = PREFIX_WORDS
+) -> DataFrame:
+    """Prefix dedup: group docs sharing their first `n_words` words —
+    the cheap boilerplate catcher (scraped pages that open with the
+    same header/navigation block are near-dups that exact dedup
+    misses and shingle Jaccard pays full price to find).
+
+    Same shuffle shape as `dedup_exact`, applied to the prefix: the
+    window key is (xxhash64(prefix), length, prefix) — fixed-width
+    hash decides partitioning and almost every comparison, trailing
+    prefix string keeps the grouping exact. Only groups with ≥2
+    members are emitted (survivor = smallest doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(tokens_col("text"), 1, n_words))
+    keyed = docs.select(
+        "doc_id",
+        F.xxhash64(prefix).alias("h"),
+        F.length(prefix).alias("len"),
+        prefix.alias("prefix"),
+    )
+    key = [F.col("h"), F.col("len"), F.col("prefix")]
+    w = Window.partitionBy(*key).orderBy("doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(Window.partitionBy(*key)))
+        .filter((F.col("rn") == 1) & (F.col("n_dups") >= 2))
         .select("doc_id", "n_dups")
     )
 
@@ -89,6 +127,48 @@ def dedup_ngram_jaccard(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_containment(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B| / min(|A|,|B|) —
+    catches a document embedded inside a longer one (quote farms,
+    wrapper boilerplate), which symmetric Jaccard dilutes below any
+    usable threshold.
+
+    Same exact shingle self-join shape as `dedup_ngram_jaccard` (the
+    correctness path; MinHash banding is the candidate generator at
+    100 TB — containment can be estimated from the same signatures),
+    differing only in the final normalizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.select(
+        "doc_id", F.size(word_shingles("text", SHINGLE_WORDS)).alias("n_sh")
+    )
+    sh = _shingled(docs)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("na", "nb"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
     )
 
 

@@ -81,3 +81,32 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("norm"), 6).alias("max_norm"),
         )
     )
+
+
+Z_THRESHOLD = 3.0
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier scan over `events.value`: rows with
+    |z| ≥ 3 against their event type's mean/stddev — the cheap
+    anomaly pass a pipeline runs on numeric columns before they feed
+    features or labels.
+
+    Two-phase like `winsorize_events`: a tiny per-type aggregate
+    (mean, population stddev — both partial-aggregatable) broadcasts
+    back onto the fact scan, so the only full-table work is one scan
+    plus a map-side join. Mean/std are rounded to 6dp and z to 4dp on
+    both engines before the threshold compare, so membership can't
+    flip on sum-order last-ulp drift."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.stddev_pop("value"), 6).alias("std_v"),
+    )
+    z = F.round((F.col("value") - F.col("mean_v")) / F.col("std_v"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
+        .select("event_id", "event_type", "value", "z")
+    )

@@ -1,0 +1,163 @@
+"""Rule-based corpus quality filtering and selection — the document-
+level gates a pre-training data build runs before (and after) dedup:
+
+- `gopher_quality_filter`: the published Gopher/MassiveText rule
+  family (word-count band, mean word length band, symbol-to-word
+  ratio, alphabetic-word ratio, stopword floor) as per-doc flags plus
+  the combined verdict. (Rand et al.'s bullet/ellipsis line rules need
+  line structure this corpus doesn't have; the line-free rules are the
+  ones implemented, each under its published default threshold.)
+- `quality_topk_select`: quality-ranked selection — keep the top-N
+  docs per language by the heuristic quality score, the "data budget"
+  step that turns a scored corpus into a training mix.
+- `zipf_slope`: per-language Zipf fit — the regression slope of
+  ln(freq) on ln(rank) over the top vocabulary; natural text sits near
+  −1, and a corpus whose slope drifts is a classic generation/boiler-
+  plate smell. Uses the built-in regr_slope aggregate (JVM-side).
+
+All three are pure Column-expression plans: one scan of `documents`,
+partial aggregation map-side, no Python, no collect. Every comparison
+that feeds a flag is computed on 6dp-rounded values so the DuckDB
+oracle can't flip a flag on a last-ulp difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import tokens_col
+from mimir_spark.operators.textstats import quality_score
+from mimir_spark.sources.tables import load_table
+
+# Gopher rule thresholds (MassiveText defaults, line-free subset).
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_ALPHA_WORD_RATIO = 0.8
+MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+TOPQ_PER_LANG = 20
+ZIPF_TOP_WORDS = 100
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher rule flags (1 = passes) and the AND of them.
+
+    Ratios divide counts derived from ONE tokenization, so every flag
+    is a deterministic function of the text; the whole row is a single
+    projection inside codegen — at 100 TB this is a map-only pass that
+    fuses with whatever scan feeds it (corpus_clean_pipeline-style).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Layered selects, not one flat projection: HOF lambdas (filter)
+    # run OUTSIDE whole-stage codegen, where repeated subexpressions
+    # are NOT eliminated — a flat projection re-ran split(text) ~15×
+    # per row. CollapseProject keeps these layers apart (it refuses to
+    # inline a non-cheap expression referenced more than once), so the
+    # tokenization happens once and every flag reads materialized
+    # columns. Mirrors the oracle's CTE chain.
+    t = docs.select(
+        "doc_id",
+        tokens_col("text").alias("toks"),
+        # mean word length via arithmetic on the full string (no
+        # per-token lambda): total non-whitespace chars / word count.
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("swl"),
+    )
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.round(F.col("swl") / F.size("toks"), 6).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter("toks", lambda t: t.contains("#") | t.contains("...")))
+            / F.size("toks"),
+            6,
+        ).alias("symbol_ratio"),
+        F.round(
+            F.size(F.filter("toks", lambda t: t.rlike("[A-Za-z]")))
+            / F.size("toks"),
+            6,
+        ).alias("alpha_word_ratio"),
+        F.size(F.filter("toks", lambda t: t.isin(*GOPHER_STOPWORDS)))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    flag = lambda c: c.cast("long")  # noqa: E731 — 0/1 BIGINT on both engines
+    f_words = flag(
+        (F.col("n_words") >= MIN_WORDS) & (F.col("n_words") <= MAX_WORDS)
+    )
+    f_mwl = flag(
+        (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+    )
+    f_sym = flag(F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+    f_alpha = flag(F.col("alpha_word_ratio") >= MIN_ALPHA_WORD_RATIO)
+    f_stop = flag(F.col("n_stopwords") >= MIN_STOPWORDS)
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        "n_stopwords",
+        f_words.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_sym.alias("flag_symbol_ratio"),
+        f_alpha.alias("flag_alpha_words"),
+        f_stop.alias("flag_stopwords"),
+        (f_words * f_mwl * f_sym * f_alpha * f_stop).alias("passes_gopher"),
+    )
+
+
+def quality_topk_select(
+    spark: SparkSession, sf_dir: str, k: int = TOPQ_PER_LANG
+) -> DataFrame:
+    """Top-k docs per language by quality score (ties → lower doc_id).
+
+    The selection window partitions by language — a handful of
+    partitions each holding the per-language candidates, so the sort
+    behind row_number is the only shuffle and AQE splits a dominant
+    language if skewed. Composes the scored pass (`quality_score`) with
+    the lang column; Catalyst collapses the join into the same scan."""
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        q.join(langs, "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "lang", "quality", "rk")
+    )
+
+
+def zipf_slope(
+    spark: SparkSession, sf_dir: str, top_words: int = ZIPF_TOP_WORDS
+) -> DataFrame:
+    """Per-language Zipf regression: slope of ln(count) on ln(rank)
+    over the top `top_words` words (rank ties broken by word so the
+    rank assignment is deterministic).
+
+    Two shuffles total at any scale: the (lang, word) count aggregate
+    (map-side combined — the reduce side is vocabulary-sized, not
+    corpus-sized) and the per-language ranking window over that small
+    vocabulary table. regr_slope is a built-in partial-aggregatable
+    JVM aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens_col("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "word")
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_words
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.regr_slope(F.log("c"), F.log("rank")), 6).alias("slope"),
+        )
+        .select("lang", "n_words", "slope")
+    )

@@ -252,3 +252,156 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .select("query_id", "neighbor_id", "cos")
     )
     return _rank_topk(scored, k)
+
+
+# ---- Range search + exact kNN graph ---------------------------------------
+
+RANGE_THRESHOLD = 0.35
+KNN_K = 3
+N_KNN_BLOCKS = 8
+
+
+def ann_range_search(
+    spark: SparkSession, sf_dir: str, threshold: float = RANGE_THRESHOLD
+) -> DataFrame:
+    """All corpus vectors within cosine ≥ threshold of each query
+    vector (self excluded) — the radius-query twin of the top-k
+    search (retrieval candidate pools, near-duplicate audits around
+    known-bad items).
+
+    Same scale shape as `ann_bruteforce_topk`: the bounded query
+    matrix ships into an Arrow-batched mapInPandas kernel, each batch
+    is one (batch × n_queries) NumPy matmul of L2-normalized rows, and
+    only rows clearing the threshold leave the batch — no join, one
+    corpus scan, output-bounded shuffle. Cosine is rounded to 6dp
+    before the comparison so the cut is engine-portable."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded metadata: N_QUERIES rows
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def _batch_range(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = np.round(En @ Qn.T, 6)  # (batch, n_queries)
+            hit_i, hit_j = np.nonzero(
+                (S >= threshold) & (ids[:, None] != q_ids[None, :])
+            )
+            if hit_i.size:
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids[hit_j],
+                        "neighbor_id": ids[hit_i],
+                        "cos": S[hit_i, hit_j],
+                    }
+                )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _batch_range, "query_id long, neighbor_id long, cos double"
+    )
+
+
+def knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    n_blocks: int = N_KNN_BLOCKS,
+) -> DataFrame:
+    """EXACT k-nearest-neighbour graph over the whole embedding table
+    (every vector → its k closest others by cosine) — the all-pairs
+    generalization of the query-set search, and the input to graph
+    dedup / clustering over embeddings.
+
+    Exact kNN is inherently O(n²) FLOPs; the scale question is whether
+    those FLOPs run as a materialized O(n²)-row join (dies at 10⁹
+    vectors) or as tiled matrix multiplies with bounded shuffles. This
+    is the GEMM-tiling form, the same shape as `dedup_embedding`'s
+    verifier: vectors hash into `n_blocks` row blocks, every unordered
+    block pair (i ≤ j) is one bucket, each vector replicates to its
+    n_blocks buckets (shuffle volume O(n·√buckets), never O(n²)), and
+    one applyInPandas per bucket computes the block cosine matrix as a
+    single NumPy matmul of pre-normalized rows, emitting only each
+    row's BUCKET-LOCAL top-k. The global window then ranks
+    O(n·blocks·k) candidates — bucket-local pruning is lossless
+    because every global top-k edge lives in exactly one bucket and
+    survives that bucket's top-k under the same (cos desc, id) order.
+    At 10⁹ rows you raise n_blocks so a block pair fits executor
+    memory; with an ANN budget you swap this for the LSH/IVF
+    candidate generators above and lose the exactness guarantee."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    bucket_rows = [(b, f"{i}_{j}") for (i, j) in pairs for b in {i, j}]
+    buckets_df = spark.createDataFrame(bucket_rows, "blk long, bucket string")
+
+    e = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(dot(e, e))
+    normalized = emb.select(
+        "vec_id",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
+        F.transform(e, lambda x: x / norm).alias("en"),
+    )
+    rep = normalized.join(F.broadcast(buckets_df), "blk")
+
+    def _local_topk(ids_src, ids_dst, S):
+        """per-row top-k of a rounded score block, (cos desc, id) order."""
+        parts = []
+        for r in range(S.shape[0]):
+            s = S[r]
+            order = np.lexsort((ids_dst, -s))[:k]
+            order = order[np.isfinite(s[order])]  # drop the -inf self slot
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids_src[r],
+                        "neighbor_id": ids_dst[order],
+                        "cos": s[order],
+                    }
+                )
+            )
+        return parts
+
+    def _block_topk(key, pdf):
+        i, j = (int(x) for x in key[0].split("_"))
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        blks = pdf["blk"].to_numpy(np.int64)
+        E = np.array(list(pdf["en"]), dtype=np.float64)
+        parts = []
+        if i == j:
+            S = np.round(E @ E.T, 6)
+            np.fill_diagonal(S, -np.inf)  # exclude self
+            parts += _local_topk(ids, ids, S)
+        else:
+            ma, mb = blks == i, blks == j
+            A, B = E[ma], E[mb]
+            if len(A) and len(B):
+                S = np.round(A @ B.T, 6)
+                parts += _local_topk(ids[ma], ids[mb], S)
+                parts += _local_topk(ids[mb], ids[ma], S.T)
+        if not parts:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cos": []}
+            ).astype({"vec_id": np.int64, "neighbor_id": np.int64, "cos": np.float64})
+        return pd.concat(parts, ignore_index=True)
+
+    cand = rep.groupBy("bucket").applyInPandas(
+        _block_topk, "vec_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos", "rank")
+    )
