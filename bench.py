@@ -39,6 +39,10 @@ HEADLINE = [
     "top_ngrams_per_lang",
     # iterative-graph breadth beyond BFS
     "pagerank",
+    # round-3 breadth: exact kNN graph (tiled GEMM) and the Gopher
+    # rule filter (single-scan map-only pass)
+    "knn_graph",
+    "gopher_quality_filter",
 ]
 
 

@@ -163,20 +163,33 @@ def pagerank(
       rank' = (1−d)/N + d · Σ_in rank(src)/deg(src)
 
     Scale shape: the (src, dst, deg) contribution table is built ONCE
-    (degree aggregate joined back to edges) and checkpointed; each
-    round joins the RANK table into it — rank rows number one per
-    node, orders of magnitude fewer than edges, so while they fit the
-    broadcast budget (gated on the known node count, same
+    (degree aggregate joined back to edges), HASH-PARTITIONED ON dst
+    and CACHED — cached, not checkpointed, deliberately: an
+    InMemoryTableScan reports the cached plan's outputPartitioning,
+    while a (local)checkpointed RDD scan reports UnknownPartitioning
+    and would force the partition-aware plan below to re-shuffle.
+    Each round joins the RANK table into it — rank rows number one
+    per node, orders of magnitude fewer than edges, so while they fit
+    the broadcast budget (gated on the known node count, same
     BROADCAST_MAX_ROWS policy as BFS) the edge table is NEVER
-    re-shuffled: the round's only exchange is the groupBy(dst)
-    contribution sum, which partial-aggregates map-side. Past the
-    gate it degrades to a shuffle join. Ranks are lazily
-    localCheckpointed per round: Catalyst plans each round against a
-    flat leaf instead of a 10-deep nested plan. Every node of the
+    re-shuffled — and because a broadcast join preserves the streamed
+    side's partitioning, the groupBy(dst) contribution sum needs NO
+    exchange either: after the one up-front repartition, a round is a
+    single map-stage — zero per-iteration shuffles (plan-tested).
+    Past the broadcast gate the rank join degrades to a shuffle join
+    whose edge side reuses the dst partitioning. Intermediate ranks
+    are lazily localCheckpointed per round so Catalyst plans each
+    round against a flat leaf instead of a 10-deep nested plan; the
+    FINAL round is left un-checkpointed so callers (and the plan
+    test) see the real per-round physical plan. Every node of the
     undirected graph has out-degree ≥ 1, so there is no dangling-mass
-    correction term. Output: (node, rank) rounded to 6 dp — rows-only
-    at the driver gate (fixed-point iteration isn't SQL-expressible);
-    pinned against a NumPy reference in tests.
+    correction term. The contribution cache stays alive for the
+    returned DataFrame's lifetime (rounds materialize lazily at the
+    caller's action, so there is no safe in-operator unpersist hook);
+    it is edge-table-sized and LRU-evicted under memory pressure.
+    Output: (node, rank) rounded to 6 dp — rows-only at the driver
+    gate (fixed-point iteration isn't SQL-expressible); pinned
+    against a NumPy reference in tests.
     """
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
@@ -187,15 +200,20 @@ def pagerank(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    contrib_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    contrib_edges = edges.join(deg, "src").repartition("dst").cache()
+    # Materialize the cache BEFORE any round is planned: an
+    # un-materialized cached plan is still AdaptiveSparkPlan
+    # (isFinalPlan=false) with unknown output partitioning, and every
+    # round would conservatively re-insert the dst exchange.
+    contrib_edges.count()
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
     n_nodes = nodes.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     teleport = (1.0 - damping) / n_nodes
-    for _ in range(iters):
+    for i in range(iters):
         r = _maybe_broadcast(ranks, n_nodes)
-        ranks = (
+        out = (
             contrib_edges.join(r, contrib_edges.src == r.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
@@ -204,6 +222,6 @@ def pagerank(
                 F.col("dst").alias("node"),
                 (F.lit(teleport) + F.lit(damping) * F.col("in_sum")).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = out if i == iters - 1 else out.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))

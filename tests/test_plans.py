@@ -177,3 +177,22 @@ def test_sample_stratified_pushdown(spark, sf_correct):
     plan = formatted_plan(df)
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "text" not in read_schema[0], plan
+
+
+def test_pagerank_rounds_have_no_exchange(spark, sf_smoke):
+    """The contribution table is pre-partitioned on dst once (cached —
+    the cache is what keeps the partitioning visible to the planner),
+    so a PageRank round (broadcast rank join → groupBy(dst)) must plan
+    with ZERO shuffle exchanges — the per-iteration cost at cluster
+    scale is the broadcast build, never an edge re-shuffle. The final
+    round is deliberately un-checkpointed so its plan is inspectable
+    here; the one-time repartition lives INSIDE the InMemoryRelation
+    subtree, so only the plan text before it is the round itself."""
+    from mimir_spark.operators import graph
+
+    df = graph.pagerank(spark, sf_smoke, iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    round_plan = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in round_plan, plan
+    assert "Exchange hashpartitioning" not in round_plan, plan
+    assert "BroadcastHashJoin" in round_plan, plan

@@ -44,6 +44,7 @@ SQL_PORTABLE = [
     "salted_agg",
     "event_windows",
     "skew_join_salted",
+    "anomaly_zscore",
 ]
 
 
