@@ -247,11 +247,20 @@ def _minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 
 def lsh_candidates(
-    sig: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+    sig: DataFrame,
+    n_bands: int = N_BANDS,
+    n_hashes: int = N_HASHES,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature to a bucket; docs
     sharing any (band, bucket) are candidates. The bucket join shuffles
-    on (band, bucket_hash) — bounded, skew-safe via AQE."""
+    on (band, bucket_hash) — bounded, skew-safe via AQE.
+
+    With ``probe`` (a (doc_id, sig) subset, e.g. one micro-batch),
+    only pairs touching a probe doc are generated: the join is
+    probe-buckets × sig-buckets instead of the full self-join, so the
+    incremental-streaming per-batch cost is O(batch × history) bucket
+    collisions, never O(history²)."""
     rows = n_hashes // n_bands
     # Bucket hash over the band's raw longs (element_at + multi-column
     # xxhash64) — no array→string materialization per band.
@@ -266,19 +275,43 @@ def lsh_candidates(
             for i in range(n_bands)
         ]
     )
-    buckets = sig.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bucket"
-    )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", F.explode(bands).alias("bb")).select(
+            "doc_id", "bb.band", "bb.bucket"
+        )
+
+    b = _buckets(sig).alias("b")
+    if probe is None:
+        a = _buckets(sig).alias("a")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    # probe side: inequality (not <) so pairs where the probe doc has
+    # the larger id are still found; least/greatest canonicalizes, and
+    # probe-internal pairs (found in both orders) collapse in distinct.
+    a = _buckets(probe).alias("a")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -478,18 +511,12 @@ def dedup_survivors(
 # ---- SimHash -----------------------------------------------------------
 
 
-def dedup_simhash(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 3
-) -> DataFrame:
-    """64-bit SimHash over word shingles; near-dup pairs = hamming ≤ k.
-
-    Fingerprint: per doc, for each bit position, sign of Σ ±1 weighted
-    by shingle hash bit — computed with array expressions (no UDF).
-    Pair generation blocks on 4 16-bit chunks (pigeonhole: hamming ≤ 3
-    ⇒ at least one identical chunk), so the join is a bounded
-    bucket-join, never all-pairs.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): 64-bit SimHash fingerprint per doc — per bit
+    position, sign of Σ ±1 weighted by shingle-hash bit, computed with
+    array expressions (no UDF). A doc's fingerprint depends only on
+    its own shingles, so batch and streaming computations agree bit
+    for bit (the property the incremental job relies on)."""
     # hashed shingles (see word_shingle_hashes) re-spread to 64 bits —
     # SimHash needs well-distributed bits, and xxhash64 of the 31-bit
     # shingle id gives them without ever materializing shingle strings
@@ -505,7 +532,7 @@ def dedup_simhash(
             for i in range(64)
         ]
     )
-    fp = bit_sums.select(
+    return bit_sums.select(
         "doc_id",
         sum(
             [
@@ -517,7 +544,14 @@ def dedup_simhash(
             F.lit(0).cast("long"),
         ).alias("fp"),
     )
-    chunks = fp.select(
+
+
+def simhash_chunks(fp: DataFrame) -> DataFrame:
+    """Explode a (doc_id, fp) table into 4 pigeonhole bucket rows
+    (doc_id, fp, chunk, key): hamming ≤ 3 over 64 bits ⇒ at least one
+    of the four 16-bit chunks is identical, so candidate generation is
+    an equi-join on (chunk, key) — bounded buckets, never all-pairs."""
+    return fp.select(
         "doc_id",
         "fp",
         F.explode(
@@ -532,6 +566,20 @@ def dedup_simhash(
             )
         ).alias("cc"),
     ).select("doc_id", "fp", "cc.chunk", "cc.key")
+
+
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """64-bit SimHash over word shingles; near-dup pairs = hamming ≤ k.
+
+    Fingerprints and pigeonhole chunk blocking via
+    `simhash_fingerprints` / `simhash_chunks` (shared with the
+    incremental streaming job); the candidate join is a bounded
+    bucket-join, never all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = simhash_chunks(simhash_fingerprints(docs))
     a = chunks.alias("a")
     b = chunks.alias("b")
     pairs = (

@@ -110,24 +110,13 @@ def streaming_minhash_dedup(
         all_sigs = (
             sig_new if store is None else store.unionByName(sig_new)
         )
-        cand = lsh_candidates(all_sigs.select("doc_id", "sig"))
-        # only pairs touching the new batch — store-internal pairs were
-        # reported when their docs arrived
-        new_ids = sig_new.select("doc_id")
-        cand_new = (
-            cand.join(
-                new_ids.withColumnRenamed("doc_id", "doc_a").hint("broadcast"),
-                "doc_a",
-                "left_semi",
-            )
-            .unionByName(
-                cand.join(
-                    new_ids.withColumnRenamed("doc_id", "doc_b").hint("broadcast"),
-                    "doc_b",
-                    "left_semi",
-                )
-            )
-            .distinct()
+        # probe = the new batch: only pairs touching a new doc are
+        # generated (store-internal pairs were reported when their
+        # docs arrived), and the bucket join is batch × history, not
+        # the history self-join.
+        cand_new = lsh_candidates(
+            all_sigs.select("doc_id", "sig"),
+            probe=sig_new.select("doc_id", "sig"),
         )
         verified = _verified_pairs(
             cand_new, all_sigs.select("doc_id", "sh_set"), threshold

@@ -226,3 +226,50 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert by_hour.get(1) == [3], by_hour
     # the still-open hour-12 window was not emitted
     assert 12 not in by_hour, by_hour
+
+
+def test_streaming_simhash_matches_batch(spark, sf_smoke, tmp_path):
+    """Incremental SimHash over a 2-file split of the corpus must end
+    with exactly the batch operator's verified pair set."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.dedup import dedup_simhash
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.simhash import streaming_simhash_dedup
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        in_dir + "/b0", compression="none"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        in_dir + "/b1", compression="none"
+    )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_simhash_dedup(
+        spark,
+        flat,
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    expect = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_simhash(spark, sf_smoke).collect()
+    }
+    assert got == expect
