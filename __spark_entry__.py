@@ -23,6 +23,7 @@ from mimir_spark.operators import (
     graph,
     multimodal,
     octree,
+    packing,
     pipeline,
     quality,
     relational,
@@ -44,12 +45,30 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict
     # in order and covers a ~50-key window per round (r01 stopped at 50,
-    # r02 at 50). Round-3 order: the 37 keys that missed the r02 window
-    # (relational + advanced, last driver-checked in r01 — code has
-    # changed since) come FIRST, then multimodal_features (r02 FAIL,
-    # fixed: driver-hashable integer projection), then everything new
-    # this round; r02-green keys take the back seat.
+    # r02 at 51). Round-3 order: keys with NO driver row ever (the 14
+    # new round-3 ops + multimodal_features, whose r02 row was a
+    # comparator crash, fixed by the integer projection) come FIRST,
+    # then the 37 relational/advanced keys that missed the r02 window
+    # (last driver-checked in r01 — code has changed since); r02-green
+    # keys take the back seat.
     return {
+        # --- never driver-checked: new this round (r03) ---
+        "sequence_pack": packing.sequence_pack,
+        "dataset_mixture_plan": packing.dataset_mixture_plan,
+        "cross_source_duplication": corpus.cross_source_duplication,
+        "minhash_containment": dedup.minhash_containment,
+        "ann_ivf_recall": similarity.ann_ivf_recall,
+        "gopher_quality_filter": quality.gopher_quality_filter,
+        "quality_topk_select": quality.quality_topk_select,
+        "zipf_slope": quality.zipf_slope,
+        "cooccurrence_pmi": corpus.cooccurrence_pmi,
+        "anomaly_zscore": features.anomaly_zscore,
+        "dedup_prefix": dedup.dedup_prefix,
+        "dedup_containment": dedup.dedup_containment,
+        "ann_range_search": similarity.ann_range_search,
+        "knn_graph": similarity.knn_graph,
+        # --- r02 FAIL, fixed this round (exact integer projection) ---
+        "multimodal_features": multimodal.multimodal_features_hist,
         # --- relational / analytics (missed the r02 window) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -89,18 +108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": advanced.salted_agg,
         "embedding_centroids": advanced.embedding_centroids,
         "kmeans_embeddings": clustering.kmeans_embeddings,
-        # --- r02 FAIL, fixed this round (exact integer projection) ---
-        "multimodal_features": multimodal.multimodal_features_hist,
-        # --- new in round 3 ---
-        "gopher_quality_filter": quality.gopher_quality_filter,
-        "quality_topk_select": quality.quality_topk_select,
-        "zipf_slope": quality.zipf_slope,
-        "cooccurrence_pmi": corpus.cooccurrence_pmi,
-        "anomaly_zscore": features.anomaly_zscore,
-        "dedup_prefix": dedup.dedup_prefix,
-        "dedup_containment": dedup.dedup_containment,
-        "ann_range_search": similarity.ann_range_search,
-        "knn_graph": similarity.knn_graph,
         # --- r02-green (CORRECTNESS_r02) ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -992,6 +999,67 @@ def oracle_sql() -> dict[str, str]:
                    ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS fake_height,
                    'image' AS modality
             FROM documents
+        """,
+        "sequence_pack": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, lang, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS start_tok
+              FROM t
+            )
+            SELECT doc_id, lang, n_tokens, start_tok,
+                   (start_tok // 512)::BIGINT AS seq_id,
+                   (CASE WHEN n_tokens = 0 THEN 0
+                         ELSE (start_tok + n_tokens - 1) // 512
+                              - start_tok // 512 + 1
+                    END)::BIGINT AS n_seqs
+            FROM cum
+        """,
+        "dataset_mixture_plan": r"""
+            WITH per_source AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     SUM(len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '')))::BIGINT AS n_tokens
+              FROM documents GROUP BY source
+            ), weighted AS (
+              SELECT *,
+                     (CAST(substr(source, 4) AS BIGINT) % 4 + 1)::BIGINT
+                       AS weight
+              FROM per_source
+            ), tot AS (
+              SELECT SUM(n_tokens)::BIGINT AS total_tokens,
+                     SUM(weight)::BIGINT AS total_weight
+              FROM weighted
+            )
+            SELECT source, n_docs, n_tokens, weight,
+                   LEAST(n_tokens,
+                         (total_tokens * 6 // 10) * weight // total_weight
+                   )::BIGINT AS alloc_tokens,
+                   ROUND(LEAST(n_tokens,
+                         (total_tokens * 6 // 10) * weight // total_weight)
+                         / n_tokens::DOUBLE, 6) AS sample_rate
+            FROM weighted, tot
+        """,
+        "cross_source_duplication": r"""
+            WITH hs AS (
+              SELECT DISTINCT
+                     md5(array_to_string(
+                       (list_filter(string_split_regex(text, '\s+'),
+                        x -> x <> ''))[1:8], ' ')) AS h,
+                     source
+              FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared_texts
+            FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "gopher_quality_filter": r"""
             WITH t AS (

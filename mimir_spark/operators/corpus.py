@@ -248,3 +248,42 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def cross_source_duplication(
+    spark: SparkSession, sf_dir: str, n_words: int = 8
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how
+    many distinct document HEADS (first `n_words` words — the same
+    boilerplate key as `dedup_prefix`) appear in both — the report
+    that tells a corpus build which crawls/dumps are re-serving the
+    same content (and therefore which source pair's union needs dedup
+    before mixture weights mean anything). Keyed on the prefix rather
+    than the full text so shared headers/navigation blocks count even
+    when the page bodies diverge.
+
+    Scale shape: heads are reduced to md5 digests immediately (never
+    text as a join/shuffle key), projected to DISTINCT
+    (digest, source) — corpus-sized shuffle with map-side combine —
+    then self-joined on digest. Per-digest group size is bounded by
+    the number of sources (20 here, a few hundred in production), so
+    the equi-join fans out at most |sources| per key: no quadratic
+    blowup, no skew cliff. The final aggregate is |sources|² rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.concat_ws(" ", F.slice(tokens_col("text"), 1, n_words))
+    hs = docs.select(F.md5(head).alias("h"), "source").distinct()
+    a = hs.alias("a")
+    b = hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared_texts"))
+    )

@@ -776,3 +776,65 @@ def dedup_embedding(
         .applyInPandas(_block_pairs, "id_a long, id_b long, cos double")
         .select("id_a", "id_b", "cos")
     )
+
+
+def minhash_containment(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+) -> DataFrame:
+    """Approximate shingle CONTAINMENT from MinHash signatures alone —
+    the sketch twin of `dedup_containment` for corpora too large to
+    re-read shingle sets at verify time. From the signature-estimated
+    Jaccard Ĵ (share of agreeing MinHash positions) and the exact
+    per-doc shingle counts (a cheap scalar carried with the signature),
+    the intersection re-derives as Î = Ĵ·(|A|+|B|)/(1+Ĵ) and
+    containment as Î / min(|A|,|B|).
+
+    Estimation error is O(1/√128) ≈ 0.09 per pair, so the default
+    threshold sits below the exact op's 0.8 to keep recall. Candidates
+    come from the same Jaccard-tuned LSH banding as dedup_minhash_lsh;
+    a containment-high pair whose Jaccard is tiny (a paragraph inside
+    a book) needs asymmetric banding (band only the smaller side's
+    signature prefix) — at this corpus's doc-length spread the
+    symmetric bands recover the exact op's pairs (pytest-pinned).
+
+    Scale shape: everything is signature-sized — candidate bucket
+    join, then one join per side onto (sig, n_sh); the 128-long
+    agreement count is a JVM zip_with/filter over candidate rows only.
+    Rows-only for the driver (hash permutations aren't SQL-portable).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(docs)
+    sizes = docs.select(
+        "doc_id", F.size(word_shingle_hashes("text", SHINGLE_WORDS)).alias("n_sh")
+    )
+    side = sig.join(sizes, "doc_id")
+    cand = lsh_candidates(sig)
+    sa = side.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = side.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    est_j = agree / F.lit(float(N_HASHES))
+    est_inter = est_j * (F.col("na") + F.col("nb")) / (F.lit(1.0) + est_j)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment_est",
+            F.round(
+                F.least(est_inter / F.least("na", "nb"), F.lit(1.0)), 6
+            ),
+        )
+        .filter(F.col("containment_est") >= threshold)
+        .select("doc_a", "doc_b", "containment_est")
+    )

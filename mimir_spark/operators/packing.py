@@ -1,0 +1,151 @@
+"""Training-batch preparation: sequence packing and dataset-mixture
+planning — the two steps that turn a cleaned corpus into an actual
+token budget and shard layout for a pre-training run.
+
+Both are oracle-checkable (pure integer arithmetic end-to-end).
+
+`sequence_pack` is deliberately NOT one global window: a per-language
+running token offset computed as `SUM() OVER (PARTITION BY lang ORDER
+BY doc_id)` funnels each language's every row through ONE task — the
+classic prefix-sum scale-killer (English alone would be ~half of a
+100 TB corpus). Instead it uses the textbook two-level distributed
+prefix sum, fully declarative so Catalyst sees every exchange:
+
+  1. bucket docs by `doc_id // BUCKET_DOCS` and aggregate per-bucket
+     token sums (map-side combined; shuffle carries one row per
+     (lang, bucket), i.e. corpus_size / BUCKET_DOCS rows);
+  2. cumulate bucket sums per language — a window over the tiny
+     bucket table (millions of rows per language at 100 TB, each a
+     few bytes: one task per language over MBs, not TBs);
+  3. join the bucket prefix back (hash join on (lang, bucket)) and
+     cumulate WITHIN each bucket — a window whose partitions are
+     ≤ BUCKET_DOCS rows, hash-distributed across the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import tokens_col
+from mimir_spark.sources.tables import load_table
+
+SEQ_LEN = 512  # tokens per packed training sequence
+BUCKET_DOCS = 1024  # doc_ids per prefix-sum bucket
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 6, 10  # budget = 60% of corpus tokens
+N_WEIGHT_TIERS = 4
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk packing (GPT-style): per language, docs
+    are concatenated in doc_id order and the token stream is split
+    into fixed SEQ_LEN blocks; each doc reports the sequence its first
+    token lands in, its offset in the stream, and how many sequences
+    it spans. Zero-token docs pack nowhere (n_seqs = 0).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {BUCKET_DOCS}").alias("bucket"),
+    )
+
+    # (1) per-bucket partial sums — tiny, map-side combined.
+    bucket_sums = toks.groupBy("lang", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    # (2) exclusive prefix over buckets, per language (tiny table).
+    w_buckets = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_prefix = bucket_sums.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_buckets), F.lit(0))
+        .cast("long")
+        .alias("bucket_start"),
+    )
+    # (3) exclusive prefix within the bucket (≤ BUCKET_DOCS rows each).
+    w_in_bucket = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        toks.join(bucket_prefix, ["lang", "bucket"])
+        .withColumn(
+            "start_tok",
+            F.col("bucket_start")
+            + F.coalesce(F.sum("n_tokens").over(w_in_bucket), F.lit(0)),
+        )
+        .withColumn("seq_id", F.expr(f"start_tok div {SEQ_LEN}"))
+        .withColumn(
+            "n_seqs",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(f"(start_tok + n_tokens - 1) div {SEQ_LEN}")
+                - F.col("seq_id")
+                + 1
+            ),
+        )
+    )
+    return packed.select(
+        "doc_id", "lang", "n_tokens", "start_tok", "seq_id", "n_seqs"
+    )
+
+
+def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: given per-source sampling weights and a total
+    token budget (60% of the corpus here), allocate each source
+    `budget · w_s / Σw` tokens, capped at what the source actually has,
+    and report the resulting sampling rate. Weights are derived
+    deterministically from the source id (tier = src_num mod 4 + 1) so
+    the oracle can reproduce them; production passes a real weight
+    table instead.
+
+    One corpus scan → per-source aggregate (20 rows), then a 1-row
+    broadcast cross join for the corpus totals — the same
+    scalar-broadcast pattern as q17's avg-quantity join. Single-pass:
+    surplus from capped sources is reported, not redistributed
+    (water-filling is an iterative driver decision, not a scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col("text")).cast("long")).alias("n_tokens"),
+    )
+    weighted = per_source.withColumn(
+        "weight",
+        (F.substring("source", 4, 10).cast("long") % N_WEIGHT_TIERS + 1),
+    )
+    totals = weighted.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("weight").alias("total_weight"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "budget_tokens",
+            F.expr(f"total_tokens * {MIX_BUDGET_NUM} div {MIX_BUDGET_DEN}"),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.least(
+                F.col("n_tokens"),
+                F.expr("budget_tokens * weight div total_weight"),
+            ),
+        )
+        .withColumn(
+            "sample_rate", F.round(F.col("alloc_tokens") / F.col("n_tokens"), 6)
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            "alloc_tokens",
+            "sample_rate",
+        )
+    )

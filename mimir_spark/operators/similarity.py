@@ -405,3 +405,40 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos", "rank")
     )
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Index-quality report: per-query recall@k of the IVF probe
+    against the exact brute-force ground truth — the number every ANN
+    index tuning loop watches while trading probe count against cost.
+
+    Both sides are k·queries-bounded outputs of existing operators, so
+    the comparison join is trivially small whatever the corpus size;
+    at 100 TB the expensive input (ground truth) is computed once on a
+    sampled query set, exactly as here (N_QUERIES broadcast queries).
+    Rows-only for the driver (IVF probe order isn't SQL-portable);
+    pytest pins mean recall against a floor.
+    """
+    truth = ann_bruteforce_topk(spark, sf_dir, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_ivf_topk(spark, sf_dir, k).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hits = truth.join(
+        approx,
+        (truth.query_id == approx.query_id)
+        & (truth.neighbor_id == approx.ivf_neighbor),
+        "left",
+    ).select(
+        truth.query_id,
+        F.when(F.col("ivf_neighbor").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("long").alias("n_hit"),
+            F.round(F.sum("hit") / F.lit(float(k)), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

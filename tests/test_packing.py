@@ -1,0 +1,79 @@
+"""sequence_pack / dataset_mixture_plan invariants + the plan shape
+that makes the prefix sum distributed (no per-language global window
+over the document table)."""
+
+from __future__ import annotations
+
+import re
+
+from mimir_spark.operators import packing
+from mimir_spark.plans.checks import formatted_plan
+from mimir_spark.sources.tables import load_table
+
+
+def test_sequence_pack_is_contiguous_per_language(spark, sf_smoke):
+    rows = packing.sequence_pack(spark, sf_smoke).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.start_tok == off, (lang, r)
+            assert r.seq_id == r.start_tok // packing.SEQ_LEN
+            if r.n_tokens == 0:
+                assert r.n_seqs == 0
+            else:
+                last_tok = r.start_tok + r.n_tokens - 1
+                assert r.n_seqs == last_tok // packing.SEQ_LEN - r.seq_id + 1
+            off += r.n_tokens
+
+
+def test_sequence_pack_matches_naive_window(spark, sf_smoke):
+    """The two-level prefix sum equals the naive per-language running
+    sum computed driver-side from the raw docs."""
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang", "text").collect()
+    docs.sort(key=lambda r: r.doc_id)
+    offs: dict[str, int] = {}
+    expect = {}
+    for r in docs:
+        n = len([t for t in re.split(r"\s+", r.text) if t])
+        expect[r.doc_id] = (offs.get(r.lang, 0), n)
+        offs[r.lang] = offs.get(r.lang, 0) + n
+    out = packing.sequence_pack(spark, sf_smoke).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        assert (r.start_tok, r.n_tokens) == expect[r.doc_id]
+
+
+def test_sequence_pack_no_per_language_global_window(spark, sf_smoke):
+    """The scale contract: every window over doc-level rows must be
+    partitioned by (lang, bucket), never lang alone — a lang-only
+    window funnels a whole language through one task. The only
+    lang-partitioned window runs over the tiny bucket table."""
+    plan = formatted_plan(packing.sequence_pack(spark, sf_smoke))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    doc_level = [s for s in specs if "doc_id#" in s]
+    assert doc_level, "expected an intra-bucket window ordered by doc_id"
+    for s in doc_level:
+        assert "bucket#" in s, f"doc-level window not bucket-partitioned: {s}"
+
+
+def test_dataset_mixture_plan_budget(spark, sf_smoke):
+    rows = packing.dataset_mixture_plan(spark, sf_smoke).collect()
+    assert len(rows) == 20
+    total = sum(r.n_tokens for r in rows)
+    budget = total * packing.MIX_BUDGET_NUM // packing.MIX_BUDGET_DEN
+    assert sum(r.alloc_tokens for r in rows) <= budget
+    for r in rows:
+        assert 1 <= r.weight <= packing.N_WEIGHT_TIERS
+        assert 0 < r.alloc_tokens <= r.n_tokens
+        assert 0.0 < r.sample_rate <= 1.0
+        # higher weight ⇒ no smaller uncapped allocation
+    uncapped = [r for r in rows if r.alloc_tokens < r.n_tokens]
+    for a in uncapped:
+        for b in uncapped:
+            if a.weight > b.weight:
+                assert a.alloc_tokens >= b.alloc_tokens

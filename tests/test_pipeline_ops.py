@@ -174,3 +174,13 @@ def test_multimodal_features_contract(spark, sf_smoke):
     assert rows2[rows[0].doc_id] == rows[0].features
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ann_ivf_recall_report(spark, sf_smoke):
+    rows = similarity.ann_ivf_recall(spark, sf_smoke).collect()
+    assert len(rows) == similarity.N_QUERIES
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert abs(r.recall - r.n_hit / similarity.TOP_K) < 1e-9
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.7, f"IVF recall collapsed: {mean}"

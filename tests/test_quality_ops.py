@@ -181,3 +181,28 @@ def test_gopher_filter_single_scan(spark, sf_smoke):
     # the tokenization must stay materialized in its own layer, not be
     # re-inlined into every flag (HOFs run outside codegen's CSE)
     assert plan.count("split(text") <= 2, plan
+
+
+def test_minhash_containment_recovers_exact(spark, sf_smoke):
+    """The sketch containment must recover every exact-containment
+    pair whose Jaccard is in the LSH banding's target range (≥ 0.5),
+    with the estimate within the O(1/√128) noise bound."""
+    exact = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.dedup_containment(spark, sf_smoke, threshold=0.8).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, sf_smoke, threshold=0.5).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.containment_est
+        for r in dedup.minhash_containment(spark, sf_smoke, threshold=0.5).collect()
+    }
+    expected = set(exact) & jac
+    assert expected, "test corpus should contain containment pairs in LSH range"
+    for pair in expected:
+        assert pair in est, f"missed containment pair {pair}"
+        assert abs(est[pair] - exact[pair]) <= 0.2, (pair, est[pair], exact[pair])
+    for pair, v in est.items():
+        assert 0.0 <= v <= 1.0
