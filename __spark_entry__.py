@@ -25,6 +25,7 @@ from mimir_spark.operators import (
     octree,
     packing,
     pipeline,
+    sketches,
     quality,
     relational,
     relational2,
@@ -58,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_duplication": corpus.cross_source_duplication,
         "minhash_containment": dedup.minhash_containment,
         "ann_ivf_recall": similarity.ann_ivf_recall,
+        "heavy_hitters_cms": sketches.heavy_hitters_cms,
+        "triangle_count": graph.triangle_count,
         "gopher_quality_filter": quality.gopher_quality_filter,
         "quality_topk_select": quality.quality_topk_select,
         "zipf_slope": quality.zipf_slope,
@@ -999,6 +1002,48 @@ def oracle_sql() -> dict[str, str]:
                    ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS fake_height,
                    'image' AS modality
             FROM documents
+        """,
+        "heavy_hitters_cms": r"""
+            WITH occ AS (
+              SELECT w AS word,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(regexp_extract_all(w, '[\s\S]'),
+                                      c -> ascii(c)::BIGINT)),
+                       (acc, x) -> (acc * 131 + x) % 1000000007) AS h0
+              FROM (SELECT unnest(list_filter(
+                             string_split_regex(text, '\s+'), x -> x <> ''))
+                             AS w
+                    FROM documents)
+            ), coeffs(d, ca, cb) AS (
+              VALUES (0::BIGINT, 3, 7), (1, 5, 11), (2, 13, 17), (3, 19, 23)
+            ), sk AS (
+              SELECT d, ((ca * h0 + cb) % 2147483647) % 32 AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM occ CROSS JOIN coeffs GROUP BY 1, 2
+            ), words AS (
+              SELECT word, h0, count(*)::BIGINT AS true_count
+              FROM occ GROUP BY 1, 2
+            )
+            SELECT word, min(cnt)::BIGINT AS est_count, true_count
+            FROM words CROSS JOIN coeffs
+            JOIN sk ON sk.d = coeffs.d
+                   AND sk.bucket = ((ca * h0 + cb) % 2147483647) % 32
+            GROUP BY word, true_count
+            HAVING min(cnt) >= 900
+        """,
+        "triangle_count": r"""
+            WITH po AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+            )
+            SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   (SELECT count(*)
+                    FROM e e1
+                    JOIN e e2 ON e1.v = e2.u
+                    JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+                   )::BIGINT AS n_triangles
         """,
         "sequence_pack": r"""
             WITH t AS (

@@ -43,6 +43,10 @@ HEADLINE = [
     # rule filter (single-scan map-only pass)
     "knn_graph",
     "gopher_quality_filter",
+    # round-3 additions: training-sequence packing (distributed prefix
+    # sum) and degree-oriented triangle counting
+    "sequence_pack",
+    "triangle_count",
 ]
 
 

@@ -225,3 +225,83 @@ def pagerank(
         )
         ranks = out if i == iters - 1 else out.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-occurrence graph (parts sharing
+    an order are adjacent) — the third classic iterative-free MapReduce
+    graph benchmark next to BFS/PageRank.
+
+    Edge generation: the per-order part list self-joins within the
+    order only (orders hold a handful of parts, so the fan-out per
+    order is a small constant — never a global self-join).
+
+    Counting uses DEGREE ORIENTATION (each undirected edge directed
+    from its lower-(degree, id) endpoint): every wedge is generated at
+    its lowest-degree apex, so a hub of degree d contributes
+    O(out_deg²) ≈ O(d) wedges instead of O(d²) — the standard
+    skew-proof triangle scheme (Suri & Vassilvitskii's MR-friendly
+    node-iterator). The wedge→closing-edge join is an equi-join on the
+    oriented pair; each triangle is produced exactly once. Output is a
+    single (n_edges, n_triangles) row; the oracle twin counts via the
+    id-ordered 3-way join, which is equivalent because both schemes
+    count each triangle once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    # orient: src = endpoint with smaller (deg, id)
+    with_deg = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
+            "deg_dst"
+        ),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedges at the apex: pairs of out-neighbours, canonically oriented
+    # by the same (deg, id) rule so the closing edge matches exactly.
+    x_first = (F.col("o1.deg_dst") < F.col("o2.deg_dst")) | (
+        (F.col("o1.deg_dst") == F.col("o2.deg_dst"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = (
+        o1.join(
+            o2,
+            (F.col("o1.src") == F.col("o2.src"))
+            & (F.col("o1.dst") < F.col("o2.dst")),
+        )
+        .select(
+            F.when(x_first, F.col("o1.dst")).otherwise(F.col("o2.dst")).alias("wa"),
+            F.when(x_first, F.col("o2.dst")).otherwise(F.col("o1.dst")).alias("wb"),
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("wa"), F.col("dst").alias("wb")
+    )
+    tri = wedges.join(closing, ["wa", "wb"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return n_edges.crossJoin(F.broadcast(tri)).select(
+        "n_edges", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+    )

@@ -138,3 +138,14 @@ def test_pagerank_matches_numpy_reference(spark, sf_smoke):
         assert abs(got[node] - rank[i]) < 1e-5, (node, got[node], rank[i])
     # ranks are a probability distribution (no dangling mass lost)
     assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_cms_never_underestimates(spark, sf_smoke):
+    """Count-min guarantee: est ≥ true for every word, and the sketch
+    is tight for words whose every cell is collision-free."""
+    from mimir_spark.operators import sketches
+
+    rows = sketches.heavy_hitters_cms(spark, sf_smoke, threshold=0).collect()
+    assert rows
+    for r in rows:
+        assert r.est_count >= r.true_count, r

@@ -196,3 +196,39 @@ def test_pagerank_rounds_have_no_exchange(spark, sf_smoke):
     assert "InMemoryTableScan" in round_plan, plan
     assert "Exchange hashpartitioning" not in round_plan, plan
     assert "BroadcastHashJoin" in round_plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_correct):
+    """The 100 TB fact⋈fact contract: when the build side carries a
+    selective filter and the join is a shuffle join (no broadcast —
+    the situation at scale), Spark's runtime row-level filter must
+    inject a bloom `might_contain` prune on the probe side's scan —
+    the mechanism that replaces hand-built semi-join prefilters, and
+    the reason the operators here don't build any."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.sources.tables import load_table
+
+    bc_key = "spark.sql.autoBroadcastJoinThreshold"
+    scan_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    old_bc, old_scan = spark.conf.get(bc_key), spark.conf.get(scan_key)
+    try:
+        spark.conf.set(bc_key, "-1")  # force the at-scale shuffle join
+        spark.conf.set(scan_key, "0")  # sf0.01 scans are tiny; always apply
+        orders = load_table(spark, sf_correct, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_correct, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set(bc_key, old_bc)
+        spark.conf.set(scan_key, old_scan)
