@@ -1,0 +1,85 @@
+"""SF-scaling probe: runs a representative operator slice at
+sf0.001 / sf0.01 / sf0.1 and reports wall time + input/output rows per
+SF, so superlinear blowups show up as growth ratios far above the
+input growth ratio.
+
+The point is not the absolute numbers (local fixed overheads — job
+scheduling, codegen, Python worker spin-up — dominate at tiny SF); it
+is the SHAPE: an operator whose time grows ~linearly (or less) with
+input across two decades of SF has no hidden quadratic stage, while a
+pair-explosion bug would show a 100× step between sf0.01 and sf0.1.
+
+Usage: python scaling_probe.py   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mimir_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+SFS = ["0.001", "0.01", "0.1"]
+# scan-bound, join-heavy, window/shuffle, LSH dedup, tiled GEMM,
+# distributed prefix sum, wedge-join graph
+PROBES = [
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "sessionize",
+    "dedup_minhash_lsh",
+    "knn_graph",
+    "sequence_pack",
+    "triangle_count",
+]
+INPUT_TABLES = {
+    "q1_pricing_summary": "lineitem",
+    "q5_nation_revenue": "lineitem",
+    "sessionize": "events",
+    "dedup_minhash_lsh": "documents",
+    "knn_graph": "embeddings",
+    "sequence_pack": "documents",
+    "triangle_count": "lineitem",
+}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    spark = get_spark("mimir_spark_scaling_probe")
+    queries = entrymod.queries()
+    out: dict[str, dict] = {}
+    in_rows: dict[str, dict[str, int]] = {}
+    for sf in SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        in_rows[sf] = {
+            t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            for t in sorted(set(INPUT_TABLES.values()))
+        }
+        for name in PROBES:
+            df = queries[name](spark, sf_dir)
+            df.count()  # warm: codegen + page cache
+            t0 = time.time()
+            df2 = queries[name](spark, sf_dir)
+            n = df2.agg(
+                F.count("*").alias("n"), F.max(F.xxhash64(*df2.columns))
+            ).collect()[0]["n"]
+            el = round(time.time() - t0, 3)
+            out.setdefault(name, {"input": INPUT_TABLES[name], "sf": {}})
+            out[name]["sf"][sf] = {"sec": el, "out_rows": n}
+            print(f"# sf{sf} {name}: {n} rows in {el}s", file=sys.stderr)
+    for name, rec in out.items():
+        t_small, t_big = rec["sf"]["0.01"]["sec"], rec["sf"]["0.1"]["sec"]
+        r_small = in_rows["0.01"][rec["input"]]
+        r_big = in_rows["0.1"][rec["input"]]
+        rec["time_ratio_0.01_to_0.1"] = round(t_big / max(t_small, 1e-9), 2)
+        rec["input_ratio_0.01_to_0.1"] = round(r_big / max(r_small, 1), 2)
+    print(json.dumps({"input_rows": in_rows, "probes": out}))
+
+
+if __name__ == "__main__":
+    main()
