@@ -273,3 +273,53 @@ def test_streaming_simhash_matches_batch(spark, sf_smoke, tmp_path):
         for r in dedup_simhash(spark, sf_smoke).collect()
     }
     assert got == expect
+
+
+def test_streaming_cms_matches_batch(spark, sf_smoke, tmp_path):
+    """Partial sketches merged across micro-batches must equal the
+    single-pass batch sketch cell-for-cell (CMS cells are a
+    commutative monoid), so the finalized heavy-hitter report matches
+    the batch operator exactly."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.sketches import heavy_hitters_cms
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.cms import (
+        finalize_cms_heavy_hitters,
+        streaming_cms_build,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_cms_build(
+        spark,
+        flat,
+        str(tmp_path / "sketch"),
+        str(tmp_path / "words"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.word, r.est_count, r.true_count)
+        for r in finalize_cms_heavy_hitters(
+            spark, str(tmp_path / "sketch"), str(tmp_path / "words"), threshold=80
+        ).collect()
+    }
+    expect = {
+        (r.word, r.est_count, r.true_count)
+        for r in heavy_hitters_cms(spark, sf_smoke, threshold=80).collect()
+    }
+    assert got and got == expect
