@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": similarity.ann_ivf_recall,
         "heavy_hitters_cms": sketches.heavy_hitters_cms,
         "triangle_count": graph.triangle_count,
+        "unigram_logppl": quality.unigram_logppl,
         "gopher_quality_filter": quality.gopher_quality_filter,
         "quality_topk_select": quality.quality_topk_select,
         "zipf_slope": quality.zipf_slope,
@@ -1002,6 +1003,27 @@ def oracle_sql() -> dict[str, str]:
                    ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS fake_height,
                    'image' AS modality
             FROM documents
+        """,
+        "unigram_logppl": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+              FROM documents
+            ), dw AS (
+              SELECT doc_id, w, count(*)::BIGINT AS c_dw
+              FROM tok GROUP BY 1, 2
+            ), lm AS (
+              SELECT w, count(*)::BIGINT AS c_w FROM tok GROUP BY 1
+            ), tot AS (
+              SELECT SUM(c_w)::DOUBLE AS total FROM lm
+            )
+            SELECT doc_id,
+                   SUM(c_dw)::BIGINT AS n_tokens,
+                   ROUND(-SUM(c_dw * LN(c_w / total)) / SUM(c_dw), 6)
+                     AS cross_entropy
+            FROM dw JOIN lm USING (w) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         "heavy_hitters_cms": r"""
             WITH occ AS (

@@ -36,6 +36,59 @@ MIX_BUDGET_NUM, MIX_BUDGET_DEN = 6, 10  # budget = 60% of corpus tokens
 N_WEIGHT_TIERS = 4
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "start",
+    bucket_width: int = BUCKET_DOCS,
+) -> DataFrame:
+    """EXCLUSIVE running sum of `value_col` within `part_col`, ordered
+    by `order_col` (a NON-NEGATIVE integer key), as the two-level
+    distributed prefix sum described in the module docstring:
+    per-bucket partials (map-side combined), an exclusive prefix over
+    the tiny bucket table (the only `part_col`-wide window — rows
+    number input/bucket_width), then an exclusive window WITHIN each
+    (part, bucket) group, hash-distributed. No window ever sees a
+    whole partition's doc rows in one task.
+    """
+    bucketed = df.withColumn(
+        "__bucket", F.expr(f"{order_col} div {bucket_width}")
+    )
+    bucket_sums = bucketed.groupBy(part_col, "__bucket").agg(
+        F.sum(value_col).alias("__bt")
+    )
+    w_buckets = (
+        Window.partitionBy(part_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_prefix = bucket_sums.select(
+        part_col,
+        "__bucket",
+        F.coalesce(F.sum("__bt").over(w_buckets), F.lit(0))
+        .cast("long")
+        .alias("__bstart"),
+    )
+    w_in_bucket = (
+        Window.partitionBy(part_col, "__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(bucket_prefix, [part_col, "__bucket"])
+        .withColumn(
+            out_col,
+            (
+                F.col("__bstart")
+                + F.coalesce(F.sum(value_col).over(w_in_bucket), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("__bucket", "__bstart")
+    )
+
+
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-and-chunk packing (GPT-style): per language, docs
     are concatenated in doc_id order and the token stream is split
@@ -48,38 +101,10 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size(tokens_col("text")).cast("long").alias("n_tokens"),
-        F.expr(f"doc_id div {BUCKET_DOCS}").alias("bucket"),
-    )
-
-    # (1) per-bucket partial sums — tiny, map-side combined.
-    bucket_sums = toks.groupBy("lang", "bucket").agg(
-        F.sum("n_tokens").alias("bucket_tokens")
-    )
-    # (2) exclusive prefix over buckets, per language (tiny table).
-    w_buckets = (
-        Window.partitionBy("lang")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bucket_prefix = bucket_sums.select(
-        "lang",
-        "bucket",
-        F.coalesce(F.sum("bucket_tokens").over(w_buckets), F.lit(0))
-        .cast("long")
-        .alias("bucket_start"),
-    )
-    # (3) exclusive prefix within the bucket (≤ BUCKET_DOCS rows each).
-    w_in_bucket = (
-        Window.partitionBy("lang", "bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
     )
     packed = (
-        toks.join(bucket_prefix, ["lang", "bucket"])
-        .withColumn(
-            "start_tok",
-            F.col("bucket_start")
-            + F.coalesce(F.sum("n_tokens").over(w_in_bucket), F.lit(0)),
+        distributed_prefix_sum(
+            toks, "lang", "doc_id", "n_tokens", out_col="start_tok"
         )
         .withColumn("seq_id", F.expr(f"start_tok div {SEQ_LEN}"))
         .withColumn(

@@ -161,3 +161,37 @@ def zipf_slope(
         )
         .select("lang", "n_words", "slope")
     )
+
+
+def unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram cross-entropy against the corpus's own unigram
+    LM — the CCNet-style LM-perplexity quality signal (docs made of
+    rare/garbled tokens score high, fluent common-token docs score
+    low). Production swaps the self-trained LM for a fixed reference
+    LM; the plan is identical.
+
+    Shape: one token scan → (doc, word) counts (shuffle 1, map-side
+    combined) and the word LM (shuffle 2 over the vocabulary, tiny) →
+    LM join (vocab-sized, broadcast here; hash join with AQE at a
+    100 TB vocabulary) → per-doc weighted sum (shuffle 3 on doc_id).
+    Cross-entropy sums c_dw·ln p(w) over DISTINCT (doc, word) — far
+    fewer float terms than per-occurrence averaging, and identically
+    grouped on both engines so the 6dp round is stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    dw = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c_dw"))
+    lm = tok.groupBy("w").agg(F.count("*").alias("c_w"))
+    total = lm.agg(F.sum("c_w").cast("double").alias("total"))
+    return (
+        dw.join(F.broadcast(lm), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dw").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("c_dw") * F.log(F.col("c_w") / F.col("total")))
+                / F.sum("c_dw"),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )

@@ -77,3 +77,38 @@ def test_dataset_mixture_plan_budget(spark, sf_smoke):
         for b in uncapped:
             if a.weight > b.weight:
                 assert a.alloc_tokens >= b.alloc_tokens
+
+
+from hypothesis import given, settings, strategies as st
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # part key
+        st.integers(min_value=0, max_value=5000),   # order key
+        st.integers(min_value=0, max_value=300),    # value
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows_strategy)
+def test_distributed_prefix_sum_property(spark, rows):
+    """For arbitrary (part, order, value) rows — including empty
+    buckets, single-row parts, and order gaps far beyond one bucket —
+    the two-level prefix sum equals the naive per-part running sum."""
+    df = spark.createDataFrame(rows, "part int, ord long, v long")
+    got = {
+        (r.part, r.ord): r.start
+        for r in packing.distributed_prefix_sum(
+            df, "part", "ord", "v", bucket_width=16
+        ).collect()
+    }
+    expect = {}
+    acc: dict[int, int] = {}
+    for part, ordk, v in sorted(rows, key=lambda t: (t[0], t[1])):
+        expect[(part, ordk)] = acc.get(part, 0)
+        acc[part] = acc.get(part, 0) + v
+    assert got == expect
