@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": sketches.heavy_hitters_cms,
         "triangle_count": graph.triangle_count,
         "unigram_logppl": quality.unigram_logppl,
+        "dup_span_fraction": dedup.dup_span_fraction,
         "gopher_quality_filter": quality.gopher_quality_filter,
         "quality_topk_select": quality.quality_topk_select,
         "zipf_slope": quality.zipf_slope,
@@ -1003,6 +1004,29 @@ def oracle_sql() -> dict[str, str]:
                    ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS fake_height,
                    'image' AS modality
             FROM documents
+        """,
+        "dup_span_fraction": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), pos AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(tk) - 2, 1)),
+                       i -> array_to_string(tk[i:i+2], ' '))) AS sh
+              FROM t
+            ), d AS (
+              SELECT sh, count(DISTINCT doc_id) AS n_docs FROM pos GROUP BY sh
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                   SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dup_shingles,
+                   ROUND(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 6) AS dup_fraction
+            FROM pos JOIN d USING (sh)
+            GROUP BY doc_id
         """,
         "unigram_logppl": r"""
             WITH tok AS (

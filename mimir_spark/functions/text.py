@@ -45,6 +45,19 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_shingles_all(text: Column | str, n: int = 3) -> Column:
+    """Positional variant of `word_shingles`: one entry PER TOKEN
+    POSITION (no distinct), for operators that weight by occurrence
+    (e.g. duplicated-span coverage)."""
+    toks = tokens_col(text)
+    sh = toks
+    for k in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice(toks, k + 1, 1 << 30), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.slice(sh, 1, F.greatest(F.size(toks) - n + 1, F.lit(1)))
+
+
 MERSENNE31 = (1 << 31) - 1
 
 

@@ -18,6 +18,7 @@ from mimir_spark.functions.text import (
     tokens_col,
     word_shingle_hashes,
     word_shingles,
+    word_shingles_all,
 )
 from mimir_spark.functions.vectors import cosine_sim, dot
 from mimir_spark.sources.tables import load_table
@@ -837,4 +838,44 @@ def minhash_containment(
         )
         .filter(F.col("containment_est") >= threshold)
         .select("doc_a", "doc_b", "containment_est")
+    )
+
+
+def dup_span_fraction(
+    spark: SparkSession, sf_dir: str, n_words: int = SHINGLE_WORDS
+) -> DataFrame:
+    """Per-doc duplicated-span coverage: the fraction of a document's
+    shingle POSITIONS whose n-gram also occurs in at least one other
+    document — the fixed-n approximation of suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): pair-level dedup tells you WHICH docs
+    overlap, this tells you HOW MUCH of each doc is boilerplate, the
+    number a span-removal pass thresholds on.
+
+    Shape: positional shingles (no distinct — multiplicity is the
+    point), per-shingle distinct-doc counts (one shuffle, partial-agg
+    map-side), join back on the shingle (equi, fan-out exactly 1 per
+    position), per-doc ratio (one doc_id shuffle). No self-join — cost
+    is linear in corpus token count whatever the duplication rate,
+    unlike the pair table which is quadratic in a cluster's size."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.explode(word_shingles_all("text", n_words)).alias("sh")
+    )
+    docs_per_sh = pos.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        pos.join(docs_per_sh, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6),
+        )
     )

@@ -110,3 +110,47 @@ def read_table_from_catalog(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a catalog table (e.g. one written by write_bucketed);
     bucket metadata rides along and lets the planner elide exchanges."""
     return spark.table(table_name)
+
+
+def write_packed_shards(
+    packed: DataFrame,
+    out_path: str,
+    seqs_per_shard: int = 1000,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Export `sequence_pack` output as training shards: each doc goes
+    to shard `seq_id div seqs_per_shard` of its language, written as
+    lang/shard-partitioned parquet — the layout a training loader
+    reads sequentially (one shard = a contiguous token-stream slice of
+    seqs_per_shard · SEQ_LEN tokens, so shard files are uniformly
+    sized by construction, no compaction pass needed).
+
+    Docs that straddle a shard boundary are written to the shard their
+    FIRST token lands in (the loader reads one shard ahead, the
+    standard contract). The write repartitions on (lang, shard) so
+    each shard is one file written by one task — at 100 TB every task
+    writes ~seqs_per_shard·SEQ_LEN tokens regardless of corpus size.
+
+    Returns the shard manifest (lang, shard, n_docs, n_tokens,
+    first_seq, last_seq) computed from the same plan — the index a
+    loader uses to schedule epochs without listing files."""
+    sharded = packed.withColumn(
+        "shard", F.expr(f"seq_id div {seqs_per_shard}")
+    )
+    (
+        sharded.repartition("lang", "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode(mode)
+        .partitionBy("lang", "shard")
+        .parquet(out_path)
+    )
+    return (
+        sharded.groupBy("lang", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("seq_id").alias("first_seq"),
+            F.max("seq_id").alias("last_seq"),
+        )
+        .orderBy("lang", "shard")
+    )

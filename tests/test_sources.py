@@ -116,3 +116,32 @@ def test_zorder_write_clusters_both_dims(spark, sf_smoke, tmp_path):
         return float(r)
 
     assert mean_area(z_path) < 0.5 * mean_area(n_path)
+
+
+def test_write_packed_shards_layout(spark, sf_smoke, tmp_path):
+    """Shard layout: every (lang, shard) directory exists, docs land
+    in the shard of their first token, and the manifest's token totals
+    tie out to the packed input exactly."""
+    import glob as globmod
+
+    from mimir_spark.operators.packing import sequence_pack
+    from mimir_spark.sources.io import write_packed_shards
+
+    out = str(tmp_path / "shards")
+    packed = sequence_pack(spark, sf_smoke)
+    manifest = write_packed_shards(packed, out, seqs_per_shard=4).collect()
+
+    dirs = {
+        tuple(p.rsplit("/", 2)[-2:])
+        for p in globmod.glob(out + "/lang=*/shard=*")
+    }
+    assert dirs == {
+        (f"lang={r.lang}", f"shard={r.shard}") for r in manifest
+    }
+    total_manifest = sum(r.n_tokens for r in manifest)
+    total_packed = sum(r.n_tokens for r in packed.collect())
+    assert total_manifest == total_packed
+    back = spark.read.parquet(out)
+    assert back.count() == packed.count()
+    for r in back.select("seq_id", "shard").distinct().collect():
+        assert r.seq_id // 4 == r.shard
