@@ -232,3 +232,41 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_correct):
     finally:
         spark.conf.set(bc_key, old_bc)
         spark.conf.set(scan_key, old_scan)
+
+
+def test_heavy_hitters_sketch_broadcast_no_cartesian(spark, sf_correct):
+    """The CMS query side must join the D*W-cell sketch as a broadcast
+    (it is fixed-size whatever the corpus) and nothing may cartesian."""
+    from mimir_spark.operators.sketches import heavy_hitters_cms
+
+    df = heavy_hitters_cms(spark, sf_correct)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_unigram_logppl_no_cartesian(spark, sf_correct):
+    from mimir_spark.operators.quality import unigram_logppl
+
+    df = unigram_logppl(spark, sf_correct)
+    plan = formatted_plan(df)
+    # the 1-row totals join is the only nested-loop; it must be the
+    # broadcast 1-row scalar pattern, not a real cartesian
+    assert "CartesianProduct" not in plan
+    assert_broadcast_join(df, at_least=1)
+
+
+def test_dup_span_fraction_no_selfjoin_blowup(spark, sf_correct):
+    """dup_span_fraction joins positions to per-shingle doc counts —
+    an equi join; there must be no doc-doc self-join anywhere (its
+    whole point is being linear where the pair table is quadratic)."""
+    from mimir_spark.operators.dedup import dup_span_fraction
+
+    df = dup_span_fraction(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every join in the plan keys on the shingle, never doc-to-doc
+    key_lines = [l for l in _join_key_lines(plan) if "keys" in l]
+    assert key_lines
+    for line in key_lines:
+        assert "sh#" in line, line
