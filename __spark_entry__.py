@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": graph.triangle_count,
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,
+        "histogram_quantiles": sketches.histogram_quantiles,
         "gopher_quality_filter": quality.gopher_quality_filter,
         "quality_topk_select": quality.quality_topk_select,
         "zipf_slope": quality.zipf_slope,
@@ -1004,6 +1005,28 @@ def oracle_sql() -> dict[str, str]:
                    ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS fake_height,
                    'image' AS modality
             FROM documents
+        """,
+        "histogram_quantiles": r"""
+            WITH h AS (
+              SELECT floor(value / 25.0)::BIGINT AS bin,
+                     count(*)::BIGINT AS cnt
+              FROM events GROUP BY 1
+            ), c AS (
+              SELECT bin, cnt,
+                     COALESCE(SUM(cnt) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS cum_prev
+              FROM h
+            ), t AS (SELECT SUM(cnt)::BIGINT AS n FROM h),
+            q(q) AS (VALUES (0.5), (0.9), (0.99)),
+            r AS (
+              SELECT q, GREATEST(CEIL(q * n), 1)::BIGINT AS rank_n
+              FROM q CROSS JOIN t
+            )
+            SELECT q, rank_n,
+                   ROUND(bin * 25.0 + 25.0 * (rank_n - cum_prev) / cnt, 6)
+                     AS est
+            FROM r JOIN c ON cum_prev < rank_n AND cum_prev + cnt >= rank_n
         """,
         "dup_span_fraction": r"""
             WITH t AS (

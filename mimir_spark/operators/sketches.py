@@ -14,7 +14,7 @@ xxhash64 for the JVM fast path; the plan shape is identical).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mimir_spark.functions.text import portable_token_hash
@@ -84,3 +84,71 @@ def heavy_hitters_cms(
     return est.filter(F.col("est_count") >= threshold).select(
         "word", "est_count", "true_count"
     )
+
+
+HIST_BIN_WIDTH = 25.0
+QUANTS = (0.5, 0.9, 0.99)
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    bin_width: float = HIST_BIN_WIDTH,
+    qs: tuple[float, ...] = QUANTS,
+) -> DataFrame:
+    """Quantile estimates from a fixed-width histogram sketch
+    (columns bin, cnt): for each q, rank = max(ceil(q·N), 1), find the
+    bin holding that rank via the cumulative walk, interpolate
+    linearly inside the bin. Everything after the histogram is
+    bins-sized: the cumulative window runs over O(bins) rows in one
+    task (bounded by construction, not by data volume) and the
+    rank-to-bin match is a 3-row broadcast against the bins — the
+    histogram is the only corpus-sized pass."""
+    spark = hist.sparkSession
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias("cum_prev"),
+    )
+    total = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    ranks = qdf.crossJoin(F.broadcast(total)).select(
+        "q",
+        F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
+        .cast("long")
+        .alias("rank_n"),
+    )
+    return (
+        F.broadcast(ranks)
+        .join(
+            cum,
+            (F.col("cum_prev") < F.col("rank_n"))
+            & (F.col("cum_prev") + F.col("cnt") >= F.col("rank_n")),
+        )
+        .select(
+            "q",
+            "rank_n",
+            F.round(
+                F.col("bin") * F.lit(bin_width)
+                + F.lit(bin_width)
+                * (F.col("rank_n") - F.col("cum_prev"))
+                / F.col("cnt"),
+                6,
+            ).alias("est"),
+        )
+    )
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of events.value from the fixed-width
+    histogram — the mergeable-sketch twin of `median_order_value`'s
+    exact path and the finalizer shared with the streaming histogram
+    (streaming/quantiles.py): histograms add cell-wise, so partial
+    histograms from any split of the stream merge into exactly this
+    result."""
+    from mimir_spark.operators.core import histogram
+
+    hist = histogram(spark, sf_dir, bin_width=HIST_BIN_WIDTH).select(
+        "bin", "cnt"
+    )
+    return quantiles_from_histogram(hist)

@@ -323,3 +323,48 @@ def test_streaming_cms_matches_batch(spark, sf_smoke, tmp_path):
         for r in heavy_hitters_cms(spark, sf_smoke, threshold=80).collect()
     }
     assert got and got == expect
+
+
+def test_streaming_quantiles_match_batch(spark, sf_smoke, tmp_path):
+    """Partial histograms merged across micro-batches equal the batch
+    histogram cell-for-cell, so the finalized quantile estimates match
+    the batch sketch op exactly."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.sketches import histogram_quantiles
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.quantiles import (
+        finalize_streaming_quantiles,
+        streaming_histogram_build,
+    )
+
+    in_dir = str(tmp_path / "ev_in")
+    ev = load_table(spark, sf_smoke, "events")
+    for m in range(3):
+        ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_histogram_build(
+        spark, flat, str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.q, r.rank_n, r.est)
+        for r in finalize_streaming_quantiles(
+            spark, str(tmp_path / "sketch")
+        ).collect()
+    }
+    expect = {
+        (r.q, r.rank_n, r.est)
+        for r in histogram_quantiles(spark, sf_smoke).collect()
+    }
+    assert got and got == expect
