@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,
         "histogram_quantiles": sketches.histogram_quantiles,
+        "cohort_retention": features.cohort_retention,
         "gopher_quality_filter": quality.gopher_quality_filter,
         "quality_topk_select": quality.quality_topk_select,
         "zipf_slope": quality.zipf_slope,
@@ -1005,6 +1006,28 @@ def oracle_sql() -> dict[str, str]:
                    ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS fake_height,
                    'image' AS modality
             FROM documents
+        """,
+        "cohort_retention": r"""
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     date_trunc('week', ts)::TIMESTAMP AS wk
+              FROM events
+            ), coh AS (
+              SELECT user_id, MIN(wk) AS cohort_week FROM act GROUP BY 1
+            ), siz AS (
+              SELECT cohort_week, count(*)::BIGINT AS cohort_size
+              FROM coh GROUP BY 1
+            )
+            SELECT c.cohort_week,
+                   (date_diff('day', c.cohort_week, a.wk) // 7)::BIGINT
+                     AS week_offset,
+                   count(*)::BIGINT AS n_active,
+                   cohort_size,
+                   ROUND(count(*) / cohort_size::DOUBLE, 6) AS retention
+            FROM act a
+            JOIN coh c USING (user_id)
+            JOIN siz USING (cohort_week)
+            GROUP BY c.cohort_week, week_offset, cohort_size
         """,
         "histogram_quantiles": r"""
             WITH h AS (

@@ -110,3 +110,38 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over `events`: users are cohorted by
+    the week of their first activity; each (cohort_week, week_offset)
+    cell reports how many cohort members were active that many weeks
+    later and the retention ratio — the standard product-analytics
+    triangle, and a good join/agg stress shape (two user-keyed
+    aggregates + one cohort-keyed broadcastable join).
+
+    Shape: distinct (user, week) projection (one shuffle, map-side
+    combined), per-user min week (user-keyed agg), activity ⋈ cohort
+    on user_id (both sides user-partitioned — AQE plans a co-located
+    join), then the (cohort_week, offset) aggregate whose output is
+    weeks² cells. Week arithmetic is integer end-to-end (datediff of
+    week-truncated stamps is always a multiple of 7)."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    siz = coh.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return (
+        act.join(coh, "user_id")
+        .withColumn("week_offset", F.expr("datediff(wk, cohort_week) div 7"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(siz, "cohort_week")
+        .withColumn(
+            "retention",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6),
+        )
+    )
