@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_fraction": dedup.dup_span_fraction,
         "histogram_quantiles": sketches.histogram_quantiles,
         "cohort_retention": features.cohort_retention,
+        "funnel_conversion": advanced.funnel_conversion,
         "gopher_quality_filter": quality.gopher_quality_filter,
         "quality_topk_select": quality.quality_topk_select,
         "zipf_slope": quality.zipf_slope,
@@ -1006,6 +1007,29 @@ def oracle_sql() -> dict[str, str]:
                    ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS fake_height,
                    'image' AS modality
             FROM documents
+        """,
+        "funnel_conversion": r"""
+            WITH c AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ), p AS (
+              SELECT user_id, ts AS ts_p FROM events
+              WHERE event_type = 'purchase'
+            ), conv AS (
+              SELECT DISTINCT c.event_id FROM c
+              JOIN p ON c.user_id = p.user_id
+                    AND p.ts_p > c.ts
+                    AND p.ts_p <= c.ts + INTERVAL 1 HOUR
+            )
+            SELECT EXTRACT(hour FROM c.ts)::BIGINT AS hr,
+                   count(*)::BIGINT AS n_clicks,
+                   SUM(CASE WHEN conv.event_id IS NOT NULL THEN 1 ELSE 0
+                       END)::BIGINT AS n_converted,
+                   ROUND(SUM(CASE WHEN conv.event_id IS NOT NULL THEN 1
+                             ELSE 0 END) / count(*)::DOUBLE, 6)
+                     AS conversion_rate
+            FROM c LEFT JOIN conv USING (event_id)
+            GROUP BY 1
         """,
         "cohort_retention": r"""
             WITH act AS (

@@ -260,3 +260,65 @@ def interval_join(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFr
         F.coalesce("n_recent_clicks", F.lit(0)).alias("n_recent_clicks"),
         F.round(F.coalesce("v", F.lit(0.0)), 4).alias("recent_click_value"),
     )
+
+
+def funnel_conversion(
+    spark: SparkSession, sf_dir: str, horizon_s: int = 3600
+) -> DataFrame:
+    """Click→purchase funnel: for each click, does the same user
+    purchase within the next `horizon_s` seconds? Reported as a
+    per-hour-of-day conversion table (n_clicks, n_converted, rate) —
+    the standard conversion-window analysis.
+
+    Same bucketed range-join scheme as `interval_join`, mirrored
+    forward: bucket width == window length, so a click's qualifying
+    purchases live in its bucket or the next one — the click side
+    explodes to exactly 2 (user, bucket) probe keys and the match is
+    a bounded equi-join (shuffle on (user_id, bucket)), never a
+    per-user cross product. Conversion is an EXISTS, realized as a
+    distinct converted-click set + left join (semi-join shape keeps
+    the pair fan-out from double-counting clicks with many follow-up
+    purchases)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.col("ts").cast("double") / horizon_s).cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", bucket.alias("bucket")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts_p"), bucket.alias("bucket")
+    )
+    probes = clicks.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias(
+            "bucket"
+        ),
+    )
+    converted = (
+        probes.join(purchases, ["user_id", "bucket"])
+        .filter(
+            (F.col("ts_p") > F.col("ts"))
+            & (
+                F.col("ts_p")
+                <= F.col("ts") + F.expr(f"INTERVAL {horizon_s} SECONDS")
+            )
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        clicks.join(converted, "event_id", "left")
+        .groupBy(F.hour("ts").cast("long").alias("hr"))
+        .agg(
+            F.count("*").cast("long").alias("n_clicks"),
+            F.sum(F.coalesce("converted", F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(F.col("n_converted") / F.col("n_clicks"), 6),
+        )
+    )
