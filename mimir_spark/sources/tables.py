@@ -145,10 +145,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and truncate to the
-        # microsecond precision of TimestampType (same truncation DuckDB
-        # applies when it maps TIMESTAMP_NS → TIMESTAMP).
+        # events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects — read as raw int64 nanos
+        # and truncate to TimestampType's microseconds, the same
+        # truncation DuckDB applies mapping TIMESTAMP_NS → TIMESTAMP)
+        # and as plain TIMESTAMP(MICROS) in later corpus generations.
+        # Branch on the type the reader actually yields.
         #
         # NOTE: nanosAsLong is a session-level SQL conf (there is no
         # per-read option for it) — get_spark() sets it at session
@@ -158,12 +160,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session also comes back as long — acceptable because events
         # is the only nanos table in this corpus, and documented here.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return _assert_schema(
-            name, raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        if isinstance(raw.schema["ts"].dataType, T.LongType):
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _assert_schema(name, raw)
     return _assert_schema(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 

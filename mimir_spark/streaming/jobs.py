@@ -25,14 +25,18 @@ def read_events_stream(
     """File-source stream over the events parquet (one file = one
     micro-batch here; on a cluster this is a drop-in for a Kafka
     source with the same schema). The file source wants a directory,
-    so we stream the corpus dir with a glob filter; events.ts is
-    parquet TIMESTAMP(NANOS) → read as long, truncate to µs (same as
-    the batch loader)."""
+    so we stream the corpus dir with a glob filter; events.ts has
+    shipped as both parquet TIMESTAMP(NANOS) (→ read as long, truncate
+    to µs) and plain TIMESTAMP(MICROS) — probe the batch-read schema
+    (pure footer metadata, no scan) and declare the matching stream
+    schema, same branching as the batch loader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    nanos = isinstance(probed, T.LongType)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.LongType() if nanos else probed),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -45,7 +49,9 @@ def read_events_stream(
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def read_documents_stream(
