@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mimir_spark.functions.text import tokens_col
+from mimir_spark.functions.time import epoch_seconds
 from mimir_spark.sources.tables import load_table
 
 
@@ -230,7 +231,7 @@ def interval_join(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFr
     The exact range predicate then filters inside the matched buckets.
     """
     ev = load_table(spark, sf_dir, "events")
-    bucket = (F.col("ts").cast("double") / gap_s).cast("long")
+    bucket = (epoch_seconds("ts") / gap_s).cast("long")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("ts").alias("ts_c"),
@@ -280,7 +281,7 @@ def funnel_conversion(
     the pair fan-out from double-counting clicks with many follow-up
     purchases)."""
     ev = load_table(spark, sf_dir, "events")
-    bucket = (F.col("ts").cast("double") / horizon_s).cast("long")
+    bucket = (epoch_seconds("ts") / horizon_s).cast("long")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", bucket.alias("bucket")
     )

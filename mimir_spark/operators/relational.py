@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimir_spark.functions.time import epoch_seconds
 from mimir_spark.sources.tables import load_table
 
 
@@ -152,12 +153,12 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = gap_minutes * 60
-    prev_ts = F.lag(F.col("ts").cast("long"), 1).over(w)
+    prev_ts = F.lag(epoch_seconds("ts"), 1).over(w)
     with_flag = ev.withColumn(
         "new_session",
         # first event of a user (NULL lag) starts session 0
         F.when(prev_ts.isNull(), F.lit(0)).otherwise(
-            (F.col("ts").cast("long") - prev_ts > F.lit(gap_s)).cast("int")
+            (epoch_seconds("ts") - prev_ts > F.lit(gap_s)).cast("int")
         ),
     )
     sess = with_flag.withColumn(
