@@ -30,6 +30,7 @@ from mimir_spark.operators import (
     relational,
     relational2,
     relational3,
+    relational4,
     similarity,
     textstats,
     textstats2,
@@ -60,6 +61,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_containment": dedup.minhash_containment,
         "ann_ivf_recall": similarity.ann_ivf_recall,
         "heavy_hitters_cms": sketches.heavy_hitters_cms,
+        "hll_distinct": sketches.hll_distinct,
+        "q2_min_cost_supplier": relational4.q2_min_cost_supplier,
+        "q11_important_parts": relational4.q11_important_parts,
+        "q20_dominant_suppliers": relational4.q20_dominant_suppliers,
+        "q21_waiting_suppliers": relational4.q21_waiting_suppliers,
+        "degree_distribution": graph.degree_distribution,
+        "decontaminate_corpus": corpus.decontaminate_corpus,
         "triangle_count": graph.triangle_count,
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,
@@ -1146,6 +1154,153 @@ def oracle_sql() -> dict[str, str]:
                    AND sk.bucket = ((ca * h0 + cb) % 2147483647) % 32
             GROUP BY word, true_count
             HAVING min(cnt) >= 900
+        """,
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     round(sum(l_extendedprice) / sum(l_quantity), 4)
+                       AS unit_cost
+              FROM lineitem GROUP BY 1, 2
+            ), best AS (
+              SELECT *, row_number() OVER (PARTITION BY l_partkey
+                          ORDER BY unit_cost, l_suppkey) AS rn
+              FROM cost
+            )
+            SELECT p_partkey, p_brand, p_retailprice, unit_cost,
+                   s_suppkey, s_name, n_name
+            FROM best
+            JOIN part ON l_partkey = p_partkey AND p_size % 5 = 0
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE rn = 1
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+        """,
+        "q11_important_parts": """
+            WITH val AS (
+              SELECT l_partkey,
+                     round(sum(l_extendedprice), 4) AS part_value
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey < 5
+              GROUP BY 1
+            ), tot AS (SELECT sum(part_value) AS total_value FROM val)
+            SELECT l_partkey, part_value,
+                   round(part_value / total_value, 6) AS value_share
+            FROM val CROSS JOIN tot
+            WHERE part_value > total_value * 1e-3
+        """,
+        "q20_dominant_suppliers": """
+            WITH qty AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_size < 15
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2
+            ), shares AS (
+              SELECT l_suppkey, supp_qty,
+                     sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+              FROM qty
+            )
+            SELECT DISTINCT s_suppkey, s_name, n_name
+            FROM shares
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE supp_qty * 2 >= part_qty
+        """,
+        "q21_waiting_suppliers": """
+            WITH j AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                       AS n_late_supp
+              FROM j GROUP BY 1
+            ), blamed AS (
+              SELECT DISTINCT j.l_orderkey, l_suppkey
+              FROM j JOIN per_order USING (l_orderkey)
+              WHERE is_late AND n_supp >= 2 AND n_late_supp = 1
+            )
+            SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+            FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey LIMIT 20
+        """,
+        "degree_distribution": """
+            WITH po AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+            ), deg AS (
+              SELECT n, count(*)::BIGINT AS deg
+              FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1
+            ), hist AS (
+              SELECT deg, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1
+            )
+            SELECT deg, n_nodes,
+                   round(n_nodes / (SELECT sum(n_nodes) FROM hist), 6)
+                     AS node_share
+            FROM hist
+        """,
+        "decontaminate_corpus": f"""
+            WITH sh AS ({_SHINGLES}),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            ev AS (SELECT doc_id AS eval_doc_id, g FROM ex
+                   WHERE doc_id % 97 = 0),
+            co AS (SELECT doc_id, g FROM ex WHERE doc_id % 97 <> 0),
+            bad AS (
+              SELECT DISTINCT co.doc_id
+              FROM co JOIN ev ON co.g = ev.g
+              GROUP BY co.doc_id, ev.eval_doc_id
+              HAVING count(*) >= 2
+            )
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "hll_distinct": r"""
+            WITH h AS (
+              SELECT event_type,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(regexp_extract_all(user_id::VARCHAR,
+                                                         '[\s\S]'),
+                                      c -> ascii(c)::BIGINT)),
+                       (acc, x) -> (acc * 131 + x) % 1000000007) AS h0
+              FROM events
+            ), r AS (
+              SELECT event_type, h0 % 256 AS j,
+                     CASE WHEN h0 // 256 > 0
+                          THEN 22 - floor(log2(h0 // 256))::BIGINT
+                          ELSE 23 END AS rho
+              FROM h
+            ), reg AS (
+              SELECT event_type, j, max(rho) AS m_j FROM r GROUP BY 1, 2
+            ), agg AS (
+              SELECT event_type, count(*)::BIGINT AS n_present,
+                     (sum((1::BIGINT << (30 - m_j)))
+                      + (256 - count(*)) * 1073741824)::BIGINT AS z_int,
+                     (256 - count(*))::BIGINT AS v_zero
+              FROM reg GROUP BY 1
+            ), ex AS (
+              SELECT event_type, count(DISTINCT user_id)::BIGINT
+                       AS true_distinct
+              FROM events GROUP BY 1
+            )
+            SELECT event_type, n_present, v_zero,
+                   round(CASE WHEN v_zero > 0
+                              AND 7213e-4 / (1e0 + 1079e-3 / 256e0)
+                                  * 65536e0 * 1073741824e0 / z_int <= 640e0
+                         THEN 256e0 * ln(256e0 / v_zero)
+                         ELSE 7213e-4 / (1e0 + 1079e-3 / 256e0)
+                              * 65536e0 * 1073741824e0 / z_int END, 4)
+                     AS est_distinct,
+                   true_distinct
+            FROM agg JOIN ex USING (event_type)
         """,
         "triangle_count": r"""
             WITH po AS (

@@ -287,3 +287,24 @@ def cross_source_duplication(
         )
         .agg(F.count("*").alias("n_shared_texts"))
     )
+
+
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the training corpus (non-eval docs)
+    minus every doc `contamination_check` flags — the keep-list a
+    pre-training build materializes after the overlap scan, with the
+    doc's metadata carried through for downstream mixing.
+
+    Plan: the contaminated set is candidate-sized (output of the
+    broadcast overlap join), so the removal is a LEFT ANTI join of the
+    corpus against a small distinct projection — the corpus streams
+    through once; no shuffle grows with the eval set."""
+    docs = load_table(spark, sf_dir, "documents")
+    contaminated = (
+        contamination_check(spark, sf_dir).select("doc_id").distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )

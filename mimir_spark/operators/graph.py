@@ -305,3 +305,39 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.crossJoin(F.broadcast(tri)).select(
         "n_edges", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-occurrence graph (same edge
+    set as `triangle_count`): degree → number of nodes, plus each
+    degree's share of nodes — the first profile anyone pulls on a new
+    graph, and the skew evidence that justifies the degree-oriented
+    wedge scheme above.
+
+    Plan: within-order self-join builds edges (bounded per-order
+    fan-out), per-node degree agg, then the tiny degree histogram.
+    Shuffles: edge distinct, node agg, histogram agg — all
+    partial-aggregated; nothing is ever ordered globally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(F.count("*").cast("long").alias("n_nodes"))
+    total = hist.agg(F.sum("n_nodes").alias("total_nodes"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "deg",
+        "n_nodes",
+        F.round(F.col("n_nodes") / F.col("total_nodes"), 6).alias("node_share"),
+    )

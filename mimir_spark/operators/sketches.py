@@ -86,6 +86,94 @@ def heavy_hitters_cms(
     )
 
 
+HLL_M = 256  # registers (p=8)
+HLL_WBITS = 22  # width of the rho window: MOD // HLL_M < 2^22
+
+
+def hll_registers(df: DataFrame, key_cols: list[str], item: F.Column) -> DataFrame:
+    """HyperLogLog register table for `item` within each key group:
+    one row per (keys, register j) with the max rho observed.
+
+    This IS the mergeable sketch state: registers combine by cell-wise
+    max, so partial register tables from any split of the data (map
+    tasks, micro-batches, distributed partial aggs) merge into the
+    same table — Catalyst's partial aggregation does exactly that
+    here, and the shuffle carries at most |keys|·m rows regardless of
+    input size. Hashing is the portable polynomial hash over the
+    item's decimal string so the DuckDB oracle reproduces registers
+    bit-for-bit (production would swap in xxhash64).
+    """
+    h0 = portable_token_hash(item.cast("string"))
+    j = (h0 % HLL_M).alias("j")
+    w = F.floor(h0 / HLL_M)
+    rho = (
+        F.when(w > 0, F.lit(HLL_WBITS) - F.floor(F.log2(w)))
+        .otherwise(F.lit(HLL_WBITS + 1))
+        .cast("long")
+        .alias("rho")
+    )
+    return df.select(*key_cols, j, rho).groupBy(*key_cols, "j").agg(
+        F.max("rho").alias("m_j")
+    )
+
+
+def hll_estimate(reg: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Finalize an HLL register table into per-key cardinality
+    estimates. The harmonic mean's Z is accumulated as an EXACT
+    integer (Σ 2^(30−M_j), absent registers contribute 2^30) so the
+    only floating-point steps are one literal-for-literal identical
+    expression on both engines — keeping the estimate value-hashable
+    against the oracle. Small-range (linear-counting) correction
+    included. Everything here is registers-sized: |keys|·m rows."""
+    per_key = reg.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.sum(F.expr("shiftleft(1L, cast(30 - m_j AS INT))"))
+        .cast("long")
+        .alias("z_present"),
+    )
+    z_int = (
+        F.col("z_present")
+        + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 30).cast("long")
+    ).alias("z_int")
+    with_z = per_key.select(*key_cols, "n_present", z_int).withColumn(
+        "v_zero", (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    )
+    # identical literal arithmetic on both engines: e-notation literals
+    # are DOUBLE in Spark SQL and DuckDB alike (plain 0.7213 would be
+    # DECIMAL in both, with engine-specific scale rules).
+    raw = "7213e-4 / (1e0 + 1079e-3 / 256e0) * 65536e0 * 1073741824e0 / z_int"
+    return with_z.withColumn(
+        "est_distinct",
+        F.expr(
+            f"round(CASE WHEN v_zero > 0 AND {raw} <= 640e0 "
+            f"THEN 256e0 * ln(256e0 / v_zero) ELSE {raw} END, 4)"
+        ),
+    ).select(*key_cols, "n_present", "v_zero", "est_distinct")
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via a portable
+    HyperLogLog(m=256), reported next to the exact count (the
+    verification twin — at 100 TB you keep only the sketch side).
+
+    Plan: one scan builds registers (groupBy(event_type, j), map-side
+    combined — the shuffle is ≤ |types|·256 rows however large events
+    is); the finalize step and the estimate are registers-sized. The
+    exact-count twin is the one corpus-sized distinct. Mimir parity:
+    this is the `uniq` workload as a fixed-size combiner state.
+    Streaming twin: streaming/hll.py merges per-batch registers into
+    the identical estimate."""
+    ev = load_table(spark, sf_dir, "events")
+    reg = hll_registers(ev, ["event_type"], F.col("user_id"))
+    est = hll_estimate(reg, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_present", "v_zero", "est_distinct", "true_distinct"
+    )
+
+
 HIST_BIN_WIDTH = 25.0
 QUANTS = (0.5, 0.9, 0.99)
 

@@ -31,7 +31,12 @@ def read_events_stream(
     (pure footer metadata, no scan) and declare the matching stream
     schema, same branching as the batch loader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    probed = (
+        spark.read.option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+        .schema["ts"]
+        .dataType
+    )
     nanos = isinstance(probed, T.LongType)
     schema = T.StructType(
         [
@@ -51,6 +56,11 @@ def read_events_stream(
     )
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(probed, T.TimestampNTZType):
+        # Watermarks demand TIMESTAMP (LTZ); with the session timezone
+        # pinned UTC the NTZ→LTZ cast is a pure type relabel, so batch
+        # and stream event-time arithmetic stay identical.
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return raw
 
 

@@ -72,3 +72,14 @@ def test_ngram_total(spark, sf_smoke):
     ).agg(F.sum("n")).collect()[0][0]
     got = advanced.ngram_counts(spark, sf_smoke).agg(F.sum("cnt")).collect()[0][0]
     assert got == expect
+
+
+def test_hll_estimate_accuracy(spark, sf_smoke):
+    """The HLL estimate must land within the sketch's standard-error
+    envelope of the exact count (1.04/sqrt(256) ≈ 6.5%; allow 3σ)."""
+    from mimir_spark.operators.sketches import hll_distinct
+
+    for r in hll_distinct(spark, sf_smoke).collect():
+        assert abs(r.est_distinct - r.true_distinct) <= max(
+            0.20 * r.true_distinct, 3.0
+        ), r

@@ -45,6 +45,10 @@ SQL_PORTABLE = [
     "event_windows",
     "skew_join_salted",
     "anomaly_zscore",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -368,3 +368,53 @@ def test_streaming_quantiles_match_batch(spark, sf_smoke, tmp_path):
         for r in histogram_quantiles(spark, sf_smoke).collect()
     }
     assert got and got == expect
+
+
+def test_streaming_hll_matches_batch(spark, sf_smoke, tmp_path):
+    """HLL registers merged across micro-batches (cell-wise max) must
+    equal the single-pass batch registers, so the finalized estimate
+    matches the batch `hll_distinct` estimate columns exactly."""
+    from mimir_spark.operators.sketches import hll_distinct
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.hll import (
+        finalize_hll_distinct,
+        streaming_hll_build,
+    )
+
+    in_dir = str(tmp_path / "flat")
+    ev = load_table(spark, sf_smoke, "events")
+    for m in range(3):
+        ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.parquet(
+            str(tmp_path / f"b{m}"), compression="none"
+        )
+    import glob as globmod
+    import os
+    import shutil
+
+    os.makedirs(in_dir)
+    for i, part in enumerate(
+        sorted(globmod.glob(str(tmp_path) + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{in_dir}/batch_{i}.parquet")
+
+    q = streaming_hll_build(
+        spark,
+        in_dir,
+        str(tmp_path / "registers"),
+        str(tmp_path / "ckpt"),
+        glob="batch_*.parquet",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.event_type, r.n_present, r.v_zero, r.est_distinct)
+        for r in finalize_hll_distinct(
+            spark, str(tmp_path / "registers")
+        ).collect()
+    }
+    expect = {
+        (r.event_type, r.n_present, r.v_zero, r.est_distinct)
+        for r in hll_distinct(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
