@@ -34,6 +34,7 @@ from mimir_spark.operators import (
     similarity,
     textstats,
     textstats2,
+    tokenizer,
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -68,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": relational4.q21_waiting_suppliers,
         "degree_distribution": graph.degree_distribution,
         "decontaminate_corpus": corpus.decontaminate_corpus,
+        "bpe_train": tokenizer.bpe_train,
+        "bpe_encode": tokenizer.bpe_encode,
         "triangle_count": graph.triangle_count,
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,
