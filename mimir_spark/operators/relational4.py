@@ -33,8 +33,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") % 5 == 0)
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
+    # repartition on l_partkey ALONE: hashpartitioning(l_partkey)
+    # satisfies both the (l_partkey, l_suppkey) aggregate's clustering
+    # requirement and the per-part window's — one exchange where the
+    # default plan pays two (agg on the pair key, re-exchange for the
+    # window).
     cost = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias(
                 "unit_cost"
@@ -109,8 +115,11 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
+    # same single-exchange trick as q2: partition by l_partkey alone so
+    # the agg and the per-part share window run on one shuffle.
     qty = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )

@@ -270,3 +270,54 @@ def test_dup_span_fraction_no_selfjoin_blowup(spark, sf_correct):
     assert key_lines
     for line in key_lines:
         assert "sh#" in line, line
+
+
+def test_hll_register_shuffle_is_bounded(spark, sf_correct):
+    """The HLL register build must partial-aggregate before its
+    exchange: the shuffle key is (event_type, j), never raw user
+    rows — i.e. the plan shows partial_ hash aggregation below the
+    exchange and no exchange keyed on user_id."""
+    from mimir_spark.functions.time import epoch_seconds  # noqa: F401
+    from mimir_spark.operators.sketches import hll_registers
+    from mimir_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_correct, "events")
+    reg = hll_registers(ev, ["event_type"], F.col("user_id"))
+    plan = formatted_plan(reg)
+    assert "partial_max" in plan or "partial_" in plan
+    assert "hashpartitioning(user_id" not in plan
+
+
+def test_q2_single_exchange_for_agg_and_window(spark, sf_correct):
+    """q2's per-part argmin window must reuse the (l_partkey) hash
+    partitioning of the cost aggregate — one exchange on l_partkey in
+    the whole fact path, and every dim joined by broadcast."""
+    from mimir_spark.operators.relational4 import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(l_partkey") <= 1, plan
+    assert_broadcast_join(df, at_least=3)
+    assert_no_cartesian(df)
+
+
+def test_q20_window_reuses_agg_partitioning(spark, sf_correct):
+    from mimir_spark.operators.relational4 import q20_dominant_suppliers
+
+    df = q20_dominant_suppliers(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(l_partkey") <= 1, plan
+    assert_no_cartesian(df)
+
+
+def test_q11_scalar_total_is_broadcast(spark, sf_correct):
+    """The Q11 global-total comparison must be the 1-row broadcast
+    pattern (BroadcastNestedLoopJoin over a single-row aggregate),
+    never a real cartesian or a driver collect."""
+    from mimir_spark.operators.relational4 import q11_important_parts
+
+    df = q11_important_parts(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan
