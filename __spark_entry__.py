@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_corpus": corpus.decontaminate_corpus,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
+        "event_windows_sliding": features.event_windows_sliding,
+        "hourly_value_correlation": features.hourly_value_correlation,
+        "dedup_span_removal": dedup.dedup_span_removal,
         "triangle_count": graph.triangle_count,
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,
@@ -1230,6 +1233,87 @@ def oracle_sql() -> dict[str, str]:
             FROM blamed JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY 1, 2
             ORDER BY numwait DESC, s_suppkey LIMIT 20
+        """,
+        "dedup_span_removal": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, u.pos, u.word
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, len(t)),
+                             i -> {'pos': i, 'word': t[i]})) AS u
+                    FROM t)
+            ), sh AS (
+              SELECT doc_id, u.pos, u.sh
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, greatest(len(t) - 4, 1)),
+                             i -> {'pos': i,
+                                   'sh': array_to_string(t[i:i+4], ' ')}))
+                             AS u
+                    FROM t)
+            ), stats AS (
+              SELECT sh, count(DISTINCT doc_id) AS n_docs,
+                     min(doc_id * 1000000 + pos) AS first_key
+              FROM sh GROUP BY 1
+            ), covered AS (
+              SELECT DISTINCT sh.doc_id, unnest(generate_series(pos, pos + 4))
+                       AS pos
+              FROM sh JOIN stats USING (sh)
+              WHERE n_docs >= 2
+                AND sh.doc_id * 1000000 + sh.pos <> first_key
+            ), kept AS (
+              SELECT tok.doc_id, tok.pos, tok.word
+              FROM tok LEFT JOIN covered
+                ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos
+              WHERE covered.pos IS NULL
+            ), rebuilt AS (
+              SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+              FROM kept GROUP BY 1
+            ), ntok AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY 1
+            )
+            SELECT ntok.doc_id, n_tokens,
+                   (n_tokens - coalesce(n_kept, 0))::BIGINT AS n_removed,
+                   coalesce(cleaned_text, '') AS cleaned_text
+            FROM ntok LEFT JOIN rebuilt ON ntok.doc_id = rebuilt.doc_id
+        """,
+        "event_windows_sliding": """
+            WITH x AS (
+              SELECT event_type, value,
+                     floor(epoch(ts))::BIGINT // 1800 * 1800 AS s0
+              FROM events
+            ), e2 AS (
+              SELECT event_type, value, unnest([s0, s0 - 1800]) AS s
+              FROM x
+            )
+            SELECT make_timestamp(s * 1000000) AS window_start, event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM e2 GROUP BY 1, 2
+        """,
+        "hourly_value_correlation": """
+            WITH agg AS (
+              SELECT event_type,
+                     count(*)::DOUBLE AS n,
+                     sum(hour(ts)::DOUBLE) AS sx,
+                     sum(value) AS sy,
+                     sum(hour(ts)::DOUBLE * hour(ts)::DOUBLE) AS sxx,
+                     sum(value * value) AS syy,
+                     sum(hour(ts)::DOUBLE * value) AS sxy
+              FROM events GROUP BY 1
+            )
+            SELECT event_type, n::BIGINT AS n_events,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx)
+                            * sqrt(n * syy - sy * sy)), 4)
+                     AS hour_value_corr
+            FROM agg
         """,
         "degree_distribution": """
             WITH po AS (

@@ -879,3 +879,79 @@ def dup_span_fraction(
             F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6),
         )
     )
+
+
+SPAN_WORDS = 5  # span length for removal (longer than the 3-gram
+# coverage metric: removal should only fire on substantial repeats)
+POS_BASE = 1_000_000  # doc-relative position packing (assumes docs
+# under 1M tokens — true by orders of magnitude for web documents)
+
+
+def dedup_span_removal(
+    spark: SparkSession, sf_dir: str, n_words: int = SPAN_WORDS
+) -> DataFrame:
+    """Span-level dedup with REMOVAL — the output side of Lee et al.
+    2022's exact-substring dedup, at fixed span length: every
+    occurrence of an n-token span that also appears in another
+    document is cut from the text, except the globally-first
+    occurrence (min (doc_id, position)), which survives as the
+    canonical copy. Returns per-doc (n_tokens, n_removed,
+    cleaned_text).
+
+    Shape (all linear in corpus tokens, no self-join):
+    positional-shingle explode → per-shingle stats (distinct docs +
+    first occurrence as one packed BIGINT min — a portable argmin) →
+    join back (fan-out exactly 1) → covered-position explode (×n
+    constant) → anti-join the token table → per-doc ordered
+    reassembly via array_sort(collect_list(struct(pos, word))).
+    The only corpus-sized shuffles are keyed on shingle and doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    tok = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles_all("text", n_words)).alias("pos0", "sh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    stats = sh.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.col("doc_id") * POS_BASE + F.col("pos")).alias("first_key"),
+    )
+    removable = (
+        sh.join(stats, "sh")
+        .filter(
+            (F.col("n_docs") >= 2)
+            & (F.col("doc_id") * POS_BASE + F.col("pos") != F.col("first_key"))
+        )
+        .select("doc_id", "pos")
+    )
+    covered = removable.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n_words - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    n_tok = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tokens"))
+    return (
+        n_tok.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -145,3 +145,59 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_active") / F.col("cohort_size"), 6),
         )
     )
+
+
+def event_windows_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts per event type (1 h windows every 30 min
+    — each event lands in exactly 2 windows), via Spark's NATIVE
+    window() operator, the same construct the streaming twin uses.
+    The fan-out is the window/slide ratio (2×), constant per row; the
+    aggregate partial-combines per (window, type) before the shuffle.
+    Oracle twin materializes the same 2 bucket starts by epoch
+    arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def hourly_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between hour-of-day and event value, per
+    event type — the cyclical-pattern screen a feature-engineering
+    pass runs on every numeric column. Computed from the five raw
+    sums (n, Σx, Σy, Σx², Σy², Σxy) in ONE partial-aggregated pass
+    so the formula is literal-identical on both engines (built-in
+    corr() implementations differ in summation algorithm across
+    engines; the raw-moment form is portable)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(num / den, 4).alias("hour_value_corr"),
+    )

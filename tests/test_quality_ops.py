@@ -206,3 +206,25 @@ def test_minhash_containment_recovers_exact(spark, sf_smoke):
         assert abs(est[pair] - exact[pair]) <= 0.2, (pair, est[pair], exact[pair])
     for pair, v in est.items():
         assert 0.0 <= v <= 1.0
+
+
+def test_dedup_span_removal_semantics(spark, sf_smoke):
+    """Duplicated spans are cut everywhere but their first occurrence;
+    clean docs pass through verbatim (modulo whitespace collapse)."""
+    from mimir_spark.operators.dedup import dedup_span_removal
+
+    out = {r.doc_id: r for r in dedup_span_removal(spark, sf_smoke).collect()}
+    assert len(out) == 500
+    removed = [r for r in out.values() if r.n_removed > 0]
+    assert removed, "synthetic corpus contains near-dups; some spans must go"
+    # the canonical copy survives: total removal across the corpus is
+    # strictly less than total tokens of duplicated docs
+    assert all(r.n_removed < r.n_tokens or r.cleaned_text == ""
+               for r in out.values())
+    # untouched docs reassemble to their exact token stream
+    from mimir_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    docs = {r.doc_id: r.text for r in
+            load_table(spark, sf_smoke, "documents").collect()}
+    clean = next(r for r in out.values() if r.n_removed == 0)
+    assert clean.cleaned_text == " ".join(docs[clean.doc_id].split())
