@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows_sliding": features.event_windows_sliding,
         "hourly_value_correlation": features.hourly_value_correlation,
         "dedup_span_removal": dedup.dedup_span_removal,
+        "minhash_dedup_recall": dedup.minhash_dedup_recall,
         "triangle_count": graph.triangle_count,
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,

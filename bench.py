@@ -47,6 +47,10 @@ HEADLINE = [
     # sum) and degree-oriented triangle counting
     "sequence_pack",
     "triangle_count",
+    # round-3c additions: bounded-register sketch distinct and the
+    # token-linear span-removal pass (cleaned-corpus output)
+    "hll_distinct",
+    "dedup_span_removal",
 ]
 
 

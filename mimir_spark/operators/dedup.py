@@ -955,3 +955,36 @@ def dedup_span_removal(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def minhash_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality report for the MinHash-LSH dedup
+    path: precision/recall of the LSH-verified pair set against the
+    exact shingle-Jaccard pair set — the index-tuning signal (bands ×
+    rows trade-off) a dedup pipeline reads before trusting the scale
+    path, twin of `ann_ivf_recall` on the similarity side.
+
+    Both pair sets are candidate-sized, so the comparison join is
+    trivial next to pair generation; the exact side exists only at
+    tuning scale (it is the self-join path). LSH-verified pairs carry
+    exact Jaccard, so precision counts pairs the banding surfaced AND
+    verification kept; missed pairs are banding misses (all 128
+    minima agreeing bands-wise is probabilistic)."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                n_lsh,
+                n_hit,
+                round(n_hit / n_lsh, 6) if n_lsh else 1.0,
+                round(n_hit / n_exact, 6) if n_exact else 1.0,
+            )
+        ],
+        "n_exact_pairs long, n_lsh_pairs long, n_hit long, "
+        "precision double, recall double",
+    )

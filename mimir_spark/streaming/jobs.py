@@ -158,3 +158,27 @@ def streaming_click_purchase_join(events_stream: DataFrame) -> DataFrame:
         & (F.col("ts_c") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
         "inner",
     ).select("event_id", "user_id", "ts", "ts_c", "click_value")
+
+
+def streaming_event_windows_sliding(events_stream: DataFrame) -> DataFrame:
+    """Sliding 1-hour/30-minute windowed counts with a 2-hour
+    watermark — the streaming twin of the batch
+    `event_windows_sliding`: identical window() spec, so complete
+    windows emitted in append mode match the batch rows exactly.
+    State is windows/slide × key cardinality, evicted by watermark."""
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

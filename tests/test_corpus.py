@@ -155,3 +155,18 @@ def test_vocab_encode_contract(spark, sf_smoke):
         ids = [int(x) for x in r.ids_prefix.split(",") if x != ""]
         assert len(ids) == min(16, r.n_tokens)
         assert all(0 <= i <= corpus.VOCAB_SIZE for i in ids)
+
+
+def test_minhash_dedup_recall_report(spark, sf_smoke):
+    """At tuning scale the LSH pair set must recover (nearly) all
+    exact-Jaccard pairs: 32 bands x 4 rows catches J>=0.5 pairs with
+    probability ~1 - (1-0.5^4)^32 ~ 0.87 PER BAND-MISS-INDEPENDENCE
+    assumption; empirically the synthetic corpus dups are far above
+    threshold, so recall should be 1.0 and precision 1.0 (verified
+    candidates only)."""
+    from mimir_spark.operators.dedup import minhash_dedup_recall
+
+    r = minhash_dedup_recall(spark, sf_smoke).collect()[0]
+    assert r.n_exact_pairs > 0
+    assert r.precision == 1.0
+    assert r.recall >= 0.9, r

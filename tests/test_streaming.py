@@ -418,3 +418,35 @@ def test_streaming_hll_matches_batch(spark, sf_smoke, tmp_path):
         for r in hll_distinct(spark, sf_smoke).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_sliding_windows_match_batch(spark, sf_smoke):
+    """Complete-mode sliding windows over the whole corpus equal the
+    batch event_windows_sliding rows exactly (same window spec, same
+    rounding)."""
+    from mimir_spark.operators.features import event_windows_sliding
+    from mimir_spark.streaming.jobs import (
+        read_events_stream,
+        streaming_event_windows_sliding,
+    )
+
+    sdf = streaming_event_windows_sliding(
+        read_events_stream(spark, sf_smoke)
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("slide_t")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM slide_t").collect()
+    }
+    expect = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in event_windows_sliding(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
