@@ -859,8 +859,15 @@ def dup_span_fraction(
     is linear in corpus token count whatever the duplication rate,
     unlike the pair table which is quadratic in a cluster's size."""
     docs = load_table(spark, sf_dir, "documents")
+    # hashed shuffle key, same trade as dedup_span_removal: the
+    # n-gram string never leaves the row that built it.
     pos = docs.select(
-        "doc_id", F.explode(word_shingles_all("text", n_words)).alias("sh")
+        "doc_id",
+        F.explode(
+            F.transform(
+                word_shingles_all("text", n_words), lambda s: F.xxhash64(s)
+            )
+        ).alias("sh"),
     )
     docs_per_sh = pos.groupBy("sh").agg(
         F.countDistinct("doc_id").alias("n_docs")
@@ -910,16 +917,23 @@ def dedup_span_removal(
     tok = toks.select(
         "doc_id", F.posexplode("t").alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    # the shingle string exists only inside the row it was built in:
+    # the shuffle key is its 64-bit hash (8 bytes moved and compared
+    # instead of a ~40-byte string; a cross-shingle collision would
+    # need ~2^32 distinct shingles to be likely — at that corpus size
+    # you are running the suffix-array variant anyway).
     sh = docs.select(
         "doc_id",
         F.posexplode(word_shingles_all("text", n_words)).alias("pos0", "sh"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
-    stats = sh.groupBy("sh").agg(
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("sh").alias("h")
+    )
+    stats = sh.groupBy("h").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.min(F.col("doc_id") * POS_BASE + F.col("pos")).alias("first_key"),
     )
     removable = (
-        sh.join(stats, "sh")
+        sh.join(stats, "h")
         .filter(
             (F.col("n_docs") >= 2)
             & (F.col("doc_id") * POS_BASE + F.col("pos") != F.col("first_key"))

@@ -35,6 +35,8 @@ PROBES = [
     "knn_graph",
     "sequence_pack",
     "triangle_count",
+    "dedup_span_removal",
+    "hll_distinct",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -44,6 +46,8 @@ INPUT_TABLES = {
     "knn_graph": "embeddings",
     "sequence_pack": "documents",
     "triangle_count": "lineitem",
+    "dedup_span_removal": "documents",
+    "hll_distinct": "events",
 }
 
 
