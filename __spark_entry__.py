@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_correlation": features.hourly_value_correlation,
         "dedup_span_removal": dedup.dedup_span_removal,
         "minhash_dedup_recall": dedup.minhash_dedup_recall,
+        "ddsketch_quantiles": sketches.ddsketch_quantiles,
+        "sample_weighted": pipeline.sample_weighted,
         "triangle_count": graph.triangle_count,
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,
@@ -1088,6 +1090,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, rank_n,
                    ROUND(bin * 25.0 + 25.0 * (rank_n - cum_prev) / cnt, 6)
                      AS est
+            FROM r JOIN c ON cum_prev < rank_n AND cum_prev + cnt >= rank_n
+        """,
+        "sample_weighted": """
+            SELECT doc_id, lang, source,
+                   round(least(1.0, n_chars / 400.0), 6) AS keep_weight
+            FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+                  < least(1.0, n_chars / 400.0)
+        """,
+        "ddsketch_quantiles": r"""
+            WITH sk AS (
+              SELECT ceil(ln(value) / ln(101e-2 / 99e-2))::BIGINT AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM events WHERE value > 0 GROUP BY 1
+            ), c AS (
+              SELECT bucket, cnt,
+                     COALESCE(SUM(cnt) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS cum_prev
+              FROM sk
+            ), t AS (SELECT SUM(cnt)::BIGINT AS n FROM sk),
+            q(q) AS (VALUES (0.5), (0.9), (0.99)),
+            r AS (
+              SELECT q, GREATEST(CEIL(q * n), 1)::BIGINT AS rank_n
+              FROM q CROSS JOIN t
+            )
+            SELECT q, rank_n,
+                   round(2e0 * pow(101e-2 / 99e-2, bucket)
+                         / (101e-2 / 99e-2 + 1e0), 6) AS est
             FROM r JOIN c ON cum_prev < rank_n AND cum_prev + cnt >= rank_n
         """,
         "dup_span_fraction": r"""

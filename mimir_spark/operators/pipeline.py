@@ -76,3 +76,24 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each doc is kept with
+    probability proportional to its length signal
+    w = min(1, n_chars / 400) — the "sample long documents more"
+    downweighting a mixture builder applies to boilerplate-heavy
+    sources. Selection is u(doc_id) < w with u a multiplicative hash
+    normalized to [0,1): reproducible across runs, engines, and
+    partitionings (same contract as sample_stratified), and
+    map-only — the decision never shuffles anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)) / F.lit(
+        float(_HASH_MOD)
+    )
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    return (
+        docs.withColumn("keep_weight", F.round(w, 6))
+        .filter(u < w)
+        .select("doc_id", "lang", "source", "keep_weight")
+    )

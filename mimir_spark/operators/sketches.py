@@ -240,3 +240,78 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin", "cnt"
     )
     return quantiles_from_histogram(hist)
+
+
+# DDSketch (Masson, Rim & Lee, VLDB 2019): log-scaled buckets give a
+# RELATIVE-error guarantee (|est - true| <= alpha * true) with no
+# prior knowledge of the value range — the fixed-width histogram above
+# needs the range; this one only needs positivity. Literals are
+# written in e-notation so gamma = (1+a)/(1-a) is the identical DOUBLE
+# on both engines.
+DD_GAMMA_SQL = "101e-2 / 99e-2"  # alpha = 0.01
+
+
+def ddsketch_buckets(df: DataFrame, value: str = "value") -> DataFrame:
+    """value column → log-bucket count table. Buckets are
+    ceil(ln(x)/ln(gamma)): O(ln(range)/alpha) of them regardless of
+    row count, and counts add cell-wise (mergeable monoid, like the
+    fixed-width histogram)."""
+    b = F.expr(
+        f"cast(ceil(ln({value}) / ln({DD_GAMMA_SQL})) AS BIGINT)"
+    ).alias("bucket")
+    return (
+        df.filter(F.col(value) > 0)
+        .select(b)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def quantiles_from_ddsketch(
+    sk: DataFrame, qs: tuple[float, ...] = QUANTS
+) -> DataFrame:
+    """Quantile estimates from a DDSketch bucket table: rank walk over
+    the O(buckets) cumulative (single bounded task), estimate is the
+    bucket's geometric midpoint 2*gamma^b/(gamma+1) — identical literal
+    arithmetic on both engines."""
+    spark = sk.sparkSession
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = sk.select(
+        "bucket",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias("cum_prev"),
+    )
+    total = sk.agg(F.sum("cnt").cast("long").alias("n"))
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    ranks = qdf.crossJoin(F.broadcast(total)).select(
+        "q",
+        F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
+        .cast("long")
+        .alias("rank_n"),
+    )
+    g = DD_GAMMA_SQL
+    return (
+        F.broadcast(ranks)
+        .join(
+            cum,
+            (F.col("cum_prev") < F.col("rank_n"))
+            & (F.col("cum_prev") + F.col("cnt") >= F.col("rank_n")),
+        )
+        .select(
+            "q",
+            "rank_n",
+            F.expr(
+                f"round(2e0 * pow({g}, bucket) / ({g} + 1e0), 6)"
+            ).alias("est"),
+        )
+    )
+
+
+def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value from a DDSketch — the
+    relative-error twin of `histogram_quantiles` (1% guaranteed
+    relative error vs the histogram's fixed absolute bin width).
+    Finalizer shared with streaming/ddsketch.py, so stream and batch
+    estimates are bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return quantiles_from_ddsketch(ddsketch_buckets(ev, "value"))

@@ -83,3 +83,18 @@ def test_hll_estimate_accuracy(spark, sf_smoke):
         assert abs(r.est_distinct - r.true_distinct) <= max(
             0.20 * r.true_distinct, 3.0
         ), r
+
+
+def test_ddsketch_relative_error_guarantee(spark, sf_smoke):
+    """DDSketch's contract: |est - true_quantile| <= alpha * true
+    (alpha = 0.01, plus one-rank discreteness slack on a small
+    sample)."""
+    from mimir_spark.operators.sketches import ddsketch_quantiles
+    from mimir_spark.sources.tables import load_table
+
+    vals = sorted(
+        r.value for r in load_table(spark, sf_smoke, "events").collect()
+    )
+    for r in ddsketch_quantiles(spark, sf_smoke).collect():
+        true = vals[min(int(r.rank_n) - 1, len(vals) - 1)]
+        assert abs(r.est - true) <= 0.011 * true + 1e-9, (r, true)

@@ -450,3 +450,101 @@ def test_streaming_sliding_windows_match_batch(spark, sf_smoke):
         for r in event_windows_sliding(spark, sf_smoke).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_ddsketch_matches_batch(spark, sf_smoke, tmp_path):
+    """DDSketch cells add; merged partials must reproduce the batch
+    estimates bit-for-bit."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.sketches import ddsketch_quantiles
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.ddsketch import (
+        finalize_streaming_ddsketch,
+        streaming_ddsketch_build,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    for m in range(3):
+        ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.parquet(
+            str(tmp_path / f"b{m}"), compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(str(tmp_path) + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_ddsketch_build(
+        spark, flat, str(tmp_path / "sk"), str(tmp_path / "ckpt"),
+        glob="batch_*.parquet",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.q, r.rank_n, r.est)
+        for r in finalize_streaming_ddsketch(spark, str(tmp_path / "sk")).collect()
+    }
+    expect = {
+        (r.q, r.rank_n, r.est)
+        for r in ddsketch_quantiles(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
+
+
+def test_streaming_bloom_dedup_flags_cross_batch_dups(spark, sf_smoke, tmp_path):
+    """Bloom's one-sided error, end-to-end: every batch-1 doc whose
+    exact text appeared in batch 0 must be flagged; unique docs may be
+    flagged only at the (tiny at this load factor) false-positive
+    rate."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.bloom import streaming_bloom_dedup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    # the corpus has no EXACT text dups — inject them: batch 1 carries
+    # 30 verbatim copies of batch-0 docs under fresh doc_ids.
+    copies = (
+        b0.orderBy("doc_id").limit(30)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(copies)
+    for name, part in [("b0", b0), ("b1", b1)]:
+        part.coalesce(1).write.parquet(
+            str(tmp_path / ("src_" + name)), compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, p in enumerate(
+        sorted(globmod.glob(str(tmp_path) + "/src_b*/part-*.parquet"))
+    ):
+        shutil.copy(p, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_bloom_dedup(
+        spark, flat, str(tmp_path / "bits"), str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt"), glob="batch_*.parquet",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    texts0 = {r.text for r in b0.collect()}
+    b1_rows = b1.collect()
+    true_dups = {r.doc_id for r in b1_rows if r.text in texts0}
+    flagged = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "verdicts"))
+        .filter((F.col("batch_id") == 1) & F.col("dup_suspect"))
+        .collect()
+    }
+    assert true_dups, "synthetic corpus must contain cross-parity dups"
+    assert true_dups <= flagged, true_dups - flagged
+    n_b1 = len(b1_rows)
+    false_pos = len(flagged - true_dups)
+    assert false_pos / n_b1 < 0.05, (false_pos, n_b1)
