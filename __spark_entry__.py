@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_recall": dedup.minhash_dedup_recall,
         "ddsketch_quantiles": sketches.ddsketch_quantiles,
         "sample_weighted": pipeline.sample_weighted,
+        "dup_span_islands": dedup.dup_span_islands,
         "triangle_count": graph.triangle_count,
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,
@@ -1092,12 +1093,46 @@ def oracle_sql() -> dict[str, str]:
                      AS est
             FROM r JOIN c ON cum_prev < rank_n AND cum_prev + cnt >= rank_n
         """,
+        "dup_span_islands": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, u.pos, u.sh
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, greatest(len(t) - 4, 1)),
+                             i -> {'pos': i,
+                                   'sh': array_to_string(t[i:i+4], ' ')}))
+                             AS u
+                    FROM t)
+            ), stats AS (
+              SELECT sh, count(DISTINCT doc_id) AS n_docs
+              FROM sh GROUP BY 1
+            ), covered AS (
+              SELECT DISTINCT sh.doc_id,
+                     unnest(generate_series(pos, pos + 4)) AS pos
+              FROM sh JOIN stats USING (sh)
+              WHERE n_docs >= 2
+            ), isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM covered
+            )
+            SELECT doc_id, min(pos)::BIGINT AS span_start,
+                   count(*)::BIGINT AS span_len
+            FROM isl GROUP BY doc_id, grp
+            HAVING count(*) >= 5
+        """,
         "sample_weighted": """
             SELECT doc_id, lang, source,
-                   round(least(1.0, n_chars / 400.0), 6) AS keep_weight
+                   round(least(1e0, n_chars / 400e0), 6) AS keep_weight
             FROM documents
-            WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
-                  < least(1.0, n_chars / 400.0)
+            WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296e0
+                  < least(1e0, n_chars / 400e0)
         """,
         "ddsketch_quantiles": r"""
             WITH sk AS (

@@ -1002,3 +1002,52 @@ def minhash_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_pairs long, n_lsh_pairs long, n_hit long, "
         "precision double, recall double",
     )
+
+
+def dup_span_islands(
+    spark: SparkSession, sf_dir: str, n_words: int = SPAN_WORDS,
+    min_len: int = SPAN_WORDS
+) -> DataFrame:
+    """MAXIMAL duplicated spans per document, variable length: the
+    token ranges covered by cross-doc duplicated n-gram starts are
+    merged into islands (consecutive covered positions), recovering
+    variable-length duplicated regions from the fixed-n primitive —
+    the reporting side of Lee et al. substring dedup (span_removal
+    cuts them; this tells you where they are and how long).
+
+    Island detection is the classic gaps-and-islands window:
+    pos − row_number() is constant within a consecutive run, so one
+    per-doc window plus one groupBy finds every maximal run — both
+    keyed on doc_id, no self-join, linear in covered positions."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles_all("text", n_words)).alias("pos0", "sh"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("sh").alias("h")
+    )
+    stats = sh.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    covered = (
+        sh.join(stats, "h")
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n_words - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        covered.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.count("*").cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("doc_id", "span_start", "span_len")
+    )

@@ -321,3 +321,25 @@ def test_q11_scalar_total_is_broadcast(spark, sf_correct):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan
+
+
+def test_ddsketch_bucket_table_is_bounded(spark, sf_correct):
+    """The DDSketch build must partial-aggregate into log buckets
+    before its exchange (no row-level shuffle), and the finalizer's
+    rank match must be the broadcast pattern."""
+    from mimir_spark.operators.sketches import ddsketch_quantiles
+
+    df = ddsketch_quantiles(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "partial_count" in plan or "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_islands_no_selfjoin(spark, sf_correct):
+    from mimir_spark.operators.dedup import dup_span_islands
+
+    df = dup_span_islands(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the only join is occurrence ⋈ per-shingle stats (equi on the hash)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan

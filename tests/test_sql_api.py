@@ -49,6 +49,8 @@ SQL_PORTABLE = [
     "q11_important_parts",
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
+    "hourly_value_correlation",
+    "sample_weighted",
 ]
 
 
