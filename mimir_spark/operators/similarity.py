@@ -442,3 +442,76 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
         )
         .orderBy("query_id")
     )
+
+
+def write_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the IVF index: centroids to `<dir>/centroids`,
+    corpus vectors to `<dir>/assignments` PARTITIONED BY cell_id —
+    the 'build once, query many' layout. On disk, each Voronoi cell
+    is its own partition directory, so a query that probes N_PROBE
+    cells reads exactly those directories (partition pruning: the
+    scan's PartitionFilters, pinned in tests) instead of the corpus.
+    At 100 TB this is the difference between an index and a scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent"))
+    )
+    assigned = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+        .join(F.broadcast(cents))
+        .withColumn("sim", cosine_sim("ce", "cent"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy(
+                    F.col("sim").desc(), F.col("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("neighbor_id", "ce", "cell_id")
+    )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{index_dir}/assignments"
+    )
+
+
+def ann_ivf_query_indexed(
+    spark: SparkSession, sf_dir: str, index_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Query the PERSISTED IVF index: rank cells per query against the
+    (tiny, broadcast) centroid table, then scan only the probed
+    cell_id partitions of the assignments table. Matches
+    `ann_ivf_topk` row-for-row (pytest-pinned) — same centroids, same
+    probe rule — but the corpus side is a pruned read of the index,
+    not a recomputation."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    q, _ = _queries_and_corpus(spark, sf_dir)
+    q_cells = (
+        q.join(F.broadcast(cents))
+        .withColumn("sim", cosine_sim("qe", "cent"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= N_PROBE)
+        .select("query_id", "qe", "cell_id")
+    )
+    probed = [r.cell_id for r in q_cells.select("cell_id").distinct().collect()]
+    assignments = spark.read.parquet(f"{index_dir}/assignments").filter(
+        F.col("cell_id").isin(probed)
+    )
+    scored = (
+        q_cells.join(assignments, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_sim("qe", "ce"), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return _rank_topk(scored, k)

@@ -42,3 +42,26 @@ def test_kmeans_matches_numpy(spark, sf_smoke):
     for c in got:
         assert got[c][0] == expect[c][0], f"cluster {c} size"
         assert abs(got[c][1] - expect[c][1]) < 1e-2, f"cluster {c} inertia"
+
+
+def test_ivf_index_persist_and_query(spark, sf_smoke, tmp_path):
+    """The persisted-index query path must (a) return exactly the
+    in-memory IVF results and (b) read the assignments through
+    partition pruning (PartitionFilters on cell_id), not a full scan."""
+    from mimir_spark.operators.similarity import (
+        ann_ivf_query_indexed,
+        ann_ivf_topk,
+        write_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(spark, sf_smoke, idx)
+    got_df = ann_ivf_query_indexed(spark, sf_smoke, idx)
+    got = {(r.query_id, r.neighbor_id, r.cos) for r in got_df.collect()}
+    expect = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in ann_ivf_topk(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell_id" in plan, plan[:2000]
