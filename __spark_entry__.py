@@ -48,12 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict
     # in order and covers a ~50-key window per round (r01 stopped at 50,
-    # r02 at 51). Round-3 order: keys with NO driver row ever (the 14
-    # new round-3 ops + multimodal_features, whose r02 row was a
-    # comparator crash, fixed by the integer projection) come FIRST,
-    # then the 37 relational/advanced keys that missed the r02 window
-    # (last driver-checked in r01 — code has changed since); r02-green
-    # keys take the back seat.
+    # r02 at 51). Round-3 order: keys with NO driver row ever come
+    # FIRST (the round-3 and round-3c additions — everything through
+    # multimodal_features below), then the relational/advanced keys
+    # that missed the r02 window; r02-green keys take the back seat.
     return {
         # --- never driver-checked: new this round (r03) ---
         "sequence_pack": packing.sequence_pack,
@@ -78,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_quantiles": sketches.ddsketch_quantiles,
         "sample_weighted": pipeline.sample_weighted,
         "dup_span_islands": dedup.dup_span_islands,
+        "dedup_clusters_star": dedup.dedup_clusters_star,
         "triangle_count": graph.triangle_count,
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,
@@ -770,6 +769,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY pair
         """,
         "dedup_clusters": f"""
+            {_CLUSTER_CTES}
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        "dedup_clusters_star": f"""
             {_CLUSTER_CTES}
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,

@@ -1051,3 +1051,26 @@ def dup_span_islands(
         .filter(F.col("span_len") >= min_len)
         .select("doc_id", "span_start", "span_len")
     )
+
+
+def dedup_clusters_star(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    pair_source: str = "exact",
+) -> DataFrame:
+    """`dedup_clusters` computed by ALTERNATING STAR CONTRACTION
+    (graph.connected_components_star) instead of min-label
+    propagation: identical output (same oracle), but convergence is
+    O(log n) ROUNDS regardless of component shape — the variant you
+    run when clusters might be chain-shaped (e.g. near-dup chains
+    A≈B≈C≈… where consecutive docs are similar but the ends are not),
+    which make label propagation pay diameter-many shuffles."""
+    from mimir_spark.operators.graph import connected_components_star
+
+    pairs = near_dup_pairs(spark, sf_dir, threshold, pair_source).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

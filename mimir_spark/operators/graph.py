@@ -329,3 +329,86 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         F.round(F.col("n_nodes") / F.col("total_nodes"), 6).alias("node_share"),
     )
+
+
+def connected_components_star(
+    edges: DataFrame, max_iters: int = 30
+) -> DataFrame:
+    """Connected components by ALTERNATING STAR CONTRACTION (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond"):
+    large-star hangs every higher-id neighbor of a node onto the
+    node's minimum neighbor; small-star re-hangs the lower-id
+    neighbors. The pair of rounds at least halves tree heights, so
+    convergence is O(log n) ROUNDS on ANY graph — unlike min-label
+    propagation, whose round count is the component DIAMETER (fine
+    for tiny near-dup clusters, ruinous for a path-shaped graph at
+    corpus scale).
+
+    Input: undirected edges as (src, dst) in either orientation.
+    Output: (node, component) with component = min node id reachable.
+    Each round is two self-free groupBy/join passes over the current
+    edge set; lineage is cut per round with localCheckpoint and the
+    fixed point is detected by an edge-set count delta (a scalar to
+    the driver, like BFS/k-means)."""
+    e = (
+        edges.selectExpr("src AS u", "dst AS v")
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # large-star: for each node n over BOTH orientations, attach
+        # every strictly-larger neighbor to min(N(n) ∪ {n}).
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        ls = large.filter(F.col("a") != F.col("b")).select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        ).distinct()
+        # small-star: attach node + its smaller neighbors to the min.
+        nbrs2 = ls.union(
+            ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        small_nbrs = nbrs2.filter(F.col("v") < F.col("u")).union(
+            nbrs2.select("u", F.col("u").alias("v")).distinct()
+        )
+        mins2 = small_nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_nbrs.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        new_e = (
+            small.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixed point: star rounds only ever lower the attach targets,
+        # so an unchanged edge multiset means every tree is a flat star
+        delta = new_e.exceptAll(e).limit(1).count()
+        same_size = new_e.count() == e.count()
+        e = new_e
+        if delta == 0 and same_size:
+            break
+    nodes = edges.selectExpr("src AS node").union(
+        edges.selectExpr("dst AS node")
+    ).distinct()
+    roots = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    return (
+        nodes.join(roots, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )

@@ -65,3 +65,30 @@ def test_ivf_index_persist_and_query(spark, sf_smoke, tmp_path):
     assert got == expect and got
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell_id" in plan, plan[:2000]
+
+
+def test_star_cc_matches_label_propagation(spark, sf_smoke):
+    """Star contraction and min-label propagation must produce the
+    identical clustering on both pair sources."""
+    from mimir_spark.operators.dedup import dedup_clusters, dedup_clusters_star
+
+    for src in ("exact", "lsh"):
+        a = {(r.doc_id, r.cluster_id)
+             for r in dedup_clusters(spark, sf_smoke, pair_source=src).collect()}
+        b = {(r.doc_id, r.cluster_id)
+             for r in dedup_clusters_star(spark, sf_smoke, pair_source=src).collect()}
+        assert a == b and a, src
+
+
+def test_star_cc_long_path_converges_fast(spark):
+    """A diameter-60 path must resolve to one component — the shape
+    that makes label propagation pay 60 rounds; star contraction gets
+    it in O(log n)."""
+    from mimir_spark.operators.graph import connected_components_star
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    out = {(r.node, r.component)
+           for r in connected_components_star(e).collect()}
+    assert out == {(i, 0) for i in range(61)}
