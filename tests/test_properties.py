@@ -115,3 +115,44 @@ def test_hashed_shingles_track_string_shingles(spark, texts):
             si = len(set(a.s) & set(b.s))
             hi = len(set(a.h) & set(b.h))
             assert si == hi, (a.s, b.s, a.h, b.h)
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1,
+    max_size=18,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=edge_lists)
+def test_star_cc_matches_union_find(spark, edges):
+    """connected_components_star must agree with a union-find reference
+    on arbitrary small graphs (self-loops, parallel edges, multiple
+    components, any shape)."""
+    from mimir_spark.operators.graph import connected_components_star
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u), parent.setdefault(v, v)
+        parent[find(u)] = find(v)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expect = {(n, comp_min[find(n)]) for n in parent}
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node, r.component)
+        for r in connected_components_star(e).collect()
+    }
+    assert got == expect
