@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": similarity.knn_graph,
         # --- r02 FAIL, fixed this round (exact integer projection) ---
         "multimodal_features": multimodal.multimodal_features_hist,
+        "multimodal_resize": multimodal.multimodal_resize,
         # --- relational / analytics (missed the r02 window) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,

@@ -139,3 +139,50 @@ def multimodal_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(N_FEATURES)
     ]
     return feats.select("doc_id", *counts)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, n_bytes int, out_width int, out_height int, "
+    "resized binary, resized_bytes int"
+)
+RESIZE_TARGET = (64, 48)
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resizer: deterministic nearest-neighbour downsample over
+    the raw byte stream (every k-th byte, k sized so the output is
+    w*h bytes). Replace with PIL's Image.resize in production — the
+    signature (payload, target dims) → payload is the real contract.
+    """
+    target = max(w * h, 1)
+    step = max(len(payload) // target, 1)
+    return payload[::step][:target]
+
+
+def _resize_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    w, h = RESIZE_TARGET
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda p: _resize_stub(p, w, h))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "out_width": w,
+                "out_height": h,
+                "resized": resized,
+                "resized_bytes": resized.map(len).astype("int32"),
+            }
+        )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → RESIZED binary payload via mapInPandas — the
+    resize leg of the image pipeline (decode → resize → featurize).
+    The stub kernel is deterministic byte decimation; the Spark side
+    (binary in/out columns, Arrow batch shape, fixed target dims in
+    the schema) is the production plumbing. Map-only: no shuffle, the
+    payload is read and written exactly once per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(
+        _resize_batches, RESIZE_SCHEMA
+    )

@@ -184,3 +184,23 @@ def test_ann_ivf_recall_report(spark, sf_smoke):
         assert abs(r.recall - r.n_hit / similarity.TOP_K) < 1e-9
     mean = sum(r.recall for r in rows) / len(rows)
     assert mean >= 0.7, f"IVF recall collapsed: {mean}"
+
+
+def test_multimodal_resize_contract(spark, sf_smoke):
+    """Resize plumbing: every payload comes back as a binary of at
+    most out_width*out_height bytes, deterministically."""
+    from mimir_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        multimodal_resize,
+    )
+
+    rows = multimodal_resize(spark, sf_smoke).collect()
+    assert len(rows) == 500
+    w, h = RESIZE_TARGET
+    for r in rows[:50]:
+        assert 0 < r.resized_bytes <= w * h
+        assert r.resized_bytes == len(r.resized)
+    # deterministic: a second run yields identical bytes
+    again = {r.doc_id: bytes(r.resized)
+             for r in multimodal_resize(spark, sf_smoke).collect()}
+    assert all(bytes(r.resized) == again[r.doc_id] for r in rows)
