@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": pipeline.sample_weighted,
         "dup_span_islands": dedup.dup_span_islands,
         "dedup_clusters_star": dedup.dedup_clusters_star,
+        "embedding_pca": clustering.embedding_pca,
         "triangle_count": graph.triangle_count,
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,

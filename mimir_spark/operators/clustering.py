@@ -99,3 +99,50 @@ def kmeans_embeddings(
             F.round(F.sum("d"), 4).alias("inertia"),
         )
     )
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str, top: int = 5) -> DataFrame:
+    """PCA spectrum of the embedding space — the dimension-collapse
+    check an embedding-ingest QA runs (a healthy space spreads
+    variance; a collapsed encoder concentrates it in a few axes).
+
+    Scale shape: the 64×64 covariance needs ONE pass — each Arrow
+    batch contributes a partial Gram matrix (NumPy einsum), a count,
+    and a sum vector; partials are 64²+64+1 floats per batch, summed
+    by position in a shuffle bounded by 4161·batches rows. The
+    eigendecomposition runs on the DRIVER over the tiny 64×64 result
+    (not a distributed solve — at ANY corpus size the reduced state
+    is d², which is the whole point). Pinned against full-matrix
+    NumPy PCA in tests."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    d = 64
+
+    def _partials(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            gram = np.einsum("ni,nj->ij", x, x)
+            out = np.concatenate([gram.ravel(), x.sum(axis=0), [len(x)]])
+            yield pd.DataFrame({"pos": np.arange(d * d + d + 1), "val": out})
+
+    partial = emb.mapInPandas(_partials, "pos long, val double")
+    summed = partial.groupBy("pos").agg(F.sum("val").alias("val"))
+    rows = summed.collect()
+    flat = np.zeros(d * d + d + 1)
+    for r in rows:
+        flat[r.pos] = r.val
+    gram, s, n = flat[: d * d].reshape(d, d), flat[d * d : d * d + d], flat[-1]
+    cov = gram / n - np.outer(s / n, s / n)
+    evals = np.linalg.eigvalsh(cov)[::-1][:top]
+    total = float(np.trace(cov))
+    return spark.createDataFrame(
+        [
+            (i, round(float(v), 6), round(float(v / total), 6))
+            for i, v in enumerate(evals)
+        ],
+        "component long, eigenvalue double, explained_variance double",
+    )

@@ -92,3 +92,24 @@ def test_star_cc_long_path_converges_fast(spark):
     out = {(r.node, r.component)
            for r in connected_components_star(e).collect()}
     assert out == {(i, 0) for i in range(61)}
+
+
+def test_embedding_pca_matches_numpy(spark, sf_smoke):
+    """Distributed one-pass covariance must reproduce full-matrix
+    NumPy PCA eigenvalues."""
+    import numpy as np
+
+    from mimir_spark.operators.clustering import embedding_pca
+    from mimir_spark.sources.tables import load_table
+
+    x = np.array(
+        [r.embedding for r in
+         load_table(spark, sf_smoke, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    expect = np.linalg.eigvalsh(cov)[::-1][:5]
+    got = embedding_pca(spark, sf_smoke).orderBy("component").collect()
+    for r, e in zip(got, expect):
+        assert abs(r.eigenvalue - e) < 1e-4, (r, e)
+    assert abs(sum(r.explained_variance for r in got)) <= 1.0 + 1e-6
