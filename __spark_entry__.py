@@ -50,7 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in order and covers a ~50-key window per round (r01 stopped at 50,
     # r02 at 51). Round-3 order: keys with NO driver row ever come
     # FIRST (the round-3 and round-3c additions — everything through
-    # multimodal_features below), then the relational/advanced keys
+    # multimodal_resize below), then the relational/advanced keys
     # that missed the r02 window; r02-green keys take the back seat.
     return {
         # --- never driver-checked: new this round (r03) ---
