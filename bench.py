@@ -67,7 +67,12 @@ def main() -> None:
     from pyspark.sql import functions as F  # noqa: E402
 
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    region.mapInPandas(lambda it: it, region.schema).count()
+    # spawn the FULL Python worker pool (one per core), not just the
+    # workers a single-split dim table would touch — operators that
+    # repartition before their Arrow stage use every slot at once.
+    region.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, region.schema).count()
     from mimir_spark.sources.tables import load_table  # noqa: E402
 
     for t in ["region", "nation", "customer", "supplier", "part",

@@ -26,6 +26,17 @@ from mimir_spark.sources.tables import load_table
 SHINGLE_WORDS = 3
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before an
+    expensive map side: a corpus file smaller than maxPartitionBytes
+    arrives as ONE split, which would run shingling / Python kernels
+    on a single core. The row-count shuffle is trivial next to the
+    work it parallelizes (same move a cluster job makes when a coarse
+    upstream layout precedes an expensive per-row stage)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-text dedup: keep the smallest doc_id per distinct text.
 
@@ -214,7 +225,13 @@ def _minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     # hashed shingles: tokens are hash-folded once and shingle ids are
     # arithmetic combinations — skips per-shingle string building AND
     # the separate xxhash64 fold this explode used to need.
-    sh = docs.select(
+    # Repartition FIRST: a corpus file smaller than maxPartitionBytes
+    # arrives as one split, which would run the shingling and the
+    # NumPy partial-minima below on a single core. One cheap row-count
+    # shuffle up front parallelizes the whole expensive map side —
+    # the same move a cluster job makes when a coarse upstream layout
+    # precedes an expensive per-row stage.
+    sh = _spread(docs).select(
         "doc_id",
         F.explode(word_shingle_hashes("text", SHINGLE_WORDS)).alias("x"),
     )
@@ -861,7 +878,7 @@ def dup_span_fraction(
     docs = load_table(spark, sf_dir, "documents")
     # hashed shuffle key, same trade as dedup_span_removal: the
     # n-gram string never leaves the row that built it.
-    pos = docs.select(
+    pos = _spread(docs).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -913,7 +930,7 @@ def dedup_span_removal(
     reassembly via array_sort(collect_list(struct(pos, word))).
     The only corpus-sized shuffles are keyed on shingle and doc_id."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    toks = _spread(docs).select("doc_id", tokens_col("text").alias("t"))
     tok = toks.select(
         "doc_id", F.posexplode("t").alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
@@ -922,7 +939,7 @@ def dedup_span_removal(
     # instead of a ~40-byte string; a cross-shingle collision would
     # need ~2^32 distinct shingles to be likely — at that corpus size
     # you are running the suffix-array variant anyway).
-    sh = docs.select(
+    sh = _spread(docs).select(
         "doc_id",
         F.posexplode(word_shingles_all("text", n_words)).alias("pos0", "sh"),
     ).select(
@@ -1020,7 +1037,7 @@ def dup_span_islands(
     per-doc window plus one groupBy finds every maximal run — both
     keyed on doc_id, no self-join, linear in covered positions."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = _spread(docs).select(
         "doc_id",
         F.posexplode(word_shingles_all("text", n_words)).alias("pos0", "sh"),
     ).select(
