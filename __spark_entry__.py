@@ -47,15 +47,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict
-    # in order and covers a ~50-key window per round (r01 stopped at 50,
-    # r02 at 51). Round-3 order: keys with NO driver row ever come
-    # FIRST (the round-3 and round-3c additions — everything through
-    # multimodal_resize below), then the relational/advanced keys
-    # that missed the r02 window; r02-green keys take the back seat.
+    # in order and covers a ~50-key window per round (r01: 50, r02: 51,
+    # r03: 50). Round-4 order: the 28 keys that have NEVER had a driver
+    # row (they missed every window r01-r03) come FIRST, then operators
+    # modified or added this round (their old green rows are stale),
+    # then the r03-green and r02-green keys.
     return {
-        # --- never driver-checked: new this round (r03) ---
-        "sequence_pack": packing.sequence_pack,
+        # --- never driver-checked (missed r01/r02/r03 windows) ---
+        "q18_large_orders": relational2.q18_large_orders,
+        "q19_bracketed_revenue": relational2.q19_bracketed_revenue,
+        "semi_anti_join": relational2.semi_anti_join,
+        "rollup_revenue": relational2.rollup_revenue,
+        "pivot_status_priority": relational2.pivot_status_priority,
+        "median_order_value": relational2.median_order_value,
+        "approx_quantiles": relational2.approx_quantiles,
+        "secondary_sort": relational2.secondary_sort,
+        "q7_volume_shipping": relational3.q7_volume_shipping,
+        "q8_market_share": relational3.q8_market_share,
+        "q9_profit_by_nation_year": relational3.q9_profit_by_nation_year,
+        "q13_order_count_distribution": relational3.q13_order_count_distribution,
+        "q15_top_supplier": relational3.q15_top_supplier,
+        "q16_supplier_part_variety": relational3.q16_supplier_part_variety,
+        "q17_small_qty_revenue": relational3.q17_small_qty_revenue,
+        "q22_dormant_customers": relational3.q22_dormant_customers,
+        "q12_ship_delay": relational3.q12_ship_delay,
+        "cube_revenue": relational3.cube_revenue,
+        "grouping_sets_revenue": relational3.grouping_sets_revenue,
+        "moving_avg_revenue": relational3.moving_avg_revenue,
+        "tfidf": advanced.tfidf,
+        "ngram_counts": advanced.ngram_counts,
+        "window_suite": advanced.window_suite,
+        "asof_join": advanced.asof_join,
+        "interval_join": advanced.interval_join,
+        "salted_agg": advanced.salted_agg,
+        "embedding_centroids": advanced.embedding_centroids,
+        "kmeans_embeddings": clustering.kmeans_embeddings,
+        # --- modified or new in round 4 (need fresh driver rows) ---
+        "multimodal_resize": multimodal.multimodal_resize,
+        "bpe_train": tokenizer.bpe_train,
+        "bpe_encode": tokenizer.bpe_encode,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_containment": dedup.dedup_containment,
         "dataset_mixture_plan": packing.dataset_mixture_plan,
+        "sequence_pack": packing.sequence_pack,
+        # --- r03-green (CORRECTNESS_r03) ---
         "cross_source_duplication": corpus.cross_source_duplication,
         "minhash_containment": dedup.minhash_containment,
         "ann_ivf_recall": similarity.ann_ivf_recall,
@@ -67,8 +102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": relational4.q21_waiting_suppliers,
         "degree_distribution": graph.degree_distribution,
         "decontaminate_corpus": corpus.decontaminate_corpus,
-        "bpe_train": tokenizer.bpe_train,
-        "bpe_encode": tokenizer.bpe_encode,
         "event_windows_sliding": features.event_windows_sliding,
         "hourly_value_correlation": features.hourly_value_correlation,
         "dedup_span_removal": dedup.dedup_span_removal,
@@ -90,13 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_pmi": corpus.cooccurrence_pmi,
         "anomaly_zscore": features.anomaly_zscore,
         "dedup_prefix": dedup.dedup_prefix,
-        "dedup_containment": dedup.dedup_containment,
         "ann_range_search": similarity.ann_range_search,
         "knn_graph": similarity.knn_graph,
-        # --- r02 FAIL, fixed this round (exact integer projection) ---
         "multimodal_features": multimodal.multimodal_features_hist,
-        "multimodal_resize": multimodal.multimodal_resize,
-        # --- relational / analytics (missed the r02 window) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -106,38 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": relational.event_windows,
         "q4_order_priority": relational2.q4_order_priority,
         "q14_promo_revenue": relational2.q14_promo_revenue,
-        "q18_large_orders": relational2.q18_large_orders,
-        "q19_bracketed_revenue": relational2.q19_bracketed_revenue,
-        "semi_anti_join": relational2.semi_anti_join,
-        "rollup_revenue": relational2.rollup_revenue,
-        "pivot_status_priority": relational2.pivot_status_priority,
-        "median_order_value": relational2.median_order_value,
-        "approx_quantiles": relational2.approx_quantiles,
-        "secondary_sort": relational2.secondary_sort,
-        "q7_volume_shipping": relational3.q7_volume_shipping,
-        "q8_market_share": relational3.q8_market_share,
-        "q9_profit_by_nation_year": relational3.q9_profit_by_nation_year,
-        "q13_order_count_distribution": relational3.q13_order_count_distribution,
-        "q15_top_supplier": relational3.q15_top_supplier,
-        "q16_supplier_part_variety": relational3.q16_supplier_part_variety,
-        "q17_small_qty_revenue": relational3.q17_small_qty_revenue,
-        "q22_dormant_customers": relational3.q22_dormant_customers,
-        "q12_ship_delay": relational3.q12_ship_delay,
-        "cube_revenue": relational3.cube_revenue,
-        "grouping_sets_revenue": relational3.grouping_sets_revenue,
-        "moving_avg_revenue": relational3.moving_avg_revenue,
-        # --- advanced / composite (missed the r02 window) ---
-        "tfidf": advanced.tfidf,
-        "ngram_counts": advanced.ngram_counts,
-        "window_suite": advanced.window_suite,
-        "asof_join": advanced.asof_join,
-        "interval_join": advanced.interval_join,
-        "salted_agg": advanced.salted_agg,
-        "embedding_centroids": advanced.embedding_centroids,
-        "kmeans_embeddings": clustering.kmeans_embeddings,
         # --- r02-green (CORRECTNESS_r02) ---
         "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_survivors": dedup.dedup_survivors,
