@@ -19,6 +19,7 @@ from mimir_spark.operators import (
     core,
     corpus,
     dedup,
+    dedup2,
     features,
     graph,
     multimodal,
@@ -83,6 +84,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": advanced.embedding_centroids,
         "kmeans_embeddings": clustering.kmeans_embeddings,
         # --- modified or new in round 4 (need fresh driver rows) ---
+        "dedup_jaccard_prefix": dedup2.dedup_jaccard_prefix,
+        "window_funnel": features.window_funnel,
+        "ccnet_ppl_buckets": quality.ccnet_ppl_buckets,
+        "sample_reservoir": pipeline.sample_reservoir,
+        "clustering_coefficient": graph.clustering_coefficient,
+        "k_core": graph.k_core,
+        "semdedup": dedup2.semdedup,
         "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
@@ -831,6 +839,126 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+        """,
+        # identical output contract to dedup_ngram_jaccard — the prefix
+        # filter only changes the PLAN, never the pair set.
+        "dedup_jaccard_prefix": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+        """,
+        "window_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+              GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e
+              JOIN s2 ON e.user_id = s2.user_id
+              JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+              GROUP BY 1
+            ), u AS (SELECT DISTINCT user_id FROM events)
+            SELECT (CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1
+                         ELSE 0 END)::BIGINT AS n_steps,
+                   count(*)::BIGINT AS n_users
+            FROM u LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
+            GROUP BY 1
+        """,
+        "ccnet_ppl_buckets": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+              FROM documents
+            ), dw AS (
+              SELECT doc_id, w, count(*)::BIGINT AS c_dw
+              FROM tok GROUP BY 1, 2
+            ), lm AS (
+              SELECT w, count(*)::BIGINT AS c_w FROM tok GROUP BY 1
+            ), tot AS (
+              SELECT SUM(c_w)::DOUBLE AS total FROM lm
+            ), ce AS (
+              SELECT doc_id,
+                     ROUND(-SUM(c_dw * LN(c_w / total)) / SUM(c_dw), 6)
+                       AS cross_entropy
+              FROM dw JOIN lm USING (w) CROSS JOIN tot
+              GROUP BY doc_id
+            ), scored AS (
+              SELECT d.doc_id, d.lang, ce.cross_entropy
+              FROM ce JOIN documents d ON d.doc_id = ce.doc_id
+            ), cuts AS (
+              SELECT lang,
+                     round(quantile_cont(cross_entropy, 0.33), 6) AS p33,
+                     round(quantile_cont(cross_entropy, 0.67), 6) AS p67
+              FROM scored GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.cross_entropy,
+                   CASE WHEN s.cross_entropy <= c.p33 THEN 'head'
+                        WHEN s.cross_entropy <= c.p67 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s JOIN cuts c ON c.lang = s.lang
+        """,
+        "sample_reservoir": """
+            SELECT doc_id, lang, rk FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                     )::BIGINT AS rk
+              FROM documents)
+            WHERE rk <= 16
+        """,
+        "clustering_coefficient": """
+            WITH po AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+            ), tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+            ), tn AS (
+              SELECT a AS n FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            ), tcount AS (
+              SELECT n, count(*)::BIGINT AS n_tri FROM tn GROUP BY 1
+            ), deg AS (
+              SELECT n, count(*)::BIGINT AS degree
+              FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+              GROUP BY 1
+            )
+            SELECT deg.n AS node, degree,
+                   coalesce(n_tri, 0)::BIGINT AS n_triangles,
+                   CASE WHEN degree >= 2
+                        THEN round(2.0 * coalesce(n_tri, 0)
+                                   / (degree * (degree - 1.0)), 6)
+                        ELSE 0.0 END AS lcc
+            FROM deg LEFT JOIN tcount ON tcount.n = deg.n
         """,
         "dedup_embedding": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_PAIR} AS cos

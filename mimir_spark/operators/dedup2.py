@@ -1,0 +1,193 @@
+"""Second-generation dedup operators: prefix-filtered exact set-
+similarity join (AllPairs/PPJoin family) and SemDeDup-style semantic
+dedup over embeddings.
+
+Why another exact-Jaccard path: `dedup_ngram_jaccard` self-joins the
+full shingle table, so one boilerplate shingle shared by k documents
+produces k² join rows — quadratic in hot-shingle popularity. Prefix
+filtering (Chaudhuri et al. 2006 "A Primitive Operator for Similarity
+Joins"; Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search")
+keeps the output EXACT while joining only on each document's RAREST
+shingles: order the universe by document frequency, take the first
+|x| − ⌈t·|x|⌉ + 1 shingles of each doc, and any pair with J ≥ t is
+guaranteed to collide on at least one prefix element. Hot boilerplate
+shingles sit at the END of every prefix ordering, so they never
+generate candidates — the exact-path answer to the skew blowup,
+complementary to MinHash-LSH (which is probabilistic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import word_shingles
+from mimir_spark.functions.vectors import cosine_sim
+from mimir_spark.operators.dedup import SHINGLE_WORDS, N_EMB_CELLS, _spread
+from mimir_spark.sources.tables import load_table
+
+
+def dedup_jaccard_prefix(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs via PREFIX-FILTERED join —
+    output identical to `dedup_ngram_jaccard` (same oracle), different
+    plan shape:
+
+    1. per-doc distinct shingle set (one corpus scan);
+    2. global shingle document-frequency (vocabulary-sized aggregate,
+       map-side combined);
+    3. each doc's shingles ordered (df, shingle) ascending — rarest
+       first, deterministic tie-break — and cut to the prefix length
+       p = n − ⌈t·n⌉ + 1;
+    4. candidates = prefix self-join (keyed on the shingle's xxhash64 —
+       8-byte shuffle key; a hash collision only ADDS a candidate,
+       verification removes it) + the length filter
+       min(|A|,|B|) ≥ t·max(|A|,|B|) that J ≥ t implies;
+    5. exact verification: one array_intersect over the full string
+       shingle sets per candidate pair.
+
+    Guarantee (standard prefix-filter lemma): if J(A,B) ≥ t then A and
+    B share an element inside BOTH prefixes under any common total
+    order — pairs sharing only suffix (frequent) shingles cannot reach
+    the threshold. At 100 TB the candidate join's fan-out is bounded by
+    rare-shingle collisions instead of hot-shingle popularity²; the df
+    table is vocabulary-sized and the ordering sort is per-document
+    (array_sort inside the row, not a shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets_df = _spread(docs).select(
+        "doc_id", word_shingles("text", SHINGLE_WORDS).alias("sh_set")
+    )
+    ex = sets_df.select("doc_id", F.explode("sh_set").alias("sh"))
+    df_tbl = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(df_tbl, "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ord"))
+    )
+    n = F.size("ord")
+    p = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    prefix = ordered.select(
+        "doc_id",
+        n.alias("n_sh"),
+        F.explode(
+            F.slice(F.transform("ord", lambda s: F.xxhash64(s["sh"])), F.lit(1), p)
+        ).alias("h"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh")
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SEMDEDUP_THRESHOLD = 0.5
+
+
+def semdedup(
+    spark: SparkSession, sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with k-means-lite, then flag
+    WITHIN-CLUSTER semantic duplicates — a vector is a duplicate if
+    some LOWER-id member of its cell has cosine ≥ threshold (the
+    lowest-id member of every dup group survives, deterministic).
+    Output: (vec_id, cell, max_sim_prior, is_dup).
+
+    This is the approximation `dedup_embedding` is the exact twin of:
+    clustering makes the quadratic verification per-cell instead of
+    per-corpus, at the cost of missing cross-cell pairs — the trade
+    the published method makes deliberately (cross-cluster neighbours
+    are far by construction when clusters are tight).
+
+    Scale shape: centroid assignment is one broadcast join + map-side
+    max-struct aggregate (same pass as dedup_embedding); the per-cell
+    kernel is ONE NumPy matmul of the cell's normalized block via
+    applyInPandas — shuffle keyed on cell, corpus moved exactly once.
+    At 100 TB you raise the cell count so every cell fits an executor
+    (the paper runs 50k clusters for LAION-scale corpora); AQE splits
+    a skewed cell's shuffle partition but the kernel itself needs the
+    whole cell, which is why cell count — not partition count — is
+    the knob."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(N_EMB_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cent"))
+    )
+    if not cents.take(1):  # tiny-input fallback, same as dedup_embedding
+        cents = (
+            emb.orderBy("vec_id")
+            .limit(N_EMB_CELLS)
+            .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cent"))
+        )
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("sim", cosine_sim("embedding", "cent"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negc"))).alias(
+                "best"
+            ),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", (-F.col("best.negc")).alias("cell"))
+    )
+
+    def _cell_dups(key, pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        E = np.array(list(pdf["embedding"]), dtype=np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = np.round(En @ En.T, 6)
+        # max similarity to any STRICTLY LOWER-id member (ids sorted)
+        tril = np.tril(S, k=-1)
+        tril[np.triu_indices_from(S)] = -np.inf
+        max_prior = tril.max(axis=1)
+        max_prior[0] = -np.inf
+        out_max = np.where(np.isfinite(max_prior), max_prior, -1.0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": key[0],
+                "max_sim_prior": out_max,
+                "is_dup": (out_max >= threshold).astype(np.int64),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _cell_dups, "vec_id long, cell long, max_sim_prior double, is_dup long"
+    )

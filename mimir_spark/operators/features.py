@@ -173,6 +173,70 @@ def event_windows_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step ordered funnel (ClickHouse windowFunnel semantics,
+    earliest-chain variant): per user, how many steps of
+    view → click → purchase completed IN ORDER within 1 hour of the
+    first view. Output is the funnel histogram (n_steps, n_users) —
+    the conversion report product analytics reads off an event stream.
+
+    Deterministic "earliest chain" semantics: step 1 anchors at the
+    user's first view; step k+1 is the first qualifying event strictly
+    after step k and within the window of the anchor. Each step is a
+    per-user min aggregate over a filtered scan joined to the previous
+    step — every shuffle is keyed on user_id, so after the first
+    exchange the step joins and aggregates reuse the same partitioning
+    (no re-shuffle; locally AQE coalesces, on a cluster the exchange
+    is planned once). The histogram at the end is |steps|+1 rows.
+
+    Comparisons stay on the native TIMESTAMP (+ interval arithmetic):
+    the corpus carries microsecond precision, and an epoch-SECONDS
+    projection would shift events across the strict `>` boundaries
+    relative to the oracle's interval comparisons."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", "ts")
+    win = F.expr("INTERVAL 1 HOUR")
+    s1 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    steps = (
+        users.join(s1.select("user_id", "t1"), "user_id", "left")
+        .join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("n_steps")
+        )
+    )
+    return steps.groupBy("n_steps").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
 def hourly_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation between hour-of-day and event value, per
     event type — the cyclical-pattern screen a feature-engineering

@@ -247,16 +247,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs inside the join row (measured ~20% faster end-to-end, and
     one fewer job since n_edges falls out of the same aggregate).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = po.alias("a"), po.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    edges = _part_cooccurrence_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("n"))
         .union(edges.select(F.col("v").alias("n")))
@@ -306,16 +297,7 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out), per-node degree agg, then the tiny degree histogram.
     Shuffles: edge distinct, node agg, histogram agg — all
     partial-aggregated; nothing is ever ordered globally."""
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = po.alias("a"), po.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    edges = _part_cooccurrence_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("n"))
         .union(edges.select(F.col("v").alias("n")))
@@ -328,6 +310,140 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deg",
         "n_nodes",
         F.round(F.col("n_nodes") / F.col("total_nodes"), 6).alias("node_share"),
+    )
+
+
+def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (u < v) edge set of the part co-occurrence graph —
+    the shared edge generator behind triangle_count /
+    degree_distribution / clustering_coefficient / k_core. Within-order
+    self-join only (bounded per-order fan-out), then distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = po.alias("a"), po.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient of the part co-occurrence
+    graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each
+    node's neighbourhood is to a clique, the standard community /
+    link-farm signal one step past raw triangle counts.
+
+    Same degree-oriented adjacency-intersection core as
+    `triangle_count`, but the per-edge intersection is EXPLODED so each
+    triangle {u,v,w} credits all three corners (fan-out = 3·triangles,
+    the output's natural size — never the wedge table). Per-node
+    credits union three projections of that one intermediate, then a
+    node-keyed aggregate; degrees come from the same |E|-sized shuffle
+    as degree_distribution. Nodes with deg < 2 report lcc = 0."""
+    edges = _part_cooccurrence_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("degree").alias("deg_v"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    au = adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nv"))
+    tri = (
+        oriented.join(au, oriented.src == F.col("u2"))
+        .join(av, oriented.dst == F.col("v2"))
+        .select(
+            "src",
+            "dst",
+            F.explode(F.array_intersect("nu", "nv")).alias("w"),
+        )
+    )
+    credits = (
+        tri.select(F.col("src").alias("n"))
+        .union(tri.select(F.col("dst").alias("n")))
+        .union(tri.select(F.col("w").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return deg.join(credits, "n", "left").select(
+        F.col("n").alias("node"),
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1.0)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+K_CORE_K = 3
+K_CORE_MAX_ITERS = 30
+
+
+def k_core(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CORE_K,
+    max_iters: int = K_CORE_MAX_ITERS,
+) -> DataFrame:
+    """The k-core of the part co-occurrence graph: the maximal subgraph
+    where every node has degree ≥ k — the classic dense-region /
+    spam-cluster extractor (peeling off low-degree fringe exposes the
+    tightly-coupled boilerplate clusters near-dup pairs come from).
+
+    Iterative peel, the BFS-shaped driver loop: each round computes
+    degrees over the CURRENT edge set (one |E|-shuffle, map-side
+    combined), drops nodes below k via two anti-joins of the (tiny,
+    broadcastable) drop list against the edge table, and stops when no
+    node dropped — the driver only ever sees a scalar count. Edge
+    lineage is cut per round with lazy localCheckpoint materialized by
+    that same count (one job per round). Rounds needed = peel depth,
+    typically ≪ diameter. Output: (node, degree_in_core)."""
+    e = _part_cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
+
+    def _deg(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("u").alias("n"))
+            .union(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+
+    for _ in range(max_iters):
+        deg = _deg(e)
+        drop = deg.filter(F.col("d") < k).select("n").localCheckpoint(eager=False)
+        if drop.count() == 0:
+            break
+        e = (
+            e.join(drop.withColumnRenamed("n", "u"), "u", "left_anti")
+            .join(drop.withColumnRenamed("n", "v"), "v", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if e.count() == 0:
+            break
+    return _deg(e).select(
+        F.col("n").alias("node"), F.col("d").cast("long").alias("degree_in_core")
     )
 
 

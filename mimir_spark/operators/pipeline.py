@@ -78,6 +78,36 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_K = 16
+
+
+def sample_reservoir(
+    spark: SparkSession, sf_dir: str, k: int = RESERVOIR_K
+) -> DataFrame:
+    """Deterministic fixed-size sample per language: exactly k docs per
+    stratum (fewer if the stratum is smaller), chosen as the k smallest
+    multiplicative-hash values of doc_id — the reproducible analogue of
+    a per-stratum reservoir sample. Where `sample_stratified` fixes the
+    RATE (output size drifts with the stratum), this fixes the SIZE —
+    the eval-split / human-review-batch contract.
+
+    Shape: rank = row_number over (hash, doc_id) per language, filtered
+    to ≤ k. Spark's WindowGroupLimit pushes the rank filter into the
+    sort (each partition keeps a k-sized heap before the exchange), so
+    the shuffle carries ≤ k·partitions rows per language, never the
+    stratum — the distributed-TakeOrdered shape, same as vocab_encode."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    w = Window.partitionBy("lang").orderBy(u.alias("u"), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "lang", "rk")
+    )
+
+
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-WEIGHTED deterministic sampling: each doc is kept with
     probability proportional to its length signal

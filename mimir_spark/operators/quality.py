@@ -195,3 +195,38 @@ def unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail quality split: per language, docs are
+    bucketed by their LM cross-entropy (unigram_logppl) against the
+    language's p33/p67 thresholds — the partition CCNet publishes its
+    corpus in, and the knob ("train on head+middle") most pipelines
+    turn first.
+
+    THRESHOLD-based, not ntile: a per-language window over every doc
+    row would sort a whole language inside one partition — at 100 TB
+    the dominant language IS the corpus. Instead a tiny per-language
+    percentile aggregate (partial-aggregatable) broadcasts back onto
+    the scored table, so bucketing is one map-side comparison.
+    Thresholds and scores are both 6dp-rounded before comparing
+    (engine-portable, same contract as winsorize_events)."""
+    ce = unigram_logppl(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = ce.join(langs, "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.percentile("cross_entropy", 0.33), 6).alias("p33"),
+        F.round(F.percentile("cross_entropy", 0.67), 6).alias("p67"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "cross_entropy",
+            F.when(F.col("cross_entropy") <= F.col("p33"), "head")
+            .when(F.col("cross_entropy") <= F.col("p67"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
