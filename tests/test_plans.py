@@ -343,3 +343,37 @@ def test_dup_span_islands_no_selfjoin(spark, sf_correct):
     assert "CartesianProduct" not in plan
     # the only join is occurrence ⋈ per-shingle stats (equi on the hash)
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_prefix_join_no_cartesian(spark, sf_correct):
+    """The prefix-filtered Jaccard join must stay equi-join shaped
+    everywhere: prefix self-join on the shingle hash, set lookups on
+    doc_id — an inequality-only join would plan as a nested loop."""
+    from mimir_spark.operators.dedup2 import dedup_jaccard_prefix
+
+    df = dedup_jaccard_prefix(spark, sf_correct)
+    assert_no_cartesian(df)
+
+
+def test_sample_reservoir_window_group_limit(spark, sf_correct):
+    """The per-stratum top-k rank filter must be pushed into the sort
+    as a WindowGroupLimit (per-partition k-heaps before the exchange) —
+    the property that keeps the shuffle k-bounded instead of
+    stratum-sized."""
+    from mimir_spark.operators.pipeline import sample_reservoir
+
+    df = sample_reservoir(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_semdedup_single_cell_shuffle(spark, sf_correct):
+    """SemDeDup's kernel input must reach the per-cell applyInPandas
+    through cell-keyed exchanges only — never a pair-level join or a
+    cartesian (the point of cluster blocking)."""
+    from mimir_spark.operators.dedup2 import semdedup
+
+    df = semdedup(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan
