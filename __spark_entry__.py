@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": graph.clustering_coefficient,
         "k_core": graph.k_core,
         "semdedup": dedup2.semdedup,
+        "label_propagation": graph.label_propagation,
         "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,

@@ -51,6 +51,10 @@ HEADLINE = [
     # token-linear span-removal pass (cleaned-corpus output)
     "hll_distinct",
     "dedup_span_removal",
+    # round-4 additions: the skew-proof EXACT dedup path (prefix
+    # filtering) and the published embedding-dedup recipe (SemDeDup)
+    "dedup_jaccard_prefix",
+    "semdedup",
 ]
 
 

@@ -534,3 +534,69 @@ def connected_components_star(
             F.coalesce("component", F.col("node")).alias("component"),
         )
     )
+
+
+LPA_ITERS = 5
+
+
+def _label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous label propagation over an undirected edge set
+    (src/dst in either orientation): every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbours (ties → smallest label). Deterministic by construction
+    (synchronous + total tie-break), unlike the async/randomized
+    textbook variant.
+
+    Each round is two aggregates — (node, label) vote counts, then a
+    per-node argmax via max-struct (both map-side combined, keyed on
+    node) — against a statically cached neighbour table; lineage cut
+    per round with lazy localCheckpoint materialized by a count.
+    Rounds are fixed (communities stabilize in a few rounds; a
+    convergence test would add a whole-table compare per round)."""
+    nbrs = (
+        edges.selectExpr("src AS u", "dst AS v")
+        .union(edges.selectExpr("dst AS u", "src AS v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        nbrs.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        votes = (
+            nbrs.join(labels, nbrs.u == labels.node)
+            .groupBy(F.col("v").alias("n2"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        new_labels = (
+            votes.groupBy("n2")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias(
+                    "b"
+                )
+            )
+            .select(F.col("n2").alias("node"), (-F.col("b.neg")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        new_labels.count()
+        labels = new_labels
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def label_propagation(
+    spark: SparkSession, sf_dir: str, iters: int = LPA_ITERS
+) -> DataFrame:
+    """Community detection on the part co-occurrence graph by
+    synchronous label propagation — the cheap community pass (near-
+    linear per round) that groups parts into co-purchase communities;
+    on a dedup pair graph the same core splits a giant component into
+    usable sub-communities where connected components alone is too
+    coarse. Output: (node, community). Rows-only at the driver gate
+    (iterative); pinned on a hand-built two-clique graph in tests."""
+    edges = _part_cooccurrence_edges(spark, sf_dir).selectExpr(
+        "u AS src", "v AS dst"
+    )
+    return _label_propagation(edges, iters)

@@ -154,3 +154,46 @@ def write_packed_shards(
         )
         .orderBy("lang", "shard")
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC reader — the second columnar format large estates carry
+    (Hive-era tables). Same pushdown/pruning story as parquet: filters
+    and column selection reach the ORC scan."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """ORC writer, partition-aware like write_partitioned_parquet."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def upsert_partitions(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Incremental partition upsert: overwrite ONLY the partitions
+    present in `updates`, leave every other partition untouched — the
+    idempotent daily-ingest pattern for a long-lived partitioned
+    corpus (re-running a day's batch replaces that day, never
+    truncates the table). Implemented with Spark's dynamic partition
+    overwrite (`partitionOverwriteMode=dynamic`), scoped to this write
+    via the DataFrameWriter option so the session default is not
+    mutated. At 100 TB this is the difference between rewriting a
+    table and rewriting a day."""
+    (
+        updates.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -213,3 +213,33 @@ def test_k_core_fixed_point(spark, sf_smoke):
     want = {n: len(ns) for n, ns in adj.items()}
     assert got == want
     assert all(d >= k for d in got.values()) or not got
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge must resolve to
+    two communities (each clique's min node id)."""
+    edges = []
+    for base in (0, 10):
+        ids = [base + i for i in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((3, 10))  # bridge
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in graph._label_propagation(edf, iters=5).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 10, 11, 12, 13}
+    left = {got[n] for n in (0, 1, 2)}
+    right = {got[n] for n in (11, 12, 13)}
+    assert left == {0}
+    assert right == {10}
+    assert len(set(got.values())) == 2
+
+
+def test_label_propagation_runs_on_part_graph(spark, sf_smoke):
+    rows = graph.label_propagation(spark, sf_smoke).collect()
+    nodes = {r.node for r in rows}
+    n_comm = len({r.community for r in rows})
+    assert rows and 1 <= n_comm <= len(nodes)
+    # every community label is itself a node id
+    assert {r.community for r in rows} <= nodes
