@@ -955,10 +955,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT deg.n AS node, degree,
                    coalesce(n_tri, 0)::BIGINT AS n_triangles,
+                   -- e-notation literals: Spark SQL parses 2.0 as
+                   -- DECIMAL (DuckDB as DOUBLE); 2e0 is DOUBLE in both
                    CASE WHEN degree >= 2
-                        THEN round(2.0 * coalesce(n_tri, 0)
-                                   / (degree * (degree - 1.0)), 6)
-                        ELSE 0.0 END AS lcc
+                        THEN round(2e0 * coalesce(n_tri, 0)
+                                   / (degree * (degree - 1e0)), 6)
+                        ELSE 0e0 END AS lcc
             FROM deg LEFT JOIN tcount ON tcount.n = deg.n
         """,
         "dedup_embedding": f"""

@@ -37,6 +37,7 @@ PROBES = [
     "triangle_count",
     "dedup_span_removal",
     "hll_distinct",
+    "dedup_jaccard_prefix",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -48,6 +49,7 @@ INPUT_TABLES = {
     "triangle_count": "lineitem",
     "dedup_span_removal": "documents",
     "hll_distinct": "events",
+    "dedup_jaccard_prefix": "documents",
 }
 
 

@@ -51,6 +51,9 @@ SQL_PORTABLE = [
     "q21_waiting_suppliers",
     "hourly_value_correlation",
     "sample_weighted",
+    "window_funnel",
+    "sample_reservoir",
+    "clustering_coefficient",
 ]
 
 
