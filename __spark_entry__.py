@@ -32,6 +32,7 @@ from mimir_spark.operators import (
     relational2,
     relational3,
     relational4,
+    retrieval,
     similarity,
     textstats,
     textstats2,
@@ -92,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": graph.k_core,
         "semdedup": dedup2.semdedup,
         "label_propagation": graph.label_propagation,
+        "bm25_topk": retrieval.bm25_topk,
         "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
@@ -920,6 +922,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.cross_entropy <= c.p67 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored s JOIN cuts c ON c.lang = s.lang
+        """,
+        "bm25_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, w, count(*)::BIGINT AS tf
+              FROM tok WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2
+            ), dft AS (
+              SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT tf.doc_id,
+                     round(SUM(
+                       LN((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                     ), 6) AS score
+              FROM tf JOIN dft USING (w)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+                     AS rank
+            FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
         """,
         "sample_reservoir": """
             SELECT doc_id, lang, rk FROM (

@@ -1,0 +1,91 @@
+"""Lexical retrieval scoring — the BM25 ranking pass a corpus search /
+retrieval-augmentation pipeline runs over the documents table.
+
+BM25 (Robertson/Spärck Jones probabilistic relevance framework, the
+Okapi formulation) is the standard pre-neural ranking function and the
+usual first-stage retriever in front of embedding re-rankers. The
+whole computation is relational: per-doc term frequencies, per-term
+document frequencies, document lengths — three aggregates and a
+vocabulary-sized join, every stage map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import tokens_col
+from mimir_spark.sources.tables import load_table
+
+# Fixed deterministic query (terms present in the synthetic corpus);
+# a real deployment parameterizes this per request.
+BM25_QUERY = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a fixed term set.
+
+    score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the
+    always-positive Lucene variant).
+
+    Scale shape: one token scan feeds both the per-doc length table
+    and the query-term tf table (Catalyst shares the scan); df and the
+    (N, avgdl) scalars are tiny aggregates broadcast back — the only
+    corpus-keyed shuffle is the per-doc tf groupBy. The final top-k is
+    orderBy+limit, which Spark executes as distributed TakeOrdered
+    (per-partition k-heaps, k-sized driver merge), never a global
+    sort; the rank column is attached to those k rows afterwards.
+    avgdl and scores are 6dp-rounded so ranking is engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score", "rank"
+    )

@@ -243,3 +243,41 @@ def test_label_propagation_runs_on_part_graph(spark, sf_smoke):
     assert rows and 1 <= n_comm <= len(nodes)
     # every community label is itself a node id
     assert {r.community for r in rows} <= nodes
+
+
+def test_bm25_python_reference(spark, sf_smoke):
+    import math
+
+    from mimir_spark.operators import retrieval
+
+    docs = {
+        r.doc_id: r.text.split()
+        for r in load_table(spark, sf_smoke, "documents").collect()
+    }
+    n_docs = len(docs)
+    avgdl = round(sum(len(t) for t in docs.values()) / n_docs, 6)
+    terms = retrieval.BM25_QUERY
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in terms
+    }
+    scores = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1)
+            s += idf * tf * (retrieval.BM25_K1 + 1) / (
+                tf
+                + retrieval.BM25_K1
+                * (1 - retrieval.BM25_B + retrieval.BM25_B * len(toks) / avgdl)
+            )
+        if s:
+            scores[d] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.doc_id, r.score)
+        for r in retrieval.bm25_topk(spark, sf_smoke).orderBy("rank").collect()
+    ]
+    assert got == want

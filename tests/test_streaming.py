@@ -548,3 +548,46 @@ def test_streaming_bloom_dedup_flags_cross_batch_dups(spark, sf_smoke, tmp_path)
     n_b1 = len(b1_rows)
     false_pos = len(flagged - true_dups)
     assert false_pos / n_b1 < 0.05, (false_pos, n_b1)
+
+
+def test_streaming_reservoir_matches_batch(spark, sf_smoke, tmp_path):
+    """Per-batch local top-k candidates merged across micro-batches
+    must equal the batch reservoir exactly — k-smallest-of-union is
+    recoverable from k-smallest-of-each-part."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.pipeline import sample_reservoir
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.reservoir import (
+        finalize_reservoir,
+        streaming_reservoir_build,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_reservoir_build(
+        spark, flat, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_id, r.lang, r.rk)
+        for r in finalize_reservoir(spark, str(tmp_path / "state")).collect()
+    }
+    expect = {
+        (r.doc_id, r.lang, r.rk)
+        for r in sample_reservoir(spark, sf_smoke).collect()
+    }
+    assert got and got == expect
