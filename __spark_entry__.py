@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": dedup2.semdedup,
         "label_propagation": graph.label_propagation,
         "bm25_topk": retrieval.bm25_topk,
+        "hybrid_retrieval": retrieval.hybrid_retrieval,
         "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
@@ -955,6 +956,58 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
                      AS rank
             FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+        """,
+        "hybrid_retrieval": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, w, count(*)::BIGINT AS tf
+              FROM tok WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2
+            ), dft AS (
+              SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT tf.doc_id,
+                     round(SUM(
+                       LN((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                     ), 6) AS score
+              FROM tf JOIN dft USING (w)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ), pool AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+                       AS bm25_rank
+              FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 50)
+            ), qv AS (
+              SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), rescored AS (
+              SELECT p.doc_id, p.bm25_rank,
+                     round(
+                       list_sum(list_transform(generate_series(1, 64),
+                         i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                          * sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))), 6)
+                       AS cos
+              FROM pool p
+              JOIN embeddings e ON e.vec_id = p.doc_id
+              CROSS JOIN qv q
+            )
+            SELECT doc_id, bm25_rank, cos,
+                   row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT AS rank
+            FROM (SELECT * FROM rescored ORDER BY cos DESC, doc_id LIMIT 10)
         """,
         "sample_reservoir": """
             SELECT doc_id, lang, rk FROM (

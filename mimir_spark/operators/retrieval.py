@@ -89,3 +89,52 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "score", "rank"
     )
+
+
+HYBRID_POOL = 50
+HYBRID_K = 10
+HYBRID_QUERY_VEC = 0  # vec_id of the query embedding
+
+
+def hybrid_retrieval(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY,
+    k: int = HYBRID_K,
+    pool: int = HYBRID_POOL,
+) -> DataFrame:
+    """Two-stage retrieval, the standard RAG shape: a cheap lexical
+    first stage (BM25 top-`pool`) followed by an embedding cosine
+    re-rank of just that pool against a query vector. The expensive
+    vector math touches `pool` rows however large the corpus — the
+    whole point of staging — and the first stage is the TakeOrdered
+    plan of `bm25_topk`.
+
+    The pool joins the embeddings table on its primary key (doc_id =
+    vec_id, pool-sized semi-ish join); the query vector rides a 1-row
+    broadcast (never a collect on the scoring path is needed — the
+    cross join is the scalar-broadcast pattern shared with q11).
+    Output: (doc_id, bm25_rank, cos, rank) — cosine 6dp-rounded,
+    (cos desc, doc_id) final order, engine-portable."""
+    from mimir_spark.functions.vectors import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = bm25_topk(spark, sf_dir, terms=terms, k=pool).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        first.join(emb, first.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos", F.round(cosine_sim("embedding", "qe"), 6))
+        .select("doc_id", "bm25_rank", "cos")
+    )
+    top = scored.orderBy(F.col("cos").desc(), "doc_id").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cos").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "bm25_rank", "cos", "rank"
+    )

@@ -377,3 +377,14 @@ def test_semdedup_single_cell_shuffle(spark, sf_correct):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan
+
+
+def test_bm25_top_k_is_take_ordered(spark, sf_correct):
+    """The retrieval top-k must plan as distributed TakeOrdered
+    (per-partition k-heaps + k-sized driver merge), never a global
+    sort of every scored document."""
+    from mimir_spark.operators.retrieval import bm25_topk
+
+    df = bm25_topk(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
