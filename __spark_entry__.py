@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": graph.label_propagation,
         "bm25_topk": retrieval.bm25_topk,
         "hybrid_retrieval": retrieval.hybrid_retrieval,
+        "dedup_method_agreement": dedup2.dedup_method_agreement,
         "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,

@@ -203,3 +203,63 @@ def semdedup(
     return assigned.groupBy("cell").applyInPandas(
         _cell_dups, "vec_id long, cell long, max_sim_prior double, is_dup long"
     )
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method near-dup AGREEMENT matrix: for every pair of pair
+    sources (exact shingle Jaccard, prefix-filtered Jaccard,
+    MinHash+LSH, SimHash), how many duplicate pairs each finds and how
+    many they share — the calibration artifact a pipeline owner reads
+    before choosing the production method/threshold (the dedup-wide
+    generalization of `minhash_dedup_recall`'s two-method report).
+
+    All four pair sets are candidate-sized (orders of magnitude
+    smaller than the corpus), so the comparison joins are trivial next
+    to pair generation; the expensive generators run once each and are
+    localCheckpointed so the 6 pairwise comparisons don't re-run them.
+    Rows-only at the driver gate (MinHash/SimHash permutations aren't
+    SQL-portable)."""
+    from mimir_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+
+    methods = {
+        "jaccard": dedup_ngram_jaccard,
+        "prefix": dedup_jaccard_prefix,
+        "minhash": dedup_minhash_lsh,
+        "simhash": dedup_simhash,
+    }
+    pair_sets = {
+        name: fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+        for name, fn in methods.items()
+    }
+    counts = {name: df.count() for name, df in pair_sets.items()}
+    rows = []
+    names = sorted(methods)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            n_common = (
+                pair_sets[a]
+                .join(pair_sets[b], ["doc_a", "doc_b"], "left_semi")
+                .count()
+            )
+            union = counts[a] + counts[b] - n_common
+            rows.append(
+                (
+                    a,
+                    b,
+                    counts[a],
+                    counts[b],
+                    n_common,
+                    round(n_common / union, 6) if union else 1.0,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "method_a string, method_b string, n_a long, n_b long, "
+        "n_common long, pair_jaccard double",
+    )

@@ -206,9 +206,14 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     THRESHOLD-based, not ntile: a per-language window over every doc
     row would sort a whole language inside one partition — at 100 TB
-    the dominant language IS the corpus. Instead a tiny per-language
-    percentile aggregate (partial-aggregatable) broadcasts back onto
-    the scored table, so bucketing is one map-side comparison.
+    the dominant language IS the corpus. Instead a per-language
+    percentile aggregate broadcasts its two cut points back onto the
+    scored table, so bucketing is one map-side comparison. Caveat the
+    oracle imposes: EXACT percentile buffers the group's values in the
+    aggregate state, so at true corpus scale you swap the cut-point
+    aggregate for the engine's sketch path (ddsketch_quantiles /
+    histogram_quantiles — bounded state, same broadcast-threshold
+    plan); exact percentile is the small-SF value-parity choice.
     Thresholds and scores are both 6dp-rounded before comparing
     (engine-portable, same contract as winsorize_events)."""
     ce = unigram_logppl(spark, sf_dir)

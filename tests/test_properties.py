@@ -156,3 +156,46 @@ def test_star_cc_matches_union_find(spark, edges):
         for r in connected_components_star(e).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.data(),
+    st.floats(min_value=0.3, max_value=0.9),
+)
+def test_prefix_filter_lemma(data, threshold):
+    """The guarantee dedup_jaccard_prefix relies on, checked directly:
+    for ANY two sets with J ≥ t, the df-ordered prefixes of length
+    n − ceil(t·n) + 1 share at least one element. Pure-Python mirror
+    of the operator's prefix construction (universe ordered by
+    (frequency, element), rarest first) over random small universes —
+    no Spark, so hypothesis can hammer it."""
+    import math
+    from collections import Counter
+
+    universe = list(range(12))
+    n_docs = data.draw(st.integers(min_value=2, max_value=6))
+    docs = [
+        data.draw(
+            st.sets(st.sampled_from(universe), min_size=1, max_size=10),
+            label=f"doc{i}",
+        )
+        for i in range(n_docs)
+    ]
+    df = Counter(x for s in docs for x in set(s))
+    order = {x: (df[x], x) for x in universe}
+
+    def prefix(s):
+        n = len(s)
+        p = n - math.ceil(threshold * n) + 1
+        return set(sorted(s, key=lambda x: order[x])[:p])
+
+    for i in range(n_docs):
+        for j in range(i + 1, n_docs):
+            a, b = docs[i], docs[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                assert prefix(a) & prefix(b), (
+                    f"lemma violated: J={jac} t={threshold} a={a} b={b} "
+                    f"pa={prefix(a)} pb={prefix(b)}"
+                )

@@ -281,3 +281,16 @@ def test_bm25_python_reference(spark, sf_smoke):
         for r in retrieval.bm25_topk(spark, sf_smoke).orderBy("rank").collect()
     ]
     assert got == want
+
+
+def test_dedup_method_agreement_consistency(spark, sf_smoke):
+    rows = dedup2.dedup_method_agreement(spark, sf_smoke).collect()
+    assert len(rows) == 6  # C(4,2) method pairs
+    by_pair = {(r.method_a, r.method_b): r for r in rows}
+    for r in rows:
+        assert r.method_a < r.method_b
+        assert 0 <= r.n_common <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.pair_jaccard <= 1.0
+    # prefix join IS the exact jaccard pair set — agreement must be total
+    r = by_pair[("jaccard", "prefix")]
+    assert r.n_a == r.n_b == r.n_common and r.pair_jaccard == 1.0
