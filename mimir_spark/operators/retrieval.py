@@ -48,14 +48,23 @@ def bm25_topk(
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
     dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("dl"), 6).alias("avgdl"),
-    )
     tf = (
         tok.filter(F.col("w").isin(*terms))
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast("long").alias("tf"))
+    )
+    return bm25_rank_from_parts(tf, dl, k)
+
+
+def bm25_rank_from_parts(tf: DataFrame, dl: DataFrame, k: int) -> DataFrame:
+    """Score + rank from the two index tables — (doc_id, w, tf) for the
+    query terms and (doc_id, dl). Shared verbatim by the batch operator
+    and the streaming finalizer (streaming/bm25.py), so incremental and
+    single-pass rankings are bit-identical: tf/dl/df/N are all sum-
+    monoid state, and this is the only scoring code path."""
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
     )
     df_t = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     scored = (

@@ -1,0 +1,78 @@
+"""Incremental (streaming) BM25 index build.
+
+Every statistic BM25 needs is a SUM monoid over disjoint document
+batches: per-doc term frequencies for the query vocabulary, per-doc
+lengths, and (derived at finalize) document frequencies, N, and avgdl.
+So per-micro-batch partial index tables merge into exactly the
+single-pass index, and the finalizer ranks through the SAME code path
+as the batch operator (`retrieval.bm25_rank_from_parts`) — incremental
+and batch rankings are bit-identical (pytest-pinned).
+
+State layout follows the streaming-sketch recipe (cms.py): each batch
+overwrites its own ``batch_id=N`` subdirectory, so an at-least-once
+foreachBatch retry rewrites its own partial instead of double-counting
+term frequencies. State volume is (batch docs × |terms|) + batch docs
+rows per batch — the index, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from mimir_spark.functions.text import tokens_col
+from mimir_spark.operators.retrieval import (
+    BM25_QUERY,
+    BM25_TOPK,
+    bm25_rank_from_parts,
+)
+from mimir_spark.streaming.jobs import read_documents_stream
+
+
+def streaming_bm25_build(
+    spark: SparkSession,
+    input_dir: str,
+    tf_dir: str,
+    dl_dir: str,
+    checkpoint_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY,
+    glob: str = "*.parquet",
+) -> StreamingQuery:
+    """Start the incremental index builder over a documents stream.
+    Write-only hot path: one token scan per batch feeds both the
+    query-term tf partial and the doc-length partial."""
+    docs_stream = read_documents_stream(spark, input_dir, glob=glob)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        tok = batch.select(
+            "doc_id", F.explode(tokens_col("text")).alias("w")
+        ).localCheckpoint(eager=True)
+        tf = (
+            tok.filter(F.col("w").isin(*terms))
+            .groupBy("doc_id", "w")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+        dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+        tf.write.mode("overwrite").parquet(f"{tf_dir}/batch_id={batch_id}")
+        dl.write.mode("overwrite").parquet(f"{dl_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def finalize_bm25_topk(
+    spark: SparkSession, tf_dir: str, dl_dir: str, k: int = BM25_TOPK
+) -> DataFrame:
+    """Merge the partial index tables (each doc lives in exactly one
+    batch, so the merge is a plain union read) and rank through the
+    batch operator's scoring code — identical output to `bm25_topk`
+    on the same corpus."""
+    tf = spark.read.parquet(tf_dir).select("doc_id", "w", "tf")
+    dl = spark.read.parquet(dl_dir).select("doc_id", "dl")
+    return bm25_rank_from_parts(tf, dl, k)

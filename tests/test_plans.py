@@ -388,3 +388,23 @@ def test_bm25_top_k_is_take_ordered(spark, sf_correct):
     df = bm25_topk(spark, sf_correct)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_correctness_does_not_depend_on_aqe(spark, sf_correct):
+    """Representative ops re-run in a sibling session with AQE (and
+    its skew/coalesce re-planning) OFF must produce identical rows —
+    pins that no operator accidentally relies on adaptive re-planning
+    for correctness (a cluster may run with different AQE settings)."""
+    from mimir_spark.operators import dedup2, relational
+    from mimir_spark.operators.features import window_funnel
+
+    plain = spark.newSession()
+    plain.conf.set("spark.sql.adaptive.enabled", "false")
+    for fn in (
+        relational.q5_nation_revenue,
+        dedup2.dedup_jaccard_prefix,
+        window_funnel,
+    ):
+        base = {tuple(r) for r in fn(spark, sf_correct).collect()}
+        off = {tuple(r) for r in fn(plain, sf_correct).collect()}
+        assert base == off, fn.__name__

@@ -591,3 +591,53 @@ def test_streaming_reservoir_matches_batch(spark, sf_smoke, tmp_path):
         for r in sample_reservoir(spark, sf_smoke).collect()
     }
     assert got and got == expect
+
+
+def test_streaming_bm25_matches_batch(spark, sf_smoke, tmp_path):
+    """Per-batch partial index tables (tf, dl) merged across
+    micro-batches and ranked through the shared scorer must equal the
+    batch BM25 ranking exactly — every statistic is a sum monoid over
+    disjoint document batches."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.retrieval import bm25_topk
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.bm25 import (
+        finalize_bm25_topk,
+        streaming_bm25_build,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_bm25_build(
+        spark,
+        flat,
+        str(tmp_path / "tf"),
+        str(tmp_path / "dl"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = [
+        (r.doc_id, r.score, r.rank)
+        for r in finalize_bm25_topk(
+            spark, str(tmp_path / "tf"), str(tmp_path / "dl")
+        ).orderBy("rank").collect()
+    ]
+    expect = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_topk(spark, sf_smoke).orderBy("rank").collect()
+    ]
+    assert got and got == expect
