@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": retrieval.bm25_topk,
         "hybrid_retrieval": retrieval.hybrid_retrieval,
         "dedup_method_agreement": dedup2.dedup_method_agreement,
+        "dedup_containment_prefix": dedup2.dedup_containment_prefix,
         "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
@@ -1876,6 +1877,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND n_dups >= 2
         """,
         "dedup_containment": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(n_common / least(sa.n, sb.n), 6) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common / least(sa.n, sb.n), 6) >= 0.8
+        """,
+        # identical output contract to dedup_containment — asymmetric
+        # prefix filtering changes the PLAN, never the pair set.
+        "dedup_containment_prefix": f"""
             WITH sh AS ({_SHINGLES}),
             sizes AS (SELECT doc_id, len(s) AS n FROM sh),
             ex AS (SELECT doc_id, unnest(s) AS g FROM sh),

@@ -263,3 +263,86 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method_a string, method_b string, n_a long, n_b long, "
         "n_common long, pair_jaccard double",
     )
+
+
+def dedup_containment_prefix(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Exact shingle CONTAINMENT ≥ threshold pairs via ASYMMETRIC
+    prefix filtering — output identical to `dedup_containment` (same
+    oracle), without its full shingle self-join.
+
+    Containment C(A,B) = |A∩B| / min(|A|,|B|) only constrains the
+    SMALLER set, so the prefix lemma applies one-sided: if the
+    intersection avoided the smaller set's (df-ordered) prefix of
+    length n − ⌈t·n⌉ + 1, then |A∩B| ≤ ⌈t·n⌉ − 1 < t·min — so every
+    qualifying pair collides between the smaller doc's PREFIX and the
+    other doc's FULL set. Candidates therefore come from
+    prefix-table ⋈ full-occurrence-table (size_prefix ≤ size_other;
+    the equal-size tie keeps doc-id order to avoid double emission),
+    and the prefix side only ever carries RARE shingles — the df
+    ordering pushes boilerplate shingles out of prefixes, which is
+    what bounds the join against hot-shingle fan-out. Verification is
+    one array_intersect per candidate over the hashed sets (64-bit
+    collision odds ~1e-14/pair — see dedup_jaccard_prefix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hsets = _spread(docs).select(
+        "doc_id",
+        F.transform(
+            word_shingles("text", SHINGLE_WORDS), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    )
+    ex = hsets.select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
+    )
+    df_tbl = ex.groupBy("h").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ord"))
+    )
+    n = F.size("ord")
+    p = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    prefix = ordered.select(
+        F.col("doc_id").alias("small_id"),
+        n.alias("n_small"),
+        F.explode(
+            F.slice(F.transform("ord", lambda s: s["h"]), F.lit(1), p)
+        ).alias("h"),
+    )
+    full = ex.select(
+        F.col("doc_id").alias("big_id"), F.col("n_sh").alias("n_big"), "h"
+    )
+    pa, fb = prefix.alias("p"), full.alias("f")
+    cand = (
+        pa.join(
+            fb,
+            (F.col("p.h") == F.col("f.h"))
+            & (F.col("p.small_id") != F.col("f.big_id"))
+            & (
+                (F.col("p.n_small") < F.col("f.n_big"))
+                | (
+                    (F.col("p.n_small") == F.col("f.n_big"))
+                    & (F.col("p.small_id") < F.col("f.big_id"))
+                )
+            ),
+        )
+        .select(
+            F.least("p.small_id", "f.big_id").alias("doc_a"),
+            F.greatest("p.small_id", "f.big_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    sb = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least(F.size("sh_a"), F.size("sh_b")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -294,3 +294,17 @@ def test_dedup_method_agreement_consistency(spark, sf_smoke):
     # prefix join IS the exact jaccard pair set — agreement must be total
     r = by_pair[("jaccard", "prefix")]
     assert r.n_a == r.n_b == r.n_common and r.pair_jaccard == 1.0
+
+
+def test_containment_prefix_equals_self_join(spark, sf_smoke):
+    """Asymmetric prefix filtering must reproduce the containment
+    self-join pair set exactly (the one-sided lemma's promise)."""
+    exact = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in dedup.dedup_containment(spark, sf_smoke).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in dedup2.dedup_containment_prefix(spark, sf_smoke).collect()
+    }
+    assert pref == exact and exact
