@@ -26,6 +26,7 @@ from mimir_spark.operators import (
     octree,
     packing,
     pipeline,
+    profiling,
     sketches,
     quality,
     relational,
@@ -97,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": retrieval.hybrid_retrieval,
         "dedup_method_agreement": dedup2.dedup_method_agreement,
         "dedup_containment_prefix": dedup2.dedup_containment_prefix,
+        "table_profile": profiling.table_profile,
+        "rfm_segmentation": features.rfm_segmentation,
         "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
@@ -252,8 +255,49 @@ _CLUSTER_CTES = f"""
               SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)"""
 
 
+_LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f'SELECT \'{c}\' AS "column", count(*)::BIGINT AS n_rows,'
+    f" (count(*) - count({c}))::BIGINT AS n_nulls,"
+    f" count(DISTINCT {c})::BIGINT AS n_distinct FROM lineitem"
+    for c in _LINEITEM_COLS
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "table_profile": _PROFILE_SQL,
+        "rfm_segmentation": """
+            WITH p AS (
+              SELECT user_id, floor(epoch(ts))::BIGINT AS sec, value
+              FROM events WHERE event_type = 'purchase'
+            ), ref AS (SELECT max(sec) AS ref_sec FROM p),
+            per_user AS (
+              SELECT user_id,
+                     min(ref_sec - sec)::BIGINT AS recency_s,
+                     count(*)::BIGINT AS frequency,
+                     round(sum(value), 4) AS monetary
+              FROM p CROSS JOIN ref GROUP BY user_id
+            ), cuts AS (
+              SELECT round(quantile_cont(recency_s, 0.5), 6) AS med_r,
+                     round(quantile_cont(frequency, 0.5), 6) AS med_f,
+                     round(quantile_cont(monetary, 0.5), 6) AS med_m
+              FROM per_user
+            ), seg AS (
+              SELECT (recency_s <= med_r)::BIGINT AS r_high,
+                     (frequency >= med_f)::BIGINT AS f_high,
+                     (monetary >= med_m)::BIGINT AS m_high,
+                     monetary
+              FROM per_user CROSS JOIN cuts
+            )
+            SELECT r_high, f_high, m_high, count(*)::BIGINT AS n_users,
+                   round(avg(monetary), 4) AS avg_monetary
+            FROM seg GROUP BY 1, 2, 3
+        """,
         "wordcount": rf"""
             SELECT word, count(*) AS cnt
             FROM (SELECT unnest(string_split_regex(text, '{_TOK}')) AS word

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimir_spark.functions.time import epoch_seconds
 from mimir_spark.functions.vectors import dot
 from mimir_spark.sources.tables import load_table
 
@@ -264,4 +265,48 @@ def hourly_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").cast("long").alias("n_events"),
         F.round(num / den, 4).alias("hour_value_corr"),
+    )
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation over purchase
+    events — the classic customer-value split, and a clean
+    aggregate-then-threshold stress shape: a user-keyed aggregate, a
+    tiny median aggregate broadcast back, and an 8-cell rollup.
+
+    Per purchasing user: R = seconds from their last purchase to the
+    stream's max timestamp (1-row broadcast, the scalar pattern),
+    F = purchase count, M = summed purchase value. Each dimension
+    splits at its median (high = at-or-better-than median: recent,
+    frequent, high-value); medians are 6dp-rounded on both engines
+    before comparing. Output: one row per populated segment
+    (r_high, f_high, m_high flags as BIGINT, n_users, avg value)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_seconds("ts").alias("sec"), "value"
+    )
+    ref = p.agg(F.max("sec").alias("ref_sec"))
+    per_user = (
+        p.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ref_sec") - F.col("sec")).cast("long").alias("recency_s"),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+    )
+    cuts = per_user.agg(
+        F.round(F.percentile("recency_s", 0.5), 6).alias("med_r"),
+        F.round(F.percentile("frequency", 0.5), 6).alias("med_f"),
+        F.round(F.percentile("monetary", 0.5), 6).alias("med_m"),
+    )
+    seg = per_user.crossJoin(F.broadcast(cuts)).select(
+        (F.col("recency_s") <= F.col("med_r")).cast("long").alias("r_high"),
+        (F.col("frequency") >= F.col("med_f")).cast("long").alias("f_high"),
+        (F.col("monetary") >= F.col("med_m")).cast("long").alias("m_high"),
+        "monetary",
+    )
+    return seg.groupBy("r_high", "f_high", "m_high").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.avg("monetary"), 4).alias("avg_monetary"),
     )

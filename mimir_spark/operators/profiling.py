@@ -1,0 +1,45 @@
+"""Data-profiling operators — the first pass anyone runs on an
+unfamiliar table: per-column row/null/distinct counts.
+
+Shape: one aggregate per column over a COLUMN-PRUNED scan, unioned.
+Eleven tiny single-column scans beat one scan with eleven
+count-distincts: multiple exact DISTINCT aggregates in one groupBy
+force an Expand (row multiplied per aggregate) — 11× the corpus
+through the shuffle — while per-column scans read only that column's
+pages (columnar formats make this nearly free) and each aggregate is
+partial-combined. At 100 TB you swap exact distinct for
+approx_count_distinct per column; the exact form is the oracle-
+checkable choice at test SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.sources.tables import load_table
+
+PROFILE_TABLE = "lineitem"
+
+
+def table_profile(
+    spark: SparkSession, sf_dir: str, table: str = PROFILE_TABLE
+) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct) for every column of the
+    table — nulls counted as count(*) − count(col), distinct exact
+    (nulls excluded, both engines' COUNT(DISTINCT) semantics)."""
+    df = load_table(spark, sf_dir, table)
+    parts = []
+    for c in df.columns:
+        parts.append(
+            df.select(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

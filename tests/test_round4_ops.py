@@ -308,3 +308,30 @@ def test_containment_prefix_equals_self_join(spark, sf_smoke):
         for r in dedup2.dedup_containment_prefix(spark, sf_smoke).collect()
     }
     assert pref == exact and exact
+
+
+def test_table_profile_reference(spark, sf_smoke):
+    from mimir_spark.operators.profiling import table_profile
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    rows = {r.column: r for r in table_profile(spark, sf_smoke).collect()}
+    assert set(rows) == set(li.columns)
+    n = li.count()
+    import pyspark.sql.functions as F
+
+    for c in ("l_orderkey", "l_returnflag"):
+        r = rows[c]
+        assert r.n_rows == n and r.n_nulls == 0
+        assert r.n_distinct == li.select(c).distinct().count()
+
+
+def test_rfm_segments_partition_users(spark, sf_smoke):
+    rows = features.rfm_segmentation(spark, sf_smoke).collect()
+    ev = load_table(spark, sf_smoke, "events")
+    n_buyers = (
+        ev.filter(ev.event_type == "purchase").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_buyers
+    for r in rows:
+        assert r.r_high in (0, 1) and r.f_high in (0, 1) and r.m_high in (0, 1)
+        assert r.n_users > 0
