@@ -52,9 +52,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict
     # in order and covers a ~50-key window per round (r01: 50, r02: 51,
     # r03: 50). Round-4 order: the 28 keys that have NEVER had a driver
-    # row (they missed every window r01-r03) come FIRST, then operators
-    # modified or added this round (their old green rows are stale),
-    # then the r03-green and r02-green keys.
+    # row (they missed every window r01-r03) come FIRST, then the 14
+    # operators ADDED in round 4, then the 7 modified late in round 3c
+    # (their old green rows are stale), then the r03- and r02-green
+    # keys — 49 stale-or-new keys, so the window covers them all.
     return {
         # --- never driver-checked (missed r01/r02/r03 windows) ---
         "q18_large_orders": relational2.q18_large_orders,
