@@ -1,0 +1,133 @@
+"""Incremental (streaming) exact ANN top-k over an embedding stream.
+
+Per-query top-k is a MIN-MERGE monoid under the (cos desc,
+neighbor_id) order: each micro-batch's local top-k candidates are a
+lossless partial (every global top-k neighbor is necessarily in its
+own batch's top-k), so the merged result is identical to the batch
+`ann_bruteforce_topk` however the corpus was split — the incremental
+top-k-similarity-search shape (cf. EDBT 2020's interactive-session
+framework), realized as streaming state.
+
+Query vectors come from the STATIC base table (a streaming top-k is
+always "known queries over a growing corpus"); per-batch scoring
+reuses NumPy matmuls over Arrow batches like the batch operator.
+State layout is the idempotent ``batch_id=N`` recipe (cms.py): a
+foreachBatch retry overwrites its own candidates; state volume is
+≤ k·|queries| rows per batch forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from mimir_spark.operators.similarity import N_QUERIES, TOP_K
+from mimir_spark.sources.tables import SCHEMAS, load_table
+
+
+def read_embeddings_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "embeddings.parquet"
+) -> DataFrame:
+    return (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+
+
+def streaming_ann_build(
+    spark: SparkSession,
+    input_dir: str,
+    query_sf_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = TOP_K,
+    glob: str = "*.parquet",
+) -> StreamingQuery:
+    """Start the incremental top-k builder. Queries (vec_id <
+    N_QUERIES) are collected once from the static table — bounded
+    metadata, same contract as the batch operator."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        load_table(spark, query_sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    emb_stream = read_embeddings_stream(spark, input_dir, glob=glob)
+
+    def _batch_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            E = np.array(list(pdf["embedding"]), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = np.round(En @ Qn.T, 6)
+            parts = []
+            for j, qid in enumerate(q_ids):
+                s = S[:, j]
+                cand_idx = np.flatnonzero(ids != qid)
+                if cand_idx.size == 0:
+                    continue
+                order = np.lexsort((ids[cand_idx], -s[cand_idx]))[: max(1, k)]
+                keep = cand_idx[order]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[keep],
+                            "cos": s[keep],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        local = batch.select("vec_id", "embedding").mapInPandas(
+            _batch_topk, "query_id long, neighbor_id long, cos double"
+        )
+        # batch-LOCAL top-k (the partial state): one tiny window over
+        # ≤ k·queries·arrow-batches candidate rows
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        cand = (
+            local.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos")
+        )
+        cand.write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
+
+    return (
+        emb_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def finalize_ann_topk(
+    spark: SparkSession, state_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Merge the per-batch candidates: global per-query top-k under
+    the same (cos desc, neighbor_id) order — identical to the batch
+    `ann_bruteforce_topk` on the same corpus (pytest-pinned).
+    Candidate-sized work: ≤ k·|queries|·batches input rows."""
+    cand = spark.read.parquet(state_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

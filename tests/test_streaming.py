@@ -641,3 +641,50 @@ def test_streaming_bm25_matches_batch(spark, sf_smoke, tmp_path):
         for r in bm25_topk(spark, sf_smoke).orderBy("rank").collect()
     ]
     assert got and got == expect
+
+
+def test_streaming_ann_matches_batch(spark, sf_smoke, tmp_path):
+    """Per-batch local top-k candidates merged across micro-batches
+    must equal the batch brute-force top-k exactly — per-query top-k
+    is a min-merge monoid under (cos desc, neighbor_id)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.similarity import ann_bruteforce_topk
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.ann import (
+        finalize_ann_topk,
+        streaming_ann_build,
+    )
+
+    in_dir = str(tmp_path / "emb_in")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    for m in range(3):
+        emb.filter(F.col("vec_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_ann_build(
+        spark, flat, sf_smoke, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = [
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in finalize_ann_topk(spark, str(tmp_path / "state"))
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    expect = [
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in ann_bruteforce_topk(spark, sf_smoke)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got and got == expect
