@@ -408,3 +408,23 @@ def test_correctness_does_not_depend_on_aqe(spark, sf_correct):
         base = {tuple(r) for r in fn(spark, sf_correct).collect()}
         off = {tuple(r) for r in fn(plain, sf_correct).collect()}
         assert base == off, fn.__name__
+
+
+def test_correctness_does_not_depend_on_partition_count(spark, sf_correct):
+    """Same ops in a sibling session with a prime, tiny shuffle
+    partition count must produce identical rows — pins that no
+    operator's output depends on how data happens to be partitioned
+    (deterministic hashing, no partition-local assumptions)."""
+    from mimir_spark.operators import dedup2, relational
+    from mimir_spark.operators.pipeline import sample_reservoir
+
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    for fn in (
+        relational.q1_pricing_summary,
+        dedup2.dedup_jaccard_prefix,
+        sample_reservoir,
+    ):
+        base = {tuple(r) for r in fn(spark, sf_correct).collect()}
+        alt = {tuple(r) for r in fn(odd, sf_correct).collect()}
+        assert base == alt, fn.__name__
