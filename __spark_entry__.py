@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_prefix": dedup2.dedup_containment_prefix,
         "table_profile": profiling.table_profile,
         "rfm_segmentation": features.rfm_segmentation,
+        "embedding_clusters": dedup2.embedding_clusters,
         "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
@@ -1952,6 +1953,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_common / least(sa.n, sb.n), 6) >= 0.8
+        """,
+        "embedding_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE {_COS_PAIR} >= 0.45
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            )
+            SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
         "ann_range_search": f"""
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_PAIR} AS cos

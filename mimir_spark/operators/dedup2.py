@@ -346,3 +346,31 @@ def dedup_containment_prefix(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def embedding_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    """Semantic clusters: connected components over the EXACT
+    embedding near-dup pair graph (`dedup_embedding`, cosine ≥
+    threshold) — every vector in a qualifying pair gets its
+    component's min vec_id as cluster_id. The embedding-space twin of
+    `dedup_clusters`: where SemDeDup prunes within k-means cells,
+    this materializes the actual similarity components (transitive
+    closure), the unit a curation pass keeps one representative from.
+
+    Components come from the O(log n)-round alternating star
+    contraction (graph.connected_components_star) — near-dup chains in
+    embedding space (A≈B≈C with cos(A,C) below threshold) are exactly
+    the shape that makes label propagation pay diameter-many rounds.
+    Pair generation is the cell-blocked exact plan (no cartesian);
+    everything after is pair-sized."""
+    from mimir_spark.operators.dedup import dedup_embedding
+    from mimir_spark.operators.graph import connected_components_star
+
+    pairs = dedup_embedding(spark, sf_dir, threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return connected_components_star(pairs).select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )

@@ -335,3 +335,34 @@ def test_rfm_segments_partition_users(spark, sf_smoke):
     for r in rows:
         assert r.r_high in (0, 1) and r.f_high in (0, 1) and r.m_high in (0, 1)
         assert r.n_users > 0
+
+
+def test_embedding_clusters_union_find(spark, sf_smoke):
+    """Clusters must equal a Python union-find over the exact cosine
+    pair set (min component member as label)."""
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in dedup.dedup_embedding(spark, sf_smoke).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    got = {
+        r.vec_id: r.cluster_id
+        for r in dedup2.embedding_clusters(spark, sf_smoke).collect()
+    }
+    assert got == want and got
