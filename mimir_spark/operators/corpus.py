@@ -308,3 +308,42 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus summary — the numbers a dataset card leads with:
+    document/token/language/source counts, length stats, the exact-
+    duplicate rate, and the Gopher-rule pass rate. Assembled from four
+    independent 1-row aggregates cross-joined (each is broadcast; the
+    corpus is scanned twice — once for token/length stats, once inside
+    the quality pass — and nothing is ever collected).
+
+    All ratios are 6dp-rounded; counts are BIGINT on both engines."""
+    from mimir_spark.functions.text import tokens_col
+    from mimir_spark.operators.quality import gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", "text", F.size(tokens_col("text")).alias("n_toks")
+    )
+    main = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.round(F.avg("n_toks"), 4).alias("mean_doc_tokens"),
+    )
+    dup = base.agg(
+        (F.count("*") - F.countDistinct("text")).cast("long").alias("n_exact_dups")
+    )
+    gq = gopher_quality_filter(spark, sf_dir).agg(
+        F.round(F.avg("passes_gopher"), 6).alias("gopher_pass_rate")
+    )
+    return (
+        main.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(gq))
+        .withColumn(
+            "exact_dup_rate",
+            F.round(F.col("n_exact_dups") / F.col("n_docs"), 6),
+        )
+    )
