@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segmentation": features.rfm_segmentation,
         "embedding_clusters": dedup2.embedding_clusters,
         "dataset_card": corpus.dataset_card,
+        "lsh_tuning_curve": dedup2.lsh_tuning_curve,
         "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
@@ -894,6 +895,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+        """,
+        "lsh_tuning_curve": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5),
+            conf(n_bands, rows_per_band) AS (
+              VALUES (8::BIGINT, 16::BIGINT), (16, 8), (32, 4), (64, 2))
+            SELECT n_bands, rows_per_band,
+                   count(*)::BIGINT AS n_pairs,
+                   round(avg(1.0 - pow(1.0 - pow(jaccard, rows_per_band),
+                                       n_bands)), 6) AS expected_recall,
+                   round(pow(1.0 / n_bands, 1.0 / rows_per_band), 6)
+                     AS s_curve_threshold
+            FROM pairs CROSS JOIN conf
+            GROUP BY n_bands, rows_per_band
         """,
         # identical output contract to dedup_ngram_jaccard — the prefix
         # filter only changes the PLAN, never the pair set.

@@ -374,3 +374,47 @@ def embedding_clusters(
     return connected_components_star(pairs).select(
         F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
     )
+
+
+LSH_CONFIGS = ((8, 16), (16, 8), (32, 4), (64, 2))
+
+
+def lsh_tuning_curve(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Banding-configuration tuning curve for the MinHash-LSH dedup
+    path: for each (bands b, rows-per-band r) split of the 128-hash
+    signature, the expected candidate recall over the corpus's OBSERVED
+    duplicate pairs — E[1 − (1 − J^r)^b] averaged over the exact pair
+    set — plus the analytic threshold (1/b)^(1/r) where the S-curve
+    crosses 50%. This is the number you read before committing a
+    banding config (the dedup twin of ann_ivf_recall's probe tuning),
+    computed from the S-curve formula instead of re-running LSH per
+    config.
+
+    Cost: the exact pair set (tuning scale only) × 4 config rows —
+    a broadcast cross join over a candidate-sized table; at production
+    scale you feed the same curve from a SAMPLE of pairs."""
+    from mimir_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select("jaccard")
+    conf = spark.createDataFrame(
+        [(b, r) for b, r in LSH_CONFIGS], "n_bands long, rows_per_band long"
+    )
+    p_catch = 1.0 - F.pow(
+        1.0 - F.pow(F.col("jaccard"), F.col("rows_per_band")), F.col("n_bands")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(conf))
+        .groupBy("n_bands", "rows_per_band")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg(p_catch), 6).alias("expected_recall"),
+        )
+        .withColumn(
+            "s_curve_threshold",
+            F.round(
+                F.pow(1.0 / F.col("n_bands"), 1.0 / F.col("rows_per_band")), 6
+            ),
+        )
+    )

@@ -366,3 +366,21 @@ def test_embedding_clusters_union_find(spark, sf_smoke):
         for r in dedup2.embedding_clusters(spark, sf_smoke).collect()
     }
     assert got == want and got
+
+
+def test_lsh_tuning_curve_sanity(spark, sf_smoke):
+    """More rows per band → stricter curve → lower expected recall on
+    the same pair population; the deployed config (32 bands × 4 rows)
+    must sit near the measured minhash recall."""
+    rows = {
+        (r.n_bands, r.rows_per_band): r
+        for r in dedup2.lsh_tuning_curve(spark, sf_smoke).collect()
+    }
+    assert set(rows) == {(8, 16), (16, 8), (32, 4), (64, 2)}
+    recalls = [rows[k].expected_recall for k in [(64, 2), (32, 4), (16, 8), (8, 16)]]
+    assert recalls == sorted(recalls, reverse=True)  # permissive → strict
+    for r in rows.values():
+        assert 0.0 <= r.expected_recall <= 1.0
+        assert abs(r.s_curve_threshold - (1 / r.n_bands) ** (1 / r.rows_per_band)) < 1e-6
+    # deployed config catches J>=0.5 pairs with high probability
+    assert rows[(32, 4)].expected_recall > 0.9
