@@ -103,8 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": dedup2.embedding_clusters,
         "dataset_card": corpus.dataset_card,
         "lsh_tuning_curve": dedup2.lsh_tuning_curve,
+        "train_val_test_split": pipeline.train_val_test_split,
         "bpe_train": tokenizer.bpe_train,
-        "bpe_encode": tokenizer.bpe_encode,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_containment": dedup.dedup_containment,
         "dataset_mixture_plan": packing.dataset_mixture_plan,
@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so every oracle-checked stale/new key above gets a hash row
         "dedup_method_agreement": dedup2.dedup_method_agreement,
         "multimodal_resize": multimodal.multimodal_resize,
+        "bpe_encode": tokenizer.bpe_encode,
         # --- r03-green (CORRECTNESS_r03) ---
         "cross_source_duplication": corpus.cross_source_duplication,
         "minhash_containment": dedup.minhash_containment,
@@ -1085,6 +1086,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bm25_rank, cos,
                    row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT AS rank
             FROM (SELECT * FROM rescored ORDER BY cos DESC, doc_id LIMIT 10)
+        """,
+        "train_val_test_split": r"""
+            SELECT lang, split, count(*)::BIGINT AS n_docs,
+                   sum(n_toks)::BIGINT AS n_tokens
+            FROM (
+              SELECT lang,
+                     CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 5
+                            THEN 'test'
+                          WHEN (doc_id * 2654435761) % 4294967296 % 100 < 10
+                            THEN 'val'
+                          ELSE 'train' END AS split,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> ''))::BIGINT AS n_toks
+              FROM documents)
+            GROUP BY lang, split
         """,
         "sample_reservoir": """
             SELECT doc_id, lang, rk FROM (

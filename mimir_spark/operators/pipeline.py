@@ -127,3 +127,38 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < w)
         .select("doc_id", "lang", "source", "keep_weight")
     )
+
+
+SPLIT_VAL_PCT = 5
+SPLIT_TEST_PCT = 5
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment per document —
+    the split every training run pins before anything else. The split
+    is a pure function of doc_id (multiplicative hash mod 100, same
+    portable constants as sample_stratified): reproducible across
+    runs, engines, partitionings, and corpus growth — a document keeps
+    its split forever, so refreshing the corpus never leaks val/test
+    docs into train. Map-only: the assignment costs one projection,
+    no shuffle; the per-(lang, split) count summary is the only
+    aggregate. Output: (lang, split, n_docs, n_tokens)."""
+    from mimir_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD) % 100
+    split = (
+        F.when(bucket < SPLIT_TEST_PCT, "test")
+        .when(bucket < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return (
+        docs.select(
+            "lang", split.alias("split"), F.size(tokens_col("text")).alias("n_toks")
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
