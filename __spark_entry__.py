@@ -275,9 +275,86 @@ _PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def _k_core_sql(k: int = 6, rounds: int = 14) -> str:
+    """Unrolled k-core peel over the bipartite order-part graph as a
+    chained-CTE pipeline (pure ANSI — runs on DuckDB AND Spark SQL).
+    Rounds past the fixed point are no-ops, so a fixed unroll ≥ the
+    data's peel depth (10 at sf0.01 with k=6) is exactly the
+    operator's converged peel.
+
+    Every CTE is referenced EXACTLY ONCE (each round explodes the
+    previous edge set's endpoints with a 2-row cross join, computes
+    node degree via count() over (partition by n) and the edge's
+    surviving test via min() over (partition by u, v)); engines that
+    inline CTEs per reference (DuckDB) would otherwise expand a
+    naive two-references-per-round peel to 4^rounds scans."""
+    parts = [
+        "WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS u,"
+        " l_partkey * 2 + 1 AS v FROM lineitem)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", x{i} AS (
+              SELECT u, v, side,
+                     CASE WHEN side = 0 THEN u ELSE v END AS n
+              FROM e{i} CROSS JOIN
+                   (SELECT 0 AS side UNION ALL SELECT 1 AS side) s{i})
+            , e{i + 1} AS (
+              SELECT u, v FROM (
+                SELECT u, v, side, min(dn) OVER (PARTITION BY u, v) AS md
+                FROM (SELECT u, v, side,
+                             count(*) OVER (PARTITION BY n) AS dn
+                      FROM x{i}) q{i}
+              ) p{i} WHERE md >= {k} AND side = 0)"""
+        )
+    parts.append(
+        f""", xf AS (
+          SELECT CASE WHEN side = 0 THEN u ELSE v END AS n
+          FROM e{rounds} CROSS JOIN
+               (SELECT 0 AS side UNION ALL SELECT 1 AS side) sf)
+        SELECT n AS node, count(*) AS degree_in_core FROM xf GROUP BY n"""
+    )
+    return "\n".join(parts)
+
+
+def _label_propagation_sql(iters: int = 5) -> str:
+    """Unrolled synchronous label propagation on the part
+    co-occurrence graph (pure ANSI): per round, (node, label) vote
+    counts then a per-node argmax — max count, min label tie-break,
+    exactly the operator's max(struct(c, -label)) — as a window-max +
+    conditional-min pair."""
+    parts = [
+        """WITH po AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        ed AS (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        nbrs AS (SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed),
+        lab0 AS (SELECT DISTINCT u AS node, u AS label FROM nbrs)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", vt{i} AS (
+              SELECT n.v AS n2, l.label AS label, count(*) AS c
+              FROM nbrs n JOIN lab{i} l ON n.u = l.node
+              GROUP BY n.v, l.label)
+            , lab{i + 1} AS (
+              SELECT n2 AS node,
+                     min(CASE WHEN c = mc THEN label END) AS label
+              FROM (SELECT n2, label, c,
+                           max(c) OVER (PARTITION BY n2) AS mc
+                    FROM vt{i}) w{i}
+              GROUP BY n2)"""
+        )
+    parts.append(f"SELECT node, label AS community FROM lab{iters}")
+    return "\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "table_profile": _PROFILE_SQL,
+        "k_core": _k_core_sql(),
+        "label_propagation": _label_propagation_sql(),
         "rfm_segmentation": """
             WITH p AS (
               SELECT user_id, floor(epoch(ts))::BIGINT AS sec, value

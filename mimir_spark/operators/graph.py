@@ -403,19 +403,16 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-K_CORE_K = 3
+K_CORE_K = 6
 K_CORE_MAX_ITERS = 30
 
 
-def k_core(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = K_CORE_K,
-    max_iters: int = K_CORE_MAX_ITERS,
+def k_core_edges(
+    edges: DataFrame, k: int, max_iters: int = K_CORE_MAX_ITERS
 ) -> DataFrame:
-    """The k-core of the part co-occurrence graph: the maximal subgraph
-    where every node has degree ≥ k — the classic dense-region /
-    spam-cluster extractor (peeling off low-degree fringe exposes the
+    """k-core of an arbitrary undirected (u, v) edge set: the maximal
+    subgraph where every node has degree ≥ k — the classic dense-region
+    / spam-cluster extractor (peeling off low-degree fringe exposes the
     tightly-coupled boilerplate clusters near-dup pairs come from).
 
     Iterative peel, the BFS-shaped driver loop: each round computes
@@ -425,21 +422,28 @@ def k_core(
     node dropped — the driver only ever sees a scalar count. Edge
     lineage is cut per round with lazy localCheckpoint materialized by
     that same count (one job per round). Rounds needed = peel depth,
-    typically ≪ diameter. Output: (node, degree_in_core)."""
-    e = _part_cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
+    typically ≪ diameter.
 
-    def _deg(edges: DataFrame) -> DataFrame:
+    If max_iters rounds pass without reaching the fixed point the
+    result would NOT be a k-core (nodes below k would remain), so this
+    raises rather than silently returning a truncated peel.
+    Output: (node, degree_in_core)."""
+    e = edges.localCheckpoint(eager=True)
+
+    def _deg(es: DataFrame) -> DataFrame:
         return (
-            edges.select(F.col("u").alias("n"))
-            .union(edges.select(F.col("v").alias("n")))
+            es.select(F.col("u").alias("n"))
+            .union(es.select(F.col("v").alias("n")))
             .groupBy("n")
             .agg(F.count("*").alias("d"))
         )
 
+    converged = False
     for _ in range(max_iters):
         deg = _deg(e)
         drop = deg.filter(F.col("d") < k).select("n").localCheckpoint(eager=False)
         if drop.count() == 0:
+            converged = True
             break
         e = (
             e.join(drop.withColumnRenamed("n", "u"), "u", "left_anti")
@@ -447,10 +451,39 @@ def k_core(
             .localCheckpoint(eager=False)
         )
         if e.count() == 0:
+            converged = True
             break
+    if not converged and _deg(e).filter(F.col("d") < k).count() > 0:
+        raise RuntimeError(
+            f"k_core did not converge within max_iters={max_iters} peel "
+            f"rounds; result would not be a {k}-core — raise max_iters"
+        )
     return _deg(e).select(
         F.col("n").alias("node"), F.col("d").cast("long").alias("degree_in_core")
     )
+
+
+def k_core(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CORE_K,
+    max_iters: int = K_CORE_MAX_ITERS,
+) -> DataFrame:
+    """k-core of the bipartite order–part graph (node encoding shared
+    with `bfs_levels`: order o → 2*o, part p → 2*p+1). The bipartite
+    graph gives the peel real work — dropping thin orders lowers part
+    degrees, which drops parts, which thins more orders (a ~10-round
+    cascade at sf0.01 with k=6) — unlike the near-regular part
+    co-occurrence graph, where no node sits below small k and the peel
+    is a no-op. Oracle: the peel unrolled as chained CTEs (rounds past
+    the fixed point are no-ops, so a fixed unroll ≥ peel depth is
+    exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") * 2).alias("u"),
+        (F.col("l_partkey") * 2 + 1).alias("v"),
+    ).distinct()
+    return k_core_edges(edges, k, max_iters)
 
 
 def connected_components_star(

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from collections import Counter, defaultdict
 
+import pytest
+
 from mimir_spark.operators import dedup, dedup2, features, graph, pipeline, quality
 from mimir_spark.sources.tables import load_table
 
@@ -192,8 +194,16 @@ def test_clustering_coefficient_reference(spark, sf_smoke):
 
 
 def test_k_core_fixed_point(spark, sf_smoke):
-    k = 3
-    edges = _edge_set(spark, sf_smoke)
+    # default graph (bipartite order-part, k=6): sf0.001 peels in ~6
+    # cascading rounds, so the loop's re-peel logic is exercised
+    k = 6
+    edges = {
+        (r.l_orderkey * 2, r.l_partkey * 2 + 1)
+        for r in spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
     # brute-force peel
     adj: dict[int, set] = defaultdict(set)
     for u, v in edges:
@@ -213,6 +223,16 @@ def test_k_core_fixed_point(spark, sf_smoke):
     want = {n: len(ns) for n, ns in adj.items()}
     assert got == want
     assert all(d >= k for d in got.values()) or not got
+
+
+def test_k_core_unconverged_raises(spark):
+    """A path graph peels one layer per round from each end; with
+    max_iters too small for the peel depth the result would not be a
+    k-core, so the operator must raise instead of returning it."""
+    path = [(i, i + 1) for i in range(12)]
+    edf = spark.createDataFrame(path, "u long, v long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.k_core_edges(edf, k=2, max_iters=2)
 
 
 def test_label_propagation_two_cliques(spark):

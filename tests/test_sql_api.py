@@ -54,6 +54,8 @@ SQL_PORTABLE = [
     "window_funnel",
     "sample_reservoir",
     "clustering_coefficient",
+    "k_core",
+    "label_propagation",
 ]
 
 
