@@ -625,6 +625,65 @@ def dedup_simhash(
 N_EMB_CELLS = 16
 
 
+def assign_nearest_cell(
+    emb: DataFrame, cents: DataFrame, with_theta: bool = False
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE NumPy matmul per Arrow batch
+    (mapInPandas): the corpus is scanned once, map-only, zero fan-out.
+
+    Contrast the broadcast-join formulation (emb ⋈ cells → per-pair
+    expression cosine → max-struct agg): that fans every row out
+    ×|cells| and shuffles the fan-out into the re-grouping aggregate —
+    compute AND shuffle are corpus×cells, which dominates at the
+    SemDeDup paper's 50k cells. Here the centroid matrix is bounded
+    metadata collected once (N_EMB_CELLS rows — the k-means-centroid
+    class of collect) and each Arrow batch computes all batch×cells
+    cosines as one float64 GEMM.
+
+    Tie-break matches the max(struct(sim, -cell)) aggregate it
+    replaces: best cosine, then LOWEST cell id — columns are ordered
+    by ascending cell id, and argmax returns the first maximum.
+    Output: (vec_id, embedding, cell[, theta]) where theta =
+    arccos(clamped best cosine), the pruning angle dedup_embedding's
+    radii need."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(
+        (int(r["cell"]), [float(x) for x in r["cent"]]) for r in cents.collect()
+    )
+    cells = np.array([c for c, _ in crows], dtype=np.int64)
+    C = np.array([v for _, v in crows], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+
+    schema = "vec_id long, embedding array<float>, cell long"
+    if with_theta:
+        schema += ", theta double"
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            S = (E @ C.T) / (
+                np.linalg.norm(E, axis=1, keepdims=True) * Cn[None, :]
+            )
+            best = S.argmax(axis=1)
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "embedding": pdf["embedding"],
+                "cell": cells[best],
+            }
+            if with_theta:
+                sims = S[np.arange(len(S)), best]
+                out["theta"] = np.arccos(np.clip(sims, -1.0, 1.0))
+            yield pd.DataFrame(out)
+
+    return _spread(emb.select("vec_id", "embedding")).mapInPandas(
+        _assign, schema
+    )
+
+
 def dedup_embedding(
     spark: SparkSession, sf_dir: str, threshold: float = 0.45
 ) -> DataFrame:
@@ -636,8 +695,8 @@ def dedup_embedding(
     so Voronoi blocking with triangle-inequality pruning gives exact
     recall with bounded equi-joins:
     1. assign every vector to its nearest of N_EMB_CELLS seed
-       centroids (broadcast join + map-side max-struct agg — one
-       corpus pass);
+       centroids (one NumPy GEMM per Arrow batch, map-only — see
+       assign_nearest_cell);
     2. per cell, the angular radius r_c = max member angle to the
        centroid (16-row aggregate, collected — bounded metadata, like
        k-means centroids);
@@ -681,27 +740,10 @@ def dedup_embedding(
             .limit(N_EMB_CELLS)
             .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cent"))
         )
-    # Nearest centroid per vector: broadcast the 16 centroids, take the
-    # max (sim, -cell) struct — a map-side-combined aggregate, cheaper
-    # than a window (no per-vector sort, partial agg before the
-    # exchange). first(embedding) is safe: identical within the group.
-    assigned = (
-        emb.join(F.broadcast(cents))
-        .withColumn("sim", cosine_sim("embedding", "cent"))
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negc"))).alias("best"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select(
-            "vec_id",
-            "embedding",
-            (-F.col("best.negc")).alias("cell"),
-            F.acos(
-                F.least(F.greatest(F.col("best.sim"), F.lit(-1.0)), F.lit(1.0))
-            ).alias("theta"),
-        )
-        .localCheckpoint(eager=True)  # reused by radii + both join sides
+    # Nearest centroid per vector: one NumPy GEMM per Arrow batch
+    # (see assign_nearest_cell) — map-only, no ×cells fan-out.
+    assigned = assign_nearest_cell(emb, cents, with_theta=True).localCheckpoint(
+        eager=True  # reused by radii + both join sides
     )
     # Bounded-metadata collects (16 rows each), the k-means precedent:
     # the centroid vectors and per-cell radii that define the pruning.

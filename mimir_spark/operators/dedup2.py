@@ -22,8 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mimir_spark.functions.text import word_shingles
-from mimir_spark.functions.vectors import cosine_sim
-from mimir_spark.operators.dedup import SHINGLE_WORDS, N_EMB_CELLS, _spread
+from mimir_spark.operators.dedup import (
+    SHINGLE_WORDS,
+    N_EMB_CELLS,
+    _spread,
+    assign_nearest_cell,
+)
 from mimir_spark.sources.tables import load_table
 
 
@@ -141,8 +145,9 @@ def semdedup(
     the published method makes deliberately (cross-cluster neighbours
     are far by construction when clusters are tight).
 
-    Scale shape: centroid assignment is one broadcast join + map-side
-    max-struct aggregate (same pass as dedup_embedding); the per-cell
+    Scale shape: centroid assignment is one NumPy GEMM per Arrow
+    batch (assign_nearest_cell — map-only, no ×cells fan-out, same
+    kernel as dedup_embedding); the per-cell
     kernel is ONE NumPy matmul of the cell's normalized block via
     applyInPandas — shuffle keyed on cell, corpus moved exactly once.
     At 100 TB you raise the cell count so every cell fits an executor
@@ -166,18 +171,7 @@ def semdedup(
             .limit(N_EMB_CELLS)
             .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cent"))
         )
-    assigned = (
-        emb.join(F.broadcast(cents))
-        .withColumn("sim", cosine_sim("embedding", "cent"))
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negc"))).alias(
-                "best"
-            ),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", "embedding", (-F.col("best.negc")).alias("cell"))
-    )
+    assigned = assign_nearest_cell(emb, cents)
 
     def _cell_dups(key, pdf):
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
