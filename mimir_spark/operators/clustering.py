@@ -57,22 +57,24 @@ def _assign(pts: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def kmeans_embeddings(
-    spark: SparkSession, sf_dir: str, k: int = K, n_iters: int = N_ITERS
-) -> DataFrame:
-    """Deterministic k-means over `embeddings`; returns per-cluster
-    (cluster_id, n_points, inertia)."""
-    pts = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-        .localCheckpoint(eager=True)
-    )
-    # Seeds: the k lowest vec_ids. k rows of bounded metadata — the one
-    # acceptable collect (same class as BFS's 1-row source lookup).
-    seeds = pts.orderBy("vec_id").limit(k).collect()
-    centroids = [list(r.e) for r in seeds]
-    dim = len(centroids[0])
+def _lloyd_iterate(
+    pts: DataFrame,
+    centroids: list[list[float]],
+    n_iters: int,
+    round_dp: int | None = None,
+) -> list[list[float]]:
+    """Run n_iters Lloyd rounds over (vec_id, e) points and return the
+    final k×dim centroid list (driver-side bounded metadata). Per
+    round: zero-shuffle literal-centroid assignment + one map-side-
+    combined groupBy update; driver traffic is k rows per round.
 
+    ``round_dp`` rounds every coordinate after each update: the
+    per-dimension F.sum is partial-aggregated, so its last ULPs depend
+    on partition boundaries — rounding pins the centroids (and every
+    downstream assignment) across partitionings/AQE decisions, which
+    the IVF index build needs (its in-memory and persisted paths must
+    agree bit-for-bit)."""
+    dim = len(centroids[0])
     for _ in range(n_iters):
         assigned = _assign(pts, centroids)
         stats = (
@@ -89,7 +91,55 @@ def kmeans_embeddings(
         new_c = list(centroids)  # empty clusters keep their centroid
         for r in stats:
             new_c[r.cid - 1] = [r[f"s{i}"] / r.n for i in range(dim)]
+        if round_dp is not None:
+            new_c = [[round(x, round_dp) for x in c] for c in new_c]
         centroids = new_c
+    return centroids
+
+
+def lloyd_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    n_iters: int = N_ITERS,
+    normalize: bool = True,
+) -> list[list[float]]:
+    """Trained (not seed) centroids for vector-index builds: Lloyd
+    k-means over the embeddings, on L2-NORMALIZED vectors by default
+    so squared-L2 assignment orders like cosine — the metric the IVF
+    probe ranks cells with. Deterministic: lowest-vec_id seeds, fixed
+    rounds, per-round 9dp centroid rounding (absorbs partial-agg
+    summation-order ULPs)."""
+    e = F.col("embedding").cast("array<double>")
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        e = F.transform(e, lambda x: x / norm)
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", e.alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = pts.orderBy("vec_id").limit(k).collect()
+    centroids = [[round(float(x), 9) for x in r.e] for r in seeds]
+    return _lloyd_iterate(pts, centroids, n_iters, round_dp=9)
+
+
+def kmeans_embeddings(
+    spark: SparkSession, sf_dir: str, k: int = K, n_iters: int = N_ITERS
+) -> DataFrame:
+    """Deterministic k-means over `embeddings`; returns per-cluster
+    (cluster_id, n_points, inertia)."""
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    # Seeds: the k lowest vec_ids. k rows of bounded metadata — the one
+    # acceptable collect (same class as BFS's 1-row source lookup).
+    seeds = pts.orderBy("vec_id").limit(k).collect()
+    centroids = _lloyd_iterate(pts, [list(r.e) for r in seeds], n_iters)
 
     return (
         _assign(pts, centroids)

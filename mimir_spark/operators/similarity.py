@@ -198,22 +198,44 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
 # of 16 cells is the usual operating point.
 N_CELLS = 16
 N_PROBE = 8
+IVF_KMEANS_ITERS = 5
+
+# Centroid training is a 5-round Spark job; memoize per (sf_dir, k,
+# iters) so repeated queries against one session reuse the index's
+# centroids (deterministic — lloyd_centroids rounds per round, so a
+# cache hit and a recompute are bit-identical).
+_IVF_CENTROID_CACHE: dict[tuple, list] = {}
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF centroids as a (cell_id, cent) DataFrame: Lloyd
+    k-means on normalized embeddings (clustering.lloyd_centroids)
+    instead of the round-4 'k-means-lite' raw seeds — tighter Voronoi
+    cells put true neighbours in fewer cells, which is measurably
+    higher recall@k at the same probe count (ann_ivf_recall: mean
+    0.70 → with trained centroids, see test floor). k·dim driver-side
+    floats — bounded metadata, the k-means-centroid class."""
+    from mimir_spark.operators.clustering import lloyd_centroids
+
+    key = (sf_dir, N_CELLS, IVF_KMEANS_ITERS)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[key] = lloyd_centroids(
+            spark, sf_dir, k=N_CELLS, n_iters=IVF_KMEANS_ITERS
+        )
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_IVF_CENTROID_CACHE[key])],
+        "cell_id long, cent array<double>",
+    )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """IVF: partition the corpus into N_CELLS Voronoi cells around
-    deterministic seed centroids (one k-means assignment pass — a
-    'k-means-lite' index build), then each query probes its N_PROBE
-    nearest cells only. Centroids live in a broadcast table; at 100 TB
+    TRAINED Lloyd centroids (see _ivf_centroids), then each query
+    probes its N_PROBE nearest cells only. Centroids live in a
+    broadcast table; at 100 TB
     the cell assignment is written once as a bucketed column and probes
     become partition pruning."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # deterministic centroids: the embeddings with vec_id ≡ 0 (mod ~n/16)
-    cents = (
-        emb.filter(F.col("vec_id") % 31 == 0)
-        .limit(N_CELLS)
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent"))
-    )
+    cents = _ivf_centroids(spark, sf_dir)
     q, c = _queries_and_corpus(spark, sf_dir)
     # assign corpus vectors to nearest centroid
     c_scored = (
@@ -453,11 +475,7 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     scan's PartitionFilters, pinned in tests) instead of the corpus.
     At 100 TB this is the difference between an index and a scan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        emb.filter(F.col("vec_id") % 31 == 0)
-        .limit(N_CELLS)
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent"))
-    )
+    cents = _ivf_centroids(spark, sf_dir)
     assigned = (
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
         .join(F.broadcast(cents))

@@ -183,7 +183,10 @@ def test_ann_ivf_recall_report(spark, sf_smoke):
         assert 0.0 <= r.recall <= 1.0
         assert abs(r.recall - r.n_hit / similarity.TOP_K) < 1e-9
     mean = sum(r.recall for r in rows) / len(rows)
-    assert mean >= 0.7, f"IVF recall collapsed: {mean}"
+    # trained Lloyd centroids (round 5): 0.98 at sf0.001 / 0.96 at
+    # sf0.01 vs 0.70 with raw seed centroids — floor set to catch a
+    # regression back to untrained cells
+    assert mean >= 0.9, f"IVF recall collapsed: {mean}"
 
 
 def test_multimodal_resize_contract(spark, sf_smoke):
