@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": similarity.ann_ivf_recall,
         "heavy_hitters_cms": sketches.heavy_hitters_cms,
         "hll_distinct": sketches.hll_distinct,
+        "rank_quantiles": sketches.rank_quantiles,
+        "kll_quantiles": sketches.kll_quantiles,
         "q2_min_cost_supplier": relational4.q2_min_cost_supplier,
         "q11_important_parts": relational4.q11_important_parts,
         "q20_dominant_suppliers": relational4.q20_dominant_suppliers,
@@ -355,6 +357,22 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _PROFILE_SQL,
         "k_core": _k_core_sql(),
         "label_propagation": _label_propagation_sql(),
+        "rank_quantiles": """
+            WITH s AS (
+              SELECT event_id, value
+              FROM events
+              ORDER BY (event_id * 2654435761) % 4294967296, event_id
+              LIMIT 4096
+            ), r AS (
+              SELECT value, row_number() OVER (ORDER BY value, event_id) AS rk
+              FROM s
+            ), m AS (SELECT count(*) AS n_sample FROM s),
+            qs AS (SELECT 5e-1 AS q UNION ALL SELECT 9e-1
+                   UNION ALL SELECT 99e-2)
+            SELECT q, n_sample, round(value, 6) AS est
+            FROM qs CROSS JOIN m
+            JOIN r ON r.rk = greatest(CAST(ceil(q * n_sample) AS BIGINT), 1)
+        """,
         "rfm_segmentation": """
             WITH p AS (
               SELECT user_id, floor(epoch(ts))::BIGINT AS sec, value

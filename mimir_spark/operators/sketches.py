@@ -315,3 +315,194 @@ def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates are bit-identical."""
     ev = load_table(spark, sf_dir, "events")
     return quantiles_from_ddsketch(ddsketch_buckets(ev, "value"))
+
+
+# ---- Rank-error quantiles: deterministic bottom-k sample sketch ---------
+#
+# DDSketch above guarantees RELATIVE-VALUE error; selecting a p99.9
+# length/quality cutoff needs RANK error (the estimate's true rank
+# within eps*n of the target). The compact rank sketches of the
+# literature (KLL, Karnin-Lang-Liberman FOCS 2016; t-digest) interleave
+# randomized compactions whose output depends on how the data was
+# partitioned - correct within their error bounds, but impossible to
+# value-hash-pin across engines or partitionings (see kll_quantiles
+# below for the real thing under the weaker gate). This sketch gets the
+# same rank-error CLASS with a state that is a pure function of the
+# data SET: the sample is the k rows with the smallest multiplicative
+# hash of their unique id - a uniform random sample in the hash's
+# randomness, reproducible everywhere, and "k smallest of a union" is
+# recoverable from "k smallest of each part" (the TakeOrdered monoid
+# the streaming reservoir already relies on), so the streaming twin is
+# bit-identical. By Dvoretzky-Kiefer-Wolfowitz, the sampled empirical
+# CDF is within eps of the true CDF everywhere with prob
+# >= 1 - 2*exp(-2*k*eps^2): k=4096 gives ~2.4% rank error at 99%
+# confidence; at 100 TB you raise k (65536 ~ 0.6%) - the shuffle is
+# k*partitions rows however large the corpus.
+
+RQ_K = 4096
+_RQ_MULT = 2654435761  # Knuth multiplicative hash, shared with pipeline.py
+_RQ_MOD = 4294967296
+
+
+def bottomk_sample(
+    df: DataFrame, id_col: str = "event_id", value_col: str = "value",
+    k: int = RQ_K,
+) -> DataFrame:
+    """The k rows with the smallest hash(id): orderBy+limit plans as
+    distributed TakeOrdered (per-partition k-heaps, k-sized merge) -
+    the corpus is scanned once and only k*partitions rows move."""
+    return (
+        df.select(F.col(id_col).alias("sid"), F.col(value_col).alias("value"))
+        .withColumn("u", (F.col("sid") * F.lit(_RQ_MULT)) % F.lit(_RQ_MOD))
+        .orderBy("u", "sid")
+        .limit(k)
+    )
+
+
+def quantiles_from_bottomk(
+    sample: DataFrame, qs: tuple[float, ...] = QUANTS
+) -> DataFrame:
+    """Quantile estimates from the bottom-k sample: rank
+    max(ceil(q*m), 1) within the value-ordered sample (tie-break by
+    id - fully deterministic). Everything here is k-bounded: the
+    ordering window runs over <= k rows in one task, same class as the
+    DDSketch cumulative walk. Shared with the streaming twin so stream
+    and batch estimates are bit-identical."""
+    spark = sample.sparkSession
+    m = sample.agg(F.count("*").cast("long").alias("n_sample"))
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    ranks = qdf.crossJoin(F.broadcast(m)).select(
+        "q",
+        "n_sample",
+        F.greatest(F.ceil(F.col("q") * F.col("n_sample")), F.lit(1))
+        .cast("long")
+        .alias("rk"),
+    )
+    ranked = sample.select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy("value", "sid"))
+        .cast("long")
+        .alias("rk"),
+    )
+    return F.broadcast(ranks).join(ranked, "rk").select(
+        "q", "n_sample", F.round("value", 6).alias("est")
+    )
+
+
+def rank_quantiles(spark: SparkSession, sf_dir: str, k: int = RQ_K) -> DataFrame:
+    """p50/p90/p99 of events.value with a RANK-error guarantee from
+    the deterministic bottom-k sample sketch (see block comment).
+    Output: (q, n_sample, est); est is an actual data value, so the
+    estimate itself value-hashes identically on the DuckDB oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return quantiles_from_bottomk(bottomk_sample(ev, k=k))
+
+
+# ---- KLL: the real compactor-cascade rank sketch (rows-only gate) -------
+
+KLL_K = 200
+
+
+def _kll_cap(level: int, top: int, k: int) -> int:
+    # Geometric capacity decay toward lower levels (the KLL trick that
+    # beats MRL's uniform buffers): c_l = k * (2/3)^(top - l), floor 2.
+    import math
+
+    return max(2, int(math.ceil(k * (2.0 / 3.0) ** (top - level))))
+
+
+def _kll_compact(levels: dict[int, list], k: int, rng) -> None:
+    """Compact in place until every level fits its capacity budget:
+    repeatedly sort the lowest over-capacity level and promote every
+    second item (random offset) to the level above - each promoted
+    item's implicit weight doubles, total weight is conserved."""
+    while True:
+        top = max(levels)
+        over = [
+            l
+            for l in sorted(levels)
+            if len(levels[l]) > _kll_cap(l, top, k)
+        ]
+        if not over:
+            return
+        l = over[0]
+        items = sorted(levels[l])
+        off = rng.randrange(2)
+        levels[l] = []
+        levels.setdefault(l + 1, []).extend(items[off::2])
+
+
+def kll_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KLL_K,
+    qs: tuple[float, ...] = QUANTS,
+) -> DataFrame:
+    """p50/p90/p99 of events.value from a TRUE KLL sketch
+    (Karnin, Lang & Liberman, "Optimal quantile approximation in
+    streams", FOCS 2016): per-partition compactor cascades built in
+    one corpus pass (mapInPandas - each partial is O(k) items with
+    level-encoded weights), merged level-wise and re-compacted by a
+    single bounded finalizer task, estimates read off the weighted
+    cumulative. Rank error ~ O(1/k) at fixed confidence - the sketch
+    you reach for when the bottom-k sample's O(1/sqrt(k)) is too
+    coarse for the state budget.
+
+    Honesty note on the gate: compaction discards every second item of
+    a buffer whose CONTENT depends on which rows shared a partition,
+    so the estimate is deterministic only per plan, not per data SET -
+    it cannot be value-hash-pinned cross-engine (rows-only key; the
+    unit test pins every estimate's TRUE rank within the theoretical
+    envelope instead). `rank_quantiles` above is the hash-pinnable
+    sibling."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+
+    def _partials(batches):
+        levels: dict[int, list] = {0: []}
+        rng = random.Random(0xC0FFEE)
+        for pdf in batches:
+            levels[0].extend(float(v) for v in pdf["value"])
+            _kll_compact(levels, k, rng)
+        rows = [
+            (l, v) for l, items in levels.items() for v in items
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["level", "value"]).astype(
+                {"level": np.int64, "value": np.float64}
+            )
+
+    partial = ev.mapInPandas(_partials, "level long, value double")
+
+    def _finalize(key, pdf):
+        levels: dict[int, list] = {0: []}
+        for l, grp in pdf.groupby("level"):
+            levels.setdefault(int(l), []).extend(float(v) for v in grp["value"])
+        rng = random.Random(0xC0FFEE)
+        _kll_compact(levels, k, rng)
+        vals = np.array(
+            [v for l, items in levels.items() for v in items], dtype=np.float64
+        )
+        wts = np.array(
+            [1 << l for l, items in levels.items() for _ in items],
+            dtype=np.float64,
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        n = cum[-1] if len(cum) else 0.0
+        out = []
+        for q in qs:
+            target = max(q * n, 1.0)
+            i = int(np.searchsorted(cum, target, side="left"))
+            out.append((q, int(n), round(float(vals[min(i, len(vals) - 1)]), 6)))
+        return pd.DataFrame(out, columns=["q", "n_total", "est"])
+
+    return partial.groupBy(F.lit("all").alias("g")).applyInPandas(
+        _finalize, "q double, n_total long, est double"
+    )

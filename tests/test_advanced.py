@@ -98,3 +98,50 @@ def test_ddsketch_relative_error_guarantee(spark, sf_smoke):
     for r in ddsketch_quantiles(spark, sf_smoke).collect():
         true = vals[min(int(r.rank_n) - 1, len(vals) - 1)]
         assert abs(r.est - true) <= 0.011 * true + 1e-9, (r, true)
+
+
+def test_rank_quantiles_rank_error(spark, sf_smoke):
+    """Bottom-k sample sketch: each estimate's TRUE rank must sit
+    within the DKW envelope of the target rank (eps = sqrt(ln(2/d) /
+    (2k)) at 99% confidence ~ 2.4% for k=4096; on sf0.001 the sample
+    covers the table, so the estimate is the exact discrete
+    quantile)."""
+    import bisect
+
+    from mimir_spark.operators.sketches import RQ_K, rank_quantiles
+    from mimir_spark.sources.tables import load_table
+
+    vals = sorted(
+        r.value for r in load_table(spark, sf_smoke, "events").collect()
+    )
+    n = len(vals)
+    rows = rank_quantiles(spark, sf_smoke).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_sample == min(n, RQ_K)
+        true_rank = bisect.bisect_right(vals, r.est + 1e-12)
+        assert abs(true_rank / n - r.q) <= 0.03 + 1.0 / r.n_sample, (
+            r, true_rank, n,
+        )
+
+
+def test_kll_quantiles_rank_error(spark, sf_smoke):
+    """True KLL sketch: estimates within a generous rank envelope of
+    the target (k=200 gives ~1-2% typical rank error; bound at 5%),
+    and the sketch's total weight within 2% of the true row count
+    (compaction conserves weight up to odd-buffer truncation)."""
+    import bisect
+
+    from mimir_spark.operators.sketches import kll_quantiles
+    from mimir_spark.sources.tables import load_table
+
+    vals = sorted(
+        r.value for r in load_table(spark, sf_smoke, "events").collect()
+    )
+    n = len(vals)
+    rows = kll_quantiles(spark, sf_smoke).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r.n_total - n) <= 0.02 * n + 2
+        true_rank = bisect.bisect_right(vals, r.est + 1e-12)
+        assert abs(true_rank / n - r.q) <= 0.05, (r, true_rank, n)

@@ -56,6 +56,7 @@ SQL_PORTABLE = [
     "clustering_coefficient",
     "k_core",
     "label_propagation",
+    "rank_quantiles",
 ]
 
 

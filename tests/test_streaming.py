@@ -688,3 +688,48 @@ def test_streaming_ann_matches_batch(spark, sf_smoke, tmp_path):
         .collect()
     ]
     assert got and got == expect
+
+
+def test_streaming_rank_quantiles_match_batch(spark, sf_smoke, tmp_path):
+    """Bottom-k is the TakeOrdered monoid: k-smallest-of-union is
+    recoverable from per-batch k-smallest, so the merged sample — and
+    the estimates through the shared finalizer — must reproduce the
+    batch sketch bit-for-bit."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.sketches import rank_quantiles
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.rank_quantiles import (
+        finalize_rank_quantiles,
+        streaming_rank_quantiles_build,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    for m in range(3):
+        ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.parquet(
+            str(tmp_path / f"b{m}"), compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(str(tmp_path) + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_rank_quantiles_build(
+        spark, flat, str(tmp_path / "sk"), str(tmp_path / "ckpt"),
+        glob="batch_*.parquet",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.q, r.n_sample, r.est)
+        for r in finalize_rank_quantiles(spark, str(tmp_path / "sk")).collect()
+    }
+    expect = {
+        (r.q, r.n_sample, r.est)
+        for r in rank_quantiles(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
