@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": sketches.hll_distinct,
         "rank_quantiles": sketches.rank_quantiles,
         "kll_quantiles": sketches.kll_quantiles,
+        "dedup_containment_lsh": dedup2.dedup_containment_lsh,
+        "containment_lsh_recall": dedup2.containment_lsh_recall,
         "q2_min_cost_supplier": relational4.q2_min_cost_supplier,
         "q11_important_parts": relational4.q11_important_parts,
         "q20_dominant_suppliers": relational4.q20_dominant_suppliers,

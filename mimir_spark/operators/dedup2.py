@@ -412,3 +412,196 @@ def lsh_tuning_curve(
             ),
         )
     )
+
+
+# ---- Asymmetric containment LSH (size-class-tuned banding) --------------
+#
+# Symmetric Jaccard banding cannot see a paragraph inside a book:
+# containment C = |A∩B|/min can be 1.0 while J = |A∩B|/|A∪B| ~ na/nb
+# sits far below any Jaccard-tuned banding threshold. But C >= t and
+# sizes (na <= nb) IMPLY a Jaccard floor J >= t*na/(na + nb - t*na) -
+# so group documents into geometric size classes and tune rows-per-band
+# PER CLASS PAIR from that implied floor: extreme-ratio pairs get
+# permissive bands (down to r=1 - collision probability per band is
+# exactly J, so 128 single-row bands catch J=0.05 pairs with
+# probability 1-(1-J)^128 ~ 0.999), near-equal-size pairs keep the
+# selective Jaccard config. This is the sketch-side answer to the same
+# asymmetry the (exact) one-sided prefix lemma exploits in
+# dedup_containment_prefix. The element universe is unweighted shingle
+# sets, so the size asymmetry - not element weights - is the recall
+# gap; class-tuned banding closes it without the ICWS weighted-MinHash
+# machinery.
+
+CONTAINMENT_LSH_THRESHOLD = 0.8
+
+
+def _containment_band_configs(
+    classes: list[int], threshold: float, n_hashes: int = 128
+) -> list[tuple[int, int, int]]:
+    """(class_small, class_big, rows_per_band) for every ordered class
+    pair: the largest power-of-two r whose S-curve threshold
+    (1/b)^(1/r) still sits at or below the pair's implied Jaccard
+    floor (worst case: smallest |A| in the small class vs largest |B|
+    in the big class). Driver-side over O(log(max_doc)^2) pairs -
+    bounded metadata."""
+    out = []
+    rs = [r for r in (32, 16, 8, 4, 2, 1) if n_hashes % r == 0]
+    for i in classes:
+        for j in classes:
+            if i > j:
+                continue
+            na_min = 1 << i
+            nb_max = (1 << (j + 1)) - 1
+            j_floor = threshold * na_min / (na_min + nb_max - threshold * na_min)
+            r_sel = 1
+            for r in rs:
+                b = n_hashes // r
+                if (1.0 / b) ** (1.0 / r) <= j_floor:
+                    r_sel = r
+                    break
+            out.append((i, j, r_sel))
+    return out
+
+
+def containment_lsh_pairs(
+    docs: DataFrame, threshold: float = CONTAINMENT_LSH_THRESHOLD
+) -> DataFrame:
+    """Containment >= threshold pairs with LSH-banded candidates and
+    EXACT hashed-set verification — the scalable sketch twin of
+    `dedup_containment_prefix` (output contract identical to
+    `dedup_containment`; recall < 1 only through banding misses,
+    precision 1 by construction since verification is exact).
+
+    Plan: one signature pass (shared _minhash_signatures), size-class
+    tag per doc, bucket explosion at EVERY rows-per-band value the
+    class-pair table needs (≤ |{r}| band sets per doc — constant
+    fan-out), self-join on (r, band, bucket), then the class-pair
+    filter keeps a collision only at the r its size ratio calls for.
+    Candidates at permissive r collide on shared signature MINIMA, so
+    the bucket join stays bounded by min-collision rates (AQE splits a
+    hot bucket); the exact verify is one array_intersect per survivor.
+    """
+    from mimir_spark.operators.dedup import (
+        N_HASHES,
+        _minhash_signatures,
+    )
+
+    spark = docs.sparkSession
+    hsets = _spread(docs).select(
+        "doc_id",
+        F.transform(
+            word_shingles("text", SHINGLE_WORDS), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    )
+    cls_tbl = hsets.select(
+        "doc_id",
+        F.size("hs").alias("n_sh"),
+        F.floor(F.log2(F.greatest(F.size("hs"), F.lit(1)))).cast("int").alias(
+            "cls"
+        ),
+    )
+    classes = sorted(
+        r.cls for r in cls_tbl.select("cls").distinct().collect()
+    )  # ≤ log2(longest doc) rows — bounded metadata
+    cfg = _containment_band_configs(classes, threshold, N_HASHES)
+    rs = sorted({r for _, _, r in cfg})
+    cfg_df = spark.createDataFrame(
+        cfg, "cls_small int, cls_big int, r int"
+    )
+
+    sig = _minhash_signatures(docs)
+    side = sig.join(cls_tbl.select("doc_id", "cls"), "doc_id")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * r + k + 1) for k in range(r)]
+                ).alias("bucket"),
+            )
+            for r in rs
+            for b in range(N_HASHES // r)
+        ]
+    )
+    bk = side.select(
+        "doc_id", "cls", F.explode(bands).alias("bb")
+    ).select("doc_id", "cls", "bb.r", "bb.band", "bb.bucket")
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.least("a.cls", "b.cls").alias("cls_small"),
+            F.greatest("a.cls", "b.cls").alias("cls_big"),
+            F.col("a.r").alias("r"),
+        )
+        .join(F.broadcast(cfg_df), ["cls_small", "cls_big", "r"], "left_semi")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    sb = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_common")
+                / F.least(F.size("sh_a"), F.size("sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def dedup_containment_lsh(
+    spark: SparkSession, sf_dir: str,
+    threshold: float = CONTAINMENT_LSH_THRESHOLD,
+) -> DataFrame:
+    """`containment_lsh_pairs` over the documents table — the 100 TB
+    containment path (candidates bounded by banding, never a shingle
+    self-join)."""
+    return containment_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold
+    )
+
+
+def containment_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality report for the asymmetric
+    containment banding: precision/recall of the LSH-verified pair
+    set against the exact containment pair set (`dedup_containment`),
+    the banding-tuning signal — twin of `minhash_dedup_recall` on the
+    containment side. Verification is exact, so precision is 1.0 by
+    construction; recall counts banding misses."""
+    from mimir_spark.operators.dedup import dedup_containment
+
+    exact = dedup_containment(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_containment_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                n_lsh,
+                n_hit,
+                round(n_hit / n_lsh, 6) if n_lsh else 1.0,
+                round(n_hit / n_exact, 6) if n_exact else 1.0,
+            )
+        ],
+        "n_exact_pairs long, n_lsh_pairs long, n_hit long, "
+        "precision double, recall double",
+    )
