@@ -66,7 +66,18 @@ def dedup_jaccard_prefix(
     collide at ~(set size)²/2^64 ≈ 1e-14 per pair — far below the
     6dp rounding already applied to the score — so hashed Jaccard is
     string Jaccard for every practical purpose, and the (df, hash)
-    order is just as valid a total order for the lemma."""
+    order is just as valid a total order for the lemma.
+
+    Rounding-boundary asymmetry (shared with dedup_containment_prefix):
+    the prefix lemma guarantees a collision only for pairs whose TRUE
+    score ≥ t, while the output filter keys on the 6dp-ROUNDED score —
+    a pair with true score in [t − 5e-7, t) that rounds up to t could
+    pass the self-join twin's filter yet miss the prefix. Reaching
+    that half-ulp band needs a true-score resolution below 1e-6, i.e.
+    shingle-set sizes ~10⁶ (megaword documents) — impossible at any
+    test SF and pathological in practice; at such sizes, widen the
+    prefix by one element (p+1 covers the band) if bit-equality with
+    the rounded filter must hold."""
     docs = load_table(spark, sf_dir, "documents")
     hsets = _spread(docs).select(
         "doc_id",
@@ -278,7 +289,9 @@ def dedup_containment_prefix(
     ordering pushes boilerplate shingles out of prefixes, which is
     what bounds the join against hot-shingle fan-out. Verification is
     one array_intersect per candidate over the hashed sets (64-bit
-    collision odds ~1e-14/pair — see dedup_jaccard_prefix)."""
+    collision odds ~1e-14/pair — see dedup_jaccard_prefix, including
+    the note on the 6dp rounding-boundary asymmetry, which applies
+    here one-sided too)."""
     docs = load_table(spark, sf_dir, "documents")
     hsets = _spread(docs).select(
         "doc_id",

@@ -199,6 +199,17 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the oracle's interval comparisons."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("user_id", "event_type", "ts")
+    return funnel_steps_histogram(e, e.select("user_id").distinct())
+
+
+def funnel_steps_histogram(e: DataFrame, users: DataFrame) -> DataFrame:
+    """The earliest-chain funnel core over (user_id, event_type, ts)
+    rows plus an explicit user universe (n_steps=0 counts users with
+    no qualifying view, so the universe cannot be derived from the
+    funnel-type events alone). Shared with the streaming twin
+    (streaming/funnel.py) so incremental and batch histograms are
+    bit-identical: the chain is a pure function of the (user, type,
+    ts) SET it is given."""
     win = F.expr("INTERVAL 1 HOUR")
     s1 = (
         e.filter(F.col("event_type") == FUNNEL_STEPS[0])
@@ -219,7 +230,6 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    users = e.select("user_id").distinct()
     steps = (
         users.join(s1.select("user_id", "t1"), "user_id", "left")
         .join(s2.select("user_id", "t2"), "user_id", "left")

@@ -69,10 +69,23 @@ def streaming_bm25_build(
 def finalize_bm25_topk(
     spark: SparkSession, tf_dir: str, dl_dir: str, k: int = BM25_TOPK
 ) -> DataFrame:
-    """Merge the partial index tables (each doc lives in exactly one
-    batch, so the merge is a plain union read) and rank through the
-    batch operator's scoring code — identical output to `bm25_topk`
-    on the same corpus."""
-    tf = spark.read.parquet(tf_dir).select("doc_id", "w", "tf")
-    dl = spark.read.parquet(dl_dir).select("doc_id", "dl")
+    """Merge the partial index tables and rank through the batch
+    operator's scoring code — identical output to `bm25_topk` on the
+    same corpus.
+
+    The batch_id=N overwrite already makes foreachBatch RETRIES
+    idempotent, but it cannot help if the upstream delivery itself is
+    at-least-once (the same document re-appearing in a LATER file):
+    unlike the reservoir/ANN/sketch merges, BM25's statistics are sum
+    monoids over *disjoint* doc sets, so a re-delivered doc would
+    double-count its tf/dl and silently skew df, N, and avgdl. Guard:
+    keep each doc's rows from its LATEST batch only (max batch_id,
+    resolved from the dl table — every doc has a dl row) — last write
+    wins, which also gives re-delivered *updated* documents upsert
+    semantics. The resolve join is index-sized, not corpus-sized."""
+    tf_raw = spark.read.parquet(tf_dir)
+    dl_raw = spark.read.parquet(dl_dir)
+    last = dl_raw.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+    tf = tf_raw.join(last, ["doc_id", "batch_id"]).select("doc_id", "w", "tf")
+    dl = dl_raw.join(last, ["doc_id", "batch_id"]).select("doc_id", "dl")
     return bm25_rank_from_parts(tf, dl, k)

@@ -733,3 +733,103 @@ def test_streaming_rank_quantiles_match_batch(spark, sf_smoke, tmp_path):
         for r in rank_quantiles(spark, sf_smoke).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_funnel_matches_batch(spark, sf_smoke, tmp_path):
+    """The funnel anchor can move earlier with every batch, so the
+    state is an exactly-pruned event partial, not a min-merge; fed
+    through the shared chain it must reproduce the batch histogram
+    bit-for-bit."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.features import window_funnel
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.funnel import (
+        finalize_funnel,
+        streaming_funnel_build,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    # split by event_id so a user's views/clicks land in DIFFERENT
+    # batches — the case that breaks a naive min-chain state
+    for m in range(3):
+        ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.parquet(
+            str(tmp_path / f"b{m}"), compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(str(tmp_path) + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_funnel_build(
+        spark, flat, str(tmp_path / "st"), str(tmp_path / "ckpt"),
+        glob="batch_*.parquet",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.n_steps, r.n_users)
+        for r in finalize_funnel(spark, str(tmp_path / "st")).collect()
+    }
+    expect = {
+        (r.n_steps, r.n_users)
+        for r in window_funnel(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
+
+
+def test_streaming_bm25_redelivery_does_not_double_count(
+    spark, sf_smoke, tmp_path
+):
+    """At-least-once UPSTREAM delivery: the same documents re-appear
+    in a later file. BM25 statistics are sum monoids over disjoint doc
+    sets, so without the latest-batch-wins guard the re-delivered
+    docs' tf/dl would double-count and skew df/N/avgdl. The finalized
+    ranking must still equal the single-delivery batch ranking."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.retrieval import bm25_topk
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.bm25 import (
+        finalize_bm25_topk,
+        streaming_bm25_build,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    # batch 2 RE-DELIVERS half of batch 0's documents
+    docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 4 == 0)) \
+        .coalesce(1).write.parquet(f"{in_dir}/b2", compression="none")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_bm25_build(
+        spark, flat, str(tmp_path / "tf"), str(tmp_path / "dl"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = [
+        (r.doc_id, r.score, r.rank)
+        for r in finalize_bm25_topk(
+            spark, str(tmp_path / "tf"), str(tmp_path / "dl")
+        ).orderBy("rank").collect()
+    ]
+    expect = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_topk(spark, sf_smoke).orderBy("rank").collect()
+    ]
+    assert got == expect and got
