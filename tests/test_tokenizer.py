@@ -59,3 +59,14 @@ def test_bpe_encode_compresses(spark, sf_smoke):
     # merges can only shorten symbol streams, never lengthen them
     assert all(r.total_symbols <= r.total_chars for r in out)
     assert any(r.total_symbols < r.total_chars for r in out)
+
+
+def test_bpe_batched_equals_sequential(spark, sf_smoke):
+    """The _safe_merge_prefix guard must never change a learned merge:
+    batched selection (batch_m=4) and forced-sequential (batch_m=1)
+    training produce identical merge tables, rows and order."""
+    from mimir_spark.operators.tokenizer import bpe_train
+
+    seq = [tuple(r) for r in bpe_train(spark, sf_smoke, 10, batch_m=1).collect()]
+    bat = [tuple(r) for r in bpe_train(spark, sf_smoke, 10, batch_m=4).collect()]
+    assert bat == seq and len(seq) == 10
