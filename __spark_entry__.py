@@ -51,13 +51,126 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict
     # in order and covers a ~50-key window per round (r01: 50, r02: 51,
-    # r03: 50). Round-4 order: the 28 keys that have NEVER had a driver
-    # row (they missed every window r01-r03) come FIRST, then the 14
-    # operators ADDED in round 4, then the 7 modified late in round 3c
-    # (their old green rows are stale), then the r03- and r02-green
-    # keys — 49 stale-or-new keys, so the window covers them all.
+    # r03: 50, r04: 50). Round-5 order: the 15 new-or-changed keys come
+    # FIRST, then the 91 keys whose last driver row predates r4 (the
+    # window reaches the first ~35 of them; the remainder rotate to the
+    # front next round), then the 43 r4-green unchanged keys.
     return {
-        # --- never driver-checked (missed r01/r02/r03 windows) ---
+        # --- new or code-changed in round 5 (need fresh driver rows:
+        #     4 new keys, 2 newly-oracled graph ops, the GEMM-assignment
+        #     ops, Lloyd-IVF, batched BPE, the funnel refactor) ---
+        "rank_quantiles": sketches.rank_quantiles,
+        "kll_quantiles": sketches.kll_quantiles,
+        "dedup_containment_lsh": dedup2.dedup_containment_lsh,
+        "containment_lsh_recall": dedup2.containment_lsh_recall,
+        "k_core": graph.k_core,
+        "label_propagation": graph.label_propagation,
+        "dedup_embedding": dedup.dedup_embedding,
+        "semdedup": dedup2.semdedup,
+        "embedding_clusters": dedup2.embedding_clusters,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_ivf_recall": similarity.ann_ivf_recall,
+        "kmeans_embeddings": clustering.kmeans_embeddings,
+        "bpe_train": tokenizer.bpe_train,
+        "bpe_encode": tokenizer.bpe_encode,
+        "window_funnel": features.window_funnel,
+        # --- last driver-checked in r2/r3 (outside the r4 window);
+        #     15 keys above + the first 35 here fill a 50-key
+        #     window; oracle-carrying keys lead so no window slot is
+        #     spent on a weaker rows-only check - the rest rotate next
+        #     round ---
+        "cross_source_duplication": corpus.cross_source_duplication,
+        "heavy_hitters_cms": sketches.heavy_hitters_cms,
+        "hll_distinct": sketches.hll_distinct,
+        "q2_min_cost_supplier": relational4.q2_min_cost_supplier,
+        "q11_important_parts": relational4.q11_important_parts,
+        "q20_dominant_suppliers": relational4.q20_dominant_suppliers,
+        "q21_waiting_suppliers": relational4.q21_waiting_suppliers,
+        "degree_distribution": graph.degree_distribution,
+        "decontaminate_corpus": corpus.decontaminate_corpus,
+        "event_windows_sliding": features.event_windows_sliding,
+        "hourly_value_correlation": features.hourly_value_correlation,
+        "dedup_span_removal": dedup.dedup_span_removal,
+        "ddsketch_quantiles": sketches.ddsketch_quantiles,
+        "sample_weighted": pipeline.sample_weighted,
+        "dup_span_islands": dedup.dup_span_islands,
+        "dedup_clusters_star": dedup.dedup_clusters_star,
+        "triangle_count": graph.triangle_count,
+        "unigram_logppl": quality.unigram_logppl,
+        "dup_span_fraction": dedup.dup_span_fraction,
+        "histogram_quantiles": sketches.histogram_quantiles,
+        "cohort_retention": features.cohort_retention,
+        "funnel_conversion": advanced.funnel_conversion,
+        "gopher_quality_filter": quality.gopher_quality_filter,
+        "quality_topk_select": quality.quality_topk_select,
+        "zipf_slope": quality.zipf_slope,
+        "cooccurrence_pmi": corpus.cooccurrence_pmi,
+        "anomaly_zscore": features.anomaly_zscore,
+        "dedup_prefix": dedup.dedup_prefix,
+        "ann_range_search": similarity.ann_range_search,
+        "knn_graph": similarity.knn_graph,
+        "multimodal_features": multimodal.multimodal_features_hist,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "sessionize": relational.sessionize,
+        "event_windows": relational.event_windows,
+        "q4_order_priority": relational2.q4_order_priority,
+        "q14_promo_revenue": relational2.q14_promo_revenue,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_clusters": dedup.dedup_clusters,
+        "dedup_survivors": dedup.dedup_survivors,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "pii_scrub": textstats2.pii_scrub,
+        "bpe_pair_counts": textstats2.bpe_pair_counts,
+        "top_ngrams_per_lang": textstats2.top_ngrams_per_lang,
+        "sample_stratified": pipeline.sample_stratified,
+        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
+        "repetition_ratio": textstats2.repetition_ratio,
+        "text_normalize": textstats2.text_normalize,
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "token_count": textstats.token_count,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "multimodal_meta": multimodal.multimodal_meta,
+        "frame_sample": multimodal.frame_sample,
+        "json_extract_agg": advanced.json_extract_agg,
+        "contamination_check": corpus.contamination_check,
+        "token_entropy": corpus.token_entropy,
+        "doc_length_stats": corpus.doc_length_stats,
+        "source_mix_report": corpus.source_mix_report,
+        "skew_join_salted": advanced.skew_join_salted,
+        "ngram_novelty": corpus.ngram_novelty,
+        "user_activity_profile": features.user_activity_profile,
+        "winsorize_events": features.winsorize_events,
+        "embedding_norm_stats": features.embedding_norm_stats,
+        "vocab_encode": corpus.vocab_encode,
+        "wordcount": core.wordcount,
+        "wordcount_topk": core.wordcount_topk,
+        "inverted_index": core.inverted_index,
+        "kv_combine": core.wordcount_via_pipeline,
+        "kv_reduce": core.kv_reduce,
+        "distinct_keys": core.distinct_keys,
+        "histogram": core.histogram,
+        "group_topk": core.group_topk,
+        "bfs_levels": graph.bfs_levels,
+        "octree_bin": octree.octree_bin,
+        "octree_adaptive": octree.octree_adaptive,
+        "dedup_method_agreement": dedup2.dedup_method_agreement,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "minhash_containment": dedup.minhash_containment,
+        "minhash_dedup_recall": dedup.minhash_dedup_recall,
+        "embedding_pca": clustering.embedding_pca,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_clusters_lsh": dedup.dedup_clusters_lsh,
+        "dedup_survivors_lsh": dedup.dedup_survivors_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "pagerank": graph.pagerank,
+        "approx_distinct": core.approx_distinct,
+        # --- r4-driver-green and unchanged since ---
         "q18_large_orders": relational2.q18_large_orders,
         "q19_bracketed_revenue": relational2.q19_bracketed_revenue,
         "semi_anti_join": relational2.semi_anti_join,
@@ -85,134 +198,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": advanced.interval_join,
         "salted_agg": advanced.salted_agg,
         "embedding_centroids": advanced.embedding_centroids,
-        "kmeans_embeddings": clustering.kmeans_embeddings,
-        # --- modified or new in round 4 (need fresh driver rows) ---
         "dedup_jaccard_prefix": dedup2.dedup_jaccard_prefix,
-        "window_funnel": features.window_funnel,
         "ccnet_ppl_buckets": quality.ccnet_ppl_buckets,
         "sample_reservoir": pipeline.sample_reservoir,
         "clustering_coefficient": graph.clustering_coefficient,
-        "k_core": graph.k_core,
-        "semdedup": dedup2.semdedup,
-        "label_propagation": graph.label_propagation,
         "bm25_topk": retrieval.bm25_topk,
         "hybrid_retrieval": retrieval.hybrid_retrieval,
         "dedup_containment_prefix": dedup2.dedup_containment_prefix,
         "table_profile": profiling.table_profile,
         "rfm_segmentation": features.rfm_segmentation,
-        "embedding_clusters": dedup2.embedding_clusters,
         "dataset_card": corpus.dataset_card,
         "lsh_tuning_curve": dedup2.lsh_tuning_curve,
         "train_val_test_split": pipeline.train_val_test_split,
-        "bpe_train": tokenizer.bpe_train,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_containment": dedup.dedup_containment,
         "dataset_mixture_plan": packing.dataset_mixture_plan,
         "sequence_pack": packing.sequence_pack,
-        # rows-only (weak check) — parked just past the ~50-key window
-        # so every oracle-checked stale/new key above gets a hash row
-        "dedup_method_agreement": dedup2.dedup_method_agreement,
-        "multimodal_resize": multimodal.multimodal_resize,
-        "bpe_encode": tokenizer.bpe_encode,
-        # --- r03-green (CORRECTNESS_r03) ---
-        "cross_source_duplication": corpus.cross_source_duplication,
-        "minhash_containment": dedup.minhash_containment,
-        "ann_ivf_recall": similarity.ann_ivf_recall,
-        "heavy_hitters_cms": sketches.heavy_hitters_cms,
-        "hll_distinct": sketches.hll_distinct,
-        "rank_quantiles": sketches.rank_quantiles,
-        "kll_quantiles": sketches.kll_quantiles,
-        "dedup_containment_lsh": dedup2.dedup_containment_lsh,
-        "containment_lsh_recall": dedup2.containment_lsh_recall,
-        "q2_min_cost_supplier": relational4.q2_min_cost_supplier,
-        "q11_important_parts": relational4.q11_important_parts,
-        "q20_dominant_suppliers": relational4.q20_dominant_suppliers,
-        "q21_waiting_suppliers": relational4.q21_waiting_suppliers,
-        "degree_distribution": graph.degree_distribution,
-        "decontaminate_corpus": corpus.decontaminate_corpus,
-        "event_windows_sliding": features.event_windows_sliding,
-        "hourly_value_correlation": features.hourly_value_correlation,
-        "dedup_span_removal": dedup.dedup_span_removal,
-        "minhash_dedup_recall": dedup.minhash_dedup_recall,
-        "ddsketch_quantiles": sketches.ddsketch_quantiles,
-        "sample_weighted": pipeline.sample_weighted,
-        "dup_span_islands": dedup.dup_span_islands,
-        "dedup_clusters_star": dedup.dedup_clusters_star,
-        "embedding_pca": clustering.embedding_pca,
-        "triangle_count": graph.triangle_count,
-        "unigram_logppl": quality.unigram_logppl,
-        "dup_span_fraction": dedup.dup_span_fraction,
-        "histogram_quantiles": sketches.histogram_quantiles,
-        "cohort_retention": features.cohort_retention,
-        "funnel_conversion": advanced.funnel_conversion,
-        "gopher_quality_filter": quality.gopher_quality_filter,
-        "quality_topk_select": quality.quality_topk_select,
-        "zipf_slope": quality.zipf_slope,
-        "cooccurrence_pmi": corpus.cooccurrence_pmi,
-        "anomaly_zscore": features.anomaly_zscore,
-        "dedup_prefix": dedup.dedup_prefix,
-        "ann_range_search": similarity.ann_range_search,
-        "knn_graph": similarity.knn_graph,
-        "multimodal_features": multimodal.multimodal_features_hist,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_nation_revenue": relational.q5_nation_revenue,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q10_returned_items": relational.q10_returned_items,
-        "sessionize": relational.sessionize,
-        "event_windows": relational.event_windows,
-        "q4_order_priority": relational2.q4_order_priority,
-        "q14_promo_revenue": relational2.q14_promo_revenue,
-        # --- r02-green (CORRECTNESS_r02) ---
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_clusters": dedup.dedup_clusters,
-        "dedup_survivors": dedup.dedup_survivors,
-        "dedup_clusters_lsh": dedup.dedup_clusters_lsh,
-        "dedup_survivors_lsh": dedup.dedup_survivors_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_embedding": dedup.dedup_embedding,
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "pii_scrub": textstats2.pii_scrub,
-        "bpe_pair_counts": textstats2.bpe_pair_counts,
-        "top_ngrams_per_lang": textstats2.top_ngrams_per_lang,
-        "sample_stratified": pipeline.sample_stratified,
-        "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
-        "repetition_ratio": textstats2.repetition_ratio,
-        "text_normalize": textstats2.text_normalize,
-        "lang_id": textstats.lang_id,
-        "quality_score": textstats.quality_score,
-        "token_count": textstats.token_count,
-        "doc_fingerprint": textstats.doc_fingerprint,
-        "multimodal_meta": multimodal.multimodal_meta,
-        "frame_sample": multimodal.frame_sample,
-        "json_extract_agg": advanced.json_extract_agg,
-        "contamination_check": corpus.contamination_check,
-        "token_entropy": corpus.token_entropy,
-        "doc_length_stats": corpus.doc_length_stats,
-        "source_mix_report": corpus.source_mix_report,
-        "skew_join_salted": advanced.skew_join_salted,
-        "ngram_novelty": corpus.ngram_novelty,
-        "user_activity_profile": features.user_activity_profile,
-        "winsorize_events": features.winsorize_events,
-        "embedding_norm_stats": features.embedding_norm_stats,
-        "pagerank": graph.pagerank,
-        "vocab_encode": corpus.vocab_encode,
-        # core MapReduce surface (Mimir parity; r02-green)
-        "wordcount": core.wordcount,
-        "wordcount_topk": core.wordcount_topk,
-        "inverted_index": core.inverted_index,
-        "kv_combine": core.wordcount_via_pipeline,
-        "kv_reduce": core.kv_reduce,
-        "distinct_keys": core.distinct_keys,
-        "histogram": core.histogram,
-        "group_topk": core.group_topk,
-        "approx_distinct": core.approx_distinct,
-        "bfs_levels": graph.bfs_levels,
-        "octree_bin": octree.octree_bin,
-        "octree_adaptive": octree.octree_adaptive,
     }
 
 

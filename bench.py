@@ -55,6 +55,10 @@ HEADLINE = [
     # filtering) and the published embedding-dedup recipe (SemDeDup)
     "dedup_jaccard_prefix",
     "semdedup",
+    # round-5 additions: asymmetric containment banding (the 100 TB
+    # containment path) and the bottom-k rank-quantile sketch
+    "dedup_containment_lsh",
+    "rank_quantiles",
 ]
 
 
