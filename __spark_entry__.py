@@ -38,6 +38,7 @@ from mimir_spark.operators import (
     textstats,
     textstats2,
     tokenizer,
+    weighted,
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -63,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": sketches.kll_quantiles,
         "dedup_containment_lsh": dedup2.dedup_containment_lsh,
         "containment_lsh_recall": dedup2.containment_lsh_recall,
+        "dedup_weighted_jaccard": weighted.dedup_weighted_jaccard,
+        "dedup_icws": weighted.dedup_icws,
+        "icws_recall": weighted.icws_recall,
         "k_core": graph.k_core,
         "label_propagation": graph.label_propagation,
         "dedup_embedding": dedup.dedup_embedding,
@@ -360,6 +364,33 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _PROFILE_SQL,
         "k_core": _k_core_sql(),
         "label_propagation": _label_propagation_sql(),
+        "dedup_weighted_jaccard": r"""
+            WITH sha AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> array_to_string(t[i:i+2], ' ')) AS s
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '') AS t
+                    FROM documents)),
+            wc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(s) AS g FROM sha) q
+              GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(least(a.c, b.c)) AS wmin
+              FROM wc a JOIN wc b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(wmin / (ta.n + tb.n - wmin), 6) AS wjaccard
+            FROM inter
+            JOIN tot ta ON ta.doc_id = doc_a
+            JOIN tot tb ON tb.doc_id = doc_b
+            WHERE round(wmin / (ta.n + tb.n - wmin), 6) >= 0.5
+        """,
         "rank_quantiles": """
             WITH s AS (
               SELECT event_id, value

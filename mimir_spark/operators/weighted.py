@@ -1,0 +1,259 @@
+"""Weighted (multiset) similarity: exact weighted Jaccard and its
+ICWS weighted-MinHash sketch twin.
+
+Set-Jaccard treats a shingle that occurs 40 times in both documents
+the same as one that occurs once — repeated-boilerplate similarity
+(navigation blocks, legal footers, chat-log templates) is
+systematically undercounted. Weighted Jaccard over shingle
+MULTIPLICITIES, J_w(A,B) = Σ_g min(a_g, b_g) / Σ_g max(a_g, b_g),
+is the standard correction, and Σ max = |A| + |B| − Σ min keeps the
+plan the exact same self-join shape as set-Jaccard (per-doc totals +
+a Σ min aggregate over shared shingles).
+
+The sketch twin is Ioffe's Improved Consistent Weighted Sampling
+(ICWS; ICDM 2010): per (element, hash) draw r, c ~ Gamma(2, 1) and
+β ~ U(0,1) from element-seeded randomness, then
+    t = ⌊ln(w)/r + β⌋,  y = exp(r·(t − β)),  a = c / (y·exp(r)),
+and the sample is the (g, t) of the minimal a. Two documents agree on
+a sample with probability exactly J_w — the weighted analogue of the
+MinHash collision identity — so LSH banding over (g, t) pairs works
+unchanged. Randomness is COUNTER-BASED (splitmix64 of (element, hash,
+draw) — Gamma(2,1) is the sum of two exponentials, so every draw is
+−ln(u·u') of two such uniforms): no RNG objects, fully vectorized,
+and the signature is a pure function of the document's weighted set —
+partition- and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import word_shingles_all
+from mimir_spark.operators.dedup import SHINGLE_WORDS, _spread
+from mimir_spark.sources.tables import load_table
+
+WJ_THRESHOLD = 0.5
+ICWS_HASHES = 128
+ICWS_BANDS = 32  # 4 rows/band — same S-curve operating point as set-LSH
+
+
+def _weighted_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, g, c): per-doc shingle multiplicities over POSITIONAL
+    shingles (hashed to int64 — the string never leaves the row), plus
+    nothing else; one corpus scan, one (doc, g)-keyed aggregate."""
+    sh = _spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                word_shingles_all("text", SHINGLE_WORDS),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("g"),
+    )
+    return sh.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
+
+
+def _weighted_jaccard_pairs(
+    wc: DataFrame, cand: DataFrame | None, threshold: float
+) -> DataFrame:
+    """Exact J_w for either every co-occurring pair (cand=None — the
+    self-join correctness path) or a candidate pair set (the verify
+    step of the sketch path). Σ max folds to |A|+|B|−Σ min, so only
+    the Σ min aggregate ever touches pair-level rows."""
+    tot = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    a, b = wc.alias("a"), wc.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.least("a.c", "b.c")).alias("wmin"))
+    )
+    if cand is not None:
+        inter = inter.join(F.broadcast(cand), ["doc_a", "doc_b"], "left_semi")
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "wjaccard",
+            F.round(
+                F.col("wmin") / (F.col("na") + F.col("nb") - F.col("wmin")), 6
+            ),
+        )
+        .filter(F.col("wjaccard") >= threshold)
+        .select("doc_a", "doc_b", "wjaccard")
+    )
+
+
+def dedup_weighted_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = WJ_THRESHOLD
+) -> DataFrame:
+    """Exact weighted-Jaccard ≥ threshold pairs over the documents
+    table — the multiset upgrade of `dedup_ngram_jaccard` (oracle-
+    checked; the self-join is the correctness path, `dedup_icws` is
+    the sketch path at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _weighted_jaccard_pairs(_weighted_sets(docs), None, threshold)
+
+
+def _splitmix(x):
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _uniforms(key, j):
+    """U(0,1) from a counter-based hash — open interval (never 0, so
+    logs are safe): (mantissa + 0.5) / 2^53."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        h = _splitmix(key + np.uint64(j) * np.uint64(0xD1B54A32D192ED03))
+    return ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+
+
+def icws_signatures(
+    wsets: DataFrame, n_hashes: int = ICWS_HASHES
+) -> DataFrame:
+    """doc_id → ICWS signature as parallel arrays (sample element ids,
+    sample t levels). One groupBy folds (doc, g, c) rows to per-doc
+    arrays; the kernel is vectorized NumPy per document — (elements ×
+    hashes) Gamma/exp arithmetic, ~50×128 doubles per doc."""
+    import numpy as np
+    import pandas as pd
+
+    folded = wsets.groupBy("doc_id").agg(
+        F.collect_list(F.struct("g", "c")).alias("els")
+    )
+
+    hash_keys = _splitmix(
+        np.arange(n_hashes, dtype=np.uint64)
+        * np.uint64(0xA0761D6478BD642F)
+    )
+
+    def _sign(batches):
+        for pdf in batches:
+            out_rows = []
+            for doc_id, els in zip(pdf["doc_id"], pdf["els"]):
+                gs = np.array([e["g"] for e in els], dtype=np.int64)
+                ws = np.array([e["c"] for e in els], dtype=np.float64)
+                key = (
+                    _splitmix(gs.astype(np.uint64))[:, None]
+                    ^ hash_keys[None, :]
+                )
+                r = -np.log(_uniforms(key, 1) * _uniforms(key, 2))
+                c = -np.log(_uniforms(key, 3) * _uniforms(key, 4))
+                beta = _uniforms(key, 5)
+                t = np.floor(np.log(ws)[:, None] / r + beta)
+                # a = c / (y * exp(r)) with y = exp(r*(t - beta));
+                # compare in log space: ln a = ln c - r*(t - beta + 1)
+                log_a = np.log(c) - r * (t - beta + 1.0)
+                kstar = log_a.argmin(axis=0)
+                ar = np.arange(n_hashes)
+                out_rows.append(
+                    (
+                        int(doc_id),
+                        gs[kstar].tolist(),
+                        t[kstar, ar].astype(np.int64).tolist(),
+                    )
+                )
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows, columns=["doc_id", "sig_g", "sig_t"]
+                )
+
+    return folded.mapInPandas(
+        _sign, "doc_id long, sig_g array<long>, sig_t array<long>"
+    )
+
+
+def dedup_icws(
+    spark: SparkSession, sf_dir: str, threshold: float = WJ_THRESHOLD
+) -> DataFrame:
+    """Weighted-Jaccard pairs via ICWS banding + exact verification —
+    the scale path for `dedup_weighted_jaccard` (same output contract;
+    recall < 1 only through banding misses, precision 1 because the
+    verify recomputes exact J_w on candidates only). Banding buckets
+    hash the band's (g, t) sample pairs — a collision needs the full
+    consistent sample to agree, which happens with probability J_w per
+    hash position, so the set-LSH S-curve tuning carries over."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = _weighted_sets(docs).localCheckpoint(eager=True)
+    sig = icws_signatures(wc)
+    rows = ICWS_HASHES // ICWS_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    *(
+                        [
+                            F.element_at("sig_g", i * rows + j + 1)
+                            for j in range(rows)
+                        ]
+                        + [
+                            F.element_at("sig_t", i * rows + j + 1)
+                            for j in range(rows)
+                        ]
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(ICWS_BANDS)
+        ]
+    )
+    bk = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _weighted_jaccard_pairs(wc, cand, threshold)
+
+
+def icws_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the ICWS-banded pair set against the exact
+    weighted-Jaccard pair set — the banding-tuning signal, twin of
+    `minhash_dedup_recall` on the weighted side. Precision is 1.0 by
+    construction (exact verify); recall counts banding misses."""
+    exact = dedup_weighted_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_icws(spark, sf_dir).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                n_lsh,
+                n_hit,
+                round(n_hit / n_lsh, 6) if n_lsh else 1.0,
+                round(n_hit / n_exact, 6) if n_exact else 1.0,
+            )
+        ],
+        "n_exact_pairs long, n_lsh_pairs long, n_hit long, "
+        "precision double, recall double",
+    )

@@ -38,6 +38,7 @@ PROBES = [
     "dedup_span_removal",
     "hll_distinct",
     "dedup_jaccard_prefix",
+    "dedup_containment_lsh",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -50,6 +51,7 @@ INPUT_TABLES = {
     "dedup_span_removal": "documents",
     "hll_distinct": "events",
     "dedup_jaccard_prefix": "documents",
+    "dedup_containment_lsh": "documents",
 }
 
 

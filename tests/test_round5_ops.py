@@ -61,3 +61,170 @@ def test_containment_lsh_recall_floor(spark, sf_smoke):
     r = rows[0]
     assert r.precision == 1.0  # exact verification
     assert r.recall >= 0.9, r
+
+
+def test_containment_lsh_no_cartesian(spark, sf_smoke):
+    """Every candidate join must be an equi-join on (band, bucket) —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere (the class
+    restriction is a filter on equi-join output, not a theta join)."""
+    from mimir_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(dedup2.dedup_containment_lsh(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rank_quantiles_is_take_ordered(spark, sf_smoke):
+    """The bottom-k scan must plan as distributed TakeOrdered
+    (per-partition k-heaps), never a global sort of the corpus."""
+    from mimir_spark.operators.sketches import rank_quantiles
+    from mimir_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(rank_quantiles(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_assignment_has_no_cells_fanout(spark, sf_smoke):
+    """assign_nearest_cell is map-only: the semdedup plan must contain
+    no join between the corpus and the centroid table (the round-4
+    formulation was a no-condition broadcast join — a x|cells| row
+    fan-out)."""
+    from mimir_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(dedup2.semdedup(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rank_quantiles_partition_invariance(spark, sf_smoke):
+    """The sketch's whole claim: the sample is a pure function of the
+    data SET. A sibling session with a prime, tiny shuffle partition
+    count must produce identical estimates."""
+    from mimir_spark.operators.sketches import rank_quantiles
+
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    base = {tuple(r) for r in rank_quantiles(spark, sf_smoke).collect()}
+    alt = {tuple(r) for r in rank_quantiles(odd, sf_smoke).collect()}
+    assert base == alt and base
+
+
+def test_containment_lsh_partition_invariance(spark, sf_smoke):
+    """Signatures, banding, and exact verification are all
+    deterministic per data set — partitioning must not leak into the
+    pair set."""
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    base = {
+        tuple(r) for r in dedup2.dedup_containment_lsh(spark, sf_smoke).collect()
+    }
+    alt = {
+        tuple(r) for r in dedup2.dedup_containment_lsh(odd, sf_smoke).collect()
+    }
+    assert base == alt and base
+
+
+def test_weighted_jaccard_python_reference(spark, sf_smoke):
+    """Exact weighted Jaccard pinned against a pure-Python multiset
+    computation over positional 3-word shingles."""
+    from collections import Counter
+
+    from mimir_spark.operators import weighted
+    from mimir_spark.sources.tables import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_smoke, "documents").collect()
+    }
+
+    def shingles(text):
+        t = text.split()
+        if len(t) < 3:
+            return Counter([" ".join(t)])
+        return Counter(
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        )
+
+    sh = {d: shingles(t) for d, t in docs.items()}
+    want = {}
+    ids = sorted(sh)
+    # restrict the O(n^2) reference to docs sharing any shingle
+    from collections import defaultdict
+
+    by_g = defaultdict(set)
+    for d, c in sh.items():
+        for g in c:
+            by_g[g].add(d)
+    cand = {
+        (a, b)
+        for ds in by_g.values()
+        for a in ds
+        for b in ds
+        if a < b
+    }
+    for a, b in cand:
+        ca, cb = sh[a], sh[b]
+        wmin = sum(min(ca[g], cb[g]) for g in ca.keys() & cb.keys())
+        na, nb = sum(ca.values()), sum(cb.values())
+        j = round(wmin / (na + nb - wmin), 6)
+        if j >= 0.5:
+            want[(a, b)] = j
+    got = {
+        (r.doc_a, r.doc_b): r.wjaccard
+        for r in weighted.dedup_weighted_jaccard(spark, sf_smoke).collect()
+    }
+    assert got == want and got
+
+
+def test_icws_collision_probability_matches_wjaccard(spark, sf_smoke):
+    """The ICWS identity: two docs' signatures agree per position with
+    probability exactly J_w. Over the known near-dup pairs, the
+    empirical agreement fraction must sit within the binomial noise of
+    the exact J_w (128 hashes → s.e. ≤ 0.045; bound mean |err| 0.06,
+    max 0.15)."""
+    from mimir_spark.operators import weighted
+    from mimir_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    wc = weighted._weighted_sets(docs)
+    sigs = {
+        r.doc_id: (r.sig_g, r.sig_t)
+        for r in weighted.icws_signatures(wc).collect()
+    }
+    exact = weighted.dedup_weighted_jaccard(spark, sf_smoke).collect()
+    errs = []
+    for r in exact:
+        ga, ta = sigs[r.doc_a]
+        gb, tb = sigs[r.doc_b]
+        agree = sum(
+            1
+            for x in zip(ga, ta, gb, tb)
+            if x[0] == x[2] and x[1] == x[3]
+        )
+        errs.append(abs(agree / len(ga) - r.wjaccard))
+    assert errs
+    assert max(errs) <= 0.15, errs
+    assert sum(errs) / len(errs) <= 0.06, errs
+
+
+def test_icws_recall_floor(spark, sf_smoke):
+    from mimir_spark.operators import weighted
+
+    r = weighted.icws_recall(spark, sf_smoke).collect()[0]
+    assert r.precision == 1.0
+    assert r.recall >= 0.9, r
+
+
+def test_icws_partition_invariance(spark, sf_smoke):
+    """ICWS randomness is counter-based per (element, hash): the
+    signature — and the verified pair set — is a pure function of each
+    document's weighted set, never of partitioning."""
+    from mimir_spark.operators import weighted
+
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    base = {
+        tuple(r) for r in weighted.dedup_icws(spark, sf_smoke).collect()
+    }
+    alt = {tuple(r) for r in weighted.dedup_icws(odd, sf_smoke).collect()}
+    assert base == alt and base
