@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     ops, Lloyd-IVF, batched BPE, the funnel refactor) ---
         "rank_quantiles": sketches.rank_quantiles,
         "kll_quantiles": sketches.kll_quantiles,
+        "tdigest_quantiles": sketches.tdigest_quantiles,
         "dedup_containment_lsh": dedup2.dedup_containment_lsh,
         "containment_lsh_recall": dedup2.containment_lsh_recall,
         "dedup_weighted_jaccard": weighted.dedup_weighted_jaccard,

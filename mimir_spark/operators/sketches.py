@@ -506,3 +506,96 @@ def kll_quantiles(
     return partial.groupBy(F.lit("all").alias("g")).applyInPandas(
         _finalize, "q double, n_total long, est double"
     )
+
+
+# ---- t-digest: tail-accurate mergeable centroid sketch (rows-only) ------
+
+TDIGEST_DELTA = 100
+
+
+def _tdigest_compress(means, weights, delta: int):
+    """Greedy merging t-digest compression (Dunning & Ertl): inputs
+    sorted by mean; adjacent runs merge while the k1 scale function
+    k1(q) = (delta/2pi)*asin(2q-1) advances by <= 1 across the merged
+    centroid. k1's slope explodes at q -> 0/1, so tail centroids stay
+    tiny - the property that makes t-digest's relative rank error
+    TIGHTEST at the extreme quantiles (p99.9 cutoffs), where KLL's
+    uniform guarantee is loosest."""
+    import math
+
+    import numpy as np
+
+    n = float(weights.sum())
+
+    def k1(q):
+        return (delta / (2.0 * math.pi)) * math.asin(
+            max(-1.0, min(1.0, 2.0 * q - 1.0))
+        )
+
+    out_m, out_w = [], []
+    q0 = 0.0
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    for m, w in zip(means[1:], weights[1:]):
+        if k1(q0 + (cur_w + w) / n) - k1(q0) <= 1.0:
+            cur_m = (cur_m * cur_w + float(m) * float(w)) / (cur_w + w)
+            cur_w += float(w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q0 += cur_w / n
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.array(out_m), np.array(out_w)
+
+
+def tdigest_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    delta: int = TDIGEST_DELTA,
+    qs: tuple[float, ...] = QUANTS,
+) -> DataFrame:
+    """p50/p90/p99 of events.value from a merging t-digest: per-Arrow-
+    batch partial digests (O(delta) centroids each) via mapInPandas,
+    merged by sort-and-recompress in one bounded finalizer task,
+    estimates by interpolation between centroid means. Unlike KLL,
+    merging preserves total weight EXACTLY (n_total = true row count),
+    and the scale function concentrates resolution in the tails.
+
+    Same honest gate note as kll_quantiles: centroid means depend on
+    which rows shared a batch, so the estimate is deterministic only
+    per plan - rows-only key, pinned by a rank-envelope test;
+    `rank_quantiles` remains the hash-pinnable sibling."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.sort(pdf["value"].to_numpy(np.float64), kind="stable")
+            m, w = _tdigest_compress(v, np.ones_like(v), delta)
+            yield pd.DataFrame({"mean": m, "weight": w})
+
+    partial = ev.mapInPandas(_partials, "mean double, weight double")
+
+    def _finalize(key, pdf):
+        order = np.argsort(pdf["mean"].to_numpy(np.float64), kind="stable")
+        means = pdf["mean"].to_numpy(np.float64)[order]
+        weights = pdf["weight"].to_numpy(np.float64)[order]
+        m, w = _tdigest_compress(means, weights, delta)
+        n = w.sum()
+        cum = np.cumsum(w)
+        centers = cum - w / 2.0
+        out = []
+        for q in qs:
+            r = q * n
+            est = float(np.interp(r, centers, m))
+            out.append((q, int(round(n)), round(est, 6)))
+        return pd.DataFrame(out, columns=["q", "n_total", "est"])
+
+    return partial.groupBy(F.lit("all").alias("g")).applyInPandas(
+        _finalize, "q double, n_total long, est double"
+    )

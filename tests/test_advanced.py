@@ -145,3 +145,25 @@ def test_kll_quantiles_rank_error(spark, sf_smoke):
         assert abs(r.n_total - n) <= 0.02 * n + 2
         true_rank = bisect.bisect_right(vals, r.est + 1e-12)
         assert abs(true_rank / n - r.q) <= 0.05, (r, true_rank, n)
+
+
+def test_tdigest_quantiles_rank_error(spark, sf_smoke):
+    """t-digest envelope: exact total weight (merging conserves it,
+    unlike KLL's odd-buffer truncation) and estimates within a 3% rank
+    envelope — tighter than KLL's bound because delta=100 centroids
+    over ~1k rows leave almost no interpolation error."""
+    import bisect
+
+    from mimir_spark.operators.sketches import tdigest_quantiles
+    from mimir_spark.sources.tables import load_table
+
+    vals = sorted(
+        r.value for r in load_table(spark, sf_smoke, "events").collect()
+    )
+    n = len(vals)
+    rows = tdigest_quantiles(spark, sf_smoke).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_total == n
+        true_rank = bisect.bisect_right(vals, r.est + 1e-12)
+        assert abs(true_rank / n - r.q) <= 0.03, (r, true_rank, n)
