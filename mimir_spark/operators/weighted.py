@@ -54,14 +54,77 @@ def _weighted_sets(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
 
 
+def _wj_score(threshold: float):
+    """(wmin, na, nb) → rounded J_w with the threshold filter — shared
+    by both verification paths so the score arithmetic cannot drift."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "wjaccard",
+                F.round(
+                    F.col("wmin") / (F.col("na") + F.col("nb") - F.col("wmin")),
+                    6,
+                ),
+            )
+            .filter(F.col("wjaccard") >= threshold)
+            .select("doc_a", "doc_b", "wjaccard")
+        )
+
+    return apply
+
+
 def _weighted_jaccard_pairs(
     wc: DataFrame, cand: DataFrame | None, threshold: float
 ) -> DataFrame:
     """Exact J_w for either every co-occurring pair (cand=None — the
     self-join correctness path) or a candidate pair set (the verify
     step of the sketch path). Σ max folds to |A|+|B|−Σ min, so only
-    the Σ min aggregate ever touches pair-level rows."""
+    the Σ min aggregate ever touches pair-level rows.
+
+    The candidate path NEVER runs the element self-join (that would be
+    the quadratic shape the sketch exists to avoid): each doc's
+    weighted set folds once to a map<g → c>, candidates join the two
+    maps, and Σ min is one JVM map_zip_with/aggregate expression per
+    candidate row — work is |candidates| × set size, shuffle is
+    candidate-bounded."""
     tot = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    score = _wj_score(threshold)
+    if cand is not None:
+        sets = wc.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("g", "c")))
+            ).alias("m"),
+            F.sum("c").alias("n"),
+        )
+        sa = sets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("m").alias("ma"),
+            F.col("n").alias("na"),
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("m").alias("mb"),
+            F.col("n").alias("nb"),
+        )
+        wmin = F.aggregate(
+            F.map_values(
+                F.map_zip_with(
+                    "ma",
+                    "mb",
+                    lambda k, x, y: F.when(
+                        x.isNotNull() & y.isNotNull(), F.least(x, y)
+                    ).otherwise(F.lit(0).cast("long")),
+                )
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return score(
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("wmin", wmin)
+        )
     a, b = wc.alias("a"), wc.alias("b")
     inter = (
         a.join(
@@ -74,22 +137,9 @@ def _weighted_jaccard_pairs(
         )
         .agg(F.sum(F.least("a.c", "b.c")).alias("wmin"))
     )
-    if cand is not None:
-        inter = inter.join(F.broadcast(cand), ["doc_a", "doc_b"], "left_semi")
     ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn(
-            "wjaccard",
-            F.round(
-                F.col("wmin") / (F.col("na") + F.col("nb") - F.col("wmin")), 6
-            ),
-        )
-        .filter(F.col("wjaccard") >= threshold)
-        .select("doc_a", "doc_b", "wjaccard")
-    )
+    return score(inter.join(ta, "doc_a").join(tb, "doc_b"))
 
 
 def dedup_weighted_jaccard(
