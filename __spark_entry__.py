@@ -58,7 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # front next round), then the 43 r4-green unchanged keys.
     return {
         # --- new or code-changed in round 5 (need fresh driver rows:
-        #     4 new keys, 2 newly-oracled graph ops, the GEMM-assignment
+        #     8 new keys, 4 newly-oracled ops (k_core, label_propagation,
+        #     pagerank, semdedup), the GEMM-assignment
         #     ops, Lloyd-IVF, batched BPE, the funnel refactor) ---
         "rank_quantiles": sketches.rank_quantiles,
         "kll_quantiles": sketches.kll_quantiles,
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icws_recall": weighted.icws_recall,
         "k_core": graph.k_core,
         "label_propagation": graph.label_propagation,
+        "pagerank": graph.pagerank,
         "dedup_embedding": dedup.dedup_embedding,
         "semdedup": dedup2.semdedup,
         "embedding_clusters": dedup2.embedding_clusters,
@@ -173,7 +175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors_lsh": dedup.dedup_survivors_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "ann_lsh_topk": similarity.ann_lsh_topk,
-        "pagerank": graph.pagerank,
         "approx_distinct": core.approx_distinct,
         # --- r4-driver-green and unchanged since ---
         "q18_large_orders": relational2.q18_large_orders,
@@ -246,6 +247,21 @@ _COS_PAIR = """
 """
 
 
+def _cos_expr(x: str, y: str, digits: int | None = 6) -> str:
+    """DuckDB cosine between two list columns; digits=None leaves the
+    value unrounded (assignment ARGMAX must compare raw cosines the
+    way the NumPy kernel does — rounding before an argmax could merge
+    a real winner with a runner-up)."""
+    raw = f"""(
+      list_sum(list_transform(generate_series(1, 64),
+               i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> {x}[i]::DOUBLE * {x}[i]::DOUBLE)))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> {y}[i]::DOUBLE * {y}[i]::DOUBLE)))))"""
+    return raw if digits is None else f"round({raw}, {digits})"
+
+
 # Shared CTE chain: shingle-Jaccard duplicate pairs → undirected edges
 # → transitive closure (connected components), used by the
 # dedup_clusters / dedup_survivors oracles.
@@ -283,6 +299,38 @@ _PROFILE_SQL = "\nUNION ALL\n".join(
     f" count(DISTINCT {c})::BIGINT AS n_distinct FROM lineitem"
     for c in _LINEITEM_COLS
 )
+
+
+def _pagerank_sql(iters: int = 10, damping: str = "85e-2") -> str:
+    """Unrolled power iteration over the bipartite order-part graph
+    (chained CTEs, one reference to the previous round each — linear
+    under per-reference inlining). Equality with the Spark operator
+    holds because BOTH round every rank to 9 dp per round: the in-sum
+    is an order-dependent double sum, and the 1e-9 grid absorbs its
+    ~1e-18 per-sum drift, making the fixed-round iteration value-
+    hashable cross-engine."""
+    parts = [
+        """WITH base AS (
+          SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem),
+        ed AS (SELECT src, dst FROM base
+               UNION ALL SELECT dst AS src, src AS dst FROM base),
+        dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+        ce AS (SELECT e.src, e.dst, d.deg FROM ed e JOIN dg d ON d.src = e.src),
+        nn AS (SELECT count(*) AS n FROM dg),
+        r0 AS (SELECT src AS node, 1e0 / (SELECT n FROM nn) AS rank FROM dg)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", r{i + 1} AS (
+              SELECT c.dst AS node,
+                     round((1e0 - {damping}) / (SELECT n FROM nn)
+                           + {damping} * sum(r.rank / c.deg), 9) AS rank
+              FROM ce c JOIN r{i} r ON r.node = c.src
+              GROUP BY c.dst)"""
+        )
+    parts.append(f"SELECT node, round(rank, 6) AS rank FROM r{iters}")
+    return "\n".join(parts)
 
 
 def _k_core_sql(k: int = 6, rounds: int = 14) -> str:
@@ -364,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "table_profile": _PROFILE_SQL,
         "k_core": _k_core_sql(),
+        "pagerank": _pagerank_sql(),
         "label_propagation": _label_propagation_sql(),
         "dedup_weighted_jaccard": r"""
             WITH sha AS (
@@ -391,6 +440,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot ta ON ta.doc_id = doc_a
             JOIN tot tb ON tb.doc_id = doc_b
             WHERE round(wmin / (ta.n + tb.n - wmin), 6) >= 0.5
+        """,
+        "semdedup": f"""
+            WITH cents AS (
+              SELECT vec_id AS cell, embedding AS cent FROM embeddings
+              WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+            asg AS (
+              SELECT vec_id, cell FROM (
+                SELECT a.vec_id, c.cell,
+                       row_number() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY {_cos_expr("a.embedding", "c.cent", None)} DESC,
+                                  c.cell) AS rk
+                FROM embeddings a CROSS JOIN cents c) q
+              WHERE rk = 1),
+            m AS (
+              SELECT ea.vec_id AS va, eb.vec_id AS vb, aa.cell,
+                     {_cos_expr("ea.embedding", "eb.embedding")} AS cos
+              FROM embeddings ea JOIN asg aa ON aa.vec_id = ea.vec_id
+              JOIN asg ab ON ab.cell = aa.cell AND ab.vec_id > aa.vec_id
+              JOIN embeddings eb ON eb.vec_id = ab.vec_id),
+            mx AS (SELECT vb AS vec_id, max(cos) AS mp FROM m GROUP BY vb)
+            SELECT a.vec_id, a.cell,
+                   coalesce(mx.mp, -1e0) AS max_sim_prior,
+                   CASE WHEN coalesce(mx.mp, -1e0) >= 5e-1 THEN 1 ELSE 0 END
+                     AS is_dup
+            FROM asg a LEFT JOIN mx ON mx.vec_id = a.vec_id
         """,
         "rank_quantiles": """
             WITH s AS (

@@ -187,9 +187,16 @@ def pagerank(
     returned DataFrame's lifetime (rounds materialize lazily at the
     caller's action, so there is no safe in-operator unpersist hook);
     it is edge-table-sized and LRU-evicted under memory pressure.
-    Output: (node, rank) rounded to 6 dp — rows-only at the driver
-    gate (fixed-point iteration isn't SQL-expressible); pinned
-    against a NumPy reference in tests.
+
+    Ranks are rounded to 9 dp after EVERY round: the in-sum is a
+    partial-aggregated double sum whose last ulps depend on
+    aggregation order, and unpinned they would drift between engines
+    (and partitionings) — the per-round grid absorbs ~1e-18 per-sum
+    error against a 1e-9 step, which is what lets the fixed-round
+    power iteration carry a value-hashed DuckDB oracle (unrolled CTE
+    chain, same technique as k_core / label_propagation) instead of
+    the weaker rows-only gate. Output: (node, rank) rounded to 6 dp;
+    also pinned against a NumPy reference in tests.
     """
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
@@ -220,7 +227,9 @@ def pagerank(
             .agg(F.sum("c").alias("in_sum"))
             .select(
                 F.col("dst").alias("node"),
-                (F.lit(teleport) + F.lit(damping) * F.col("in_sum")).alias("rank"),
+                F.round(
+                    F.lit(teleport) + F.lit(damping) * F.col("in_sum"), 9
+                ).alias("rank"),
             )
         )
         ranks = out if i == iters - 1 else out.localCheckpoint(eager=False)
