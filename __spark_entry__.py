@@ -301,6 +301,62 @@ _PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def _kmeans_sql(k: int = 8, dim: int = 64, iters: int = 5) -> str:
+    """Unrolled Lloyd k-means (DuckDB dialect — list arithmetic and
+    AS MATERIALIZED, which pins each round's centroid table to ONE
+    evaluation; without it the two references per round would inline
+    to 2^iters copies of the whole chain). Equality with the Spark
+    operator holds because BOTH round centroid coordinates to 9 dp per
+    round (order-dependent per-dim sums), assignment argmin breaks
+    ties toward the lowest cid on both sides, and the final inertia is
+    rounded to 4 dp."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, {d}),"
+        " j -> (p.e[j] - s.c[j]) * (p.e[j] - s.c[j])))"
+    ).format(d=dim)
+    parts = [
+        f"""WITH pts AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings),
+        c0 AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+                 list_transform(embedding, x -> x::DOUBLE) AS c
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}) q0)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", a{i} AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT p.vec_id, s.cid,
+                       row_number() OVER (PARTITION BY p.vec_id
+                                          ORDER BY {dist}, s.cid) AS rk
+                FROM pts p CROSS JOIN c{i} s) q
+              WHERE rk = 1)
+            , c{i + 1} AS MATERIALIZED (
+              SELECT s.cid, coalesce(u.c, s.c) AS c
+              FROM c{i} s LEFT JOIN (
+                SELECT cid, list(v ORDER BY j) AS c FROM (
+                  SELECT a.cid, dims.j, round(avg(p.e[dims.j]), 9) AS v
+                  FROM a{i} a JOIN pts p USING (vec_id)
+                  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS j)
+                    dims
+                  GROUP BY a.cid, dims.j) g
+                GROUP BY cid) u ON u.cid = s.cid)"""
+        )
+    parts.append(
+        f"""SELECT cid::BIGINT AS cluster_id, count(*) AS n_points,
+               round(sum(dist), 4) AS inertia
+        FROM (
+          SELECT p.vec_id, s.cid, {dist} AS dist,
+                 row_number() OVER (PARTITION BY p.vec_id
+                                    ORDER BY {dist}, s.cid) AS rk
+          FROM pts p CROSS JOIN c{iters} s) q
+        WHERE rk = 1 GROUP BY cid"""
+    )
+    return "\n".join(parts)
+
+
 def _pagerank_sql(iters: int = 10, damping: str = "85e-2") -> str:
     """Unrolled power iteration over the bipartite order-part graph
     (chained CTEs, one reference to the previous round each — linear
@@ -413,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _PROFILE_SQL,
         "k_core": _k_core_sql(),
         "pagerank": _pagerank_sql(),
+        "kmeans_embeddings": _kmeans_sql(),
         "label_propagation": _label_propagation_sql(),
         "dedup_weighted_jaccard": r"""
             WITH sha AS (

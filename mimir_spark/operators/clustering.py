@@ -139,7 +139,13 @@ def kmeans_embeddings(
     # Seeds: the k lowest vec_ids. k rows of bounded metadata — the one
     # acceptable collect (same class as BFS's 1-row source lookup).
     seeds = pts.orderBy("vec_id").limit(k).collect()
-    centroids = _lloyd_iterate(pts, [list(r.e) for r in seeds], n_iters)
+    # round_dp=9: per-dim centroid means are order-dependent double
+    # sums; the 1e-9 grid pins them across engines/partitionings,
+    # which is what lets this op carry a value-hashed DuckDB oracle
+    # (unrolled assignment/update rounds) instead of rows-only.
+    centroids = _lloyd_iterate(
+        pts, [list(r.e) for r in seeds], n_iters, round_dp=9
+    )
 
     return (
         _assign(pts, centroids)

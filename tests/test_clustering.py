@@ -23,6 +23,7 @@ def _numpy_reference(sf_dir: str):
         for c in range(K):
             if (a == c).any():
                 C[c] = X[a == c].mean(0)
+        C = np.round(C, 9)  # mirrors the operator's per-round grid
     d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
     a = d.argmin(1)
     return {
