@@ -301,6 +301,129 @@ _PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def _raw_cos(x: str, y: str, dim: int = 64) -> str:
+    return (
+        f"""(list_sum(list_transform(generate_series(1, {dim}),
+               i -> {x}[i] * {y}[i]))
+      / (sqrt(list_sum(list_transform(generate_series(1, {dim}),
+               i -> {x}[i] * {x}[i])))
+         * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+               i -> {y}[i] * {y}[i])))))"""
+    )
+
+
+def _ivf_chain(k: int = 16, dim: int = 64, iters: int = 5, probes: int = 8) -> str:
+    """CTE chain reproducing the trained-IVF probe pipeline (DuckDB
+    dialect): Lloyd rounds on L2-NORMALIZED vectors with 9dp-rounded
+    seeds and per-round 9dp centroid grids (bit-equal to
+    clustering.lloyd_centroids by the same argument as the kmeans
+    oracle), then cosine cell assignment (argmax, lowest-cell ties),
+    per-query top-`probes` cells, and candidate scoring. Ends at CTEs
+    `qcells`, `casg`, `corpus` for the wrappers to select from."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, {d}),"
+        " j -> (p.e[j] - s.c[j]) * (p.e[j] - s.c[j])))"
+    ).format(d=dim)
+    parts = [
+        f"""WITH pts AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> y::DOUBLE * y::DOUBLE)))) AS e
+          FROM embeddings),
+        c0 AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+                 list_transform(e, x -> round(x, 9)) AS c
+          FROM (SELECT vec_id, e FROM pts ORDER BY vec_id LIMIT {k}) q0)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", a{i} AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT p.vec_id, s.cid,
+                       row_number() OVER (PARTITION BY p.vec_id
+                                          ORDER BY {dist}, s.cid) AS rk
+                FROM pts p CROSS JOIN c{i} s) q
+              WHERE rk = 1)
+            , c{i + 1} AS MATERIALIZED (
+              SELECT s.cid, coalesce(u.c, s.c) AS c
+              FROM c{i} s LEFT JOIN (
+                SELECT cid, list(v ORDER BY j) AS c FROM (
+                  SELECT a.cid, dims.j, round(avg(p.e[dims.j]), 9) AS v
+                  FROM a{i} a JOIN pts p USING (vec_id)
+                  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS j)
+                    dims
+                  GROUP BY a.cid, dims.j) g
+                GROUP BY cid) u ON u.cid = s.cid)"""
+        )
+    cos_pc = _raw_cos("p.ce", "s.c", dim)
+    parts.append(
+        f""", cents AS MATERIALIZED (
+          SELECT cid - 1 AS cell_id, c FROM c{iters})
+        , corpus AS MATERIALIZED (
+          SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS ce
+          FROM embeddings)
+        , casg AS MATERIALIZED (
+          SELECT neighbor_id, cell_id FROM (
+            SELECT p.neighbor_id, s.cell_id,
+                   row_number() OVER (PARTITION BY p.neighbor_id
+                      ORDER BY {cos_pc} DESC, s.cell_id) AS rk
+            FROM corpus p CROSS JOIN cents s) q WHERE rk = 1)
+        , qcells AS MATERIALIZED (
+          SELECT query_id, qe, cell_id FROM (
+            SELECT p.neighbor_id AS query_id, p.ce AS qe, s.cell_id,
+                   row_number() OVER (PARTITION BY p.neighbor_id
+                      ORDER BY {cos_pc} DESC, s.cell_id) AS rk
+            FROM corpus p CROSS JOIN cents s
+            WHERE p.neighbor_id < 10) q WHERE rk <= {probes})
+        , ivf AS MATERIALIZED (
+          SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT qc.query_id, ca.neighbor_id,
+                   round({_raw_cos("qc.qe", "ne.ce", dim)}, 6) AS cos,
+                   row_number() OVER (PARTITION BY qc.query_id
+                      ORDER BY round({_raw_cos("qc.qe", "ne.ce", dim)}, 6)
+                               DESC, ca.neighbor_id) AS rank
+            FROM qcells qc
+            JOIN casg ca ON ca.cell_id = qc.cell_id
+                        AND ca.neighbor_id <> qc.query_id
+            JOIN corpus ne ON ne.neighbor_id = ca.neighbor_id) z
+          WHERE rank <= 5)"""
+    )
+    return "\n".join(parts)
+
+
+def _ivf_topk_sql() -> str:
+    return _ivf_chain() + "\nSELECT query_id, neighbor_id, cos, rank FROM ivf"
+
+
+def _ivf_recall_sql() -> str:
+    """Per-query recall@5 of the IVF probe vs brute-force ground
+    truth, both re-derived inside the oracle."""
+    cos_tb = _raw_cos("a.ce", "b.ce")
+    return (
+        _ivf_chain()
+        + f"""
+        , truth AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT a.neighbor_id AS query_id, b.neighbor_id,
+                   row_number() OVER (PARTITION BY a.neighbor_id
+                      ORDER BY round({cos_tb}, 6) DESC, b.neighbor_id)
+                     AS rank
+            FROM corpus a JOIN corpus b
+              ON a.neighbor_id <> b.neighbor_id
+            WHERE a.neighbor_id < 10) t WHERE rank <= 5)
+        SELECT t.query_id,
+               sum(CASE WHEN i.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+               round(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / 5e0, 6) AS recall
+        FROM truth t LEFT JOIN ivf i
+          ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id"""
+    )
+
+
 def _kmeans_sql(k: int = 8, dim: int = 64, iters: int = 5) -> str:
     """Unrolled Lloyd k-means (DuckDB dialect — list arithmetic and
     AS MATERIALIZED, which pins each round's centroid table to ONE
@@ -470,6 +593,8 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(),
         "pagerank": _pagerank_sql(),
         "kmeans_embeddings": _kmeans_sql(),
+        "ann_ivf_topk": _ivf_topk_sql(),
+        "ann_ivf_recall": _ivf_recall_sql(),
         "label_propagation": _label_propagation_sql(),
         "dedup_weighted_jaccard": r"""
             WITH sha AS (
