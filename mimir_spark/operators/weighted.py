@@ -74,6 +74,51 @@ def _wj_score(threshold: float):
     return apply
 
 
+def fold_weighted_sets(wc: DataFrame) -> DataFrame:
+    """(doc_id, g, c) rows → one (doc_id, m: map<g → c>, n) row per
+    doc — the verification representation (shared with the streaming
+    twin's signature store)."""
+    return wc.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("g", "c")))
+        ).alias("m"),
+        F.sum("c").alias("n"),
+    )
+
+
+def _wj_verify(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact J_w over candidate (doc_a, doc_b) pairs from folded sets:
+    Σ min is one JVM map_zip_with/aggregate expression per candidate
+    row — work is |candidates| × set size, shuffle candidate-bounded
+    (never the element self-join the sketch path exists to avoid)."""
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("m").alias("ma"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("m").alias("mb"),
+        F.col("n").alias("nb"),
+    )
+    wmin = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "ma",
+                "mb",
+                lambda k, x, y: F.when(
+                    x.isNotNull() & y.isNotNull(), F.least(x, y)
+                ).otherwise(F.lit(0).cast("long")),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return _wj_score(threshold)(
+        cand.join(sa, "doc_a").join(sb, "doc_b").withColumn("wmin", wmin)
+    )
+
+
 def _weighted_jaccard_pairs(
     wc: DataFrame, cand: DataFrame | None, threshold: float
 ) -> DataFrame:
@@ -91,40 +136,7 @@ def _weighted_jaccard_pairs(
     tot = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
     score = _wj_score(threshold)
     if cand is not None:
-        sets = wc.groupBy("doc_id").agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("g", "c")))
-            ).alias("m"),
-            F.sum("c").alias("n"),
-        )
-        sa = sets.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("m").alias("ma"),
-            F.col("n").alias("na"),
-        )
-        sb = sets.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("m").alias("mb"),
-            F.col("n").alias("nb"),
-        )
-        wmin = F.aggregate(
-            F.map_values(
-                F.map_zip_with(
-                    "ma",
-                    "mb",
-                    lambda k, x, y: F.when(
-                        x.isNotNull() & y.isNotNull(), F.least(x, y)
-                    ).otherwise(F.lit(0).cast("long")),
-                )
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        return score(
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .withColumn("wmin", wmin)
-        )
+        return _wj_verify(cand, fold_weighted_sets(wc), threshold)
     a, b = wc.alias("a"), wc.alias("b")
     inter = (
         a.join(
@@ -243,7 +255,20 @@ def dedup_icws(
     hash position, so the set-LSH S-curve tuning carries over."""
     docs = load_table(spark, sf_dir, "documents")
     wc = _weighted_sets(docs).localCheckpoint(eager=True)
-    sig = icws_signatures(wc)
+    cand = icws_candidates(icws_signatures(wc))
+    return _weighted_jaccard_pairs(wc, cand, threshold)
+
+
+def icws_candidates(
+    sig: DataFrame, probe: DataFrame | None = None
+) -> DataFrame:
+    """LSH banding over the ICWS consistent samples: band buckets hash
+    the band's (g, t) pairs; docs sharing any bucket are candidates.
+    With ``probe`` (a (doc_id, sig_g, sig_t) subset — e.g. one
+    micro-batch), only pairs touching a probe doc are generated: the
+    join is probe-buckets × sig-buckets, so the incremental per-batch
+    cost is O(batch × history) bucket collisions, never O(history²)
+    — the same contract as dedup.lsh_candidates."""
     rows = ICWS_HASHES // ICWS_BANDS
     bands = F.array(
         *[
@@ -265,23 +290,42 @@ def dedup_icws(
             for i in range(ICWS_BANDS)
         ]
     )
-    bk = sig.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bucket"
-    )
-    a, b = bk.alias("a"), bk.alias("b")
-    cand = (
-        a.join(
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", F.explode(bands).alias("bb")).select(
+            "doc_id", "bb.band", "bb.bucket"
+        )
+
+    b = _buckets(sig).alias("b")
+    if probe is None:
+        a = _buckets(sig).alias("a")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    p = _buckets(probe).alias("p")
+    return (
+        p.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("p.band") == F.col("b.band"))
+            & (F.col("p.bucket") == F.col("b.bucket"))
+            & (F.col("p.doc_id") != F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.least("p.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "b.doc_id").alias("doc_b"),
         )
         .distinct()
     )
-    return _weighted_jaccard_pairs(wc, cand, threshold)
 
 
 def icws_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

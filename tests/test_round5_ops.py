@@ -228,3 +228,49 @@ def test_icws_partition_invariance(spark, sf_smoke):
     }
     alt = {tuple(r) for r in weighted.dedup_icws(odd, sf_smoke).collect()}
     assert base == alt and base
+
+
+def test_streaming_icws_matches_batch(spark, sf_smoke, tmp_path):
+    """ICWS signatures and folded sets are pure functions of each
+    document, and the probe-banding considers every pair in the first
+    batch containing its later member — so the union of the pair logs
+    must equal the batch dedup_icws pair set exactly."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators.weighted import dedup_icws
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.icws import streaming_icws_dedup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            str(tmp_path / f"b{m}"), compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(str(tmp_path) + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_icws_dedup(
+        spark, flat, str(tmp_path / "store"), str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), glob="batch_*.parquet",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_a, r.doc_b, r.wjaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs"))
+        .select("doc_a", "doc_b", "wjaccard")
+        .collect()
+    }
+    expect = {
+        (r.doc_a, r.doc_b, r.wjaccard)
+        for r in dedup_icws(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
