@@ -39,6 +39,7 @@ PROBES = [
     "hll_distinct",
     "dedup_jaccard_prefix",
     "dedup_containment_lsh",
+    "dedup_icws",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -52,6 +53,7 @@ INPUT_TABLES = {
     "hll_distinct": "events",
     "dedup_jaccard_prefix": "documents",
     "dedup_containment_lsh": "documents",
+    "dedup_icws": "documents",
 }
 
 

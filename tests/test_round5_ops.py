@@ -274,3 +274,58 @@ def test_streaming_icws_matches_batch(spark, sf_smoke, tmp_path):
         for r in dedup_icws(spark, sf_smoke).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_graph_twins_match_batch(spark, sf_smoke, tmp_path):
+    """Incremental graph ingest: per-batch distinct edge partials +
+    shared-core finalize must equal the batch k_core and
+    label_propagation results exactly."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators import graph
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.graph import (
+        finalize_k_core,
+        finalize_label_propagation,
+        streaming_graph_edges_build,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    for m in range(3):
+        li.filter(F.col("l_orderkey") % 3 == m).coalesce(1).write.parquet(
+            str(tmp_path / f"b{m}"), compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(str(tmp_path) + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_graph_edges_build(
+        spark, flat, str(tmp_path / "edges"), str(tmp_path / "ckpt"),
+        glob="batch_*.parquet",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got_kc = {
+        tuple(r) for r in finalize_k_core(spark, str(tmp_path / "edges")).collect()
+    }
+    want_kc = {tuple(r) for r in graph.k_core(spark, sf_smoke).collect()}
+    assert got_kc == want_kc and got_kc
+
+    got_lpa = {
+        tuple(r)
+        for r in finalize_label_propagation(
+            spark, str(tmp_path / "edges")
+        ).collect()
+    }
+    want_lpa = {
+        tuple(r) for r in graph.label_propagation(spark, sf_smoke).collect()
+    }
+    assert got_lpa == want_lpa and got_lpa
