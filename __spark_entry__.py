@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_lsh": dedup2.dedup_containment_lsh,
         "containment_lsh_recall": dedup2.containment_lsh_recall,
         "dedup_weighted_jaccard": weighted.dedup_weighted_jaccard,
+        "dedup_weighted_containment": weighted.dedup_weighted_containment,
         "dedup_icws": weighted.dedup_icws,
         "icws_recall": weighted.icws_recall,
         "k_core": graph.k_core,
@@ -648,6 +649,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(mx.mp, -1e0) >= 5e-1 THEN 1 ELSE 0 END
                      AS is_dup
             FROM asg a LEFT JOIN mx ON mx.vec_id = a.vec_id
+        """,
+        "dedup_weighted_containment": r"""
+            WITH sha AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> array_to_string(t[i:i+2], ' ')) AS s
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '') AS t
+                    FROM documents)),
+            wc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(s) AS g FROM sha) q
+              GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(least(a.c, b.c)) AS wmin
+              FROM wc a JOIN wc b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(wmin / least(ta.n, tb.n), 6) AS wcontainment
+            FROM inter
+            JOIN tot ta ON ta.doc_id = doc_a
+            JOIN tot tb ON tb.doc_id = doc_b
+            WHERE round(wmin / least(ta.n, tb.n), 6) >= 0.8
         """,
         "rank_quantiles": """
             WITH s AS (

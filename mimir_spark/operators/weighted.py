@@ -351,3 +351,46 @@ def icws_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_pairs long, n_lsh_pairs long, n_hit long, "
         "precision double, recall double",
     )
+
+
+WC_THRESHOLD = 0.8
+
+
+def dedup_weighted_containment(
+    spark: SparkSession, sf_dir: str, threshold: float = WC_THRESHOLD
+) -> DataFrame:
+    """Exact WEIGHTED containment Σ_g min(a_g, b_g) / min(|A|, |B|)
+    over positional-shingle multiplicities — the multiset upgrade of
+    `dedup_containment` (a paragraph pasted into a book three times
+    still counts fully against the paragraph's mass, where set
+    containment saturates at one occurrence). Same self-join shape as
+    the weighted-Jaccard exact path; only the normalizer differs.
+    Oracle-checked; the asymmetric size-class banding of
+    `dedup_containment_lsh` is the scale-path template when a sketch
+    twin is needed (per-class ICWS — round-6 backlog)."""
+    wc = _weighted_sets(load_table(spark, sf_dir, "documents"))
+    tot = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    a, b = wc.alias("a"), wc.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.least("a.c", "b.c")).alias("wmin"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "wcontainment",
+            F.round(F.col("wmin") / F.least("na", "nb"), 6),
+        )
+        .filter(F.col("wcontainment") >= threshold)
+        .select("doc_a", "doc_b", "wcontainment")
+    )
