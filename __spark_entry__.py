@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_lsh_recall": dedup2.containment_lsh_recall,
         "dedup_weighted_jaccard": weighted.dedup_weighted_jaccard,
         "dedup_weighted_containment": weighted.dedup_weighted_containment,
+        "dedup_weighted_containment_lsh": weighted.dedup_weighted_containment_lsh,
+        "weighted_containment_lsh_recall": weighted.weighted_containment_lsh_recall,
         "dedup_icws": weighted.dedup_icws,
         "icws_recall": weighted.icws_recall,
         "k_core": graph.k_core,

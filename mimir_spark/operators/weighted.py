@@ -394,3 +394,191 @@ def dedup_weighted_containment(
         .filter(F.col("wcontainment") >= threshold)
         .select("doc_a", "doc_b", "wcontainment")
     )
+
+
+def _wc_verify(
+    cand: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact weighted CONTAINMENT over candidate pairs from folded
+    sets — same map-zip Σ min as _wj_verify, containment normalizer."""
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("m").alias("ma"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("m").alias("mb"),
+        F.col("n").alias("nb"),
+    )
+    wmin = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "ma",
+                "mb",
+                lambda k, x, y: F.when(
+                    x.isNotNull() & y.isNotNull(), F.least(x, y)
+                ).otherwise(F.lit(0).cast("long")),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("wmin", wmin)
+        .withColumn(
+            "wcontainment",
+            F.round(F.col("wmin") / F.least("na", "nb"), 6),
+        )
+        .filter(F.col("wcontainment") >= threshold)
+        .select("doc_a", "doc_b", "wcontainment")
+    )
+
+
+def weighted_containment_pairs(
+    docs: DataFrame, threshold: float = WC_THRESHOLD
+) -> DataFrame:
+    """Weighted containment ≥ threshold pairs via PER-CLASS ICWS
+    banding + exact verification — the weighted analogue of
+    `dedup2.containment_lsh_pairs`, and the scale path for
+    `dedup_weighted_containment`.
+
+    The algebra carries over verbatim with weighted masses: C_w ≥ t
+    and masses (na ≤ nb) imply J_w ≥ t·na/(na + nb − t·na), ICWS
+    samples collide per position with probability exactly J_w, so the
+    SAME size-class → rows-per-band table
+    (dedup2._containment_band_configs) tunes the banding — classes on
+    log2 of the weighted mass instead of the set size. Per r: a
+    cross-class join (small side × big side) and a same-class
+    self-join, candidates exact-verified (precision 1 by
+    construction)."""
+    from mimir_spark.operators.dedup2 import _containment_band_configs
+
+    spark = docs.sparkSession
+    wc = _weighted_sets(docs).localCheckpoint(eager=True)
+    sets = fold_weighted_sets(wc).localCheckpoint(eager=True)
+    cls_tbl = sets.select(
+        "doc_id",
+        F.floor(F.log2(F.greatest(F.col("n"), F.lit(1))))
+        .cast("int")
+        .alias("cls"),
+    )
+    classes = sorted(
+        r.cls for r in cls_tbl.select("cls").distinct().collect()
+    )  # ≤ log2(heaviest doc) rows — bounded metadata
+    cfg = _containment_band_configs(classes, threshold, ICWS_HASHES)
+    rs = sorted({r for _, _, r in cfg})
+
+    side = icws_signatures(wc).join(cls_tbl, "doc_id").localCheckpoint(
+        eager=False
+    )
+    cand_parts = []
+    for r in rs:
+        cross = [(i, j) for (i, j, rr) in cfg if rr == r and i != j]
+        same = [i for (i, j, rr) in cfg if rr == r and i == j]
+        bands_r = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *(
+                            [
+                                F.element_at("sig_g", b * r + k + 1)
+                                for k in range(r)
+                            ]
+                            + [
+                                F.element_at("sig_t", b * r + k + 1)
+                                for k in range(r)
+                            ]
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(ICWS_HASHES // r)
+            ]
+        )
+        bk = side.select(
+            "doc_id", "cls", F.explode(bands_r).alias("bb")
+        ).select("doc_id", "cls", "bb.band", "bb.bucket")
+        if cross:
+            small_cls = sorted({i for i, _ in cross})
+            big_cls = sorted({j for _, j in cross})
+            pair_ok = F.lit(False)
+            for i, j in cross:
+                pair_ok = pair_ok | (
+                    (F.col("a.cls") == i) & (F.col("b.cls") == j)
+                )
+            a = bk.filter(F.col("cls").isin(small_cls)).alias("a")
+            b = bk.filter(F.col("cls").isin(big_cls)).alias("b")
+            cand_parts.append(
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & pair_ok,
+                ).select(
+                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                )
+            )
+        if same:
+            s = bk.filter(F.col("cls").isin(same))
+            a, b = s.alias("a"), s.alias("b")
+            cand_parts.append(
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.cls") == F.col("b.cls"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                ).select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+            )
+    cand = cand_parts[0]
+    for part in cand_parts[1:]:
+        cand = cand.unionByName(part)
+    return _wc_verify(cand.distinct(), sets, threshold)
+
+
+def dedup_weighted_containment_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = WC_THRESHOLD
+) -> DataFrame:
+    """`weighted_containment_pairs` over the documents table — the
+    100 TB weighted-containment path."""
+    return weighted_containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold
+    )
+
+
+def weighted_containment_lsh_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Precision/recall of the per-class ICWS banding vs the exact
+    weighted containment pair set — completes the recall-report family
+    (set Jaccard / weighted Jaccard / set containment / weighted
+    containment)."""
+    exact = dedup_weighted_containment(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    lsh = dedup_weighted_containment_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                n_lsh,
+                n_hit,
+                round(n_hit / n_lsh, 6) if n_lsh else 1.0,
+                round(n_hit / n_exact, 6) if n_exact else 1.0,
+            )
+        ],
+        "n_exact_pairs long, n_lsh_pairs long, n_hit long, "
+        "precision double, recall double",
+    )

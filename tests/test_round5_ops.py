@@ -329,3 +329,42 @@ def test_streaming_graph_twins_match_batch(spark, sf_smoke, tmp_path):
         tuple(r) for r in graph.label_propagation(spark, sf_smoke).collect()
     }
     assert got_lpa == want_lpa and got_lpa
+
+
+def test_weighted_containment_lsh_catches_paragraph_in_book(spark):
+    """Per-class ICWS banding must catch weighted-containment-1.0
+    pairs whose weighted Jaccard (~0.1) sits far below the flat
+    Jaccard-tuned ICWS banding threshold."""
+    from mimir_spark.operators import weighted
+
+    docs = _paragraph_in_book_corpus(spark)
+    got = {
+        (r.doc_a, r.doc_b): r.wcontainment
+        for r in weighted.weighted_containment_pairs(
+            docs, threshold=0.8
+        ).collect()
+    }
+    want_pairs = {(200 + p, 300 + p) for p in range(5)}
+    assert want_pairs <= set(got), got
+    for pair in want_pairs:
+        assert got[pair] == 1.0
+    # flat Jaccard-tuned ICWS banding misses every planted pair
+    wc = weighted._weighted_sets(docs)
+    flat = {
+        (r.doc_a, r.doc_b)
+        for r in weighted.icws_candidates(
+            weighted.icws_signatures(wc)
+        ).collect()
+    }
+    assert not (want_pairs & flat), (
+        "flat ICWS banding unexpectedly caught a containment pair — "
+        "re-derive this test's premise if the banding config changed"
+    )
+
+
+def test_weighted_containment_lsh_recall_floor(spark, sf_smoke):
+    from mimir_spark.operators import weighted
+
+    r = weighted.weighted_containment_lsh_recall(spark, sf_smoke).collect()[0]
+    assert r.precision == 1.0
+    assert r.recall >= 0.9, r
