@@ -52,15 +52,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict
     # in order and covers a ~50-key window per round (r01: 50, r02: 51,
-    # r03: 50, r04: 50). Round-5 order: the 15 new-or-changed keys come
-    # FIRST, then the 91 keys whose last driver row predates r4 (the
-    # window reaches the first ~35 of them; the remainder rotate to the
-    # front next round), then the 43 r4-green unchanged keys.
+    # r03: 50, r04: 50). Round-5 order: the 23 new-or-changed keys come
+    # FIRST, then the 91 keys whose last driver row predates r4,
+    # oracle-carrying keys leading (the window reaches the first ~27 of
+    # them; the remainder rotate to the front next round), then the 42
+    # r4-green unchanged keys.
     return {
         # --- new or code-changed in round 5 (need fresh driver rows:
-        #     8 new keys, 4 newly-oracled ops (k_core, label_propagation,
-        #     pagerank, semdedup), the GEMM-assignment
-        #     ops, Lloyd-IVF, batched BPE, the funnel refactor) ---
+        #     11 new keys, 7 newly-oracled ops (k_core, label_propagation,
+        #     pagerank, semdedup, kmeans, ann_ivf_topk/recall), the
+        #     GEMM-assignment ops, Lloyd-IVF, batched BPE, the funnel
+        #     refactor) ---
         "rank_quantiles": sketches.rank_quantiles,
         "kll_quantiles": sketches.kll_quantiles,
         "tdigest_quantiles": sketches.tdigest_quantiles,
@@ -85,7 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": tokenizer.bpe_encode,
         "window_funnel": features.window_funnel,
         # --- last driver-checked in r2/r3 (outside the r4 window);
-        #     15 keys above + the first 35 here fill a 50-key
+        #     23 keys above + the first ~27 here fill a 50-key
         #     window; oracle-carrying keys lead so no window slot is
         #     spent on a weaker rows-only check - the rest rotate next
         #     round ---
