@@ -61,15 +61,49 @@ def word_shingles_all(text: Column | str, n: int = 3) -> Column:
 MERSENNE31 = (1 << 31) - 1
 
 
+def portable_token_hash31(token: Column) -> Column:
+    """Engine-PORTABLE 31-bit token hash: the first 32 bits of the
+    standard MD5 hex digest, parsed as an integer and masked to 31
+    bits. Both Spark and DuckDB expose `md5(string) -> hex string`
+    over the UTF-8 bytes, so the identical value is one expression in
+    each engine:
+
+      Spark:  conv(substring(md5(t), 1, 8), 16, 10)::long & 0x7FFFFFFF
+      DuckDB: cast(concat('0x', substring(md5(t), 1, 8)) as bigint)
+              & 2147483647
+
+    Unlike `portable_token_hash` (polynomial over characters — an
+    O(token-length) higher-order aggregate), this runs as three scalar
+    JVM intrinsics per token (~25% slower than xxhash64, measured on
+    the sf0.1 corpus pass) and its bits are cryptographic-quality —
+    what the MinHash permutation family and SimHash bit hashes need.
+    Verified bit-equal to the DuckDB form in
+    tests/test_portable_hash.py including non-ASCII tokens."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(MERSENNE31))
+    )
+
+
 def word_shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """array<long> of distinct HASHED n-word shingles — the cheap twin
     of word_shingles for consumers that never need the shingle text
     (MinHash signatures, shingle-set verification). Each token is
-    xxhash64-folded to 31 bits once, then shingle hashes combine the n
-    token hashes arithmetically via the same zip_with/slice shifts —
-    no per-shingle string concatenation, no string array_distinct, no
-    string shuffle downstream. ~2× cheaper per corpus pass than the
-    string form on the documents table.
+    hash-folded to 31 bits once via `portable_token_hash31`, then
+    shingle hashes combine the n token hashes arithmetically via the
+    same zip_with/slice shifts — no per-shingle string concatenation,
+    no string array_distinct, no string shuffle downstream. ~2×
+    cheaper per corpus pass than the string form on the documents
+    table.
+
+    The token hash is PORTABLE (md5-derived — see
+    portable_token_hash31) rather than xxhash64: every downstream
+    arithmetic step (the ×131 fold here, the MinHash permutations,
+    SimHash bit hashes, LSH band buckets) is plain integer math, so
+    the ENTIRE sketch family is replicable in DuckDB oracle SQL —
+    which is what moved dedup_minhash_lsh / dedup_simhash / the LSH
+    cluster pipeline from the rows-only gate to the value-hash gate.
 
     Stays inside long range under ANSI arithmetic: h < 2^31 and
     h*131 + h' < 2^39. Collisions (31-bit, ~hundreds of shingles/doc)
@@ -78,9 +112,7 @@ def word_shingle_hashes(text: Column | str, n: int = 3) -> Column:
     Docs shorter than n tokens yield one padded shingle (coalesce 0 —
     the analogue of concat_ws skipping the null tail)."""
     toks = tokens_col(text)
-    th = F.transform(
-        toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(MERSENNE31))
-    )
+    th = F.transform(toks, portable_token_hash31)
     sh = th
     for k in range(1, n):
         sh = F.zip_with(

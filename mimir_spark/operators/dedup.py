@@ -11,7 +11,7 @@ at 100 TB you run `dedup_minhash_lsh`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mimir_spark.functions.text import (
@@ -192,6 +192,48 @@ N_BANDS = 32  # 4 rows/band → catches J≈0.5+ pairs with high probability
 # ANSI arithmetic.
 MERSENNE = (1 << 31) - 1
 
+# Fixed pseudo-random coefficient families, generated from pinned
+# seeds so the DuckDB oracles can embed the SAME literals (the whole
+# sketch chain — token hash, shingle fold, permutations, band buckets,
+# SimHash bits — is plain integer arithmetic both engines compute
+# identically; see word_shingle_hashes):
+import random as _random
+
+_rng = _random.Random(42)
+MINHASH_COEFFS = [
+    (_rng.randrange(1, MERSENNE), _rng.randrange(0, MERSENNE))
+    for _ in range(N_HASHES)
+]
+# Band-bucket linear hash: bucket = Σ_j sig[start+j]·C_j. 25-bit odd
+# constants keep every partial sum in int64 for any rows-per-band up
+# to N_HASHES (term < 2^56, 128 terms < 2^63) under ANSI arithmetic;
+# a cross-vector collision (~2^-25 per pair) only ADDS a candidate,
+# which exact verification removes.
+_rng_b = _random.Random(7)
+BUCKET_COEFFS = [_rng_b.randrange(1, 1 << 25) | 1 for _ in range(N_HASHES)]
+# SimHash per-bit universal hashes (independent family from MinHash).
+_rng_s = _random.Random(1234)
+SIMHASH_COEFFS = [
+    (_rng_s.randrange(1, MERSENNE), _rng_s.randrange(0, MERSENNE))
+    for _ in range(64)
+]
+
+
+def portable_band_bucket(sig_col: str, start: int, rows: int) -> Column:
+    """Engine-portable bucket id for `rows` signature positions
+    starting at 0-based `start`: a fixed-coefficient linear
+    combination (replaces the xxhash64 multi-column hash, which no
+    oracle engine can replicate). Pure int64 arithmetic — see
+    BUCKET_COEFFS for the overflow argument."""
+    terms = [
+        F.element_at(sig_col, start + j + 1) * F.lit(BUCKET_COEFFS[j])
+        for j in range(rows)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
 
 def _minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """doc_id → array<long> of n_hashes min-hash values.
@@ -209,16 +251,10 @@ def _minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     partial rows (thousands, not the full shingle table), which also
     gives map-side partial aggregation on the single doc_id shuffle.
     """
-    import random
-
     import numpy as np
     import pandas as pd
 
-    rng = random.Random(42)
-    coeffs = [
-        (rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
-        for _ in range(n_hashes)
-    ]
+    coeffs = MINHASH_COEFFS[:n_hashes]
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
 
@@ -280,15 +316,14 @@ def lsh_candidates(
     incremental-streaming per-batch cost is O(batch × history) bucket
     collisions, never O(history²)."""
     rows = n_hashes // n_bands
-    # Bucket hash over the band's raw longs (element_at + multi-column
-    # xxhash64) — no array→string materialization per band.
+    # Bucket id over the band's raw longs: fixed-coefficient linear
+    # hash (portable_band_bucket) — no array→string materialization
+    # per band, and the oracle SQL computes the identical value.
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("sig", i * rows + j + 1) for j in range(rows)]
-                ).alias("bucket"),
+                portable_band_bucket("sig", i * rows, rows).alias("bucket"),
             )
             for i in range(n_bands)
         ]
@@ -480,16 +515,17 @@ def dedup_clusters(
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_clusters on the MinHash+LSH pair source — the plan a
     100 TB corpus build actually runs (bounded bucket join for
-    candidates instead of the quadratic shingle self-join). Rows-only
-    at the driver gate: LSH banding recall is probabilistic, so the
-    exact-pair twin (dedup_clusters) carries the hash check."""
+    candidates instead of the quadratic shingle self-join).
+    Oracle-checked: the sketch chain is engine-portable (see
+    word_shingle_hashes), so the DuckDB oracle replicates the exact
+    candidate set, not just the verified scores."""
     return dedup_clusters(spark, sf_dir, pair_source="lsh")
 
 
 def dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_survivors on the MinHash+LSH pair source — the keep-list a
-    100 TB corpus build actually materializes. Rows-only at the driver
-    gate (see dedup_clusters_lsh)."""
+    100 TB corpus build actually materializes. Oracle-checked (see
+    dedup_clusters_lsh)."""
     return dedup_survivors(spark, sf_dir, pair_source="lsh")
 
 
@@ -535,19 +571,25 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     array expressions (no UDF). A doc's fingerprint depends only on
     its own shingles, so batch and streaming computations agree bit
     for bit (the property the incremental job relies on)."""
-    # hashed shingles (see word_shingle_hashes) re-spread to 64 bits —
-    # SimHash needs well-distributed bits, and xxhash64 of the 31-bit
-    # shingle id gives them without ever materializing shingle strings
+    # hashed shingles (see word_shingle_hashes); each of the 64 bit
+    # positions gets its OWN universal hash of the 31-bit shingle id
+    # (bit_i = ((a_i·x + b_i) mod p) & 1, SIMHASH_COEFFS) instead of
+    # 64 bit-extracts of one xxhash64 — same distribution quality,
+    # never materializes shingle strings, and plain integer
+    # arithmetic the DuckDB oracle replicates literally.
     sh = docs.select(
         "doc_id", F.explode(word_shingle_hashes("text", SHINGLE_WORDS)).alias("x")
-    ).withColumn("h", F.xxhash64("x"))
+    )
     # bit i contribution: +1 if set else -1 → sum per (doc, bit)
     bit_sums = sh.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    ((F.col("x") * a + b) % MERSENNE).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i, (a, b) in enumerate(SIMHASH_COEFFS)
         ]
     )
     return bit_sums.select(
@@ -616,7 +658,10 @@ def dedup_simhash(
         .distinct()
     )
     return (
-        pairs.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -860,7 +905,8 @@ def minhash_containment(
     Scale shape: everything is signature-sized — candidate bucket
     join, then one join per side onto (sig, n_sh); the 128-long
     agreement count is a JVM zip_with/filter over candidate rows only.
-    Rows-only for the driver (hash permutations aren't SQL-portable).
+    Oracle-checked: permutations are the pinned-seed portable family
+    (MINHASH_COEFFS), replicated literally in the DuckDB oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = _minhash_signatures(docs)

@@ -222,8 +222,9 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the corpus), so the comparison joins are trivial next
     to pair generation; the expensive generators run once each and are
     localCheckpointed so the 6 pairwise comparisons don't re-run them.
-    Rows-only at the driver gate (MinHash/SimHash permutations aren't
-    SQL-portable)."""
+    Oracle-checked: all four pair sources are engine-portable (the
+    MinHash/SimHash chains use the pinned-seed md5-portable hash
+    family), so the full matrix is value-hash-checked in DuckDB."""
     from mimir_spark.operators.dedup import (
         dedup_minhash_lsh,
         dedup_ngram_jaccard,
@@ -501,6 +502,7 @@ def containment_lsh_pairs(
     from mimir_spark.operators.dedup import (
         N_HASHES,
         _minhash_signatures,
+        portable_band_bucket,
     )
 
     hsets = (
@@ -540,9 +542,7 @@ def containment_lsh_pairs(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[F.element_at("sig", b * r + k + 1) for k in range(r)]
-                    ).alias("bucket"),
+                    portable_band_bucket("sig", b * r, r).alias("bucket"),
                 )
                 for b in range(N_HASHES // r)
             ]

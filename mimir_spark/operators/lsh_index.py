@@ -1,0 +1,167 @@
+"""Persisted MinHash-LSH signature index — the near-dup analogue of
+the IVF vector index (similarity.write_ivf_index): build the
+signature/bucket tables ONCE over the corpus, then answer "is this
+new batch of documents a near-dup of anything already ingested?" by
+reading only the bucket shards the batch's own signatures touch.
+
+Scale design: at 100 TB the corpus pass (shingling + 128 permutation
+minima) is the expensive stage — an incremental ingest must not repeat
+it per batch. The index stores three tables:
+
+- `buckets/`   (band, bucket, doc_id), PARTITIONED BY `shard` =
+               pmod(bucket, N_SHARDS). A probe batch derives its own
+               (band, bucket) rows, collects the ≤N_SHARDS distinct
+               shard ids it needs (bounded metadata), and the
+               assignments scan prunes to exactly those partition
+               directories (PartitionFilters, pinned in tests) — the
+               probe cost is batch-buckets × matching shards, never a
+               corpus scan.
+- `shingles/`  (doc_id, s): the hashed shingle sets, for exact
+               verification of candidate pairs (candidate-bounded
+               joins only).
+- `signatures/` (doc_id, sig): the raw 128-minima, so a different
+               banding scheme (other threshold, asymmetric
+               containment bands) can be derived later WITHOUT the
+               corpus pass.
+
+Everything downstream of the text is the engine-portable sketch
+arithmetic (see functions/text.word_shingle_hashes), so the indexed
+query path is value-hash oracle-checked, not just rows-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.text import word_shingle_hashes
+from mimir_spark.operators.dedup import (
+    N_BANDS,
+    N_HASHES,
+    SHINGLE_WORDS,
+    _minhash_signatures,
+    portable_band_bucket,
+)
+from mimir_spark.sources.tables import load_table
+
+N_SHARDS = 64
+PROBE_MOD = 17  # queries() demo probe: every 17th doc is the "new batch"
+
+
+def lsh_bucket_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows — one per band per doc, the same
+    banding as dedup.lsh_candidates (portable linear buckets)."""
+    rows = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                portable_band_bucket("sig", i * rows, rows).alias("bucket"),
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+
+
+def write_lsh_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, n_shards: int = N_SHARDS
+) -> None:
+    """Materialize the LSH index (one corpus pass): bucket rows
+    sharded by pmod(bucket, n_shards) for partition-pruned probes,
+    plus the shingle sets (verification) and raw signatures
+    (re-banding without the corpus pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(docs)
+    # One signature job feeds both outputs; localCheckpoint keeps the
+    # shingling + 128-minima pass from running twice.
+    sig = sig.localCheckpoint(eager=True)
+    buckets = lsh_bucket_rows(sig).withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(n_shards))
+    )
+    buckets.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{index_dir}/buckets"
+    )
+    sig.write.mode("overwrite").parquet(f"{index_dir}/signatures")
+    docs.select(
+        "doc_id", word_shingle_hashes("text", SHINGLE_WORDS).alias("s")
+    ).write.mode("overwrite").parquet(f"{index_dir}/shingles")
+
+
+def lsh_query_index(
+    spark: SparkSession,
+    probe_docs: DataFrame,
+    index_dir: str,
+    threshold: float = 0.5,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Probe the persisted index with a batch of documents
+    (doc_id, text): returns verified near-dup pairs (doc_a, doc_b,
+    jaccard) where at least one side is a probe doc. Candidate
+    generation reads ONLY the bucket shards the probe's own buckets
+    hash into (collected as bounded metadata — ≤ n_shards longs —
+    then pushed as an isin partition filter)."""
+    psig = _minhash_signatures(probe_docs)
+    pbk = lsh_bucket_rows(psig).withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(n_shards))
+    ).localCheckpoint(eager=True)
+    shards = [r["shard"] for r in pbk.select("shard").distinct().collect()]
+    ibk = spark.read.parquet(f"{index_dir}/buckets").filter(
+        F.col("shard").isin(shards)
+    )
+    a = pbk.alias("a")
+    b = ibk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shard") == F.col("b.shard"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = spark.read.parquet(f"{index_dir}/shingles")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_lsh_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() wrapper: build the index over the corpus, then probe
+    it with the doc_id % PROBE_MOD == 0 subset (standing in for a new
+    ingest batch). Output = exactly the dedup_minhash_lsh pairs that
+    touch a probe doc (pytest-pinned; also the oracle's formulation) —
+    the probe path finds the same collisions the full self-join
+    would, it just reads index shards instead of recomputing the
+    corpus.
+
+    The rebuild-per-call keeps the driver run hermetic; a real
+    deployment calls write_lsh_index once per ingest epoch and
+    lsh_query_index per batch."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    index_dir = f"{wh}/lsh_index_demo"
+    write_lsh_index(spark, sf_dir, index_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
+    return lsh_query_index(spark, probe, index_dir)
