@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_method_agreement": dedup2.dedup_method_agreement,
         "dedup_lsh_query_indexed": lsh_index.dedup_lsh_query_indexed,
         "max_dup_span": substr.max_dup_span,
+        "chunk_documents": packing.chunk_documents,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
         "rank_quantiles": sketches.rank_quantiles,
         "kll_quantiles": sketches.kll_quantiles,
         "tdigest_quantiles": sketches.tdigest_quantiles,
@@ -188,7 +190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "octree_adaptive": octree.octree_adaptive,
         "multimodal_resize": multimodal.multimodal_resize,
         "embedding_pca": clustering.embedding_pca,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
         "approx_distinct": core.approx_distinct,
         # --- r4-driver-green and unchanged since ---
         "q18_large_orders": relational2.q18_large_orders,
@@ -515,6 +516,70 @@ def _containment_lsh_ctes(threshold: float = 0.8) -> str:
                     JOIN ssh sa ON sa.doc_id = c.doc_a
                     JOIN ssh sb ON sb.doc_id = c.doc_b)
               WHERE round(n_common / least(na, nb), 6) >= {threshold})"""
+
+
+def _ann_lsh_ctes() -> str:
+    """CTE chain for random-hyperplane LSH ANN (similarity.py
+    ann_lsh_topk), ending at `lshtop`. Bit-EXACT parity, not
+    approximate: the plane literals are repr()'d Python doubles
+    (round-trip exact), and every dot product is written as the same
+    left-to-right sequential add chain Spark's functions/vectors.dot
+    folds, so the sign bits and the 6dp-rounded cosines are the
+    identical IEEE doubles in both engines."""
+    from mimir_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes()
+
+    def chain(terms: list[str]) -> str:
+        return " + ".join(terms)
+
+    sig_terms = []
+    for i, p in enumerate(planes):
+        d = chain([f"e[{j + 1}] * {x!r}" for j, x in enumerate(p)])
+        sig_terms.append(f"(CASE WHEN ({d}) > 0 THEN {1 << i} ELSE 0 END)")
+    sig_expr = chain(sig_terms)
+    self_dot = chain([f"e[{j}] * e[{j}]" for j in range(1, 65)])
+    pair_dot = chain([f"a.e[{j}] * b.e[{j}]" for j in range(1, 65)])
+    bands = [0xFFF0, 0xFF0F, 0xF0FF, 0x0FFF]
+    band_union = "\n              UNION ALL\n".join(
+        f"              SELECT vec_id, e, nrm, {i} AS band,"
+        f" sig & {m} AS bkey FROM sigs"
+        for i, m in enumerate(bands)
+    )
+    return f"""emb AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings),
+            sigs AS MATERIALIZED (
+              SELECT vec_id, e, sqrt({self_dot}) AS nrm,
+                     ({sig_expr})::BIGINT AS sig
+              FROM emb),
+            bnd AS MATERIALIZED (
+{band_union}),
+            acand AS (
+              SELECT DISTINCT qa.vec_id AS query_id,
+                              qb.vec_id AS neighbor_id
+              FROM bnd qa JOIN bnd qb
+                ON qa.band = qb.band AND qa.bkey = qb.bkey
+                   AND qa.vec_id < {N_QUERIES}
+                   AND qa.vec_id <> qb.vec_id),
+            ascored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     round(({pair_dot}) / (a.nrm * b.nrm), 6) AS cos
+              FROM acand c
+              JOIN sigs a ON a.vec_id = c.query_id
+              JOIN sigs b ON b.vec_id = c.neighbor_id),
+            lshtop AS (
+              SELECT query_id, neighbor_id, cos, rank FROM (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id)::BIGINT AS rank
+                FROM ascored)
+              WHERE rank <= {TOP_K})"""
 
 
 _LINEITEM_COLS = [
@@ -964,6 +1029,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_exact > 0 THEN round(n_hit / n_exact, 6)
                         ELSE 1.0 END AS "recall"
             FROM stats
+        """,
+        "ann_lsh_topk": f"""
+            WITH {_ann_lsh_ctes()}
+            SELECT query_id, neighbor_id, cos, rank FROM lshtop
+        """,
+        "chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents)
+            SELECT doc_id, ((s - 1) // 48)::BIGINT AS chunk_id,
+                   s::BIGINT AS start_tok,
+                   len(t[s:s+63])::BIGINT AS n_tokens,
+                   array_to_string(t[s:s+63], ' ') AS chunk_text
+            FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS s
+                  FROM toks WHERE len(t) >= 1)
         """,
         # Suffix-sorting refinement: per-doc max cross-doc LCP is
         # independent of sort tie order (see operators/substr.py), so

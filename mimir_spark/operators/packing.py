@@ -174,3 +174,52 @@ def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rate",
         )
     )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval-side sibling
+    of sequence_pack: where packing concatenates documents up to a
+    training context length, chunking SPLITS each document into
+    fixed-size windows (with `chunk_tokens - stride` tokens of
+    overlap) for embedding/indexing in a RAG pipeline. Returns one
+    row per chunk: (doc_id, chunk_id, start_tok, n_tokens,
+    chunk_text).
+
+    Chunk starts are 1, 1+stride, 1+2·stride, … while the start is
+    inside the document, so every token lands in ≥1 chunk and the
+    final chunk may be short. Scale shape: map-only (tokenize,
+    per-doc array slicing, explode) — a single corpus scan, no
+    shuffle at all; Catalyst keeps the whole thing in one
+    WholeStageCodegen span."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= 1
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t"), F.lit(stride)),
+                lambda s: F.struct(
+                    s.alias("start_tok"),
+                    F.slice("t", s, chunk_tokens).alias("ck"),
+                ),
+            )
+        ).alias("chunk_id", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.start_tok").cast("long").alias("start_tok"),
+        F.size("c.ck").cast("long").alias("n_tokens"),
+        F.array_join("c.ck", " ").alias("chunk_text"),
+    )

@@ -438,8 +438,9 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
     the comparison join is trivially small whatever the corpus size;
     at 100 TB the expensive input (ground truth) is computed once on a
     sampled query set, exactly as here (N_QUERIES broadcast queries).
-    Rows-only for the driver (IVF probe order isn't SQL-portable);
-    pytest pins mean recall against a floor.
+    Oracle-checked (the Lloyd 9dp-grid oracle makes the probe
+    pipeline a pure function of the data); pytest additionally pins
+    mean recall against a floor.
     """
     truth = ann_bruteforce_topk(spark, sf_dir, k).select(
         "query_id", "neighbor_id"

@@ -112,3 +112,42 @@ def test_distributed_prefix_sum_property(spark, rows):
         expect[(part, ordk)] = acc.get(part, 0)
         acc[part] = acc.get(part, 0) + v
     assert got == expect
+
+
+def test_chunk_documents_covers_every_token(spark, sf_smoke):
+    """Chunking invariants: every token position covered, overlap =
+    chunk - stride between consecutive chunks, chunk text equals the
+    token slice, and the whole thing is a map-only plan (no
+    exchange)."""
+    from mimir_spark.operators.packing import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from mimir_spark.sources.tables import load_table
+
+    out = chunk_documents(spark, sf_smoke)
+    rows = out.collect()
+    texts = {
+        r["doc_id"]: r["text"].split()
+        for r in load_table(spark, sf_smoke, "documents").collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, toks in texts.items():
+        if not toks:
+            assert doc_id not in per_doc
+            continue
+        chunks = sorted(per_doc[doc_id], key=lambda r: r.chunk_id)
+        covered = set()
+        for k, c in enumerate(chunks):
+            assert c.chunk_id == k
+            assert c.start_tok == 1 + k * CHUNK_STRIDE
+            lo = c.start_tok - 1
+            assert c.chunk_text == " ".join(toks[lo : lo + CHUNK_TOKENS])
+            assert c.n_tokens == len(toks[lo : lo + CHUNK_TOKENS])
+            covered.update(range(lo, lo + c.n_tokens))
+        assert covered == set(range(len(toks))), doc_id
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
