@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_dup_span": substr.max_dup_span,
         "chunk_documents": packing.chunk_documents,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "bigram_logppl": quality.bigram_logppl,
+        "retrieval_hard_negatives": retrieval.retrieval_hard_negatives,
         "rank_quantiles": sketches.rank_quantiles,
         "kll_quantiles": sketches.kll_quantiles,
         "tdigest_quantiles": sketches.tdigest_quantiles,
@@ -1033,6 +1035,87 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": f"""
             WITH {_ann_lsh_ctes()}
             SELECT query_id, neighbor_id, cos, rank FROM lshtop
+        """,
+        # BM25 pool minus the positive's near-dup partners: composes
+        # the (portable) LSH pair chain with the BM25 chain.
+        "retrieval_hard_negatives": f"""
+            WITH {_lsh_ctes()},
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS w
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, w, count(*)::BIGINT AS tf
+              FROM tok WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2
+            ), dft AS (
+              SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT tf.doc_id,
+                     round(SUM(
+                       LN((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                     ), 6) AS score
+              FROM tf JOIN dft USING (w)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ), bmtop AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+                       AS rank
+              FROM (SELECT * FROM scored ORDER BY score DESC, doc_id
+                    LIMIT 20)
+            ), anch AS (SELECT doc_id AS anchor_id FROM bmtop WHERE rank = 1),
+            partners AS (
+              SELECT CASE WHEN doc_a = anchor_id THEN doc_b
+                          ELSE doc_a END AS doc_id
+              FROM lsh_pairs, anch
+              WHERE doc_a = anchor_id OR doc_b = anchor_id),
+            negs AS (
+              SELECT t.doc_id, t.score FROM bmtop t, anch
+              WHERE t.doc_id <> anchor_id
+                AND t.doc_id NOT IN (SELECT doc_id FROM partners))
+            SELECT doc_id, score, neg_rank FROM (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+                       AS neg_rank
+              FROM negs)
+            WHERE neg_rank <= 10
+        """,
+        "bigram_logppl": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            dab AS (
+              SELECT doc_id, w1, w2, count(*) AS c_dab
+              FROM bg GROUP BY 1, 2, 3),
+            lm_ab AS (
+              SELECT w1, w2, sum(c_dab) AS c_ab FROM dab GROUP BY 1, 2),
+            lm_a AS (SELECT w1, sum(c_ab) AS c_a FROM lm_ab GROUP BY 1),
+            vocab AS (
+              SELECT count(DISTINCT w)::DOUBLE AS v
+              FROM (SELECT unnest(t) AS w FROM toks))
+            SELECT doc_id, sum(c_dab)::BIGINT AS n_bigrams,
+                   round(-sum(c_dab * ln((c_ab + 1) / (c_a + v)))
+                         / sum(c_dab), 6) AS cross_entropy
+            FROM dab
+            JOIN lm_ab USING (w1, w2)
+            JOIN lm_a USING (w1)
+            CROSS JOIN vocab
+            GROUP BY doc_id
         """,
         "chunk_documents": r"""
             WITH toks AS (

@@ -235,3 +235,80 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+def bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BIGRAM cross-entropy against the corpus's own
+    Laplace-smoothed bigram LM — one order up from unigram_logppl:
+    catches shuffled-word salad that unigram perplexity scores as
+    fluent (every token common, no token ORDER). p(b|a) =
+    (c_ab + 1) / (c_a + V); production swaps in a fixed reference LM,
+    the plan is identical.
+
+    Shape: one token scan → per-doc bigram counts (shuffle on
+    (doc, w1, w2), map-side combined) → corpus bigram LM folded FROM
+    those counts (no second corpus scan; vocabulary-sized shuffles) →
+    LM joins on (w1, w2) and w1 (AQE picks broadcast at test scale,
+    hash join at a 100 TB vocabulary) → per-doc weighted sum (one
+    doc_id shuffle). Terms are summed over DISTINCT (doc, bigram)
+    groups, identically grouped on both engines, so the 6dp round is
+    stable (same argument as unigram_logppl)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dab, words = bigram_parts(docs)
+    return bigram_ppl_from_parts(dab, words)
+
+
+def bigram_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two SUM/SET-monoid state tables the bigram LM needs:
+    per-doc bigram counts (doc_id, w1, w2, c_dab) and per-doc distinct
+    words (doc_id, w). Shared by the batch operator and the streaming
+    incremental builder — both are per-doc partials that merge across
+    disjoint batches into exactly the single-pass tables."""
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), (i + 1).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    dab = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("c_dab")
+    )
+    words = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("w")
+    ).distinct()
+    return dab, words
+
+
+def bigram_ppl_from_parts(dab: DataFrame, words: DataFrame) -> DataFrame:
+    """Score from the state tables — the only scoring code path, so
+    incremental and single-pass cross-entropies are bit-identical
+    (the LM and V are folded FROM the per-doc partials)."""
+    lm_ab = dab.groupBy("w1", "w2").agg(F.sum("c_dab").alias("c_ab"))
+    lm_a = lm_ab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    vocab = words.agg(F.countDistinct("w").cast("double").alias("v"))
+    return (
+        dab.join(lm_ab, ["w1", "w2"])
+        .join(lm_a, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dab").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.col("c_dab")
+                    * F.log((F.col("c_ab") + 1) / (F.col("c_a") + F.col("v")))
+                )
+                / F.sum("c_dab"),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )

@@ -147,3 +147,60 @@ def hybrid_retrieval(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "bm25_rank", "cos", "rank"
     )
+
+
+HARDNEG_POOL = BM25_TOPK
+HARDNEG_K = 10
+
+
+def retrieval_hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    pool: int = HARDNEG_POOL,
+    k: int = HARDNEG_K,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: the
+    BM25 pool is lexically CLOSE to the query (that's what makes the
+    negatives hard), but any document that is a NEAR-DUPLICATE of the
+    top-1 (positive) document is a false negative — training against
+    it teaches the model to push apart copies of the right answer. So:
+    take the BM25 top-`pool`, drop the positive and its
+    dedup_minhash_lsh partners, re-rank, keep `k`.
+
+    Scale shape: the BM25 pool is `pool` rows (bounded), the LSH pair
+    join against it is candidate-sized, and the re-rank window runs
+    over ≤ pool rows — everything downstream of the two existing
+    operators is bounded metadata."""
+    from pyspark.sql import Window
+
+    from mimir_spark.operators.dedup import dedup_minhash_lsh
+
+    top = bm25_topk(spark, sf_dir, k=pool).localCheckpoint(eager=True)
+    anchor = top.filter(F.col("rank") == 1).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    partners = pairs.join(
+        F.broadcast(anchor),
+        (F.col("doc_a") == F.col("anchor_id"))
+        | (F.col("doc_b") == F.col("anchor_id")),
+    ).select(
+        F.when(F.col("doc_a") == F.col("anchor_id"), F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("doc_id")
+    )
+    negs = (
+        top.join(
+            F.broadcast(anchor),
+            top["doc_id"] == F.col("anchor_id"),
+            "left_anti",
+        )
+        .join(partners, "doc_id", "left_anti")
+        .select("doc_id", "score")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k)
+        .select("doc_id", "score", "neg_rank")
+    )

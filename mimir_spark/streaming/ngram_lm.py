@@ -1,0 +1,74 @@
+"""Incremental (streaming) bigram-LM quality scoring.
+
+Everything bigram_logppl needs is a SUM/SET monoid over disjoint
+document batches: per-doc bigram counts and per-doc distinct words
+(the LM tables and V are folded from them at finalize). Per-batch
+partials merge into exactly the single-pass state, and the finalizer
+scores through the SAME code path as the batch operator
+(`quality.bigram_ppl_from_parts`) — incremental and batch
+cross-entropies are bit-identical (pytest-pinned).
+
+State layout follows the streaming-sketch recipe (cms.py / bm25.py):
+each batch overwrites its own ``batch_id=N`` subdirectory so
+foreachBatch retries are idempotent, and the finalizer keeps each
+doc's rows from its LATEST batch only (same at-least-once redelivery
+guard as BM25 — bigram counts are monoids over *disjoint* doc sets,
+so a re-delivered doc would otherwise double-count)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from mimir_spark.operators.quality import bigram_parts, bigram_ppl_from_parts
+from mimir_spark.streaming.jobs import read_documents_stream
+
+
+def streaming_bigram_build(
+    spark: SparkSession,
+    input_dir: str,
+    dab_dir: str,
+    words_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.parquet",
+) -> StreamingQuery:
+    """Start the incremental LM-state builder over a documents stream.
+    One batch scan feeds both partials (shared `bigram_parts`)."""
+    docs_stream = read_documents_stream(spark, input_dir, glob=glob)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        dab, words = bigram_parts(batch.localCheckpoint(eager=True))
+        dab.write.mode("overwrite").parquet(f"{dab_dir}/batch_id={batch_id}")
+        words.write.mode("overwrite").parquet(
+            f"{words_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def finalize_bigram_logppl(
+    spark: SparkSession, dab_dir: str, words_dir: str
+) -> DataFrame:
+    """Merge the partial state and score through the batch code path —
+    identical output to `bigram_logppl` on the same corpus. Docs with
+    <2 tokens have words rows but no dab rows, so the latest-batch
+    resolve comes from the words table (every doc has ≥0 words rows;
+    single-token docs still guard correctly because their only state
+    IS the words table)."""
+    dab_raw = spark.read.parquet(dab_dir)
+    words_raw = spark.read.parquet(words_dir)
+    last = words_raw.groupBy("doc_id").agg(
+        F.max("batch_id").alias("batch_id")
+    )
+    dab = dab_raw.join(last, ["doc_id", "batch_id"]).select(
+        "doc_id", "w1", "w2", "c_dab"
+    )
+    words = words_raw.join(last, ["doc_id", "batch_id"]).select("doc_id", "w")
+    return bigram_ppl_from_parts(dab, words)

@@ -40,6 +40,9 @@ PROBES = [
     "dedup_jaccard_prefix",
     "dedup_containment_lsh",
     "dedup_icws",
+    # suffix-sorting substring refinement: the ~16× suffix-table
+    # blow-up is constant-factor, so time must track input growth
+    "max_dup_span",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -54,6 +57,7 @@ INPUT_TABLES = {
     "dedup_jaccard_prefix": "documents",
     "dedup_containment_lsh": "documents",
     "dedup_icws": "documents",
+    "max_dup_span": "documents",
 }
 
 

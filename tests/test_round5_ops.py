@@ -368,3 +368,108 @@ def test_weighted_containment_lsh_recall_floor(spark, sf_smoke):
     r = weighted.weighted_containment_lsh_recall(spark, sf_smoke).collect()[0]
     assert r.precision == 1.0
     assert r.recall >= 0.9, r
+
+
+def test_hard_negatives_exclude_positive_dups(spark, tmp_path):
+    """The positive's near-duplicate must be dropped from the
+    negative pool even when BM25 ranks it highly (it is a false
+    negative), while lexically-close non-duplicates stay."""
+    from mimir_spark.operators.retrieval import retrieval_hard_negatives
+
+    base = "spark join window " * 4 + "alpha beta gamma delta " * 3
+    near = "spark join window " * 4 + "alpha beta gamma delta " * 3 + "epsilon"
+    other = "spark join window completely different tail content here"
+    filler = "unrelated words about nothing relevant at all"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, near, "en", "s", len(near)),
+            (3, other, "en", "s", len(other)),
+            (4, filler, "en", "s", len(filler)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/documents.parquet")
+    from mimir_spark.operators.dedup import dedup_minhash_lsh
+    from mimir_spark.operators.retrieval import bm25_topk
+
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, d).collect()
+    }
+    assert (1, 2) in pairs  # the fixture's near-dup is actually caught
+    top = {r.doc_id: r.rank for r in bm25_topk(spark, d).collect()}
+    anchor = min(top, key=top.get)
+    got = [r.doc_id for r in retrieval_hard_negatives(spark, d).collect()]
+    assert anchor not in got
+    partner = 2 if anchor == 1 else 1
+    assert partner not in got
+    assert 3 in got  # lexically close but not a duplicate → kept
+
+
+def test_icws_store_compaction_mid_stream(spark, sf_smoke, tmp_path):
+    """Compacting the signature store BETWEEN micro-batches must not
+    change the final pair set: stop after two batches, compact (store
+    collapses to one batch_id subdir), deliver the third batch on the
+    same checkpoint, and the union of pair logs still equals the
+    batch dedup_icws output."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators.weighted import dedup_icws
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.icws import (
+        compact_icws_store,
+        streaming_icws_dedup,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            str(tmp_path / f"b{m}"), compression="none"
+        )
+    parts = sorted(globmod.glob(str(tmp_path) + "/b*/part-*.parquet"))
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(parts[:2]):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    store, pairs, ckpt = (
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+    q = streaming_icws_dedup(
+        spark, flat, store, pairs, ckpt, glob="batch_*.parquet"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    compact_icws_store(spark, store)
+    subdirs = [
+        d for d in os.listdir(store)
+        if d.startswith("batch_id=") and os.path.isdir(f"{store}/{d}")
+    ]
+    assert len(subdirs) == 1, subdirs  # collapsed to one base dir
+
+    shutil.copy(parts[2], f"{flat}/batch_2.parquet")
+    q = streaming_icws_dedup(
+        spark, flat, store, pairs, ckpt, glob="batch_*.parquet"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b, r.wjaccard)
+        for r in spark.read.parquet(pairs)
+        .select("doc_a", "doc_b", "wjaccard")
+        .collect()
+    }
+    expect = {
+        (r.doc_a, r.doc_b, r.wjaccard)
+        for r in dedup_icws(spark, sf_smoke).collect()
+    }
+    assert got == expect and got

@@ -833,3 +833,53 @@ def test_streaming_bm25_redelivery_does_not_double_count(
         for r in bm25_topk(spark, sf_smoke).orderBy("rank").collect()
     ]
     assert got == expect and got
+
+
+def test_streaming_bigram_logppl_matches_batch(spark, sf_smoke, tmp_path):
+    """Per-batch LM-state partials (bigram counts, distinct words)
+    merged across micro-batches and scored through the shared scorer
+    must equal the batch bigram_logppl exactly — the LM and V are
+    folded from sum/set-monoid state over disjoint doc batches."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.quality import bigram_logppl
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.ngram_lm import (
+        finalize_bigram_logppl,
+        streaming_bigram_build,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_bigram_build(
+        spark,
+        flat,
+        str(tmp_path / "dab"),
+        str(tmp_path / "words"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_id, r.n_bigrams, r.cross_entropy)
+        for r in finalize_bigram_logppl(
+            spark, str(tmp_path / "dab"), str(tmp_path / "words")
+        ).collect()
+    }
+    expect = {
+        (r.doc_id, r.n_bigrams, r.cross_entropy)
+        for r in bigram_logppl(spark, sf_smoke).collect()
+    }
+    assert got == expect and got

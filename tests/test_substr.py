@@ -69,3 +69,26 @@ def test_max_dup_span_synthetic(spark, tmp_path):
     docs.write.parquet(f"{d}/documents.parquet")
     got = {r.doc_id: r.max_dup_span for r in max_dup_span(spark, d).collect()}
     assert got == {1: 7, 2: 4, 3: 0, 4: 7, 5: 0}
+
+
+def test_max_dup_span_no_cartesian_single_group_shuffle(spark, sf_smoke):
+    """The suffix sort must be ONE window shuffle on the 3-gram group
+    key — no self-join, no cartesian anywhere (the whole point vs the
+    pair-table formulation)."""
+    from mimir_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(max_dup_span(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_max_dup_span_partition_invariance(spark, sf_smoke):
+    """Per-doc max cross-doc LCP is independent of sort tie order and
+    partitioning (the adjacency-exactness argument) — a sibling
+    session with a prime shuffle partition count must agree."""
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    base = {tuple(r) for r in max_dup_span(spark, sf_smoke).collect()}
+    alt = {tuple(r) for r in max_dup_span(odd, sf_smoke).collect()}
+    assert base == alt and base
