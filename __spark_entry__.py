@@ -54,10 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict
     # in order and covers a ~50-key window per round (r01: 50, r02: 51,
-    # r03: 50, r04: 50). Round-5 order: the 30 new-or-changed keys come
-    # FIRST (7 portable-sketch keys + the 23 earlier round-5 keys),
-    # then the keys whose last driver row predates r4, oracle-carrying
-    # keys leading (a 50-key window reaches the first ~20 of them; the
+    # r03: 50, r04: 50). Round-5 order: the 42 new-or-changed keys come
+    # FIRST (18 late-round-5 keys — portable-sketch upgrades + the new
+    # operators — then the 24 earlier round-5 keys, bpe_train/encode
+    # having moved into the late block when they gained oracles), then
+    # the keys whose last driver row predates r4, oracle-carrying keys
+    # leading (a 50-key window reaches the first ~8 of them; the
     # remainder rotate to the front next round), then the r4-green
     # unchanged keys.
     return {
@@ -83,6 +85,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "bigram_logppl": quality.bigram_logppl,
         "retrieval_hard_negatives": retrieval.retrieval_hard_negatives,
+        "corpus_snapshot_diff": corpus.corpus_snapshot_diff,
+        "k_anonymity_report": profiling.k_anonymity_report,
+        "multimodal_decode_bmp": multimodal.multimodal_decode_bmp,
+        "bpe_train": tokenizer.bpe_train,
+        "bpe_encode": tokenizer.bpe_encode,
         "rank_quantiles": sketches.rank_quantiles,
         "kll_quantiles": sketches.kll_quantiles,
         "tdigest_quantiles": sketches.tdigest_quantiles,
@@ -103,8 +110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_ivf_recall": similarity.ann_ivf_recall,
         "kmeans_embeddings": clustering.kmeans_embeddings,
-        "bpe_train": tokenizer.bpe_train,
-        "bpe_encode": tokenizer.bpe_encode,
         "window_funnel": features.window_funnel,
         # --- last driver-checked in r2/r3 (outside the r4 window);
         #     23 keys above + the first ~27 here fill a 50-key
@@ -582,6 +587,89 @@ def _ann_lsh_ctes() -> str:
                            ORDER BY cos DESC, neighbor_id)::BIGINT AS rank
                 FROM ascored)
               WHERE rank <= {TOP_K})"""
+
+
+def _bpe_ctes(n_merges: int = 10, with_word: bool = False) -> str:
+    """Unrolled sequential-BPE CTE chain: v0 = char-split (word, wc)
+    vocab; per round k, pair counts (p{k}) → deterministic argmax
+    winner (w{k}, MATERIALIZED — it is referenced by both the next
+    apply and the final union, and DuckDB inlines plain CTEs per
+    reference, which would square the chain every round) → merged
+    vocab (v{k}, the greedy left-to-right fold as a 2-arg list_reduce
+    over a space-joined symbol string, bit-equal to the Spark-side
+    Catalyst aggregate fold). The batched Spark training
+    (_safe_merge_prefix) is provably sequential-equivalent, so the
+    sequential oracle pins it. `with_word` keeps the word column
+    through the chain (the encode oracle joins it back to the
+    corpus)."""
+    parts = [
+        r"""v0 AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS wc,
+             array_to_string(list_filter(string_split(word, ''),
+                                         c -> c <> ''), ' ') AS s
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY word)"""
+    ]
+    apply_tpl = """list_reduce(string_split(v{p}.s, ' '),
+        (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = w{k}.l
+                          AND x = w{k}.r
+                    THEN regexp_replace(acc, '[^ ]+$', w{k}.l || w{k}.r)
+                    ELSE acc || ' ' || x END)"""
+    last_v = n_merges if with_word else n_merges - 1
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS (
+      SELECT ps[i] AS l, ps[i+1] AS r, sum(wc) AS cnt
+      FROM (SELECT wc, string_split(s, ' ') AS ps,
+                   unnest(range(1, len(string_split(s, ' ')))) AS i
+            FROM v{k - 1})
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT l, r, cnt::BIGINT AS cnt FROM p{k}
+      WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        if k <= last_v:
+            keep = f"v{k - 1}.word, " if with_word else ""
+            parts.append(
+                f"""v{k} AS MATERIALIZED (
+      SELECT {keep}v{k - 1}.wc,
+             {apply_tpl.format(p=k - 1, k=k)} AS s
+      FROM v{k - 1} CROSS JOIN w{k})"""
+            )
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql(n_merges: int = 10) -> str:
+    fin = "\nUNION ALL\n".join(
+        f'SELECT {k - 1}::BIGINT AS step, l AS "left", r AS "right",'
+        f" l || r AS merged, cnt AS pair_count FROM w{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_ctes(n_merges)}\n{fin}"
+
+
+def _bpe_encode_sql(n_merges: int = 10) -> str:
+    return f"""WITH {_bpe_ctes(n_merges, with_word=True)},
+    wl AS (SELECT word,
+                  len(string_split(s, ' '))::BIGINT AS n_chars_v0
+           FROM v0),
+    we AS (SELECT word,
+                  len(string_split(s, ' '))::BIGINT AS n_symbols
+           FROM v{n_merges}),
+    tok AS (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents)
+    SELECT doc_id,
+           sum(n_chars_v0)::BIGINT AS total_chars,
+           sum(n_symbols)::BIGINT AS total_symbols,
+           round(sum(n_chars_v0) / sum(n_symbols), 6) AS chars_per_symbol
+    FROM tok JOIN wl USING (word) JOIN we USING (word)
+    GROUP BY doc_id"""
 
 
 _LINEITEM_COLS = [
@@ -1088,6 +1176,55 @@ def oracle_sql() -> dict[str, str]:
                        AS neg_rank
               FROM negs)
             WHERE neg_rank <= 10
+        """,
+        # The oracle recomputes the decoded fields from the BMP
+        # GENERATION rule (pixel j = (id*31+j) % 256), so a decoder
+        # that misparses stride/offset/padding hash-mismatches.
+        "bpe_train": _bpe_train_sql(),
+        "bpe_encode": _bpe_encode_sql(),
+        "multimodal_decode_bmp": """
+            SELECT doc_id,
+                   ((doc_id % 16) + 1)::INT AS width,
+                   ((doc_id % 8) + 1)::INT AS height,
+                   24::INT AS bpp,
+                   (((doc_id % 16) + 1) * ((doc_id % 8) + 1))::BIGINT
+                     AS n_pixels,
+                   list_sum(list_transform(
+                     range(0, ((doc_id % 16) + 1) * ((doc_id % 8) + 1) * 3),
+                     j -> (doc_id * 31 + j) % 256))::BIGINT AS sum_pixels
+            FROM documents
+        """,
+        "corpus_snapshot_diff": """
+            WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN concat(text, ' rev2') ELSE text END AS text,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN n_chars + 5 ELSE n_chars END AS n_chars
+              FROM documents WHERE doc_id % 10 <> 3
+              UNION ALL
+              SELECT doc_id + 10000000, text, n_chars
+              FROM documents WHERE doc_id % 13 = 0)
+            SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.text = b.text THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   count(*)::BIGINT AS n_docs,
+                   sum(coalesce(b.n_chars, a.n_chars))::BIGINT AS n_chars
+            FROM documents a FULL OUTER JOIN newsnap b USING (doc_id)
+            GROUP BY 1
+        """,
+        "k_anonymity_report": """
+            WITH classes AS (
+              SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS cs
+              FROM customer GROUP BY 1, 2)
+            SELECT count(*)::BIGINT AS n_classes,
+                   sum((cs < 5)::BIGINT)::BIGINT AS n_small_classes,
+                   sum(CASE WHEN cs < 5 THEN cs ELSE 0 END)::BIGINT
+                     AS n_risky_rows,
+                   min(cs) AS min_class_size,
+                   max(cs) AS max_class_size
+            FROM classes
         """,
         "bigram_logppl": r"""
             WITH toks AS (

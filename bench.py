@@ -59,6 +59,11 @@ HEADLINE = [
     # containment path) and the bottom-k rank-quantile sketch
     "dedup_containment_lsh",
     "rank_quantiles",
+    # late round-5: suffix-sorting exact substring refinement (the
+    # deliberate ~16x suffix-table pass — the one op where paying a
+    # constant-factor blow-up is the scalable alternative to a
+    # suffix array build)
+    "max_dup_span",
 ]
 
 

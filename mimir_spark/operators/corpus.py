@@ -347,3 +347,71 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_exact_dups") / F.col("n_docs"), 6),
         )
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Corpus VERSION diff — the artifact a dataset release pipeline
+    publishes between snapshots: per status (added / removed /
+    changed / unchanged), document and character counts. Classifies
+    by full-outer join on doc_id with EXACT text comparison (the text
+    rides the diff shuffle anyway in any job that wants the changed
+    content; a 100 TB variant that only needs counts can pre-project
+    to (doc_id, xxhash64(text), n_chars) and shuffle 16 bytes a row —
+    same plan shape, weaker equality).
+
+    One shuffle per side (doc_id), AQE-sized; output is 4 rows."""
+    a = old.select(
+        F.col("doc_id"),
+        F.col("text").alias("text_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    b = new.select(
+        F.col("doc_id"),
+        F.col("text").alias("text_b"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    status = (
+        F.when(F.col("text_a").isNull(), F.lit("added"))
+        .when(F.col("text_b").isNull(), F.lit("removed"))
+        .when(F.col("text_a") == F.col("text_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            status.alias("status"),
+            F.coalesce("nc_b", "nc_a").alias("nc"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() wrapper: diff the documents table against a
+    deterministically perturbed second snapshot (remove doc_id%10==3,
+    append a marker token to doc_id%7==0, add copies under
+    doc_id+10_000_000 for doc_id%13==0) — a hermetic stand-in for two
+    real corpus versions; the operator itself (`snapshot_diff`) takes
+    any two snapshots."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("doc_id") % 10 != 3)
+    modified = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.col("n_chars") + F.lit(5)
+        ).otherwise(F.col("n_chars")),
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    new = modified.unionByName(added)
+    return snapshot_diff(docs, new)

@@ -43,3 +43,40 @@ def table_profile(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+K_ANON = 5
+QUASI_IDENTIFIERS = ("c_nationkey", "c_mktsegment")
+
+
+def k_anonymity_report(
+    spark: SparkSession, sf_dir: str, k: int = K_ANON
+) -> DataFrame:
+    """Training-data governance check: k-anonymity of the customer
+    table over its quasi-identifier columns (nation, market segment).
+    A row is at re-identification risk when its equivalence class
+    (identical quasi-identifier tuple) has fewer than k members.
+    Returns one summary row: class count, below-k class count, rows
+    in risky classes, and the min/max class sizes — the numbers a
+    release gate thresholds on before shipping user-derived data.
+
+    Shape: one groupBy on the quasi-identifier tuple (map-side
+    combined), then a 1-row aggregate over the (bounded:
+    |nations|x|segments|) class table."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(*QUASI_IDENTIFIERS).agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    return classes.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum((F.col("class_size") < k).cast("long"))
+        .cast("long")
+        .alias("n_small_classes"),
+        F.sum(
+            F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("class_size").alias("min_class_size"),
+        F.max("class_size").alias("max_class_size"),
+    )

@@ -66,6 +66,18 @@ def max_dup_span(
     approximate; see the module docstring for the adjacency-exactness
     argument."""
     docs = load_table(spark, sf_dir, "documents")
+    return max_span_from_suffixes(
+        suffix_rows(docs, cap), docs.select("doc_id")
+    )
+
+
+def suffix_rows(docs: DataFrame, cap: int = LCP_CAP) -> DataFrame:
+    """(doc_id, g, pfx) suffix table — one row per token position with
+    >= MIN_SPAN remaining tokens; the leading 3-gram is the group key
+    (hash-folded: the shuffle moves 8 bytes, the grouping only needs
+    equality), the <=cap token prefix array is the sort key and LCP
+    operand. A SET monoid over disjoint doc batches — the state table
+    the streaming twin persists per micro-batch."""
     toks = (
         _spread(docs)
         .select("doc_id", tokens_col("text").alias("t"))
@@ -73,11 +85,7 @@ def max_dup_span(
         # span (and Spark's sequence(1, 0) would run DESCENDING)
         .filter(F.size("t") >= MIN_SPAN)
     )
-    # one suffix row per position with >= MIN_SPAN remaining tokens;
-    # the leading 3-gram is the group key (hash-folded: the shuffle
-    # moves 8 bytes, the grouping only needs equality), the <=cap
-    # token prefix array is the sort key and LCP operand.
-    sfx = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -91,6 +99,12 @@ def max_dup_span(
             )
         ).alias("s"),
     ).select("doc_id", "s.g", "s.pfx")
+
+
+def max_span_from_suffixes(sfx: DataFrame, doc_ids: DataFrame) -> DataFrame:
+    """The sort + adjacent-LCP + per-doc max over a suffix table — the
+    only scoring code path, shared by the batch operator and the
+    streaming finalizer so the two are bit-identical."""
     w = Window.partitionBy("g").orderBy("pfx")
     neighbored = sfx.select(
         "doc_id",
@@ -115,7 +129,7 @@ def max_dup_span(
         .groupBy("doc_id")
         .agg(F.max("lcp").alias("m"))
     )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+    return doc_ids.join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.when(F.coalesce("m", F.lit(0)) >= MIN_SPAN, F.coalesce("m", F.lit(0)))
         .otherwise(F.lit(0))

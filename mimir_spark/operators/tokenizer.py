@@ -15,8 +15,10 @@ Catalyst `aggregate` over the symbol array.
 `bpe_pair_counts` (textstats2) is iteration 0 of this loop at char
 granularity; this operator runs the full loop and emits the learned
 merge table — deterministic via (count desc, pair) tie-break, pinned
-against a pure-Python reference implementation in tests (rows-only
-for the driver: an N-round iterative loop isn't one SQL statement).
+against a pure-Python reference implementation in tests AND an
+unrolled-CTE DuckDB oracle (each round: pair-count → argmax →
+list_reduce greedy fold; the batched selection is provably
+sequential-equivalent, so the sequential oracle hash-pins it).
 """
 
 from __future__ import annotations

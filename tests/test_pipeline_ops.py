@@ -207,3 +207,36 @@ def test_multimodal_resize_contract(spark, sf_smoke):
     again = {r.doc_id: bytes(r.resized)
              for r in multimodal_resize(spark, sf_smoke).collect()}
     assert all(bytes(r.resized) == again[r.doc_id] for r in rows)
+
+
+def test_bmp_decode_is_a_real_decoder():
+    """decode_bmp must parse the FORMAT (spec-level check against a
+    hand-built BMP whose fields are written independently of
+    encode_bmp), honor row padding, and reject non-BMP bytes."""
+    import struct
+
+    import pytest as _pytest
+
+    from mimir_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # hand-built 3x2 24bpp BMP: row stride = 9 + 3 pad = 12
+    w, h = 3, 2
+    rows = [[10, 20, 30, 40, 50, 60, 70, 80, 90],
+            [1, 2, 3, 4, 5, 6, 7, 8, 9]]
+    body = b"".join(bytes(r) + b"\x00\x00\x00" for r in rows)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    got = decode_bmp(hdr + body)
+    # padding bytes must NOT leak into the pixel sum
+    assert got == (3, 2, 24, 6, sum(rows[0]) + sum(rows[1]))
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNGnotreally")
+
+    # encode->decode round trip on a spread of ids
+    for d in (0, 1, 15, 16, 123, 9999):
+        dw, dh, bpp, npx, s = decode_bmp(encode_bmp(d))
+        assert (dw, dh, bpp) == ((d % 16) + 1, (d % 8) + 1, 24)
+        assert npx == dw * dh
+        assert s == sum((d * 31 + j) % 256 for j in range(npx * 3))

@@ -92,3 +92,52 @@ def test_max_dup_span_partition_invariance(spark, sf_smoke):
     base = {tuple(r) for r in max_dup_span(spark, sf_smoke).collect()}
     alt = {tuple(r) for r in max_dup_span(odd, sf_smoke).collect()}
     assert base == alt and base
+
+
+def test_streaming_suffix_store_matches_batch(spark, sf_smoke, tmp_path):
+    """Per-batch suffix partials merged across micro-batches and
+    scored through the shared sort/LCP path must equal the batch
+    max_dup_span exactly — the suffix table is a set monoid over
+    disjoint doc batches."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.substr import (
+        finalize_max_dup_span,
+        streaming_suffix_build,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            str(tmp_path / f"b{m}"), compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(str(tmp_path) + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_suffix_build(
+        spark, flat, str(tmp_path / "sfx"), str(tmp_path / "docs"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_id, r.max_dup_span)
+        for r in finalize_max_dup_span(
+            spark, str(tmp_path / "sfx"), str(tmp_path / "docs")
+        ).collect()
+    }
+    expect = {
+        (r.doc_id, r.max_dup_span)
+        for r in max_dup_span(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
