@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_hard_negatives": retrieval.retrieval_hard_negatives,
         "corpus_snapshot_diff": corpus.corpus_snapshot_diff,
         "k_anonymity_report": profiling.k_anonymity_report,
+        "shuffle_skew_report": profiling.shuffle_skew_report,
         "multimodal_decode_bmp": multimodal.multimodal_decode_bmp,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
@@ -1180,6 +1181,31 @@ def oracle_sql() -> dict[str, str]:
         # The oracle recomputes the decoded fields from the BMP
         # GENERATION rule (pixel j = (id*31+j) % 256), so a decoder
         # that misparses stride/offset/padding hash-mismatches.
+        "shuffle_skew_report": """
+            WITH counts AS (
+              SELECT l_suppkey AS k, count(*)::BIGINT AS cnt
+              FROM lineitem GROUP BY 1),
+            ranked AS (
+              SELECT cnt, row_number() OVER (ORDER BY cnt, k)::BIGINT AS i
+              FROM counts),
+            t AS (SELECT count(*)::BIGINT AS n_keys,
+                         sum(cnt)::BIGINT AS total_rows FROM counts)
+            SELECT n_keys, total_rows, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+                   round(max_cnt / p50_cnt, 6) AS skew_ratio,
+                   round((2.0 * wsum) / (n_keys * total_rows)
+                         - (n_keys + 1) / n_keys, 6) AS gini
+            FROM (SELECT max(n_keys)::BIGINT AS n_keys,
+                         max(total_rows)::BIGINT AS total_rows,
+                         max(cnt) AS max_cnt,
+                         max(CASE WHEN i = ceil(n_keys * 0.5)
+                             THEN cnt END) AS p50_cnt,
+                         max(CASE WHEN i = ceil(n_keys * 0.9)
+                             THEN cnt END) AS p90_cnt,
+                         max(CASE WHEN i = ceil(n_keys * 0.99)
+                             THEN cnt END) AS p99_cnt,
+                         sum(i * cnt)::BIGINT AS wsum
+                  FROM ranked CROSS JOIN t)
+        """,
         "bpe_train": _bpe_train_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "multimodal_decode_bmp": """

@@ -80,3 +80,73 @@ def k_anonymity_report(
         F.min("class_size").alias("min_class_size"),
         F.max("class_size").alias("max_class_size"),
     )
+
+
+def shuffle_skew_report(
+    spark: SparkSession, sf_dir: str, table: str = "lineitem",
+    key: str = "l_suppkey",
+) -> DataFrame:
+    """Join/shuffle SKEW diagnosis — the report a pipeline owner reads
+    BEFORE choosing between a plain shuffle join, AQE skew splitting,
+    and explicit salting (operators/advanced.skew_join_salted): the
+    per-key frequency distribution of a prospective shuffle key,
+    summarized as exact discrete percentiles, max/median skew ratio,
+    and the Gini coefficient of key mass.
+
+    Shape: one map-side-combined groupBy builds the (key, cnt) table
+    (keys-sized, orders of magnitude under the fact table), then ONE
+    ordering window over it ranks counts; every percentile is an
+    exact element pick (ceil(q·n)-th count), and the Gini numerator
+    Σ i·c_(i) is pure integer arithmetic — both engine-portable with
+    no float-sum ordering hazard. The window is a single partition BY
+    CONSTRUCTION of the keys table, not of the corpus — for a key
+    whose distinct count rivals the fact table itself, the same
+    report runs on a sampled key hash prefix."""
+    df = load_table(spark, sf_dir, table)
+    counts = df.groupBy(F.col(key).alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt"), F.col("k"))
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).cast("long").alias("i")
+    )
+    totals = counts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_keys").alias("n_keys"),
+            F.max("total_rows").alias("total_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.max(
+                F.when(F.col("i") == F.ceil(F.col("n_keys") * 0.5), F.col("cnt"))
+            ).alias("p50_cnt"),
+            F.max(
+                F.when(F.col("i") == F.ceil(F.col("n_keys") * 0.9), F.col("cnt"))
+            ).alias("p90_cnt"),
+            F.max(
+                F.when(F.col("i") == F.ceil(F.col("n_keys") * 0.99), F.col("cnt"))
+            ).alias("p99_cnt"),
+            F.sum(F.col("i") * F.col("cnt")).cast("long").alias("_wsum"),
+        )
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p90_cnt",
+            "p99_cnt",
+            F.round(F.col("max_cnt") / F.col("p50_cnt"), 6).alias(
+                "skew_ratio"
+            ),
+            F.round(
+                (2.0 * F.col("_wsum")) / (F.col("n_keys") * F.col("total_rows"))
+                - (F.col("n_keys") + 1) / F.col("n_keys"),
+                6,
+            ).alias("gini"),
+        )
+    )
