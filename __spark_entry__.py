@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_report": profiling.k_anonymity_report,
         "shuffle_skew_report": profiling.shuffle_skew_report,
         "multimodal_decode_bmp": multimodal.multimodal_decode_bmp,
+        "multimodal_resize_digest": multimodal.multimodal_resize_digest,
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
         "rank_quantiles": sketches.rank_quantiles,
@@ -1177,6 +1178,25 @@ def oracle_sql() -> dict[str, str]:
                        AS neg_rank
               FROM negs)
             WHERE neg_rank <= 10
+        """,
+        # Decimation digest recomputed from the generation rule:
+        # payload = utf-8 text bytes (ASCII corpus, so character
+        # positions = byte offsets), step = max(n // 3072, 1), keep
+        # indices 0, step, 2·step… capped at 3072, Horner fold.
+        "multimodal_resize_digest": """
+            WITH p AS (
+              SELECT doc_id, text,
+                     octet_length(encode(text))::INT AS n,
+                     greatest(octet_length(encode(text)) // 3072, 1) AS step
+              FROM documents)
+            SELECT doc_id, n AS n_bytes, 64 AS out_width, 48 AS out_height,
+                   least((n + step - 1) // step, 3072)::INT AS resized_bytes,
+                   list_reduce(
+                     list_prepend(0::BIGINT, list_transform(
+                       range(0, least((n + step - 1) // step, 3072)),
+                       i -> ascii(substring(text, (i * step)::INT + 1, 1))::BIGINT)),
+                     (acc, x) -> (acc * 131 + x) % 1000000007) AS digest
+            FROM p
         """,
         # The oracle recomputes the decoded fields from the BMP
         # GENERATION rule (pixel j = (id*31+j) % 256), so a decoder

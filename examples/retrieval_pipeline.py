@@ -35,6 +35,13 @@ def main() -> None:
     for r in hybrid_retrieval(spark, sf_dir, k=5).orderBy("rank").collect():
         print(f"  #{r.rank}: doc {r.doc_id}  cos={r.cos}  (bm25 #{r.bm25_rank})")
 
+    print("-- contrastive hard negatives (BM25 pool minus the positive's")
+    print("   near-dup partners — false negatives excluded) --")
+    from mimir_spark.operators.retrieval import retrieval_hard_negatives
+
+    for r in retrieval_hard_negatives(spark, sf_dir).orderBy("neg_rank").collect()[:5]:
+        print(f"  neg #{r.neg_rank}: doc {r.doc_id}  score={r.score}")
+
     idx = tempfile.mkdtemp(prefix="ivf_idx_")
     write_ivf_index(spark, sf_dir, idx)
     print("-- persisted-IVF ANN top-3 (partition-pruned probes) --")

@@ -288,3 +288,52 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return with_bmp_payload(docs).mapInPandas(_dec, DECODE_SCHEMA)
+
+
+DIGEST_MOD = 1_000_000_007
+DIGEST_BASE = 131
+RESIZE_DIGEST_SCHEMA = (
+    "doc_id long, n_bytes int, out_width int, out_height int,"
+    " resized_bytes int, digest long"
+)
+
+
+def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of `multimodal_resize` (same move
+    as multimodal_features_hist): the binary output column itself
+    cannot ride the value-hash gate, so this key replaces it with a
+    polynomial digest (Horner fold mod 1e9+7 over the RESIZED bytes),
+    computed FROM the kernel's actual binary output — it pins the
+    byte-decimation kernel, not a reimplementation of it. The oracle
+    recomputes the digest from the generation + decimation rule
+    (every step-th input byte, first w·h), so any off-by-one in
+    step or truncation hash-mismatches."""
+    w, h = RESIZE_TARGET
+
+    def _digest_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda p: _resize_stub(p, w, h))
+
+            def dig(p: bytes) -> int:
+                acc = 0
+                for b in p:
+                    acc = (acc * DIGEST_BASE + b) % DIGEST_MOD
+                return acc
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "out_width": w,
+                    "out_height": h,
+                    "resized_bytes": resized.map(len).astype("int32"),
+                    "digest": resized.map(dig),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(
+        _digest_batches, RESIZE_DIGEST_SCHEMA
+    )

@@ -240,3 +240,37 @@ def test_bmp_decode_is_a_real_decoder():
         assert (dw, dh, bpp) == ((d % 16) + 1, (d % 8) + 1, 24)
         assert npx == dw * dh
         assert s == sum((d * 31 + j) % 256 for j in range(npx * 3))
+
+
+def test_new_round5_ops_partition_invariance(spark, sf_smoke):
+    """Every late-round-5 operator's output must be a pure function of
+    the data SET: a sibling session with a prime, tiny shuffle
+    partition count produces identical rows."""
+    from mimir_spark.operators.corpus import corpus_snapshot_diff
+    from mimir_spark.operators.multimodal import (
+        multimodal_decode_bmp,
+        multimodal_resize_digest,
+    )
+    from mimir_spark.operators.packing import chunk_documents
+    from mimir_spark.operators.profiling import (
+        k_anonymity_report,
+        shuffle_skew_report,
+    )
+    from mimir_spark.operators.quality import bigram_logppl
+    from mimir_spark.operators.retrieval import retrieval_hard_negatives
+
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    for fn in (
+        corpus_snapshot_diff,
+        k_anonymity_report,
+        shuffle_skew_report,
+        chunk_documents,
+        bigram_logppl,
+        retrieval_hard_negatives,
+        multimodal_decode_bmp,
+        multimodal_resize_digest,
+    ):
+        base = {tuple(r) for r in fn(spark, sf_smoke).collect()}
+        alt = {tuple(r) for r in fn(odd, sf_smoke).collect()}
+        assert base == alt and base, fn.__name__
