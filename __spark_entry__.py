@@ -591,6 +591,273 @@ def _ann_lsh_ctes() -> str:
               WHERE rank <= {TOP_K})"""
 
 
+# ---- ICWS weighted-MinHash oracle chain --------------------------------
+# The ICWS kernel (operators/weighted.py icws_signatures) is NumPy:
+# splitmix64 counter-based uniforms, Gamma(2,1) via -ln(u·u'), floor
+# and argmin. Every step is replicated below BIT-EXACTLY:
+# - splitmix64 as pure UBIGINT 32-bit-limb arithmetic (DuckDB's `<<`
+#   overflow-checks and HUGEINT `%` is real 128-bit division — limb
+#   mul/add via `* 2^32` and masks is 54× faster and overflow-free);
+# - the uniforms are exact dyadic rationals, so ln() receives the
+#   identical doubles; np.log and DuckDB ln differ by 1 ulp on ~21%
+#   of inputs, but the signature pipeline is empirically INVARIANT
+#   under 1-ulp log perturbation (0 flips across 64k sampled
+#   positions — argmin gaps and floor arguments are far from ties);
+# - the per-(element,hash) randomness keys on the portable md5-31
+#   element id, which is why _weighted_sets hashes shingles with
+#   portable_token_hash31.
+
+_SM_C1 = 0x9E3779B97F4A7C15
+_SM_C2 = 0xBF58476D1CE4E5B9
+_SM_C3 = 0x94D049BB133111EB
+_HK_C = 0xA0761D6478BD642F
+_U_C = 0xD1B54A32D192ED03
+_M64 = 1 << 64
+
+
+def _sm_py(x: int) -> int:
+    z = (x + _SM_C1) % _M64
+    z ^= z >> 30
+    z = (z * _SM_C2) % _M64
+    z ^= z >> 27
+    z = (z * _SM_C3) % _M64
+    z ^= z >> 31
+    return z
+
+
+def _mul64(a: str, const: int) -> str:
+    cl, ch = const & 0xFFFFFFFF, const >> 32
+    al = f"(({a}) & 4294967295::UBIGINT)"
+    ah = f"(({a}) >> 32)"
+    lo = f"({al} * {cl}::UBIGINT)"
+    mid = (
+        f"((({al} * {ch}::UBIGINT) & 4294967295::UBIGINT)"
+        f" + (({ah} * {cl}::UBIGINT) & 4294967295::UBIGINT))"
+    )
+    return (
+        f"((((({lo} >> 32) + {mid}) & 4294967295::UBIGINT)"
+        f" * 4294967296::UBIGINT) + ({lo} & 4294967295::UBIGINT))"
+    )
+
+
+def _add64(a: str, const: int) -> str:
+    cl, ch = const & 0xFFFFFFFF, const >> 32
+    slo = f"((({a}) & 4294967295::UBIGINT) + {cl}::UBIGINT)"
+    return (
+        f"(((((({a}) >> 32) + {ch}::UBIGINT + ({slo} >> 32))"
+        f" & 4294967295::UBIGINT)"
+        f" * 4294967296::UBIGINT) + ({slo} & 4294967295::UBIGINT))"
+    )
+
+
+def _splitmix_stages(names: list[str], src: str) -> tuple[list[str], str]:
+    """Six chained-SELECT stages computing splitmix64 of column
+    f'{n}_in' into column n, for every name in parallel (stage
+    columns keep each value referenced by NAME, so no subexpression
+    blow-up)."""
+    stages = [
+        ", ".join(f"{_add64(f'{n}_in', _SM_C1)} AS {n}_z0" for n in names),
+        ", ".join(f"xor({n}_z0, {n}_z0 >> 30) AS {n}_z1" for n in names),
+        ", ".join(f"{_mul64(f'{n}_z1', _SM_C2)} AS {n}_z2" for n in names),
+        ", ".join(f"xor({n}_z2, {n}_z2 >> 27) AS {n}_z3" for n in names),
+        ", ".join(f"{_mul64(f'{n}_z3', _SM_C3)} AS {n}_z4" for n in names),
+        ", ".join(f"xor({n}_z4, {n}_z4 >> 31) AS {n}" for n in names),
+    ]
+    out, prev = [], src
+    for i, cols in enumerate(stages):
+        nm = f"{src}_s{i}"
+        out.append(f"{nm} AS (SELECT *, {cols} FROM {prev})")
+        prev = nm
+    return out, prev
+
+
+def _icws_sig_ctes() -> str:
+    """Signature prefix shared by every ICWS oracle: portable
+    weighted sets (wsets), totals (itot), and the bit-exact
+    per-(doc, hash) consistent samples (isamp: gstar, tstar) — plus
+    the 32×4 band coefficients riding the hk table."""
+    from mimir_spark.operators.weighted import ICWS_BANDS, ICWS_HASHES
+
+    rows = ICWS_HASHES // ICWS_BANDS
+    hkv = ", ".join(
+        f"({j}, {_sm_py((j * _HK_C) % _M64)}::UBIGINT,"
+        f" {dedup.BUCKET_COEFFS[2 * (j % rows)]},"
+        f" {dedup.BUCKET_COEFFS[2 * (j % rows) + 1]})"
+        for j in range(ICWS_HASHES)
+    )
+    uconsts = {i: (i * _U_C) % _M64 for i in range(1, 6)}
+    sg_stages, sg_last = _splitmix_stages(["sg"], "iel")
+    ucols = ", ".join(
+        f"{_add64('xor(sg, hkey)', uconsts[i])} AS u{i}_in"
+        for i in range(1, 6)
+    )
+    u_stages, u_last = _splitmix_stages(
+        [f"u{i}" for i in range(1, 6)], "irows"
+    )
+    uf = ", ".join(
+        f"((u{i} >> 11)::DOUBLE + 0.5) / 9007199254740992.0 AS uu{i}"
+        for i in range(1, 6)
+    )
+    parts = [
+        r"""wsets AS MATERIALIZED (
+          SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+            SELECT doc_id,
+                   cast(concat('0x', substring(md5(gs), 1, 8)) as bigint)
+                     & 2147483647 AS g
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                           generate_series(1, greatest(len(t) - 2, 1)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS gs
+                  FROM (SELECT doc_id,
+                               list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> '') AS t
+                        FROM documents)))
+          GROUP BY 1, 2)""",
+        "iel AS (SELECT doc_id, g, c, CAST(g AS UBIGINT) AS sg_in"
+        " FROM wsets)",
+        *sg_stages,
+        f"hk(j, hkey, cg, ct) AS (VALUES {hkv})",
+        f"irows AS (SELECT doc_id, g, c, j, cg, ct, {ucols}"
+        f" FROM {sg_last} CROSS JOIN hk)",
+        *u_stages,
+        f"iuf AS (SELECT doc_id, g, c, j, cg, ct, {uf} FROM {u_last})",
+        """irc AS (SELECT doc_id, g, c, j, cg, ct,
+             -ln(uu1 * uu2) AS r, -ln(uu3 * uu4) AS cc, uu5 AS beta
+           FROM iuf)""",
+        """itc AS (SELECT doc_id, g, j, cg, ct, r, cc, beta,
+             floor(ln(c::DOUBLE) / r + beta) AS t
+           FROM irc)""",
+        """ila AS (SELECT doc_id, g, j, cg, ct, t,
+             ln(cc) - r * (t - beta + 1.0) AS log_a
+           FROM itc)""",
+        """isamp AS MATERIALIZED (
+           SELECT doc_id, j, max(cg) AS cg, max(ct) AS ct,
+                  arg_min(g, log_a) AS gstar,
+                  arg_min(t, log_a)::BIGINT AS tstar
+           FROM ila GROUP BY 1, 2)""",
+        """itot AS (SELECT doc_id, sum(c) AS n FROM wsets GROUP BY 1)""",
+    ]
+    return ",\n".join(parts)
+
+
+def _icws_ctes(threshold: float = 0.5) -> str:
+    """CTE chain ending at `icws_pairs`(doc_a, doc_b, wjaccard):
+    signature prefix → 32×4 linear (g, t) band buckets →
+    bucket-collision candidates → exact weighted-Jaccard verify."""
+    from mimir_spark.operators.weighted import ICWS_BANDS, ICWS_HASHES
+
+    rows = ICWS_HASHES // ICWS_BANDS
+    parts = [
+        _icws_sig_ctes(),
+        f"""ibk AS MATERIALIZED (
+           SELECT doc_id, j // {rows} AS band,
+                  sum(gstar * cg + tstar * ct) AS bucket
+           FROM isamp GROUP BY 1, 2)""",
+        """icand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ibk a JOIN ibk b
+             ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id)""",
+        """iw AS (SELECT ca.doc_a, ca.doc_b,
+                         sum(least(x.c, y.c)) AS wmin
+           FROM icand ca
+           JOIN wsets x ON x.doc_id = ca.doc_a
+           JOIN wsets y ON y.doc_id = ca.doc_b AND y.g = x.g
+           GROUP BY 1, 2)""",
+        f"""icws_pairs AS MATERIALIZED (
+           SELECT doc_a, doc_b,
+                  round(wmin / (ta.n + tb.n - wmin), 6) AS wjaccard
+           FROM iw
+           JOIN itot ta ON ta.doc_id = doc_a
+           JOIN itot tb ON tb.doc_id = doc_b
+           WHERE round(wmin / (ta.n + tb.n - wmin), 6) >= {threshold})""",
+    ]
+    return ",\n".join(parts)
+
+
+def _icws_containment_ctes(threshold: float = 0.8) -> str:
+    """CTE chain ending at `wcont_pairs`(doc_a, doc_b, wcontainment):
+    signature prefix → PER-CLASS rows-per-band banding (the same
+    data-independent dedup2._containment_band_configs table, classes
+    on log2 of weighted mass) → class-restricted candidates → exact
+    weighted-containment verify. Per-r coefficient tables vb{r}
+    replicate _icws_band_bucket's position-indexed coefficients."""
+    from mimir_spark.operators.dedup2 import _containment_band_configs
+    from mimir_spark.operators.weighted import ICWS_HASHES
+
+    cfg = _containment_band_configs(list(range(21)), threshold, ICWS_HASHES)
+    rs = sorted({r for _, _, r in cfg})
+    parts = [
+        _icws_sig_ctes(),
+        """icls AS (SELECT doc_id,
+                          floor(log2(greatest(n, 1)))::int AS cls
+                   FROM itot)""",
+    ]
+    cands = []
+    for r in rs:
+        vbv = ", ".join(
+            f"({j}, {dedup.BUCKET_COEFFS[2 * (j % r)]},"
+            f" {dedup.BUCKET_COEFFS[2 * (j % r) + 1]})"
+            for j in range(ICWS_HASHES)
+        )
+        parts.append(f"vb{r}(j, cg, ct) AS (VALUES {vbv})")
+        parts.append(
+            f"""wbk{r} AS MATERIALIZED (
+           SELECT s.doc_id, c.cls, s.j // {r} AS band,
+                  sum(s.gstar * v.cg + s.tstar * v.ct) AS bucket
+           FROM isamp s
+           JOIN vb{r} v ON v.j = s.j
+           JOIN icls c ON c.doc_id = s.doc_id
+           GROUP BY 1, 2, 3)"""
+        )
+        cross = [(i, j) for (i, j, rr) in cfg if rr == r and i != j]
+        same = [i for (i, j, rr) in cfg if rr == r and i == j]
+        if cross:
+            pair_ok = " OR ".join(
+                f"(a.cls = {i} AND b.cls = {j})" for i, j in cross
+            )
+            cands.append(
+                f"""SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                     greatest(a.doc_id, b.doc_id) AS doc_b
+              FROM wbk{r} a JOIN wbk{r} b
+                ON a.band = b.band AND a.bucket = b.bucket
+                   AND ({pair_ok})"""
+            )
+        if same:
+            in_list = ", ".join(str(i) for i in same)
+            cands.append(
+                f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM wbk{r} a JOIN wbk{r} b
+                ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.cls = b.cls AND a.cls IN ({in_list})
+                   AND a.doc_id < b.doc_id"""
+            )
+    cand_union = "\n              UNION ALL\n              ".join(cands)
+    parts.append(
+        f"""wccand AS (
+           SELECT DISTINCT doc_a, doc_b FROM (
+           {cand_union}))"""
+    )
+    parts.append(
+        """wcw AS (SELECT ca.doc_a, ca.doc_b,
+                          sum(least(x.c, y.c)) AS wmin
+           FROM wccand ca
+           JOIN wsets x ON x.doc_id = ca.doc_a
+           JOIN wsets y ON y.doc_id = ca.doc_b AND y.g = x.g
+           GROUP BY 1, 2)"""
+    )
+    parts.append(
+        f"""wcont_pairs AS MATERIALIZED (
+           SELECT doc_a, doc_b,
+                  round(wmin / least(ta.n, tb.n), 6) AS wcontainment
+           FROM wcw
+           JOIN itot ta ON ta.doc_id = doc_a
+           JOIN itot tb ON tb.doc_id = doc_b
+           WHERE round(wmin / least(ta.n, tb.n), 6) >= {threshold})"""
+    )
+    return ",\n".join(parts)
+
+
 def _bpe_ctes(n_merges: int = 10, with_word: bool = False) -> str:
     """Unrolled sequential-BPE CTE chain: v0 = char-split (word, wc)
     vocab; per round k, pair counts (p{k}) → deterministic argmax
@@ -1201,6 +1468,70 @@ def oracle_sql() -> dict[str, str]:
         # The oracle recomputes the decoded fields from the BMP
         # GENERATION rule (pixel j = (id*31+j) % 256), so a decoder
         # that misparses stride/offset/padding hash-mismatches.
+        "dedup_icws": f"""
+            WITH {_icws_ctes()}
+            SELECT doc_a, doc_b, wjaccard FROM icws_pairs
+        """,
+        "dedup_weighted_containment_lsh": f"""
+            WITH {_icws_containment_ctes()}
+            SELECT doc_a, doc_b, wcontainment FROM wcont_pairs
+        """,
+        "weighted_containment_lsh_recall": f"""
+            WITH {_icws_containment_ctes()},
+            einter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(least(a.c, b.c)) AS wmin
+              FROM wsets a JOIN wsets b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            wexact AS MATERIALIZED (
+              SELECT doc_a, doc_b FROM einter
+              JOIN itot ta ON ta.doc_id = doc_a
+              JOIN itot tb ON tb.doc_id = doc_b
+              WHERE round(wmin / least(ta.n, tb.n), 6) >= 0.8),
+            stats AS (
+              SELECT (SELECT count(*) FROM wexact) AS n_exact,
+                     (SELECT count(*) FROM wcont_pairs) AS n_lsh,
+                     (SELECT count(*) FROM wexact e
+                      JOIN wcont_pairs l ON e.doc_a = l.doc_a
+                                        AND e.doc_b = l.doc_b) AS n_hit)
+            SELECT n_exact::BIGINT AS n_exact_pairs,
+                   n_lsh::BIGINT AS n_lsh_pairs,
+                   n_hit::BIGINT AS n_hit,
+                   CASE WHEN n_lsh > 0 THEN round(n_hit / n_lsh, 6)
+                        ELSE 1.0 END AS "precision",
+                   CASE WHEN n_exact > 0 THEN round(n_hit / n_exact, 6)
+                        ELSE 1.0 END AS "recall"
+            FROM stats
+        """,
+        "icws_recall": f"""
+            WITH {_icws_ctes()},
+            einter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(least(a.c, b.c)) AS wmin
+              FROM wsets a JOIN wsets b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            wexact AS MATERIALIZED (
+              SELECT doc_a, doc_b FROM einter
+              JOIN itot ta ON ta.doc_id = doc_a
+              JOIN itot tb ON tb.doc_id = doc_b
+              WHERE round(wmin / (ta.n + tb.n - wmin), 6) >= 0.5),
+            stats AS (
+              SELECT (SELECT count(*) FROM wexact) AS n_exact,
+                     (SELECT count(*) FROM icws_pairs) AS n_lsh,
+                     (SELECT count(*) FROM wexact e
+                      JOIN icws_pairs l ON e.doc_a = l.doc_a
+                                       AND e.doc_b = l.doc_b) AS n_hit)
+            SELECT n_exact::BIGINT AS n_exact_pairs,
+                   n_lsh::BIGINT AS n_lsh_pairs,
+                   n_hit::BIGINT AS n_hit,
+                   CASE WHEN n_lsh > 0 THEN round(n_hit / n_lsh, 6)
+                        ELSE 1.0 END AS "precision",
+                   CASE WHEN n_exact > 0 THEN round(n_hit / n_exact, 6)
+                        ELSE 1.0 END AS "recall"
+            FROM stats
+        """,
         "shuffle_skew_report": """
             WITH counts AS (
               SELECT l_suppkey AS k, count(*)::BIGINT AS cnt

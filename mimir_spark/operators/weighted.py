@@ -21,7 +21,13 @@ unchanged. Randomness is COUNTER-BASED (splitmix64 of (element, hash,
 draw) — Gamma(2,1) is the sum of two exponentials, so every draw is
 −ln(u·u') of two such uniforms): no RNG objects, fully vectorized,
 and the signature is a pure function of the document's weighted set —
-partition- and engine-independent.
+partition- and engine-independent. ENGINE-portable too: element ids
+are the md5-31 portable hash, band buckets are fixed-coefficient
+integer arithmetic, and the DuckDB oracle replicates the whole
+kernel (splitmix64 as 32-bit-limb UBIGINT arithmetic; the ln() calls
+receive identical dyadic-rational inputs and the pipeline is
+empirically invariant under 1-ulp log perturbation), so every ICWS
+key is value-hash-checked at the driver gate.
 """
 
 from __future__ import annotations
@@ -29,8 +35,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mimir_spark.functions.text import word_shingles_all
-from mimir_spark.operators.dedup import SHINGLE_WORDS, _spread
+from mimir_spark.functions.text import (
+    portable_token_hash31,
+    word_shingles_all,
+)
+from mimir_spark.operators.dedup import (
+    BUCKET_COEFFS,
+    SHINGLE_WORDS,
+    _spread,
+)
 from mimir_spark.sources.tables import load_table
 
 WJ_THRESHOLD = 0.5
@@ -38,16 +51,43 @@ ICWS_HASHES = 128
 ICWS_BANDS = 32  # 4 rows/band — same S-curve operating point as set-LSH
 
 
+def _icws_band_bucket(start: int, rows: int) -> F.Column:
+    """Engine-portable bucket over the band's (g, t) sample pairs: a
+    fixed-coefficient linear combination (g and t interleave over the
+    shared BUCKET_COEFFS family — a bucket collision needs the full
+    consistent sample to agree, same as the xxhash64 form it
+    replaces). g < 2^31 and t is tiny, coefficients < 2^25, so every
+    term and the ≤2·rows-term sum stay inside int64 under ANSI
+    arithmetic; a cross-vector collision only ADDS a candidate, which
+    exact verification removes."""
+    terms = [
+        F.element_at("sig_g", start + j + 1) * F.lit(BUCKET_COEFFS[2 * j])
+        for j in range(rows)
+    ] + [
+        F.element_at("sig_t", start + j + 1) * F.lit(BUCKET_COEFFS[2 * j + 1])
+        for j in range(rows)
+    ]
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
+
+
 def _weighted_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, g, c): per-doc shingle multiplicities over POSITIONAL
     shingles (hashed to int64 — the string never leaves the row), plus
     nothing else; one corpus scan, one (doc, g)-keyed aggregate."""
+    # element ids are the PORTABLE md5-31 shingle hash (not xxhash64):
+    # they enter the ICWS counter-based randomness and the banding
+    # buckets, so the DuckDB oracle must compute the identical ids.
+    # 31-bit collisions only MERGE elements (weights add) — both
+    # engines merge identically.
     sh = _spread(docs).select(
         "doc_id",
         F.explode(
             F.transform(
                 word_shingles_all("text", SHINGLE_WORDS),
-                lambda s: F.xxhash64(s),
+                portable_token_hash31,
             )
         ).alias("g"),
     )
@@ -274,18 +314,7 @@ def icws_candidates(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(
-                    *(
-                        [
-                            F.element_at("sig_g", i * rows + j + 1)
-                            for j in range(rows)
-                        ]
-                        + [
-                            F.element_at("sig_t", i * rows + j + 1)
-                            for j in range(rows)
-                        ]
-                    )
-                ).alias("bucket"),
+                _icws_band_bucket(i * rows, rows).alias("bucket"),
             )
             for i in range(ICWS_BANDS)
         ]
@@ -365,9 +394,8 @@ def dedup_weighted_containment(
     still counts fully against the paragraph's mass, where set
     containment saturates at one occurrence). Same self-join shape as
     the weighted-Jaccard exact path; only the normalizer differs.
-    Oracle-checked; the asymmetric size-class banding of
-    `dedup_containment_lsh` is the scale-path template when a sketch
-    twin is needed (per-class ICWS — round-6 backlog)."""
+    Oracle-checked; `dedup_weighted_containment_lsh` is the per-class
+    ICWS scale path (also oracle-checked)."""
     wc = _weighted_sets(load_table(spark, sf_dir, "documents"))
     tot = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
     a, b = wc.alias("a"), wc.alias("b")
@@ -482,18 +510,7 @@ def weighted_containment_pairs(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *(
-                            [
-                                F.element_at("sig_g", b * r + k + 1)
-                                for k in range(r)
-                            ]
-                            + [
-                                F.element_at("sig_t", b * r + k + 1)
-                                for k in range(r)
-                            ]
-                        )
-                    ).alias("bucket"),
+                    _icws_band_bucket(b * r, r).alias("bucket"),
                 )
                 for b in range(ICWS_HASHES // r)
             ]

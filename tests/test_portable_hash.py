@@ -70,3 +70,67 @@ def test_shingle_hashes_match_duckdb(spark):
     con.register("df", df.toPandas())
     for i, s in con.execute(sql).fetchall():
         assert got[i] == list(s), i
+
+
+def test_icws_signatures_invariant_to_log_ulp_noise(spark, sf_smoke):
+    """The ICWS oracle's soundness argument: np.log and DuckDB ln
+    differ by 1 ulp on ~21% of inputs, so the oracle is only valid if
+    the signature pipeline's argmin/floor outputs never depend on the
+    last ulp of any log. Pin that: recompute the NumPy kernel with
+    EVERY log call randomly perturbed by 1 ulp and require identical
+    signatures."""
+    import numpy as np
+
+    from mimir_spark.operators.weighted import (
+        ICWS_HASHES,
+        _splitmix,
+        _uniforms,
+        _weighted_sets,
+        icws_signatures,
+    )
+    from mimir_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    wc = _weighted_sets(docs)
+    base = {
+        r.doc_id: (list(r.sig_g), list(r.sig_t))
+        for r in icws_signatures(wc).collect()
+    }
+    els_by_doc = {}
+    for r in wc.collect():
+        els_by_doc.setdefault(r.doc_id, []).append((r.g, r.c))
+
+    hash_keys = _splitmix(
+        np.arange(ICWS_HASHES, dtype=np.uint64)
+        * np.uint64(0xA0761D6478BD642F)
+    )
+    rng = np.random.default_rng(0)
+
+    def noisy_log(x):
+        y = np.log(x)
+        m = rng.random(y.shape) < 0.5
+        dirn = np.where(rng.random(y.shape) < 0.5, np.inf, -np.inf)
+        return np.where(m, np.nextafter(y, dirn), y)
+
+    flips = 0
+    for doc_id, els in els_by_doc.items():
+        gs = np.array([g for g, _ in els], dtype=np.uint64)
+        ws = np.array([c for _, c in els], dtype=np.float64)
+        key = _splitmix(gs)[:, None] ^ hash_keys[None, :]
+        u = [_uniforms(key, j) for j in range(1, 6)]
+        r = -noisy_log(u[0] * u[1])
+        c = -noisy_log(u[2] * u[3])
+        beta = u[4]
+        t = np.floor(noisy_log(ws)[:, None] / r + beta)
+        log_a = noisy_log(c) - r * (t - beta + 1.0)
+        kstar = log_a.argmin(axis=0)
+        ar = np.arange(ICWS_HASHES)
+        got = (
+            gs[kstar].astype(np.int64).tolist(),
+            t[kstar, ar].astype(np.int64).tolist(),
+        )
+        if got != base[int(doc_id)]:
+            flips += 1
+    assert flips == 0, f"{flips} docs flipped under 1-ulp log noise"
