@@ -702,16 +702,18 @@ def _icws_sig_ctes() -> str:
         r"""wsets AS MATERIALIZED (
           SELECT doc_id, g, count(*)::BIGINT AS c FROM (
             SELECT doc_id,
-                   cast(concat('0x', substring(md5(gs), 1, 8)) as bigint)
-                     & 2147483647 AS g
-            FROM (SELECT doc_id,
-                         unnest(list_transform(
-                           generate_series(1, greatest(len(t) - 2, 1)),
-                           i -> array_to_string(t[i:i+2], ' '))) AS gs
-                  FROM (SELECT doc_id,
-                               list_filter(string_split_regex(text, '\s+'),
-                                           x -> x <> '') AS t
-                        FROM documents)))
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(th) - 2, 1)),
+                     k -> (((th[k] * 131 + coalesce(th[k+1], 0))
+                            % 2147483647) * 131
+                           + coalesce(th[k+2], 0)) % 2147483647)) AS g
+            FROM (SELECT doc_id, list_transform(
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''),
+                       tok -> cast(concat('0x', substring(md5(tok), 1, 8))
+                                   as bigint) & 2147483647) AS th
+                  FROM documents)
+            WHERE len(th) > 0)
           GROUP BY 1, 2)""",
         "iel AS (SELECT doc_id, g, c, CAST(g AS UBIGINT) AS sg_in"
         " FROM wsets)",

@@ -150,3 +150,22 @@ def portable_token_hash(token: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * BASE + F.ascii(ch)) % MOD,
     )
+
+
+def word_shingle_hashes_all(text: Column | str, n: int = 3) -> Column:
+    """POSITIONAL variant of `word_shingle_hashes` (no distinct): one
+    hashed n-gram per token position, for operators that weight by
+    occurrence (the weighted-set family). Same portable md5-31 token
+    hash + ×131 fold, so the DuckDB oracles replicate the ids — and
+    ~2× cheaper than hashing each shingle STRING (one md5 per token
+    instead of one per 3-word concatenation)."""
+    toks = tokens_col(text)
+    th = F.transform(toks, portable_token_hash31)
+    sh = th
+    for k in range(1, n):
+        sh = F.zip_with(
+            sh,
+            F.slice(th, k + 1, 1 << 30),
+            lambda a, b: (a * 131 + F.coalesce(b, F.lit(0))) % MERSENNE31,
+        )
+    return F.slice(sh, 1, F.greatest(F.size(toks) - n + 1, F.lit(1)))

@@ -35,10 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mimir_spark.functions.text import (
-    portable_token_hash31,
-    word_shingles_all,
-)
+from mimir_spark.functions.text import word_shingle_hashes_all
 from mimir_spark.operators.dedup import (
     BUCKET_COEFFS,
     SHINGLE_WORDS,
@@ -77,19 +74,16 @@ def _weighted_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, g, c): per-doc shingle multiplicities over POSITIONAL
     shingles (hashed to int64 — the string never leaves the row), plus
     nothing else; one corpus scan, one (doc, g)-keyed aggregate."""
-    # element ids are the PORTABLE md5-31 shingle hash (not xxhash64):
+    # element ids are the PORTABLE folded md5-31 hash (not xxhash64):
     # they enter the ICWS counter-based randomness and the banding
     # buckets, so the DuckDB oracle must compute the identical ids.
-    # 31-bit collisions only MERGE elements (weights add) — both
-    # engines merge identically.
+    # The positional token-fold (word_shingle_hashes_all) hashes one
+    # TOKEN once and combines arithmetically — ~2× cheaper than
+    # hashing each 3-word shingle string. 31-bit collisions only
+    # MERGE elements (weights add) — both engines merge identically.
     sh = _spread(docs).select(
         "doc_id",
-        F.explode(
-            F.transform(
-                word_shingles_all("text", SHINGLE_WORDS),
-                portable_token_hash31,
-            )
-        ).alias("g"),
+        F.explode(word_shingle_hashes_all("text", SHINGLE_WORDS)).alias("g"),
     )
     return sh.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
 
