@@ -89,50 +89,12 @@ def streaming_icws_dedup(
 def compact_icws_store(
     spark: SparkSession, store_dir: str, target_bytes: int = 128 * 1024 * 1024
 ) -> int:
-    """Compact the per-batch signature store IN PLACE — the maintenance
-    pass a long-lived ingest needs: after thousands of micro-batches
-    the store is thousands of KB-sized batch_id=N files, and every
-    micro-batch's store read pays open/seek + split-planning overhead
-    for all of them (the classic small-files death at 100 TB).
+    """Compact the ICWS signature store in place — see
+    streaming.jobs.compact_stream_store (this is the same
+    latest-batch-wins rewrite, kept as a named entry point because
+    the ICWS test suite pins its mid-stream invariance)."""
+    from mimir_spark.streaming.jobs import compact_stream_store
 
-    Latest-batch-wins per doc_id (the same redelivery rule the BM25 /
-    bigram-LM finalizers apply), rewritten into
-    ceil(bytes/target_bytes) evenly-sized files under a SINGLE
-    batch_id=<max seen> subdirectory, so the resumed stream's next
-    micro-batches (<max>+1, …) append beside it unchanged. Safety
-    order: the compacted copy is fully written to a sibling tmp dir
-    BEFORE the old store is removed (a crash in between leaves the
-    tmp copy to recover from). A foreachBatch RETRY of an
-    already-compacted batch id would re-add rows beside the compacted
-    base; that only duplicates signature rows, which costs candidate-
-    join compute but never output correctness (candidates are
-    distinct, verification is exact) — the same property the
-    pre-compaction layout has. Returns the output file count."""
-    from pyspark.sql import functions as F
-
-    df = spark.read.parquet(store_dir)  # batch_id partition discovered
-    latest = df.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
-    rows = df.join(latest, ["doc_id", "batch_id"]).drop("batch_id")
-    max_b = df.agg(F.max("batch_id")).collect()[0][0]
-
-    jvm = spark._jvm  # public Hadoop FS API, same pattern as compact_files
-    hconf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(store_dir)
-    fs = hpath.getFileSystem(hconf)
-    size, it = 0, fs.listFiles(hpath, True)
-    while it.hasNext():
-        status = it.next()
-        name = status.getPath().getName()
-        if not (name.startswith("_") or name.startswith(".")):
-            size += status.getLen()
-    n_files = max(1, -(-size // target_bytes))
-
-    tmp = store_dir.rstrip("/") + "__compact_tmp"
-    rows.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    fs.delete(hpath, True)
-    fs.mkdirs(hpath)
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(tmp),
-        jvm.org.apache.hadoop.fs.Path(f"{store_dir}/batch_id={max_b}"),
+    return compact_stream_store(
+        spark, store_dir, key="doc_id", target_bytes=target_bytes
     )
-    return n_files

@@ -182,3 +182,49 @@ def streaming_event_windows_sliding(events_stream: DataFrame) -> DataFrame:
             "total_value",
         )
     )
+
+
+def compact_stream_store(
+    spark: SparkSession,
+    store_dir: str,
+    key: str = "doc_id",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Generic long-run maintenance for the batch_id=N state stores
+    every incremental job here writes (MinHash/ICWS signatures,
+    BM25/bigram-LM partials, suffix tables): latest-batch-wins per
+    `key`, rewritten into ~target-size files under a SINGLE
+    batch_id=<max seen> subdirectory, so the resumed stream's next
+    micro-batches append beside it unchanged. Safety order: the
+    compacted copy is fully written to a sibling tmp dir BEFORE the
+    old store is removed. A foreachBatch retry of an
+    already-compacted batch id only re-adds rows beside the base,
+    which costs candidate-join compute but never output correctness
+    (the same property the pre-compaction layout has). Returns the
+    output file count."""
+    df = spark.read.parquet(store_dir)  # batch_id partition discovered
+    latest = df.groupBy(key).agg(F.max("batch_id").alias("batch_id"))
+    rows = df.join(latest, [key, "batch_id"]).drop("batch_id")
+    max_b = df.agg(F.max("batch_id")).collect()[0][0]
+
+    jvm = spark._jvm  # public Hadoop FS API, same pattern as compact_files
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = hpath.getFileSystem(hconf)
+    size, it = 0, fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            size += status.getLen()
+    n_files = max(1, -(-size // target_bytes))
+
+    tmp = store_dir.rstrip("/") + "__compact_tmp"
+    rows.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(hpath, True)
+    fs.mkdirs(hpath)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(f"{store_dir}/batch_id={max_b}"),
+    )
+    return n_files

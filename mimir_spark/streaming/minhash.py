@@ -142,3 +142,38 @@ def streaming_minhash_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def export_lsh_index_from_stream(
+    spark: SparkSession, store_dir: str, index_dir: str
+) -> None:
+    """Turn the ACCUMULATED streaming signature store into the
+    persisted, shard-pruned LSH index (operators/lsh_index.py) —
+    WITHOUT re-scanning the corpus: the store already holds every
+    doc's signature and hashed shingle set, so the export is one
+    store-sized pass (latest batch per doc → bucket rows sharded by
+    pmod(bucket, N_SHARDS), raw signatures, verification sets). The
+    stream keeps ingesting into the store; the export is the
+    periodic 'publish a queryable index snapshot' step an ingest
+    pipeline schedules alongside compact_stream_store."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators.lsh_index import N_SHARDS, lsh_bucket_rows
+
+    raw = spark.read.parquet(store_dir)
+    last = raw.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+    store = raw.join(last, ["doc_id", "batch_id"]).select(
+        "doc_id", "sig", "sh_set"
+    ).localCheckpoint(eager=True)
+    buckets = lsh_bucket_rows(store.select("doc_id", "sig")).withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(N_SHARDS))
+    )
+    buckets.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{index_dir}/buckets"
+    )
+    store.select("doc_id", "sig").write.mode("overwrite").parquet(
+        f"{index_dir}/signatures"
+    )
+    store.select("doc_id", F.col("sh_set").alias("s")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/shingles")

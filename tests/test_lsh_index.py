@@ -62,3 +62,59 @@ def test_signatures_table_enables_rebanding(spark, sf_smoke, tmp_path):
         for r in spark.read.parquet(f"{idx}/buckets").collect()
     }
     assert rebuilt == stored and rebuilt
+
+
+def test_stream_store_exports_equivalent_index(spark, sf_smoke, tmp_path):
+    """Stream the corpus in micro-batches, compact the signature
+    store, export the persisted LSH index from the STORE (no corpus
+    re-scan) — probing it must return exactly what probing the
+    batch-built index returns."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.jobs import compact_stream_store
+    from mimir_spark.streaming.minhash import (
+        export_lsh_index_from_stream,
+        streaming_minhash_dedup,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            str(tmp_path / f"b{m}"), compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(str(tmp_path) + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    store = str(tmp_path / "store")
+    q = streaming_minhash_dedup(
+        spark, flat, store, str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), glob="batch_*.parquet",
+    )
+    q.processAllAvailable()
+    q.stop()
+    compact_stream_store(spark, store)
+
+    idx_stream = str(tmp_path / "idx_stream")
+    export_lsh_index_from_stream(spark, store, idx_stream)
+    idx_batch = str(tmp_path / "idx_batch")
+    write_lsh_index(spark, sf_smoke, idx_batch)
+
+    probe = load_table(spark, sf_smoke, "documents").filter(
+        F.col("doc_id") % PROBE_MOD == 0
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in lsh_query_index(spark, probe, idx_stream).collect()
+    }
+    expect = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in lsh_query_index(spark, probe, idx_batch).collect()
+    }
+    assert got == expect and got
