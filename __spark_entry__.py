@@ -52,81 +52,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Key ORDER matters: the driver's correctness gate walks this dict
-    # in order and covers a ~50-key window per round (r01: 50, r02: 51,
-    # r03: 50, r04: 50). Round-5 order: the 42 new-or-changed keys come
-    # FIRST (18 late-round-5 keys — portable-sketch upgrades + the new
-    # operators — then the 24 earlier round-5 keys, bpe_train/encode
-    # having moved into the late block when they gained oracles), then
-    # the keys whose last driver row predates r4, oracle-carrying keys
-    # leading (a 50-key window reaches the first ~8 of them; the
-    # remainder rotate to the front next round), then the r4-green
-    # unchanged keys.
+    # Key ORDER matters: the driver's correctness gate walks this dict in
+    # order and covers a ~50-key window per round (r01: 50, r02: 51,
+    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — every
+    # key with no driver row in r4/r5 leads (new round-6 keys are
+    # inserted at the very front as they land), permanent rows-only keys
+    # are parked past position 49, r4/r5-green keys trail.
     return {
-        # --- new or code-changed in round 5 (need fresh driver rows:
-        #     11 new keys, 7 newly-oracled ops (k_core, label_propagation,
-        #     pagerank, semdedup, kmeans, ann_ivf_topk/recall), the
-        #     GEMM-assignment ops, Lloyd-IVF, batched BPE, the funnel
-        #     refactor) ---
-        #     (late round 5: the MinHash/SimHash sketch family went
-        #     md5-portable — 7 keys moved from rows-only to the
-        #     value-hash gate and their outputs changed with the new
-        #     hash family, so they lead the window) ---
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_clusters_lsh": dedup.dedup_clusters_lsh,
-        "dedup_survivors_lsh": dedup.dedup_survivors_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
-        "minhash_containment": dedup.minhash_containment,
-        "minhash_dedup_recall": dedup.minhash_dedup_recall,
-        "dedup_method_agreement": dedup2.dedup_method_agreement,
-        "dedup_lsh_query_indexed": lsh_index.dedup_lsh_query_indexed,
-        "max_dup_span": substr.max_dup_span,
-        "chunk_documents": packing.chunk_documents,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "bigram_logppl": quality.bigram_logppl,
-        "retrieval_hard_negatives": retrieval.retrieval_hard_negatives,
-        "corpus_snapshot_diff": corpus.corpus_snapshot_diff,
-        "k_anonymity_report": profiling.k_anonymity_report,
-        "shuffle_skew_report": profiling.shuffle_skew_report,
-        "multimodal_decode_bmp": multimodal.multimodal_decode_bmp,
-        "multimodal_resize_digest": multimodal.multimodal_resize_digest,
-        "bpe_train": tokenizer.bpe_train,
-        "bpe_encode": tokenizer.bpe_encode,
-        "rank_quantiles": sketches.rank_quantiles,
-        "kll_quantiles": sketches.kll_quantiles,
-        "tdigest_quantiles": sketches.tdigest_quantiles,
-        "dedup_containment_lsh": dedup2.dedup_containment_lsh,
-        "containment_lsh_recall": dedup2.containment_lsh_recall,
-        "dedup_weighted_jaccard": weighted.dedup_weighted_jaccard,
-        "dedup_weighted_containment": weighted.dedup_weighted_containment,
-        "dedup_weighted_containment_lsh": weighted.dedup_weighted_containment_lsh,
-        "weighted_containment_lsh_recall": weighted.weighted_containment_lsh_recall,
-        "dedup_icws": weighted.dedup_icws,
-        "icws_recall": weighted.icws_recall,
-        "k_core": graph.k_core,
-        "label_propagation": graph.label_propagation,
-        "pagerank": graph.pagerank,
-        "dedup_embedding": dedup.dedup_embedding,
-        "semdedup": dedup2.semdedup,
-        "embedding_clusters": dedup2.embedding_clusters,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_ivf_recall": similarity.ann_ivf_recall,
-        "kmeans_embeddings": clustering.kmeans_embeddings,
-        "window_funnel": features.window_funnel,
-        # --- last driver-checked in r2/r3 (outside the r4 window);
-        #     23 keys above + the first ~27 here fill a 50-key
-        #     window; oracle-carrying keys lead so no window slot is
-        #     spent on a weaker rows-only check - the rest rotate next
-        #     round ---
-        "cross_source_duplication": corpus.cross_source_duplication,
-        "heavy_hitters_cms": sketches.heavy_hitters_cms,
-        "hll_distinct": sketches.hll_distinct,
-        "q2_min_cost_supplier": relational4.q2_min_cost_supplier,
-        "q11_important_parts": relational4.q11_important_parts,
-        "q20_dominant_suppliers": relational4.q20_dominant_suppliers,
-        "q21_waiting_suppliers": relational4.q21_waiting_suppliers,
-        "degree_distribution": graph.degree_distribution,
-        "decontaminate_corpus": corpus.decontaminate_corpus,
+        # --- ROUND-6 WINDOW ROTATION: the 70 oracle keys below have no
+        #     recorded driver row in r4/r5 (last checked r2/r3 or never).
+        #     The driver gate walks ~50 keys from position 0, so the first
+        #     50 get fresh rows this round; the ~20 past position 49 (plus
+        #     any round-6 keys inserted at the front) rotate in round 7. ---
         "event_windows_sliding": features.event_windows_sliding,
         "hourly_value_correlation": features.hourly_value_correlation,
         "dedup_span_removal": dedup.dedup_span_removal,
@@ -197,17 +134,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": graph.bfs_levels,
         "octree_bin": octree.octree_bin,
         "octree_adaptive": octree.octree_adaptive,
-        "multimodal_resize": multimodal.multimodal_resize,
-        "embedding_pca": clustering.embedding_pca,
+        # --- permanent rows-only keys, parked past the window so no slot
+        #     is spent on a guaranteed no_oracle row (blockers documented
+        #     in oracle_sql()) ---
         "approx_distinct": core.approx_distinct,
-        # --- r4-driver-green and unchanged since ---
+        "approx_quantiles": relational2.approx_quantiles,
+        "kll_quantiles": sketches.kll_quantiles,
+        "tdigest_quantiles": sketches.tdigest_quantiles,
+        "embedding_pca": clustering.embedding_pca,
+        "multimodal_resize": multimodal.multimodal_resize,
+        # --- driver-green in r4/r5 and unchanged since ---
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_clusters_lsh": dedup.dedup_clusters_lsh,
+        "dedup_survivors_lsh": dedup.dedup_survivors_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "minhash_containment": dedup.minhash_containment,
+        "minhash_dedup_recall": dedup.minhash_dedup_recall,
+        "dedup_method_agreement": dedup2.dedup_method_agreement,
+        "dedup_lsh_query_indexed": lsh_index.dedup_lsh_query_indexed,
+        "max_dup_span": substr.max_dup_span,
+        "chunk_documents": packing.chunk_documents,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "bigram_logppl": quality.bigram_logppl,
+        "retrieval_hard_negatives": retrieval.retrieval_hard_negatives,
+        "corpus_snapshot_diff": corpus.corpus_snapshot_diff,
+        "k_anonymity_report": profiling.k_anonymity_report,
+        "shuffle_skew_report": profiling.shuffle_skew_report,
+        "multimodal_decode_bmp": multimodal.multimodal_decode_bmp,
+        "multimodal_resize_digest": multimodal.multimodal_resize_digest,
+        "bpe_train": tokenizer.bpe_train,
+        "bpe_encode": tokenizer.bpe_encode,
+        "rank_quantiles": sketches.rank_quantiles,
+        "dedup_containment_lsh": dedup2.dedup_containment_lsh,
+        "containment_lsh_recall": dedup2.containment_lsh_recall,
+        "dedup_weighted_jaccard": weighted.dedup_weighted_jaccard,
+        "dedup_weighted_containment": weighted.dedup_weighted_containment,
+        "dedup_weighted_containment_lsh": weighted.dedup_weighted_containment_lsh,
+        "weighted_containment_lsh_recall": weighted.weighted_containment_lsh_recall,
+        "dedup_icws": weighted.dedup_icws,
+        "icws_recall": weighted.icws_recall,
+        "k_core": graph.k_core,
+        "label_propagation": graph.label_propagation,
+        "pagerank": graph.pagerank,
+        "dedup_embedding": dedup.dedup_embedding,
+        "semdedup": dedup2.semdedup,
+        "embedding_clusters": dedup2.embedding_clusters,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_ivf_recall": similarity.ann_ivf_recall,
+        "kmeans_embeddings": clustering.kmeans_embeddings,
+        "window_funnel": features.window_funnel,
+        "cross_source_duplication": corpus.cross_source_duplication,
+        "heavy_hitters_cms": sketches.heavy_hitters_cms,
+        "hll_distinct": sketches.hll_distinct,
+        "q2_min_cost_supplier": relational4.q2_min_cost_supplier,
+        "q11_important_parts": relational4.q11_important_parts,
+        "q20_dominant_suppliers": relational4.q20_dominant_suppliers,
+        "q21_waiting_suppliers": relational4.q21_waiting_suppliers,
+        "degree_distribution": graph.degree_distribution,
+        "decontaminate_corpus": corpus.decontaminate_corpus,
         "q18_large_orders": relational2.q18_large_orders,
         "q19_bracketed_revenue": relational2.q19_bracketed_revenue,
         "semi_anti_join": relational2.semi_anti_join,
         "rollup_revenue": relational2.rollup_revenue,
         "pivot_status_priority": relational2.pivot_status_priority,
         "median_order_value": relational2.median_order_value,
-        "approx_quantiles": relational2.approx_quantiles,
         "secondary_sort": relational2.secondary_sort,
         "q7_volume_shipping": relational3.q7_volume_shipping,
         "q8_market_share": relational3.q8_market_share,
