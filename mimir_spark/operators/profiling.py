@@ -84,7 +84,7 @@ def k_anonymity_report(
 
 def shuffle_skew_report(
     spark: SparkSession, sf_dir: str, table: str = "lineitem",
-    key: str = "l_suppkey",
+    key: str = "l_suppkey", sample_hash_bits: int | None = None,
 ) -> DataFrame:
     """Join/shuffle SKEW diagnosis — the report a pipeline owner reads
     BEFORE choosing between a plain shuffle join, AQE skew splitting,
@@ -100,9 +100,25 @@ def shuffle_skew_report(
     Σ i·c_(i) is pure integer arithmetic — both engine-portable with
     no float-sum ordering hazard. The window is a single partition BY
     CONSTRUCTION of the keys table, not of the corpus — for a key
-    whose distinct count rivals the fact table itself, the same
-    report runs on a sampled key hash prefix."""
+    whose distinct count rivals the fact table itself, pass
+    ``sample_hash_bits=b`` to run the identical report on the
+    2^-b hash-prefix key sample: the xxhash64(key) % 2^b == 0 filter
+    is applied BEFORE the groupBy (so it prunes the fact-table
+    shuffle, not just the keys table, and a key's count is still its
+    EXACT full count — keys are sampled, rows of a kept key never
+    are), percentiles / skew_ratio / gini are consistent
+    distribution-level estimates as-is, and the two extensive columns
+    (n_keys, total_rows) are rescaled by 2^b back to full-table
+    estimates. max_cnt is the sample max — a lower bound on the true
+    max, which is the one statistic a hash-prefix sample cannot
+    certify (the heavy-hitter CMS sketch is the right tool for that
+    key)."""
     df = load_table(spark, sf_dir, table)
+    if sample_hash_bits is not None:
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(key)), F.lit(1 << sample_hash_bits)) == 0
+        )
+    scale = 1 if sample_hash_bits is None else (1 << sample_hash_bits)
     counts = df.groupBy(F.col(key).alias("k")).agg(
         F.count("*").cast("long").alias("cnt")
     )
@@ -134,8 +150,12 @@ def shuffle_skew_report(
             F.sum(F.col("i") * F.col("cnt")).cast("long").alias("_wsum"),
         )
         .select(
-            "n_keys",
-            "total_rows",
+            (F.col("n_keys") * scale).cast("long").alias("n_keys")
+            if scale != 1
+            else F.col("n_keys"),
+            (F.col("total_rows") * scale).cast("long").alias("total_rows")
+            if scale != 1
+            else F.col("total_rows"),
             "max_cnt",
             "p50_cnt",
             "p90_cnt",

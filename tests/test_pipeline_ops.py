@@ -274,3 +274,124 @@ def test_new_round5_ops_partition_invariance(spark, sf_smoke):
         base = {tuple(r) for r in fn(spark, sf_smoke).collect()}
         alt = {tuple(r) for r in fn(odd, sf_smoke).collect()}
         assert base == alt and base, fn.__name__
+
+
+def test_shuffle_skew_report_sampled(spark, sf_smoke):
+    """The sample_hash_bits fallback: keys are hash-prefix sampled, a
+    kept key's count is its EXACT full-table count, the extensive
+    columns rescale by 2^bits, and the filter sits below the groupBy
+    so the fact-table shuffle shrinks with the sample."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators.profiling import shuffle_skew_report
+    from mimir_spark.sources.tables import load_table
+
+    bits = 2
+    full = shuffle_skew_report(spark, sf_smoke).collect()[0]
+    samp = shuffle_skew_report(
+        spark, sf_smoke, sample_hash_bits=bits
+    ).collect()[0]
+
+    # Extensive columns are rescaled full-table ESTIMATES: unbiased,
+    # so within a loose factor at this key cardinality (~100 keys).
+    assert 0.2 * full["n_keys"] <= samp["n_keys"] <= 5 * full["n_keys"]
+    assert (
+        0.2 * full["total_rows"]
+        <= samp["total_rows"]
+        <= 5 * full["total_rows"]
+    )
+    # Sample max is a lower bound on the true max.
+    assert samp["max_cnt"] <= full["max_cnt"]
+
+    # Semantic core: a kept key's cnt is its exact full count — keys
+    # are sampled, rows of a kept key never are. Recompute the kept
+    # key set independently and compare per-key counts.
+    li = load_table(spark, sf_smoke, "lineitem")
+    kept = (
+        li.filter(
+            F.pmod(F.xxhash64(F.col("l_suppkey")), F.lit(1 << bits)) == 0
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    full_counts = li.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    mismatch = (
+        kept.alias("s")
+        .join(full_counts.alias("f"), "l_suppkey")
+        .filter(F.col("s.cnt") != F.col("f.cnt"))
+        .count()
+    )
+    assert mismatch == 0 and kept.count() > 0
+
+    # Plan: the hash-prefix filter runs BELOW the aggregate (prunes
+    # the shuffle), and the default path has no such filter.
+    plan = shuffle_skew_report(
+        spark, sf_smoke, sample_hash_bits=bits
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    default_plan = shuffle_skew_report(
+        spark, sf_smoke
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in default_plan
+
+    # Deterministic: a second run returns identical values.
+    again = shuffle_skew_report(
+        spark, sf_smoke, sample_hash_bits=bits
+    ).collect()[0]
+    assert tuple(samp) == tuple(again)
+
+
+def test_png_codec_spec_valid_and_cross_decoded(spark):
+    """encode_png emits SPEC-valid PNGs: the JVM's javax.imageio (an
+    independent production decoder) must agree with decode_png on
+    dimensions and every pixel — this breaks any symmetric
+    encoder/decoder bug a pure round-trip test would hide."""
+    import mimir_spark.operators.multimodal as m
+
+    for d in range(80):  # covers all 16 widths, 8 heights, 5 filters
+        p = m.encode_png(d)
+        w, h, bpp, n, s = m.decode_png(p)
+        assert (w, h, bpp, n) == (
+            (d % 16) + 1,
+            (d % 8) + 1,
+            24,
+            ((d % 16) + 1) * ((d % 8) + 1),
+        )
+        assert s == sum((d * 31 + j) % 256 for j in range(n * 3))
+        assert m.decode_image(p) == (w, h, bpp, n, s)
+
+    jvm = spark._jvm
+    for d in (0, 7, 37, 55, 123):
+        p = m.encode_png(d)
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(p))
+        )
+        assert img is not None
+        w, h = img.getWidth(), img.getHeight()
+        assert (w, h) == ((d % 16) + 1, (d % 8) + 1)
+        js = sum(
+            ((img.getRGB(x, y) >> 16) & 255)
+            + ((img.getRGB(x, y) >> 8) & 255)
+            + (img.getRGB(x, y) & 255)
+            for y in range(h)
+            for x in range(w)
+        )
+        assert js == m.decode_png(p)[4]
+
+
+def test_png_decode_rejects_corruption(spark):
+    """A flipped payload byte must fail the CRC walk, and truncated /
+    foreign payloads must raise — silent garbage-tolerance corrupts
+    every statistic downstream."""
+    import pytest as _pytest
+
+    import mimir_spark.operators.multimodal as m
+
+    p = bytearray(m.encode_png(42))
+    p[40] ^= 0xFF  # inside IHDR/IDAT region -> CRC breaks
+    with _pytest.raises(ValueError):
+        m.decode_png(bytes(p))
+    with _pytest.raises(ValueError):
+        m.decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks
+    with _pytest.raises(ValueError):
+        m.decode_image(b"GIF89a...")
