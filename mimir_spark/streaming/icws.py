@@ -20,16 +20,17 @@ future bucket join.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
 from mimir_spark.operators.weighted import (
     WJ_THRESHOLD,
-    _weighted_sets,
+    _weighted_arrays,
     _wj_verify,
-    fold_weighted_sets,
+    fold_weighted_arrays,
     icws_candidates,
-    icws_signatures,
+    icws_signatures_arrays,
 )
 from mimir_spark.streaming.jobs import read_documents_stream
 
@@ -52,15 +53,31 @@ def streaming_icws_dedup(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        wc = _weighted_sets(batch)
+        arr = _weighted_arrays(batch)
         new = (
-            icws_signatures(wc)
-            .join(fold_weighted_sets(wc), "doc_id")
+            icws_signatures_arrays(arr)
+            .join(fold_weighted_arrays(arr), "doc_id")
             .localCheckpoint(eager=True)
         )
         try:
-            store = spark.read.parquet(store_dir).select(
-                "doc_id", "sig_g", "sig_t", "m", "n"
+            # Latest-batch-wins resolve (the same at-least-once guard
+            # the BM25/ngram-LM/substr finalizers apply): a redelivered
+            # or updated doc leaves rows under several batch_id
+            # partitions; joining against the raw union would score
+            # candidates against stale (sig, m, n) rows and emit
+            # duplicate pairs until compaction. The resolve join is
+            # store-sized (doc_id → max batch_id), not corpus-sized.
+            raw = spark.read.parquet(store_dir)
+            last = raw.groupBy("doc_id").agg(
+                F.max("batch_id").alias("batch_id")
+            )
+            store = (
+                raw.join(last, ["doc_id", "batch_id"])
+                .select("doc_id", "sig_g", "sig_t", "m", "n")
+                # docs in the CURRENT batch win over any stored row
+                # (covers both an update and a retry of a batch whose
+                # store write landed before its checkpoint commit)
+                .join(new.select("doc_id"), "doc_id", "left_anti")
             )
         except AnalysisException:
             store = None

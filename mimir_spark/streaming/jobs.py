@@ -194,18 +194,31 @@ def compact_stream_store(
     every incremental job here writes (MinHash/ICWS signatures,
     BM25/bigram-LM partials, suffix tables): latest-batch-wins per
     `key`, rewritten into ~target-size files under a SINGLE
-    batch_id=<max seen> subdirectory, so the resumed stream's next
-    micro-batches append beside it unchanged. Safety order: the
+    batch_id=<max seen − 1> subdirectory, so the resumed stream's
+    next micro-batches append beside it unchanged. Safety order: the
     compacted copy is fully written to a sibling tmp dir BEFORE the
-    old store is removed. A foreachBatch retry of an
-    already-compacted batch id only re-adds rows beside the base,
-    which costs candidate-join compute but never output correctness
-    (the same property the pre-compaction layout has). Returns the
-    output file count."""
+    old store is removed.
+
+    The base id is max_b − 1, NOT max_b: foreachBatch processes
+    batches sequentially and commits batch b before starting b+1, so
+    the existence of a batch_id=max_b dir proves every batch < max_b
+    is committed — the ONE batch a restarted stream can legitimately
+    replay is max_b itself. Its retry does mode('overwrite') on
+    batch_id=max_b, which after compaction re-creates that partition
+    with the identical deterministic rows BESIDE the base; had the
+    base been named max_b, the retry would have replaced the entire
+    compacted store (every key's state) with that single batch's
+    rows. Latest-wins stays exact: a key updated in batch max_b
+    carries the same value in the base (resolved) and in the
+    retried partition, every other key resolves to the base. When
+    the store holds a single batch dir the base keeps that id — the
+    resolved rows ARE that batch's rows, so an overwrite-retry
+    rewrites identical content. Returns the output file count."""
     df = spark.read.parquet(store_dir)  # batch_id partition discovered
     latest = df.groupBy(key).agg(F.max("batch_id").alias("batch_id"))
     rows = df.join(latest, [key, "batch_id"]).drop("batch_id")
-    max_b = df.agg(F.max("batch_id")).collect()[0][0]
+    min_b, max_b = df.agg(F.min("batch_id"), F.max("batch_id")).collect()[0]
+    base_b = max_b if min_b == max_b else max_b - 1
 
     jvm = spark._jvm  # public Hadoop FS API, same pattern as compact_files
     hconf = spark._jsc.hadoopConfiguration()
@@ -225,6 +238,6 @@ def compact_stream_store(
     fs.mkdirs(hpath)
     fs.rename(
         jvm.org.apache.hadoop.fs.Path(tmp),
-        jvm.org.apache.hadoop.fs.Path(f"{store_dir}/batch_id={max_b}"),
+        jvm.org.apache.hadoop.fs.Path(f"{store_dir}/batch_id={base_b}"),
     )
     return n_files

@@ -100,10 +100,21 @@ def streaming_minhash_dedup(
         sig_new = sig_new.localCheckpoint(eager=True)
         try:
             # batch_id is a discovered partition column (each batch
-            # writes its own batch_id=N subdirectory, see below); drop
-            # it so the store unions cleanly with the new signatures.
-            store = spark.read.parquet(store_dir).select(
-                "doc_id", "sig", "sh_set"
+            # writes its own batch_id=N subdirectory, see below).
+            # Latest-batch-wins resolve + current-batch-wins anti-join
+            # (the shared at-least-once guard): a redelivered or
+            # updated doc otherwise leaves stale AND fresh signature
+            # rows in the union, so the bucket join would emit
+            # duplicate pairs and verify against stale shingle sets
+            # until compaction. Both joins are store-sized.
+            raw = spark.read.parquet(store_dir)
+            last = raw.groupBy("doc_id").agg(
+                F.max("batch_id").alias("batch_id")
+            )
+            store = (
+                raw.join(last, ["doc_id", "batch_id"])
+                .select("doc_id", "sig", "sh_set")
+                .join(sig_new.select("doc_id"), "doc_id", "left_anti")
             )
         except AnalysisException:
             store = None

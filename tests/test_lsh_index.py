@@ -118,3 +118,66 @@ def test_stream_store_exports_equivalent_index(spark, sf_smoke, tmp_path):
         for r in lsh_query_index(spark, probe, idx_batch).collect()
     }
     assert got == expect and got
+
+
+def test_compact_stream_store_survives_max_batch_retry(spark, tmp_path):
+    """The one batch a restarted stream can replay is the max batch id
+    seen (earlier ones are checkpoint-committed before their successor
+    starts). After compaction the base must live at max_b - 1 so that
+    a retry's mode('overwrite') of batch_id=max_b re-creates only its
+    own partition — not the entire resolved store."""
+    import os
+
+    from mimir_spark.streaming.jobs import compact_stream_store
+
+    store = str(tmp_path / "store")
+    batches = {
+        0: [(1, "a0"), (2, "b0"), (3, "c0")],
+        1: [(2, "b1")],
+        2: [(3, "c2"), (4, "d2")],
+    }
+    for b, rows in batches.items():
+        spark.createDataFrame(rows, "doc_id long, val string").write.parquet(
+            f"{store}/batch_id={b}"
+        )
+    compact_stream_store(spark, store)
+    subdirs = sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    )
+    assert subdirs == ["batch_id=1"], subdirs  # base at max_b - 1
+
+    resolved_before = {
+        (r.doc_id, r.val)
+        for r in spark.read.parquet(store).drop("batch_id").collect()
+    }
+    assert resolved_before == {(1, "a0"), (2, "b1"), (3, "c2"), (4, "d2")}
+
+    # Simulated foreachBatch retry of the max batch: deterministic
+    # reprocessing overwrites ONLY batch_id=2 with the same rows.
+    spark.createDataFrame(
+        batches[2], "doc_id long, val string"
+    ).write.mode("overwrite").parquet(f"{store}/batch_id=2")
+
+    latest = (
+        spark.read.parquet(store)
+        .groupBy("doc_id")
+        .agg(F.max("batch_id").alias("batch_id"))
+    )
+    resolved_after = {
+        (r.doc_id, r.val)
+        for r in spark.read.parquet(store)
+        .join(latest, ["doc_id", "batch_id"])
+        .collect()
+    }
+    assert resolved_after == resolved_before
+
+    # Single-batch store: base keeps its id (overwrite-retry of that
+    # id rewrites identical content — already safe).
+    solo = str(tmp_path / "solo")
+    spark.createDataFrame(
+        batches[0], "doc_id long, val string"
+    ).write.parquet(f"{solo}/batch_id=5")
+    compact_stream_store(spark, solo)
+    assert sorted(
+        d for d in os.listdir(solo) if d.startswith("batch_id=")
+    ) == ["batch_id=5"]

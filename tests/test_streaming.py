@@ -883,3 +883,68 @@ def test_streaming_bigram_logppl_matches_batch(spark, sf_smoke, tmp_path):
         for r in bigram_logppl(spark, sf_smoke).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_sketch_stores_resolve_redelivered_docs(
+    spark, tmp_path
+):
+    """At-least-once UPSTREAM redelivery of an UPDATED document: the
+    signature stores hold rows for the same doc_id under two batch_id
+    partitions. Without the latest-batch-wins + current-batch-wins
+    resolve, the candidate join and the exact verify would score pairs
+    against BOTH the stale and the fresh row — duplicate pair rows at
+    conflicting scores. Covers the MinHash and ICWS streams."""
+    import os
+
+    from mimir_spark.streaming.icws import streaming_icws_dedup
+    from mimir_spark.streaming.minhash import streaming_minhash_dedup
+
+    base = "w%d " * 30
+    text_x = (base % tuple(range(30))).strip()          # A v1 == B
+    text_x2 = text_x + " extra"                         # A v2: near-dup of B
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def _doc(doc_id, text):
+        return (doc_id, text, "en", "t", len(text))
+
+    def _write(rows, path):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            path, compression="none"
+        )
+
+    for name, start in (
+        ("icws", streaming_icws_dedup),
+        ("minhash", streaming_minhash_dedup),
+    ):
+        in_dir = str(tmp_path / f"{name}_in")
+        os.makedirs(in_dir)
+        _write([_doc(1, text_x), _doc(2, text_x)], str(tmp_path / f"{name}_b0"))
+        _write([_doc(1, text_x2)], str(tmp_path / f"{name}_b1"))
+        import glob as globmod
+        import shutil
+
+        parts = sorted(
+            globmod.glob(str(tmp_path / f"{name}_b*") + "/part-*.parquet")
+        )
+        for i, p in enumerate(parts):
+            shutil.copy(p, f"{in_dir}/batch_{i}.parquet")
+
+        store, pairs, ckpt = (
+            str(tmp_path / f"{name}_store"),
+            str(tmp_path / f"{name}_pairs"),
+            str(tmp_path / f"{name}_ckpt"),
+        )
+        q = start(spark, in_dir, store, pairs, ckpt, glob="batch_*.parquet")
+        q.processAllAvailable()
+        q.stop()
+
+        # store now holds doc 1 under batch_id=0 AND batch_id=1
+        raw = spark.read.parquet(store)
+        assert raw.filter(F.col("doc_id") == 1).count() == 2
+
+        # batch 1's pair partition: doc 1 (v2) vs doc 2 — EXACTLY one
+        # row, scored against v2, not v1 (v1 vs doc 2 would be 1.0)
+        p1 = spark.read.parquet(f"{pairs}/batch_id=1").collect()
+        assert len(p1) == 1, (name, p1)
+        score = p1[0][2]
+        assert 0.5 <= score < 1.0, (name, score)
