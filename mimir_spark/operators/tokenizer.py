@@ -73,6 +73,7 @@ def _safe_merge_prefix(
     strictly above, which the same guard excludes."""
     tail_cnt = int(top[-1]["cnt"]) if top else 0
     accepted: list[tuple[str, str, int]] = []
+    accepted_pairs: set[tuple[str, str]] = set()
     used: set[str] = set()
     for row in top:
         if len(accepted) >= budget:
@@ -85,15 +86,25 @@ def _safe_merge_prefix(
                 break
             if cnt <= tail_cnt:
                 break
+            # The scan must skip the already-accepted candidates
+            # themselves: each one trivially shares its own symbols
+            # with `used` at a cnt >= c_k (the list is count-sorted),
+            # but an accepted merge is not "another pair sequential
+            # training could have promoted past k" — it has already
+            # been taken. Including them made the conflict test
+            # always-true after the first acceptance (batch length
+            # frozen at 1 — the batching was dead code).
             conflict = any(
                 int(r2["cnt"]) >= cnt
                 and {r2["l"], r2["r"]} & used
                 and (r2["l"], r2["r"]) != (left, right)
+                and (r2["l"], r2["r"]) not in accepted_pairs
                 for r2 in top
             )
             if conflict:
                 break
         accepted.append((left, right, cnt))
+        accepted_pairs.add((left, right))
         used |= {left, right, left + right}
     return accepted
 
