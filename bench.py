@@ -64,6 +64,10 @@ HEADLINE = [
     # constant-factor blow-up is the scalable alternative to a
     # suffix array build)
     "max_dup_span",
+    # round-6: weighted MinHash (single-Arrow-pass weighted sets +
+    # signatures — tracked after the r5 portable-id regression and its
+    # memoized-kernel fix)
+    "dedup_icws",
 ]
 
 

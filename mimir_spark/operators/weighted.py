@@ -35,7 +35,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mimir_spark.functions.text import word_shingle_hashes_all
 from mimir_spark.operators.dedup import (
     BUCKET_COEFFS,
     SHINGLE_WORDS,
@@ -48,20 +47,29 @@ ICWS_HASHES = 128
 ICWS_BANDS = 32  # 4 rows/band — same S-curve operating point as set-LSH
 
 
+T_CLAMP = 1 << 32  # sample-level clamp — see _icws_band_bucket
+
+
 def _icws_band_bucket(start: int, rows: int) -> F.Column:
     """Engine-portable bucket over the band's (g, t) sample pairs: a
     fixed-coefficient linear combination (g and t interleave over the
     shared BUCKET_COEFFS family — a bucket collision needs the full
     consistent sample to agree, same as the xxhash64 form it
-    replaces). g < 2^31 and t is tiny, coefficients < 2^25, so every
-    term and the ≤2·rows-term sum stay inside int64 under ANSI
-    arithmetic; a cross-vector collision only ADDS a candidate, which
-    exact verification removes."""
+    replaces). The overflow bound is UNCONDITIONAL: t enters clamped
+    to T_CLAMP = 2^32 (t = ⌊ln(w)/r + β⌋ is typically single-digit
+    but unbounded as the Gamma draw r → 0; unclamped, an
+    astronomically rare draw could push t·coeff past int64, which
+    ANSI arithmetic turns into a job failure at 100 TB draw counts).
+    With g < 2^31, t ≤ 2^32, coefficients < 2^25, and rows ≤ 32, the
+    band sum is < 32·2^56 + 32·2^57 < 2^63. A clamped t only MERGES
+    buckets — an extra candidate that exact verification removes —
+    and the DuckDB oracle applies the identical least() clamp."""
     terms = [
         F.element_at("sig_g", start + j + 1) * F.lit(BUCKET_COEFFS[2 * j])
         for j in range(rows)
     ] + [
-        F.element_at("sig_t", start + j + 1) * F.lit(BUCKET_COEFFS[2 * j + 1])
+        F.least(F.element_at("sig_t", start + j + 1), F.lit(T_CLAMP))
+        * F.lit(BUCKET_COEFFS[2 * j + 1])
         for j in range(rows)
     ]
     out = terms[0]
@@ -70,22 +78,118 @@ def _icws_band_bucket(start: int, rows: int) -> F.Column:
     return out
 
 
+# Java's \s (Spark F.split) is the ASCII whitespace class — Python's
+# default \s also matches Unicode spaces, so the kernel pins the exact
+# Java set to stay bit-identical to the JVM tokenizer and the oracle.
+_JAVA_WS = r"[ \t\n\x0b\f\r]+"
+
+# Per-executor-process md5 memo (token string → 31-bit portable hash).
+# The hash is a pure function of the token, so one md5 per DISTINCT
+# token per worker covers every occurrence and all 128 ICWS draws —
+# the fix for the round-5 regression where the portable-id switch
+# paid one JVM md5+conv per token OCCURRENCE. Bounded: cleared at 4M
+# entries (~a few hundred MB worst case), after which hot tokens
+# simply re-memoize.
+_MD5_MEMO: dict = {}
+_MD5_MEMO_MAX = 4_000_000
+
+
+def _token_hashes31(toks: list) -> "object":
+    """np.int64 array of portable md5-31 token hashes (memoized)."""
+    import hashlib
+
+    import numpy as np
+
+    memo = _MD5_MEMO
+    if len(memo) > _MD5_MEMO_MAX:
+        memo.clear()
+    out = np.empty(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        h = memo.get(t)
+        if h is None:
+            h = (
+                int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:4], "big"
+                )
+                & 0x7FFFFFFF
+            )
+            memo[t] = h
+        out[i] = h
+    return out
+
+
+def _doc_weighted_set(text, n: int = SHINGLE_WORDS):
+    """(gs, cs) sorted unique positional-shingle hashes + counts for
+    one document — the NumPy twin of word_shingle_hashes_all +
+    per-doc counting, bit-identical to the JVM/oracle form (padded
+    fold for docs shorter than n tokens, ×131 mod-Mersenne31 combine,
+    ascending-g output from np.unique)."""
+    import re
+
+    import numpy as np
+
+    if not text:
+        return None
+    toks = [t for t in re.split(_JAVA_WS, text) if t]
+    if not toks:
+        return None
+    th = _token_hashes31(toks)
+    m31 = np.int64((1 << 31) - 1)
+    padded = np.concatenate([th, np.zeros(2, dtype=np.int64)])
+    sh = (
+        (padded[:-2] * 131 + padded[1:-1]) % m31 * 131 + padded[2:]
+    ) % m31
+    sh = sh[: max(len(toks) - n + 1, 1)]
+    gs, cs = np.unique(sh, return_counts=True)
+    return gs, cs.astype(np.int64)
+
+
+def _weighted_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, gs: array<long>, cs: array<long>): each document's
+    weighted set as parallel sorted arrays, computed in ONE Arrow
+    pass — tokenize, memoized portable hash, positional-shingle fold,
+    per-doc multiset counts. The per-doc count replaces the
+    (doc, g)-keyed shuffle the row form needed: shingle multiplicity
+    is a row-local fact, so at 100 TB this stage is shuffle-free (the
+    old explode + groupBy moved ~the token count through an
+    exchange)."""
+    import pandas as pd
+
+    def _arrays(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = _doc_weighted_set(text)
+                if ws is None:
+                    continue
+                out.append((int(doc_id), ws[0].tolist(), ws[1].tolist()))
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "gs", "cs"])
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        _arrays, "doc_id long, gs array<long>, cs array<long>"
+    )
+
+
 def _weighted_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, g, c): per-doc shingle multiplicities over POSITIONAL
-    shingles (hashed to int64 — the string never leaves the row), plus
-    nothing else; one corpus scan, one (doc, g)-keyed aggregate."""
+    shingles (hashed to int64 — the string never leaves the row).
+    Derived from `_weighted_arrays` by a shuffle-free explode (the
+    multiset count already happened inside the row)."""
     # element ids are the PORTABLE folded md5-31 hash (not xxhash64):
     # they enter the ICWS counter-based randomness and the banding
     # buckets, so the DuckDB oracle must compute the identical ids.
-    # The positional token-fold (word_shingle_hashes_all) hashes one
-    # TOKEN once and combines arithmetically — ~2× cheaper than
-    # hashing each 3-word shingle string. 31-bit collisions only
-    # MERGE elements (weights add) — both engines merge identically.
-    sh = _spread(docs).select(
-        "doc_id",
-        F.explode(word_shingle_hashes_all("text", SHINGLE_WORDS)).alias("g"),
+    # 31-bit collisions only MERGE elements (weights add) — both
+    # engines merge identically.
+    return (
+        _weighted_arrays(docs)
+        .select("doc_id", F.explode(F.arrays_zip("gs", "cs")).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.gs").alias("g"),
+            F.col("e.cs").alias("c"),
+        )
     )
-    return sh.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
 
 
 def _wj_score(threshold: float):
@@ -117,6 +221,20 @@ def fold_weighted_sets(wc: DataFrame) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("g", "c")))
         ).alias("m"),
         F.sum("c").alias("n"),
+    )
+
+
+def fold_weighted_arrays(arr: DataFrame) -> DataFrame:
+    """`fold_weighted_sets` from the `_weighted_arrays` form — a
+    row-local select (map_from_arrays + an array sum), no shuffle;
+    gs is sorted ascending so the map iterates in the same order the
+    row-form fold produces."""
+    return arr.select(
+        "doc_id",
+        F.map_from_arrays("gs", "cs").alias("m"),
+        F.aggregate(
+            "cs", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("n"),
     )
 
 
@@ -222,19 +340,33 @@ def _uniforms(key, j):
     return ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
 
 
-def icws_signatures(
-    wsets: DataFrame, n_hashes: int = ICWS_HASHES
+def _icws_sample(gs, ws, hash_keys, n_hashes: int):
+    """The ICWS consistent-sample math for one document: (gs, ws)
+    numpy arrays → (sample element ids, sample t levels)."""
+    import numpy as np
+
+    key = _splitmix(gs.astype(np.uint64))[:, None] ^ hash_keys[None, :]
+    r = -np.log(_uniforms(key, 1) * _uniforms(key, 2))
+    c = -np.log(_uniforms(key, 3) * _uniforms(key, 4))
+    beta = _uniforms(key, 5)
+    t = np.floor(np.log(ws)[:, None] / r + beta)
+    # a = c / (y * exp(r)) with y = exp(r*(t - beta));
+    # compare in log space: ln a = ln c - r*(t - beta + 1)
+    log_a = np.log(c) - r * (t - beta + 1.0)
+    kstar = log_a.argmin(axis=0)
+    ar = np.arange(n_hashes)
+    return gs[kstar], t[kstar, ar].astype(np.int64)
+
+
+def icws_signatures_arrays(
+    arr: DataFrame, n_hashes: int = ICWS_HASHES
 ) -> DataFrame:
-    """doc_id → ICWS signature as parallel arrays (sample element ids,
-    sample t levels). One groupBy folds (doc, g, c) rows to per-doc
-    arrays; the kernel is vectorized NumPy per document — (elements ×
-    hashes) Gamma/exp arithmetic, ~50×128 doubles per doc."""
+    """doc_id → ICWS signature straight from the `_weighted_arrays`
+    form — NO shuffle: the weighted set is already a row-local pair
+    of arrays, so the (elements × hashes) Gamma/exp kernel runs in
+    the same Arrow pass that reads them."""
     import numpy as np
     import pandas as pd
-
-    folded = wsets.groupBy("doc_id").agg(
-        F.collect_list(F.struct("g", "c")).alias("els")
-    )
 
     hash_keys = _splitmix(
         np.arange(n_hashes, dtype=np.uint64)
@@ -244,37 +376,38 @@ def icws_signatures(
     def _sign(batches):
         for pdf in batches:
             out_rows = []
-            for doc_id, els in zip(pdf["doc_id"], pdf["els"]):
-                gs = np.array([e["g"] for e in els], dtype=np.int64)
-                ws = np.array([e["c"] for e in els], dtype=np.float64)
-                key = (
-                    _splitmix(gs.astype(np.uint64))[:, None]
-                    ^ hash_keys[None, :]
-                )
-                r = -np.log(_uniforms(key, 1) * _uniforms(key, 2))
-                c = -np.log(_uniforms(key, 3) * _uniforms(key, 4))
-                beta = _uniforms(key, 5)
-                t = np.floor(np.log(ws)[:, None] / r + beta)
-                # a = c / (y * exp(r)) with y = exp(r*(t - beta));
-                # compare in log space: ln a = ln c - r*(t - beta + 1)
-                log_a = np.log(c) - r * (t - beta + 1.0)
-                kstar = log_a.argmin(axis=0)
-                ar = np.arange(n_hashes)
-                out_rows.append(
-                    (
-                        int(doc_id),
-                        gs[kstar].tolist(),
-                        t[kstar, ar].astype(np.int64).tolist(),
-                    )
-                )
+            for doc_id, gs, cs in zip(pdf["doc_id"], pdf["gs"], pdf["cs"]):
+                g = np.asarray(gs, dtype=np.int64)
+                w = np.asarray(cs, dtype=np.float64)
+                sg, st = _icws_sample(g, w, hash_keys, n_hashes)
+                out_rows.append((int(doc_id), sg.tolist(), st.tolist()))
             if out_rows:
                 yield pd.DataFrame(
                     out_rows, columns=["doc_id", "sig_g", "sig_t"]
                 )
 
-    return folded.mapInPandas(
+    return arr.mapInPandas(
         _sign, "doc_id long, sig_g array<long>, sig_t array<long>"
     )
+
+
+def icws_signatures(
+    wsets: DataFrame, n_hashes: int = ICWS_HASHES
+) -> DataFrame:
+    """doc_id → ICWS signature from (doc_id, g, c) ROWS: one groupBy
+    folds them to per-doc arrays, then the shared `_icws_sample`
+    kernel runs per document. Kept for row-shaped inputs; the batch
+    operators feed `icws_signatures_arrays` instead, which skips this
+    fold shuffle entirely."""
+    folded = wsets.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("g", "c"))).alias("els")
+    )
+    arr = folded.select(
+        "doc_id",
+        F.col("els.g").alias("gs"),
+        F.col("els.c").alias("cs"),
+    )
+    return icws_signatures_arrays(arr, n_hashes)
 
 
 def dedup_icws(
@@ -288,9 +421,9 @@ def dedup_icws(
     consistent sample to agree, which happens with probability J_w per
     hash position, so the set-LSH S-curve tuning carries over."""
     docs = load_table(spark, sf_dir, "documents")
-    wc = _weighted_sets(docs).localCheckpoint(eager=True)
-    cand = icws_candidates(icws_signatures(wc))
-    return _weighted_jaccard_pairs(wc, cand, threshold)
+    arr = _weighted_arrays(docs).localCheckpoint(eager=True)
+    cand = icws_candidates(icws_signatures_arrays(arr))
+    return _wj_verify(cand, fold_weighted_arrays(arr), threshold)
 
 
 def icws_candidates(
@@ -479,8 +612,8 @@ def weighted_containment_pairs(
     from mimir_spark.operators.dedup2 import _containment_band_configs
 
     spark = docs.sparkSession
-    wc = _weighted_sets(docs).localCheckpoint(eager=True)
-    sets = fold_weighted_sets(wc).localCheckpoint(eager=True)
+    arr = _weighted_arrays(docs).localCheckpoint(eager=True)
+    sets = fold_weighted_arrays(arr).localCheckpoint(eager=True)
     cls_tbl = sets.select(
         "doc_id",
         F.floor(F.log2(F.greatest(F.col("n"), F.lit(1))))
@@ -493,9 +626,9 @@ def weighted_containment_pairs(
     cfg = _containment_band_configs(classes, threshold, ICWS_HASHES)
     rs = sorted({r for _, _, r in cfg})
 
-    side = icws_signatures(wc).join(cls_tbl, "doc_id").localCheckpoint(
-        eager=False
-    )
+    side = icws_signatures_arrays(arr).join(
+        cls_tbl, "doc_id"
+    ).localCheckpoint(eager=False)
     cand_parts = []
     for r in rs:
         cross = [(i, j) for (i, j, rr) in cfg if rr == r and i != j]
