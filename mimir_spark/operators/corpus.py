@@ -149,7 +149,9 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "id",
             F.row_number().over(
-                Window.orderBy(F.col("c").desc(), "word")
+                Window.partitionBy(F.lit(0)).orderBy(
+                    F.col("c").desc(), "word"
+                )
             ).cast("long"),
         )
         .select("word", "id")

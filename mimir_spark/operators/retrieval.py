@@ -94,7 +94,10 @@ def bm25_rank_from_parts(tf: DataFrame, dl: DataFrame, k: int) -> DataFrame:
     top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    # constant partition key: input is k-bounded (post-limit); this
+    # silences the WindowExec no-partition warning without changing
+    # the single-partition execution
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "score", "rank"
     )
@@ -111,6 +114,7 @@ def hybrid_retrieval(
     terms: tuple[str, ...] = BM25_QUERY,
     k: int = HYBRID_K,
     pool: int = HYBRID_POOL,
+    query_vec: int = HYBRID_QUERY_VEC,
 ) -> DataFrame:
     """Two-stage retrieval, the standard RAG shape: a cheap lexical
     first stage (BM25 top-`pool`) followed by an embedding cosine
@@ -131,7 +135,7 @@ def hybrid_retrieval(
     first = bm25_topk(spark, sf_dir, terms=terms, k=pool).select(
         "doc_id", F.col("rank").alias("bm25_rank")
     )
-    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+    qv = emb.filter(F.col("vec_id") == query_vec).select(
         F.col("embedding").alias("qe")
     )
     scored = (
@@ -143,7 +147,7 @@ def hybrid_retrieval(
     top = scored.orderBy(F.col("cos").desc(), "doc_id").limit(k)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("cos").desc(), "doc_id")
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "bm25_rank", "cos", "rank"
     )
@@ -158,6 +162,7 @@ def retrieval_hard_negatives(
     sf_dir: str,
     pool: int = HARDNEG_POOL,
     k: int = HARDNEG_K,
+    terms: tuple[str, ...] = BM25_QUERY,
 ) -> DataFrame:
     """Hard-negative mining for contrastive retrieval training: the
     BM25 pool is lexically CLOSE to the query (that's what makes the
@@ -175,7 +180,9 @@ def retrieval_hard_negatives(
 
     from mimir_spark.operators.dedup import dedup_minhash_lsh
 
-    top = bm25_topk(spark, sf_dir, k=pool).localCheckpoint(eager=True)
+    top = bm25_topk(spark, sf_dir, terms=terms, k=pool).localCheckpoint(
+        eager=True
+    )
     anchor = top.filter(F.col("rank") == 1).select(
         F.col("doc_id").alias("anchor_id")
     )
@@ -198,9 +205,96 @@ def retrieval_hard_negatives(
         .join(partners, "doc_id", "left_anti")
         .select("doc_id", "score")
     )
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), "doc_id")
     return (
         negs.withColumn("neg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("neg_rank") <= k)
         .select("doc_id", "score", "neg_rank")
+    )
+
+
+# Fixed deterministic query batch for the driver-checked key; a real
+# deployment passes its own {query_id: terms} batch per request.
+BM25_QUERY_BATCH: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, BM25_QUERY),
+    (1, ("hash", "merge", "sort")),
+    (2, ("stream", "state", "batch")),
+)
+
+
+def bm25_topk_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = BM25_QUERY_BATCH,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Per-query BM25 top-k for a BATCH of queries in ONE corpus pass
+    — the shape a real retrieval deployment needs (`bm25_topk` scans
+    the corpus once per query; at 100 TB the scan dominates, so a
+    1000-query batch must amortize it 1000×).
+
+    Scale shape: the token scan feeds the doc-length table and one tf
+    table over the UNION of all query terms (the only corpus-keyed
+    shuffle); the query list rides a broadcast join that fans each
+    (doc, term, tf) row out to the queries containing the term —
+    fan-out is bounded by the batch's term multiplicity, not the
+    corpus. df/N/avgdl are the same query-independent statistics as
+    the single-query path (shared scoring formula), and the per-query
+    top-k is a qid-PARTITIONED rank window — parallel across queries,
+    never a global sort. For a fixed single query the batch result
+    restricted to that qid is row-identical to `bm25_topk`
+    (pytest-pinned)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id long, w string",
+    )
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    tf = (
+        tok.filter(F.col("w").isin(*all_terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
     )
