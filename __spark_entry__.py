@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inserted at the very front as they land), permanent rows-only keys
     # are parked past position 49, r4/r5-green keys trail.
     return {
+        # --- new in round 6 (need first driver rows, so they lead) ---
+        "multimodal_decode_png": multimodal.multimodal_decode_png,
+        "bm25_topk_batch": retrieval.bm25_topk_batch,
         # --- ROUND-6 WINDOW ROTATION: the 70 oracle keys below have no
         #     recorded driver row in r4/r5 (last checked r2/r3 or never).
         #     The driver gate walks ~50 keys from position 0, so the first
@@ -743,7 +746,7 @@ def _icws_ctes(threshold: float = 0.5) -> str:
         _icws_sig_ctes(),
         f"""ibk AS MATERIALIZED (
            SELECT doc_id, j // {rows} AS band,
-                  sum(gstar * cg + tstar * ct) AS bucket
+                  sum(gstar * cg + least(tstar, 4294967296) * ct) AS bucket
            FROM isamp GROUP BY 1, 2)""",
         """icand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -796,7 +799,7 @@ def _icws_containment_ctes(threshold: float = 0.8) -> str:
         parts.append(
             f"""wbk{r} AS MATERIALIZED (
            SELECT s.doc_id, c.cls, s.j // {r} AS band,
-                  sum(s.gstar * v.cg + s.tstar * v.ct) AS bucket
+                  sum(s.gstar * v.cg + least(s.tstar, 4294967296) * v.ct) AS bucket
            FROM isamp s
            JOIN vb{r} v ON v.j = s.j
            JOIN icls c ON c.doc_id = s.doc_id
@@ -1551,6 +1554,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_train_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        # Same generation rule as the BMP twin — but the Spark side
+        # reaches these fields through a full PNG decode (CRC walk,
+        # zlib inflate, five-filter unfiltering), so a mis-unfilter of
+        # any row hash-mismatches here.
+        "multimodal_decode_png": """
+            SELECT doc_id,
+                   ((doc_id % 16) + 1)::INT AS width,
+                   ((doc_id % 8) + 1)::INT AS height,
+                   24::INT AS bpp,
+                   (((doc_id % 16) + 1) * ((doc_id % 8) + 1))::BIGINT
+                     AS n_pixels,
+                   list_sum(list_transform(
+                     range(0, ((doc_id % 16) + 1) * ((doc_id % 8) + 1) * 3),
+                     j -> (doc_id * 31 + j) % 256))::BIGINT AS sum_pixels
+            FROM documents
+        """,
         "multimodal_decode_bmp": """
             SELECT doc_id,
                    ((doc_id % 16) + 1)::INT AS width,
@@ -2560,6 +2579,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.cross_entropy <= c.p67 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored s JOIN cuts c ON c.lang = s.lang
+        """,
+        # Batched BM25: three queries, one corpus pass; same scoring
+        # formula as bm25_topk, qid-partitioned rank window.
+        "bm25_topk_batch": r"""
+            WITH q(query_id, w) AS (VALUES
+              (0, 'spark'), (0, 'join'), (0, 'window'),
+              (1, 'hash'), (1, 'merge'), (1, 'sort'),
+              (2, 'stream'), (2, 'state'), (2, 'batch')
+            ), tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, w, count(*)::BIGINT AS tf
+              FROM tok WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1, 2
+            ), dft AS (
+              SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     round(SUM(
+                       LN((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                     ), 6) AS score
+              FROM tf JOIN q USING (w)
+              JOIN dft ON dft.w = tf.w
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id::BIGINT AS query_id, doc_id, score, rank FROM (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id)::BIGINT AS rank
+              FROM scored)
+            WHERE rank <= 20
         """,
         "bm25_topk": r"""
             WITH tok AS (

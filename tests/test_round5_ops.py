@@ -473,3 +473,36 @@ def test_icws_store_compaction_mid_stream(spark, sf_smoke, tmp_path):
         for r in dedup_icws(spark, sf_smoke).collect()
     }
     assert got == expect and got
+
+
+def test_bm25_topk_batch_matches_single_query(spark, sf_smoke):
+    """The batched operator restricted to one qid must be row-identical
+    to the single-query path — same formula, same rounding, same
+    tie-break."""
+    from mimir_spark.operators.retrieval import (
+        BM25_QUERY,
+        bm25_topk,
+        bm25_topk_batch,
+    )
+
+    batch = bm25_topk_batch(spark, sf_smoke)
+    single = {
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_topk(spark, sf_smoke).collect()
+    }
+    q0 = {
+        (r.doc_id, r.score, r.rank)
+        for r in batch.filter("query_id = 0")
+        .select("doc_id", "score", "rank")
+        .collect()
+    }
+    assert q0 == single and q0
+    # the other queries produce rankings too (non-degenerate batch)
+    assert batch.filter("query_id = 1").count() > 0
+    assert batch.filter("query_id = 2").count() > 0
+    # custom batch plumbing: a 1-query batch with different terms
+    alt = bm25_topk_batch(
+        spark, sf_smoke, queries=((7, ("vector", "scan")),), k=5
+    )
+    rows = alt.collect()
+    assert rows and all(r.query_id == 7 and r.rank <= 5 for r in rows)
