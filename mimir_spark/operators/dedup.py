@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 
 from mimir_spark.functions.text import (
     tokens_col,
-    word_shingle_hashes,
     word_shingles,
     word_shingles_all,
 )
@@ -235,69 +234,62 @@ def portable_band_bucket(sig_col: str, start: int, rows: int) -> Column:
     return out
 
 
-def _minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """doc_id → array<long> of n_hashes min-hash values.
+def _minhash_doc_table(
+    docs: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(doc_id, sh_set, sig): each document's distinct hashed shingle
+    set AND its MinHash signature, computed in ONE Arrow pass —
+    tokenize, memoized portable md5-31 token hash, ×131 shingle fold,
+    per-doc distinct, then the (|set| × n_hashes) universal-hash
+    min reduction, all row-local NumPy (functions/pykernels.py).
 
-    Shingles arrive as 31-bit hashes (word_shingle_hashes — computed
-    entirely JVM-side), then n universal-hash permutations
-    h_i(x) = (a_i·x + b_i) mod p.
-
-    The 128-way hash×min is the hot loop and a 128-column JVM aggregate
-    falls out of whole-stage codegen (interpreted eval ≈ 10× slower),
-    so the per-batch PARTIAL minima are computed vectorized in NumPy
-    via mapInPandas — no shuffle, one Python call per Arrow batch, a
-    (batch×128) matrix op per call. The JVM then finishes with the same
-    128-min aggregate over only ~(batches × docs-per-batch-boundary)
-    partial rows (thousands, not the full shingle table), which also
-    gives map-side partial aggregation on the single doc_id shuffle.
-    """
+    Scale shape: this is the sketch family's only corpus-sized stage
+    and it is SHUFFLE-FREE — a doc's shingle set and signature are
+    pure functions of its own text, so nothing here keys an exchange
+    (the previous form exploded the shingle table and finished the
+    128-way min with a per-doc aggregate — a corpus-token-sized
+    shuffle that existed only because the set was assembled
+    JVM-side). Emitting sh_set beside sig also hands the verify step
+    its arrays without a second tokenize pass."""
     import numpy as np
     import pandas as pd
+
+    from mimir_spark.functions.pykernels import doc_shingle_set
 
     coeffs = MINHASH_COEFFS[:n_hashes]
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
 
-    # hashed shingles: tokens are hash-folded once and shingle ids are
-    # arithmetic combinations — skips per-shingle string building AND
-    # the separate xxhash64 fold this explode used to need.
-    # Repartition FIRST: a corpus file smaller than maxPartitionBytes
-    # arrives as one split, which would run the shingling and the
-    # NumPy partial-minima below on a single core. One cheap row-count
-    # shuffle up front parallelizes the whole expensive map side —
-    # the same move a cluster job makes when a coarse upstream layout
-    # precedes an expensive per-row stage.
-    sh = _spread(docs).select(
-        "doc_id",
-        F.explode(word_shingle_hashes("text", SHINGLE_WORDS)).alias("x"),
-    )
-
-    partial_schema = "doc_id long, " + ", ".join(
-        f"h{i} long" for i in range(n_hashes)
-    )
-
-    def _partial_mins(batches):
+    def _table(batches):
         for pdf in batches:
-            doc = pdf["doc_id"].to_numpy(np.int64)
-            x = pdf["x"].to_numpy(np.int64)
-            order = np.argsort(doc, kind="stable")
-            doc_s, x_s = doc[order], x[order]
-            # x < 2^31 and a < 2^31 ⇒ a·x + b < 2^62: no int64 overflow.
-            h = (x_s[:, None] * A[None, :] + B[None, :]) % MERSENNE
-            bounds = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
-            mins = np.minimum.reduceat(h, bounds, axis=0)
-            out = {"doc_id": doc_s[bounds]}
-            for i in range(n_hashes):
-                out[f"h{i}"] = mins[:, i]
-            yield pd.DataFrame(out)
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                xs = doc_shingle_set(text, SHINGLE_WORDS)
+                if xs is None:
+                    continue
+                # x < 2^31 and a < 2^31 ⇒ a·x + b < 2^62: no overflow.
+                sig = ((xs[:, None] * A[None, :] + B[None, :]) % MERSENNE).min(
+                    axis=0
+                )
+                out.append((int(doc_id), xs.tolist(), sig.tolist()))
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "sh_set", "sig"])
 
-    partial = sh.mapInPandas(_partial_mins, partial_schema)
-    sig = partial.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    # Repartition FIRST: a corpus file smaller than maxPartitionBytes
+    # arrives as one split, which would run the whole kernel on a
+    # single core.
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        _table, "doc_id long, sh_set array<long>, sig array<long>"
     )
-    return sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
-    )
+
+
+def _minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → array<long> of n_hashes min-hash values
+    h_i = min_x (a_i·x + b_i) mod p over the doc's distinct 31-bit
+    hashed shingles — a projection of `_minhash_doc_table` (one
+    shuffle-free Arrow pass; bit-identical to the oracle's literal
+    MINHASH_COEFFS arithmetic)."""
+    return _minhash_doc_table(docs, n_hashes).select("doc_id", "sig")
 
 
 def lsh_candidates(
@@ -377,8 +369,10 @@ def dedup_minhash_lsh(
     dedup_ngram_jaccard (its exact twin), but with O(n) candidate
     generation instead of a shingle self-join over everything."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(docs)
-    cand = lsh_candidates(sig)
+    # ONE kernel pass yields signatures AND the verification shingle
+    # sets (localCheckpoint so the two consumers share it).
+    tbl = _minhash_doc_table(docs).localCheckpoint(eager=True)
+    cand = lsh_candidates(tbl.select("doc_id", "sig"))
 
     # Verify candidates against the true shingle sets with a single
     # array_intersect per pair: two joins onto the per-doc shingle-array
@@ -388,9 +382,7 @@ def dedup_minhash_lsh(
     # long-array intersect, no string materialization (Jaccard is
     # identical up to ~1e-5-probability 31-bit collisions, which only
     # ever merge elements — see word_shingle_hashes).
-    shingle_sets = docs.select(
-        "doc_id", word_shingle_hashes("text", SHINGLE_WORDS).alias("sh_set")
-    )
+    shingle_sets = tbl.select("doc_id", "sh_set")
     sa = shingle_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a")
     )
@@ -567,42 +559,49 @@ def dedup_survivors(
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): 64-bit SimHash fingerprint per doc — per bit
-    position, sign of Σ ±1 weighted by shingle-hash bit, computed with
-    array expressions (no UDF). A doc's fingerprint depends only on
-    its own shingles, so batch and streaming computations agree bit
-    for bit (the property the incremental job relies on)."""
-    # hashed shingles (see word_shingle_hashes); each of the 64 bit
-    # positions gets its OWN universal hash of the 31-bit shingle id
-    # (bit_i = ((a_i·x + b_i) mod p) & 1, SIMHASH_COEFFS) instead of
-    # 64 bit-extracts of one xxhash64 — same distribution quality,
-    # never materializes shingle strings, and plain integer
-    # arithmetic the DuckDB oracle replicates literally.
-    sh = docs.select(
-        "doc_id", F.explode(word_shingle_hashes("text", SHINGLE_WORDS)).alias("x")
+    position i, the sign of Σ_x ±1 over the doc's distinct hashed
+    shingles x, where bit_i(x) = ((a_i·x + b_i) mod p) & 1
+    (SIMHASH_COEFFS — plain integer arithmetic the DuckDB oracle
+    replicates literally). A doc's fingerprint depends only on its own
+    shingles, so batch and streaming computations agree bit for bit
+    (the property the incremental job relies on).
+
+    Scale shape: SHUFFLE-FREE — the (|set| × 64) bit matrix and its
+    column sums are row-local NumPy in the same Arrow pass that
+    builds the shingle set (the previous form exploded the shingle
+    table and finished with a 64-column per-doc aggregate: a
+    corpus-token-sized exchange for a per-row-computable value)."""
+    import numpy as np
+    import pandas as pd
+
+    from mimir_spark.functions.pykernels import doc_shingle_set
+
+    A = np.array([a for a, _ in SIMHASH_COEFFS], dtype=np.int64)
+    B = np.array([b for _, b in SIMHASH_COEFFS], dtype=np.int64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(
+        np.uint64
     )
-    # bit i contribution: +1 if set else -1 → sum per (doc, bit)
-    bit_sums = sh.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    ((F.col("x") * a + b) % MERSENNE).bitwiseAND(F.lit(1)) == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"b{i}")
-            for i, (a, b) in enumerate(SIMHASH_COEFFS)
-        ]
-    )
-    return bit_sums.select(
-        "doc_id",
-        sum(
-            [
-                F.shiftleft(
-                    F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i
-                )
-                for i in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("fp"),
+
+    def _fp(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                xs = doc_shingle_set(text, SHINGLE_WORDS)
+                if xs is None:
+                    continue
+                bits = ((xs[:, None] * A[None, :] + B[None, :]) % MERSENNE) & 1
+                # +1 per set bit, -1 per clear bit; bit i of fp set
+                # iff the sum is positive
+                pos = (2 * bits - 1).sum(axis=0) > 0
+                fp_u = int(weights[pos].sum(dtype=np.uint64))
+                # bit 63 set → the JVM long is negative (two's compl.)
+                fp = fp_u - (1 << 64) if fp_u >= (1 << 63) else fp_u
+                out.append((int(doc_id), fp))
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "fp"])
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        _fp, "doc_id long, fp long"
     )
 
 
@@ -909,11 +908,10 @@ def minhash_containment(
     (MINHASH_COEFFS), replicated literally in the DuckDB oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(docs)
-    sizes = docs.select(
-        "doc_id", F.size(word_shingle_hashes("text", SHINGLE_WORDS)).alias("n_sh")
-    )
-    side = sig.join(sizes, "doc_id")
+    # one doc-table pass: signatures + set sizes (no second tokenize)
+    tbl = _minhash_doc_table(docs).localCheckpoint(eager=True)
+    sig = tbl.select("doc_id", "sig")
+    side = tbl.select("doc_id", "sig", F.size("sh_set").alias("n_sh"))
     cand = lsh_candidates(sig)
     sa = side.select(
         F.col("doc_id").alias("doc_a"),

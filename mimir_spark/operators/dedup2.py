@@ -486,7 +486,7 @@ def containment_lsh_pairs(
     `dedup_containment`; recall < 1 only through banding misses,
     precision 1 by construction since verification is exact).
 
-    Plan: one signature pass (shared _minhash_signatures), size-class
+    Plan: one doc-table pass (shared _minhash_doc_table), size-class
     tag per doc, bucket explosion at EVERY rows-per-band value the
     class-pair table needs (≤ |{r}| band sets per doc — constant
     fan-out), then PER r two class-restricted joins: a cross-class
@@ -501,28 +501,24 @@ def containment_lsh_pairs(
     verify is one array_intersect per survivor."""
     from mimir_spark.operators.dedup import (
         N_HASHES,
-        _minhash_signatures,
+        _minhash_doc_table,
         portable_band_bucket,
     )
 
-    hsets = (
-        _spread(docs)
-        .select(
-            "doc_id",
-            F.transform(
-                word_shingles("text", SHINGLE_WORDS), lambda s: F.xxhash64(s)
-            ).alias("hs"),
-        )
-        # one shingling pass serves the class table AND both exact-
-        # verify sides (it would otherwise recompute per consumer)
-        .localCheckpoint(eager=True)
-    )
-    cls_tbl = hsets.select(
+    # ONE shuffle-free Arrow pass yields the signatures AND the
+    # portable folded shingle sets (sizes/classes + exact verify) —
+    # this replaces two separate corpus passes (a string-shingle +
+    # xxhash64 fold for verification and a signature pass). Both
+    # engines now verify on the SAME md5-31 folded family, so a
+    # 31-bit merge happens identically on both sides.
+    tbl = _minhash_doc_table(docs).localCheckpoint(eager=True)
+    hsets = tbl.select("doc_id", F.col("sh_set").alias("hs"))
+    cls_tbl = tbl.select(
         "doc_id",
-        F.size("hs").alias("n_sh"),
-        F.floor(F.log2(F.greatest(F.size("hs"), F.lit(1)))).cast("int").alias(
-            "cls"
-        ),
+        F.size("sh_set").alias("n_sh"),
+        F.floor(F.log2(F.greatest(F.size("sh_set"), F.lit(1))))
+        .cast("int")
+        .alias("cls"),
     )
     classes = sorted(
         r.cls for r in cls_tbl.select("cls").distinct().collect()
@@ -530,9 +526,8 @@ def containment_lsh_pairs(
     cfg = _containment_band_configs(classes, threshold, N_HASHES)
     rs = sorted({r for _, _, r in cfg})
 
-    sig = _minhash_signatures(docs)
-    side = sig.join(cls_tbl.select("doc_id", "cls"), "doc_id").localCheckpoint(
-        eager=False  # one signature pass feeds every per-r bucket table
+    side = tbl.select("doc_id", "sig").join(
+        cls_tbl.select("doc_id", "cls"), "doc_id"
     )
     cand_parts = []
     for r in rs:

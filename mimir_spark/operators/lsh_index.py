@@ -34,11 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mimir_spark.functions.text import word_shingle_hashes
 from mimir_spark.operators.dedup import (
     N_BANDS,
     N_HASHES,
-    SHINGLE_WORDS,
+    _minhash_doc_table,
     _minhash_signatures,
     portable_band_bucket,
 )
@@ -74,10 +73,11 @@ def write_lsh_index(
     plus the shingle sets (verification) and raw signatures
     (re-banding without the corpus pass)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(docs)
-    # One signature job feeds both outputs; localCheckpoint keeps the
-    # shingling + 128-minima pass from running twice.
-    sig = sig.localCheckpoint(eager=True)
+    # One doc-table job (signatures + shingle sets in a single Arrow
+    # pass) feeds all three outputs; localCheckpoint keeps the kernel
+    # from running per consumer.
+    tbl = _minhash_doc_table(docs).localCheckpoint(eager=True)
+    sig = tbl.select("doc_id", "sig")
     buckets = lsh_bucket_rows(sig).withColumn(
         "shard", F.pmod(F.col("bucket"), F.lit(n_shards))
     )
@@ -85,9 +85,9 @@ def write_lsh_index(
         f"{index_dir}/buckets"
     )
     sig.write.mode("overwrite").parquet(f"{index_dir}/signatures")
-    docs.select(
-        "doc_id", word_shingle_hashes("text", SHINGLE_WORDS).alias("s")
-    ).write.mode("overwrite").parquet(f"{index_dir}/shingles")
+    tbl.select("doc_id", F.col("sh_set").alias("s")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/shingles")
 
 
 def lsh_query_index(

@@ -78,70 +78,13 @@ def _icws_band_bucket(start: int, rows: int) -> F.Column:
     return out
 
 
-# Java's \s (Spark F.split) is the ASCII whitespace class — Python's
-# default \s also matches Unicode spaces, so the kernel pins the exact
-# Java set to stay bit-identical to the JVM tokenizer and the oracle.
-_JAVA_WS = r"[ \t\n\x0b\f\r]+"
-
-# Per-executor-process md5 memo (token string → 31-bit portable hash).
-# The hash is a pure function of the token, so one md5 per DISTINCT
-# token per worker covers every occurrence and all 128 ICWS draws —
-# the fix for the round-5 regression where the portable-id switch
-# paid one JVM md5+conv per token OCCURRENCE. Bounded: cleared at 4M
-# entries (~a few hundred MB worst case), after which hot tokens
-# simply re-memoize.
-_MD5_MEMO: dict = {}
-_MD5_MEMO_MAX = 4_000_000
-
-
-def _token_hashes31(toks: list) -> "object":
-    """np.int64 array of portable md5-31 token hashes (memoized)."""
-    import hashlib
-
-    import numpy as np
-
-    memo = _MD5_MEMO
-    if len(memo) > _MD5_MEMO_MAX:
-        memo.clear()
-    out = np.empty(len(toks), dtype=np.int64)
-    for i, t in enumerate(toks):
-        h = memo.get(t)
-        if h is None:
-            h = (
-                int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:4], "big"
-                )
-                & 0x7FFFFFFF
-            )
-            memo[t] = h
-        out[i] = h
-    return out
-
-
-def _doc_weighted_set(text, n: int = SHINGLE_WORDS):
-    """(gs, cs) sorted unique positional-shingle hashes + counts for
-    one document — the NumPy twin of word_shingle_hashes_all +
-    per-doc counting, bit-identical to the JVM/oracle form (padded
-    fold for docs shorter than n tokens, ×131 mod-Mersenne31 combine,
-    ascending-g output from np.unique)."""
-    import re
-
-    import numpy as np
-
-    if not text:
-        return None
-    toks = [t for t in re.split(_JAVA_WS, text) if t]
-    if not toks:
-        return None
-    th = _token_hashes31(toks)
-    m31 = np.int64((1 << 31) - 1)
-    padded = np.concatenate([th, np.zeros(2, dtype=np.int64)])
-    sh = (
-        (padded[:-2] * 131 + padded[1:-1]) % m31 * 131 + padded[2:]
-    ) % m31
-    sh = sh[: max(len(toks) - n + 1, 1)]
-    gs, cs = np.unique(sh, return_counts=True)
-    return gs, cs.astype(np.int64)
+# The tokenize / memoized-md5 / shingle-fold kernels are shared with
+# the set-sketch family — see functions/pykernels.py for the
+# bit-exactness contract (and the fix rationale for the round-5
+# portable-id regression: one md5 per DISTINCT token per worker).
+from mimir_spark.functions.pykernels import (  # noqa: E402
+    doc_weighted_set as _doc_weighted_set,
+)
 
 
 def _weighted_arrays(docs: DataFrame) -> DataFrame:

@@ -34,10 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
-from mimir_spark.functions.text import word_shingle_hashes
 from mimir_spark.operators.dedup import (
-    SHINGLE_WORDS,
-    _minhash_signatures,
+    _minhash_doc_table,
     lsh_candidates,
 )
 from mimir_spark.streaming.jobs import read_documents_stream
@@ -89,15 +87,15 @@ def streaming_minhash_dedup(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        # hashed shingle sets — must match the batch operator's
-        # verification representation bit for bit
-        sh_new = batch.select(
-            "doc_id", word_shingle_hashes("text", SHINGLE_WORDS).alias("sh_set")
+        # one Arrow pass per micro-batch: signatures AND the hashed
+        # shingle sets (the batch operator's verification
+        # representation, bit for bit) — localCheckpoint so the
+        # kernel runs once, not per downstream use.
+        sig_new = (
+            _minhash_doc_table(batch)
+            .select("doc_id", "sig", "sh_set")
+            .localCheckpoint(eager=True)
         )
-        sig_new = _minhash_signatures(batch).join(sh_new, "doc_id")
-        # Arrival order within a micro-batch is one batch — localCheckpoint
-        # so signatures are computed once, not per downstream use.
-        sig_new = sig_new.localCheckpoint(eager=True)
         try:
             # batch_id is a discovered partition column (each batch
             # writes its own batch_id=N subdirectory, see below).
