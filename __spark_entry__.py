@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 6 (need first driver rows, so they lead) ---
         "multimodal_decode_png": multimodal.multimodal_decode_png,
+        "multimodal_decode_wav": multimodal.multimodal_decode_wav,
+        "multimodal_dedup_images": multimodal.multimodal_dedup_images,
         "bm25_topk_batch": retrieval.bm25_topk_batch,
         # --- ROUND-6 WINDOW ROTATION: the 70 oracle keys below have no
         #     recorded driver row in r4/r5 (last checked r2/r3 or never).
@@ -456,10 +458,11 @@ def _containment_lsh_ctes(threshold: float = 0.8) -> str:
     rows-per-band table is data-INDEPENDENT (only (i, j, threshold)
     enter dedup2._containment_band_configs), so the oracle emits the
     config for classes 0..20 statically; class pairs absent from the
-    data simply produce no candidates. Signatures/buckets are the
-    portable family; sizes and verification use the STRING shingle
-    sets (the Spark side's xxhash64-folded sets are count-identical
-    to them — the 64-bit fold can only merge on a collision)."""
+    data simply produce no candidates. Signatures/buckets AND the
+    sizes/verification sets are all the portable md5-31 folded family
+    (hsh) — the identical ids the Spark kernel computes, so a 31-bit
+    merge happens on both engines at once (bit-exact, not merely
+    count-identical)."""
     from mimir_spark.operators.dedup2 import _containment_band_configs
 
     cfg = _containment_band_configs(list(range(21)), threshold, dedup.N_HASHES)
@@ -500,10 +503,9 @@ def _containment_lsh_ctes(threshold: float = 0.8) -> str:
     cand_union = "\n              UNION ALL\n              ".join(cands)
     parts_sql = ",\n            ".join(parts)
     return f"""{_sig_ctes()},
-            ssh AS MATERIALIZED ({_SHINGLES}),
             csz AS (SELECT doc_id,
                            floor(log2(greatest(len(s), 1)))::int AS cls
-                    FROM ssh),
+                    FROM hsh),
             {parts_sql},
             ccand AS (
               SELECT DISTINCT doc_a, doc_b FROM (
@@ -515,8 +517,8 @@ def _containment_lsh_ctes(threshold: float = 0.8) -> str:
                            len(list_intersect(sa.s, sb.s)) AS n_common,
                            len(sa.s) AS na, len(sb.s) AS nb
                     FROM ccand c
-                    JOIN ssh sa ON sa.doc_id = c.doc_a
-                    JOIN ssh sb ON sb.doc_id = c.doc_b)
+                    JOIN hsh sa ON sa.doc_id = c.doc_a
+                    JOIN hsh sb ON sb.doc_id = c.doc_b)
               WHERE round(n_common / least(na, nb), 6) >= {threshold})"""
 
 
@@ -1554,6 +1556,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_train_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        # Cross-format image content dedup: the oracle recomputes each
+        # doc's normalized-pixel digest (Horner fold over [w, h] ++
+        # pixel bytes) straight from the generation rule — the Spark
+        # side reaches the same bytes through a REAL BMP or PNG parse
+        # depending on doc_id parity, so format-specific decode bugs
+        # split a cross-format group and hash-mismatch.
+        "multimodal_dedup_images": """
+            WITH dig AS (
+              SELECT doc_id,
+                     CASE WHEN (doc_id // 256) % 2 = 0
+                          THEN 'bmp' ELSE 'png' END AS fmt,
+                     list_reduce(
+                       [0::BIGINT, ((doc_id % 16) + 1)::BIGINT,
+                        ((doc_id % 8) + 1)::BIGINT]
+                       || list_transform(
+                            range(0, ((doc_id % 16) + 1)
+                                     * ((doc_id % 8) + 1) * 3),
+                            j -> (doc_id * 31 + j) % 256),
+                       (acc, b) -> (acc * 131 + b) % 1000000007
+                     ) AS digest
+              FROM documents)
+            SELECT digest,
+                   count(*)::BIGINT AS n_copies,
+                   count(DISTINCT fmt)::BIGINT AS n_formats,
+                   min(doc_id) AS survivor_id
+            FROM dig GROUP BY digest HAVING count(*) > 1
+        """,
+        # Real audio decode: RIFF/WAVE chunk walk + PCM16 parse; the
+        # oracle recomputes the exact integer energy / zero-crossing
+        # stats from the generation rule.
+        "multimodal_decode_wav": """
+            SELECT doc_id,
+                   8000::INT AS sample_rate,
+                   1::INT AS n_channels,
+                   16::INT AS bits,
+                   ((doc_id % 64) + 16)::BIGINT AS n_samples,
+                   list_sum(list_transform(
+                     range(0, (doc_id % 64) + 16),
+                     j -> (((doc_id * 37 + j * j) % 4096) - 2048)
+                          * (((doc_id * 37 + j * j) % 4096) - 2048)
+                   ))::BIGINT AS energy,
+                   list_sum(list_transform(
+                     range(1, (doc_id % 64) + 16),
+                     j -> CASE WHEN
+                            (((doc_id * 37 + j * j) % 4096) - 2048)
+                            * (((doc_id * 37 + (j-1) * (j-1)) % 4096) - 2048)
+                            < 0 THEN 1 ELSE 0 END
+                   ))::BIGINT AS zero_crossings
+            FROM documents
+        """,
         # Same generation rule as the BMP twin — but the Spark side
         # reaches these fields through a full PNG decode (CRC walk,
         # zlib inflate, five-filter unfiltering), so a mis-unfilter of

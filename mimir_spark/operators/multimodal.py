@@ -560,3 +560,292 @@ def decode_image(payload: bytes) -> tuple[int, int, int, int, int]:
             int(px.sum()),
         )
     raise ValueError("unrecognized image magic bytes")
+
+
+# ---- WAV: a REAL audio decode path ------------------------------------
+# PCM WAV is an uncompressed RIFF container — like BMP it is exactly
+# parseable in pure Python, which makes the audio leg of the
+# multimodal story REAL end-to-end (generate → parse → exact integer
+# statistics) instead of a stub. The stdlib `wave` module serves as an
+# independent cross-decoder in tests.
+
+WAV_SAMPLE_RATE = 8000
+WAV_DECODE_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, bits int,"
+    " n_samples long, energy long, zero_crossings long"
+)
+
+
+def _wav_samples(doc_id: int) -> list:
+    """Deterministic PCM16 samples: n = (id % 64) + 16,
+    s_j = ((id*37 + j*j) % 4096) - 2048."""
+    n = (doc_id % 64) + 16
+    return [((doc_id * 37 + j * j) % 4096) - 2048 for j in range(n)]
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """Deterministic tiny mono PCM16 WAV per doc (RIFF/WAVE with a
+    spec-complete fmt chunk)."""
+    samples = _wav_samples(doc_id)
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE * 2, 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL WAV decode: RIFF/WAVE signature checks, chunk walk, fmt
+    validation (PCM only), PCM16 sample parse, and two exact integer
+    statistics — energy Σ s² and strict zero crossings
+    (s_j · s_{j−1} < 0). Integers, not float means, so both engines
+    agree bit for bit. Raises on non-WAV / non-PCM payloads."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_len,) = struct.unpack_from("<I", payload, 4)
+    if riff_len != len(payload) - 8:
+        raise ValueError("RIFF length mismatch")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, n_ch, rate, byte_rate, block, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV layout fmt={audio_fmt} bits={bits}")
+    if byte_rate != rate * n_ch * 2 or block != n_ch * 2:
+        raise ValueError("inconsistent fmt chunk")
+    n = len(data) // (2 * n_ch)
+    samples = struct.unpack(f"<{n * n_ch}h", data[: 2 * n * n_ch])
+    energy = sum(s * s for s in samples)
+    crossings = sum(
+        1 for i in range(1, len(samples)) if samples[i] * samples[i - 1] < 0
+    )
+    return rate, n_ch, bits, n, energy, crossings
+
+
+def with_wav_payload(docs: DataFrame) -> DataFrame:
+    """Attach a real WAV binary column (Arrow-batched generation)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(encode_wav),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id long, payload binary")
+
+
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over a binary column: per doc, parse the PCM
+    WAV and emit format fields plus exact integer energy and
+    zero-crossing statistics. Map-only — generation and decode fuse
+    into one scan, payload bytes never shuffle. Oracle-checked: the
+    oracle recomputes every field from the generation rule, so a
+    chunk-walk, alignment, or sample-parse bug hash-mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_channels": [r[1] for r in rows],
+                    "bits": [r[2] for r in rows],
+                    "n_samples": [r[3] for r in rows],
+                    "energy": [r[4] for r in rows],
+                    "zero_crossings": [r[5] for r in rows],
+                }
+            )
+
+    return with_wav_payload(docs).mapInPandas(_dec, WAV_DECODE_SCHEMA)
+
+
+# ---- Cross-format image content dedup ---------------------------------
+
+
+def _bmp_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """(w, h, row-major RGB bytes) from a BMP payload — the pixel-level
+    sibling of decode_bmp (strips row padding)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp={bpp}")
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    out = bytearray()
+    for row in range(h):
+        start = offset + row * stride
+        out.extend(payload[start : start + row_bytes])
+    return w, h, bytes(out)
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """(w, h, row-major RGB bytes) from a PNG payload — full decode
+    (CRC walk, inflate, unfilter), pixel-level sibling of decode_png."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    w = h = depth = ctype = None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", body, 0)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or depth != 8 or ctype != 2:
+        raise ValueError("unsupported PNG layout")
+    bpp = 3
+    row_bytes = w * bpp
+    flat = zlib.decompress(bytes(idat))
+    out = bytearray()
+    prior = [0] * row_bytes
+    for r in range(h):
+        start = r * (row_bytes + 1)
+        ftype = flat[start]
+        enc = flat[start + 1 : start + 1 + row_bytes]
+        row = [0] * row_bytes
+        for i, e in enumerate(enc):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                x = e
+            elif ftype == 1:
+                x = (e + a) % 256
+            elif ftype == 2:
+                x = (e + b) % 256
+            elif ftype == 3:
+                x = (e + (a + b) // 2) % 256
+            elif ftype == 4:
+                x = (e + _paeth(a, b, c)) % 256
+            else:
+                raise ValueError(f"bad filter type {ftype}")
+            row[i] = x
+        out.extend(row)
+        prior = row
+    return w, h, bytes(out)
+
+
+def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Format-dispatching pixel decode (BMP / PNG) — the content
+    NORMALIZATION step: whatever container the bytes arrived in, the
+    output is (w, h, row-major RGB), so content comparisons are
+    format-independent."""
+    if payload[:2] == b"BM":
+        return _bmp_pixels(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _png_pixels(payload)
+    raise ValueError("unrecognized image magic bytes")
+
+
+def pixel_digest(w: int, h: int, px: bytes) -> int:
+    """Canonical content digest: Horner fold (×131 mod 1e9+7) over
+    [w, h] ++ pixel bytes — identical for the same picture in any
+    container format."""
+    acc = 0
+    for b in (w, h, *px):
+        acc = (acc * DIGEST_BASE + b) % DIGEST_MOD
+    return acc
+
+
+def with_mixed_image_payload(docs: DataFrame) -> DataFrame:
+    """Attach a binary image column in MIXED formats: BMP or PNG by
+    (doc_id // 256) % 2. The generation rule repeats pixel content
+    with period 256 in doc_id, so members of the same content group
+    ALTERNATE formats — cross-format duplicates exist by
+    construction (an id-parity split would put a whole group in one
+    format)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_bmp(int(d))
+                        if (int(d) // 256) % 2 == 0
+                        else encode_png(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id long, payload binary")
+
+
+def multimodal_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FORMAT image content dedup: decode every payload to
+    normalized (w, h, RGB) pixels — a real BMP parse or a real PNG
+    inflate+unfilter per doc — digest the content, and group by
+    digest. The same picture stored as a BMP in one document and a PNG
+    in another lands in the same group, which is exactly what a
+    training-data pipeline needs (byte-level hashing finds only
+    same-container copies).
+
+    Output: one row per duplicated content digest —
+    (digest, n_copies, n_formats, survivor_id) with the smallest
+    doc_id surviving. Scale shape: decode is map-only (payload bytes
+    never shuffle); the groupBy key is the 8-byte digest, map-side
+    combined; output is digest-group-sized, never pairs (a k-copy
+    group would otherwise emit k² pair rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _dig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digs, fmts = [], []
+            for p in pdf["payload"]:
+                w, h, px = decode_pixels(p)
+                digs.append(pixel_digest(w, h, px))
+                fmts.append("bmp" if p[:2] == b"BM" else "png")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "digest": digs, "fmt": fmts}
+            )
+
+    digests = with_mixed_image_payload(docs).mapInPandas(
+        _dig, "doc_id long, digest long, fmt string"
+    )
+    return (
+        digests.groupBy("digest")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("fmt").cast("long").alias("n_formats"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("digest", "n_copies", "n_formats", "survivor_id")
+    )

@@ -395,3 +395,72 @@ def test_png_decode_rejects_corruption(spark):
         m.decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks
     with _pytest.raises(ValueError):
         m.decode_image(b"GIF89a...")
+
+
+def test_wav_codec_spec_valid_and_cross_decoded():
+    """encode_wav emits spec-valid RIFF/WAVE: the stdlib `wave` module
+    (an independent parser) must agree on format fields and every
+    PCM16 sample; decode_wav's integer statistics match the
+    generation rule; corruption raises."""
+    import io
+    import struct as _struct
+    import wave as _wave
+
+    import pytest as _pytest
+
+    import mimir_spark.operators.multimodal as m
+
+    for d in range(130):
+        p = m.encode_wav(d)
+        rate, ch, bits, n, energy, cross = m.decode_wav(p)
+        ref = m._wav_samples(d)
+        assert (rate, ch, bits, n) == (8000, 1, 16, len(ref))
+        assert energy == sum(s * s for s in ref)
+        assert cross == sum(
+            1 for i in range(1, len(ref)) if ref[i] * ref[i - 1] < 0
+        )
+        w = _wave.open(io.BytesIO(p))
+        assert (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getnframes(),
+        ) == (8000, 1, 2, len(ref))
+        assert (
+            list(_struct.unpack(f"<{len(ref)}h", w.readframes(len(ref))))
+            == ref
+        )
+
+    bad = bytearray(m.encode_wav(9))
+    bad[4] ^= 0xFF  # RIFF length field
+    with _pytest.raises(ValueError):
+        m.decode_wav(bytes(bad))
+    with _pytest.raises(ValueError):
+        m.decode_wav(b"RIFFxxxxWAVE")
+
+
+def test_multimodal_dedup_images_cross_format(spark, sf_smoke):
+    """Every duplicate group must span BOTH container formats (ids in
+    a group differ by multiples of 256, so parities mix), and the
+    survivor is the smallest doc_id of its group."""
+    from mimir_spark.operators.multimodal import (
+        decode_pixels,
+        encode_bmp,
+        encode_png,
+        multimodal_dedup_images,
+        pixel_digest,
+    )
+
+    # format-independence of the normalized digest
+    for d in (4, 9, 260, 265):
+        wb, hb, pb = decode_pixels(encode_bmp(d))
+        wp, hp, pp = decode_pixels(encode_png(d))
+        assert pixel_digest(wb, hb, pb) == pixel_digest(wp, hp, pp)
+
+    rows = multimodal_dedup_images(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_copies > 1
+        assert r.n_formats == 2  # groups mix BMP and PNG by construction
+    # survivor ids are distinct group minima
+    assert len({r.survivor_id for r in rows}) == len(rows)
