@@ -244,13 +244,7 @@ def bm25_topk_batch(
     never a global sort. For a fixed single query the batch result
     restricted to that qid is row-identical to `bm25_topk`
     (pytest-pinned)."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in terms],
-        "query_id long, w string",
-    )
     all_terms = sorted({t for _, terms in queries for t in terms})
     tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
     dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
@@ -258,6 +252,27 @@ def bm25_topk_batch(
         tok.filter(F.col("w").isin(*all_terms))
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast("long").alias("tf"))
+    )
+    return bm25_batch_rank_from_parts(tf, dl, queries, k)
+
+
+def bm25_batch_rank_from_parts(
+    tf: DataFrame,
+    dl: DataFrame,
+    queries: tuple[tuple[int, tuple[str, ...]], ...],
+    k: int,
+) -> DataFrame:
+    """Per-query score + rank from the two index tables — the batched
+    sibling of `bm25_rank_from_parts`, shared verbatim by the batch
+    operator and the streaming finalizer so incremental and
+    single-pass per-query rankings are bit-identical (tf/dl/df/N are
+    all sum-monoid state; this is the only batched scoring path)."""
+    from pyspark.sql import Window
+
+    spark = tf.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id long, w string",
     )
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"),

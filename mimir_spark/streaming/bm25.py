@@ -24,7 +24,9 @@ from pyspark.sql.streaming import StreamingQuery
 from mimir_spark.functions.text import tokens_col
 from mimir_spark.operators.retrieval import (
     BM25_QUERY,
+    BM25_QUERY_BATCH,
     BM25_TOPK,
+    bm25_batch_rank_from_parts,
     bm25_rank_from_parts,
 )
 from mimir_spark.streaming.jobs import read_documents_stream
@@ -89,3 +91,25 @@ def finalize_bm25_topk(
     tf = tf_raw.join(last, ["doc_id", "batch_id"]).select("doc_id", "w", "tf")
     dl = dl_raw.join(last, ["doc_id", "batch_id"]).select("doc_id", "dl")
     return bm25_rank_from_parts(tf, dl, k)
+
+
+def finalize_bm25_topk_batch(
+    spark: SparkSession,
+    tf_dir: str,
+    dl_dir: str,
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = BM25_QUERY_BATCH,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Per-query top-k for a QUERY BATCH from the incrementally built
+    index — identical output to `bm25_topk_batch` on the same corpus
+    (the stream must have been built with `terms` covering the batch's
+    term union). Same latest-batch-wins redelivery guard as
+    `finalize_bm25_topk`; the scoring is the shared
+    `bm25_batch_rank_from_parts`, so incremental and single-pass
+    per-query rankings are bit-identical."""
+    tf_raw = spark.read.parquet(tf_dir)
+    dl_raw = spark.read.parquet(dl_dir)
+    last = dl_raw.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+    tf = tf_raw.join(last, ["doc_id", "batch_id"]).select("doc_id", "w", "tf")
+    dl = dl_raw.join(last, ["doc_id", "batch_id"]).select("doc_id", "dl")
+    return bm25_batch_rank_from_parts(tf, dl, queries, k)

@@ -948,3 +948,57 @@ def test_streaming_sketch_stores_resolve_redelivered_docs(
         assert len(p1) == 1, (name, p1)
         score = p1[0][2]
         assert 0.5 <= score < 1.0, (name, score)
+
+
+def test_streaming_bm25_batch_matches_batch(spark, sf_smoke, tmp_path):
+    """Incrementally built index + the batched finalizer must equal
+    the single-pass bm25_topk_batch bit for bit (shared scoring
+    path), with the stream built over the batch's term union."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.retrieval import (
+        BM25_QUERY_BATCH,
+        bm25_topk_batch,
+    )
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.bm25 import (
+        finalize_bm25_topk_batch,
+        streaming_bm25_build,
+    )
+
+    union_terms = tuple(
+        sorted({t for _, terms in BM25_QUERY_BATCH for t in terms})
+    )
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_bm25_build(
+        spark, flat, str(tmp_path / "tf"), str(tmp_path / "dl"),
+        str(tmp_path / "ckpt"), terms=union_terms,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in finalize_bm25_topk_batch(
+            spark, str(tmp_path / "tf"), str(tmp_path / "dl")
+        ).collect()
+    )
+    expect = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk_batch(spark, sf_smoke).collect()
+    )
+    assert got == expect and got
