@@ -54,10 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict in
     # order and covers a ~50-key window per round (r01: 50, r02: 51,
-    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — every
-    # key with no driver row in r4/r5 leads (new round-6 keys are
-    # inserted at the very front as they land), permanent rows-only keys
-    # are parked past position 49, r4/r5-green keys trail.
+    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — the 4
+    # new round-6 keys lead (first driver rows), then the 70 keys with
+    # no driver row in r4/r5; a 50-key window covers the new keys plus
+    # the first 46 of those, leaving ~24 (from `multimodal_meta`
+    # onward) to rotate to the front in round 7. Permanent rows-only
+    # keys are parked past the window, r4/r5-green keys trail.
     return {
         # --- new in round 6 (need first driver rows, so they lead) ---
         "multimodal_decode_png": multimodal.multimodal_decode_png,
