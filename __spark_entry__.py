@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_wav": multimodal.multimodal_decode_wav,
         "multimodal_dedup_images": multimodal.multimodal_dedup_images,
         "bm25_topk_batch": retrieval.bm25_topk_batch,
+        "hybrid_retrieval_batch": retrieval.hybrid_retrieval_batch,
+        "phrase_search": retrieval.phrase_search,
         # --- ROUND-6 WINDOW ROTATION: the 70 oracle keys below have no
         #     recorded driver row in r4/r5 (last checked r2/r3 or never).
         #     The driver gate walks ~50 keys from position 0, so the first
@@ -2633,6 +2635,87 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.cross_entropy <= c.p67 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored s JOIN cuts c ON c.lang = s.lang
+        """,
+        # Exact consecutive-phrase search: positional zip over the
+        # token list, same Java-\s tokenization as the Spark side.
+        "phrase_search": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents)
+            SELECT doc_id,
+                   list_sum(list_transform(range(1, len(t)),
+                     i -> CASE WHEN t[i] = 'hash' AND t[i+1] = 'join'
+                          THEN 1 ELSE 0 END))::BIGINT AS n_matches
+            FROM t
+            WHERE list_sum(list_transform(range(1, len(t)),
+                     i -> CASE WHEN t[i] = 'hash' AND t[i+1] = 'join'
+                          THEN 1 ELSE 0 END)) > 0
+        """,
+        # Batched two-stage retrieval: batched-BM25 pool (rank <= 50
+        # per query) -> per-query cosine re-rank against vec_id =
+        # query_id, qid-partitioned rank window.
+        "hybrid_retrieval_batch": r"""
+            WITH q(query_id, w) AS (VALUES
+              (0, 'spark'), (0, 'join'), (0, 'window'),
+              (1, 'hash'), (1, 'merge'), (1, 'sort'),
+              (2, 'stream'), (2, 'state'), (2, 'batch')
+            ), tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, w, count(*)::BIGINT AS tf
+              FROM tok WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1, 2
+            ), dft AS (
+              SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     round(SUM(
+                       LN((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                     ), 6) AS score
+              FROM tf JOIN q USING (w)
+              JOIN dft ON dft.w = tf.w
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id
+            ), pool AS (
+              SELECT query_id, doc_id, bm25_rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id)::BIGINT AS bm25_rank
+                FROM scored)
+              WHERE bm25_rank <= 50
+            ), rescored AS (
+              SELECT p.query_id, p.doc_id, p.bm25_rank,
+                     round(
+                       list_sum(list_transform(generate_series(1, 64),
+                         i -> e.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                          * sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE)))),
+                       6) AS cos
+              FROM pool p
+              JOIN embeddings e ON e.vec_id = p.doc_id
+              JOIN embeddings qe ON qe.vec_id = p.query_id
+            )
+            SELECT query_id::BIGINT AS query_id, doc_id, bm25_rank, cos, rank
+            FROM (
+              SELECT query_id, doc_id, bm25_rank, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, doc_id)::BIGINT AS rank
+              FROM rescored)
+            WHERE rank <= 10
         """,
         # Batched BM25: three queries, one corpus pass; same scoring
         # formula as bm25_topk, qid-partitioned rank window.

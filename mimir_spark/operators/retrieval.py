@@ -313,3 +313,99 @@ def bm25_batch_rank_from_parts(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+PHRASE_QUERY = ("hash", "join")
+
+
+def phrase_search(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase: tuple[str, ...] = PHRASE_QUERY,
+) -> DataFrame:
+    """EXACT consecutive-phrase search via positional postings — the
+    retrieval capability BM25's bag-of-words scoring cannot express
+    (\"hash join\" as a phrase, not two independent terms). Output:
+    (doc_id, n_matches) for documents containing the phrase at least
+    once.
+
+    Plan: ONE token scan with positions, filtered to the phrase's
+    term set before anything shuffles (the postings list is
+    phrase-term-sized, not corpus-sized); term i's postings join on
+    (doc_id, pos − i = start), so every join is keyed on the same
+    (doc_id, start) pair — co-partitioned after the first exchange,
+    no re-shuffle per term. A production run orders the join chain by
+    ascending document frequency (rarest term first) so the running
+    intersection is smallest-first; at a fixed 2-3 term phrase the
+    chain is ≤ 2 joins either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col("text")).alias("pos", "w"),
+    ).filter(F.col("w").isin(*set(phrase)))
+    matches = None
+    for i, term in enumerate(phrase):
+        part = post.filter(F.col("w") == term).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        matches = part if matches is None else matches.join(
+            part, ["doc_id", "start"]
+        )
+    return (
+        matches.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+        .select("doc_id", "n_matches")
+    )
+
+
+def hybrid_retrieval_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[int, tuple[str, ...], int], ...] | None = None,
+    k: int = HYBRID_K,
+    pool: int = HYBRID_POOL,
+) -> DataFrame:
+    """Two-stage retrieval for a QUERY BATCH in one corpus pass: the
+    batched BM25 first stage (`bm25_topk_batch`, top-`pool` per
+    query), then a per-query embedding-cosine re-rank of each pool
+    against that query's own vector. Each query entry is
+    (query_id, terms, query_vec_id); the default batch pairs
+    BM25_QUERY_BATCH's terms with vec_id = query_id.
+
+    Scale shape: the corpus is scanned once for the whole batch (the
+    bm25_topk_batch plan); the vector stage touches batch×pool rows
+    however large the corpus, the query-vector table rides a
+    broadcast keyed by query_id, and the final top-k is a
+    qid-PARTITIONED rank window — parallel across queries, never a
+    global sort."""
+    from pyspark.sql import Window
+
+    from mimir_spark.functions.vectors import cosine_sim
+
+    if queries is None:
+        queries = tuple(
+            (qid, terms, qid) for qid, terms in BM25_QUERY_BATCH
+        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = bm25_topk_batch(
+        spark, sf_dir,
+        queries=tuple((q, t) for q, t, _ in queries), k=pool,
+    ).select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
+    qmap = spark.createDataFrame(
+        [(q, v) for q, _, v in queries], "query_id long, qvec_id long"
+    )
+    qv = qmap.join(
+        emb, qmap.qvec_id == emb.vec_id
+    ).select("query_id", F.col("embedding").alias("qe"))
+    scored = (
+        first.join(emb, first.doc_id == emb.vec_id)
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.round(cosine_sim("embedding", "qe"), 6))
+        .select("query_id", "doc_id", "bm25_rank", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25_rank", "cos", "rank")
+    )

@@ -506,3 +506,59 @@ def test_bm25_topk_batch_matches_single_query(spark, sf_smoke):
     )
     rows = alt.collect()
     assert rows and all(r.query_id == 7 and r.rank <= 5 for r in rows)
+
+
+def test_phrase_search_semantics(spark, sf_smoke):
+    """Phrase matches are CONSECUTIVE: every reported doc contains the
+    exact token sequence, the count equals the Python-reference count,
+    and docs with both words non-adjacent are excluded."""
+    import re
+
+    from mimir_spark.operators.retrieval import phrase_search
+    from mimir_spark.sources.tables import load_table
+
+    got = {
+        (r.doc_id, r.n_matches)
+        for r in phrase_search(spark, sf_smoke).collect()
+    }
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    expect = {}
+    for r in load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        toks = [t for t in ws.split(r.text or "") if t]
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == "hash" and toks[i + 1] == "join"
+        )
+        if n:
+            expect[r.doc_id] = n
+    assert got == set(expect.items()) and got
+
+    # parameterized: a different phrase works through the same chain
+    alt = phrase_search(spark, sf_smoke, phrase=("merge", "sort"))
+    for r in alt.collect():
+        assert r.n_matches >= 1
+
+
+def test_hybrid_retrieval_batch_matches_single(spark, sf_smoke):
+    """Restricted to query 0 with vec 0, the batched hybrid result
+    must be row-identical to the single-query hybrid_retrieval."""
+    from mimir_spark.operators.retrieval import (
+        BM25_QUERY,
+        hybrid_retrieval,
+        hybrid_retrieval_batch,
+    )
+
+    batch = hybrid_retrieval_batch(
+        spark, sf_smoke, queries=((0, BM25_QUERY, 0),)
+    )
+    got = {
+        (r.doc_id, r.bm25_rank, r.cos, r.rank) for r in batch.collect()
+    }
+    single = {
+        (r.doc_id, r.bm25_rank, r.cos, r.rank)
+        for r in hybrid_retrieval(spark, sf_smoke).collect()
+    }
+    assert got == single and got
