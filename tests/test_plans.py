@@ -428,3 +428,74 @@ def test_correctness_does_not_depend_on_partition_count(spark, sf_correct):
         base = {tuple(r) for r in fn(spark, sf_correct).collect()}
         alt = {tuple(r) for r in fn(odd, sf_correct).collect()}
         assert base == alt, fn.__name__
+
+
+def test_bm25_batch_broadcasts_query_list(spark, sf_correct):
+    """The batched BM25 plan must broadcast the query-term list and
+    the per-term df table (both bounded metadata) — the only
+    corpus-keyed exchange is the per-doc tf groupBy — and the final
+    per-query top-k must be a qid-PARTITIONED window, never a global
+    sort of all scored docs."""
+    from mimir_spark.operators.retrieval import bm25_topk_batch
+
+    import re
+
+    df = bm25_topk_batch(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    # per-query rank runs as a PARTIAL WindowGroupLimit (per-partition
+    # k-heaps) before one qid-keyed exchange — the batched analogue of
+    # TakeOrdered — and the window partition spec is query_id
+    assert "WindowGroupLimit" in plan, plan
+    assert re.search(
+        r"WindowGroupLimit\nInput[^\n]*\nArguments: \[query_id", plan
+    ), plan
+
+
+def test_phrase_search_single_exchange_chain(spark, sf_correct):
+    """phrase_search filters postings to the phrase's term set BEFORE
+    the join, and every per-term join is keyed on the same
+    (doc_id, start) pair: after the first exchange the chain reuses
+    the partitioning — the plan must not contain one exchange per
+    phrase term."""
+    from mimir_spark.operators.retrieval import phrase_search
+
+    import re
+
+    df = phrase_search(spark, sf_correct)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the term-set filter sits below the joins, and the whole chain
+    # plans with at most 3 exchange NODES (join sides + final agg)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert "IN (" in plan or "isin" in plan, plan
+
+
+def test_minhash_doc_table_is_shuffle_free(spark, sf_correct):
+    """The sketch family's only corpus-sized stage: one repartition
+    (the deliberate _spread) feeding the Arrow kernel — no groupBy /
+    aggregate exchange anywhere in the signature build."""
+    from mimir_spark.operators.dedup import _minhash_doc_table
+    from mimir_spark.sources.tables import load_table
+
+    import re
+
+    df = _minhash_doc_table(load_table(spark, sf_correct, "documents"))
+    plan = formatted_plan(df)
+    assert "HashAggregate" not in plan, plan
+    # exactly one exchange NODE: the deliberate _spread repartition
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_weighted_arrays_is_shuffle_free(spark, sf_correct):
+    """Same property for the weighted family's corpus stage."""
+    from mimir_spark.operators.weighted import _weighted_arrays
+    from mimir_spark.sources.tables import load_table
+
+    import re
+
+    df = _weighted_arrays(load_table(spark, sf_correct, "documents"))
+    plan = formatted_plan(df)
+    assert "HashAggregate" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
