@@ -43,6 +43,10 @@ PROBES = [
     # suffix-sorting substring refinement: the ~16× suffix-table
     # blow-up is constant-factor, so time must track input growth
     "max_dup_span",
+    # round-6: batched retrieval (one corpus pass per query batch)
+    # and the positional phrase join
+    "bm25_topk_batch",
+    "phrase_search",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -58,6 +62,8 @@ INPUT_TABLES = {
     "dedup_containment_lsh": "documents",
     "dedup_icws": "documents",
     "max_dup_span": "documents",
+    "bm25_topk_batch": "documents",
+    "phrase_search": "documents",
 }
 
 
