@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_batch": retrieval.bm25_topk_batch,
         "hybrid_retrieval_batch": retrieval.hybrid_retrieval_batch,
         "phrase_search": retrieval.phrase_search,
+        "constraint_report": profiling.constraint_report,
         # --- ROUND-6 WINDOW ROTATION: the 70 oracle keys below have no
         #     recorded driver row in r4/r5 (last checked r2/r3 or never).
         #     The driver gate walks ~50 keys from position 0, so the first
@@ -1560,6 +1561,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_train_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        # Constraint-validation gate; every rule is one aggregate or
+        # anti-join, trivially expressed in ANSI SQL.
+        "constraint_report": """
+            SELECT 'lineitem.quantity in [1,50]' AS constraint,
+                   count(*)::BIGINT AS n_checked,
+                   sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END)::BIGINT AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.discount in [0,1]', count(*)::BIGINT,
+                   sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                       THEN 1 ELSE 0 END)::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders.totalprice > 0', count(*)::BIGINT,
+                   sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'documents.text not null', count(*)::BIGINT,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+            FROM documents
+            UNION ALL
+            SELECT 'customer.custkey unique', sum(n)::BIGINT,
+                   sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT
+            FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey)
+            UNION ALL
+            SELECT 'orders.custkey references customer',
+                   (SELECT count(*) FROM orders)::BIGINT,
+                   count(*) FILTER (c.c_custkey IS NULL)::BIGINT
+            FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
         # Cross-format image content dedup: the oracle recomputes each
         # doc's normalized-pixel digest (Horner fold over [w, h] ++
         # pixel bytes) straight from the generation rule — the Spark

@@ -170,3 +170,79 @@ def shuffle_skew_report(
             ).alias("gini"),
         )
     )
+
+
+def constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-validation gate: evaluate a fixed constraint suite (the
+    checks a pipeline owner runs BEFORE promoting a snapshot) and
+    report (constraint, n_checked, n_violations) per rule — not-null,
+    domain-range, key-uniqueness, referential-integrity, and
+    discount/tax sanity over the TPC-H-ish tables.
+
+    Scale shape: every rule is either a map-side-combined aggregate
+    over one scan (range / not-null rules share their table's single
+    pass via Catalyst common-subplan reuse) or a broadcast/shuffle
+    anti-join for referential rules keyed on the foreign key; the
+    report itself is rules-sized. A failed gate costs one boolean
+    read; silent corruption costs a training run."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def agg_rule(name: str, df: DataFrame, bad) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(bad.cast("long")).cast("long").alias("n_violations"),
+        )
+
+    rules = [
+        agg_rule(
+            "lineitem.quantity in [1,50]",
+            li,
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        ),
+        agg_rule(
+            "lineitem.discount in [0,1]",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        agg_rule("orders.totalprice > 0", orders, F.col("o_totalprice") <= 0),
+        agg_rule("documents.text not null", docs, F.col("text").isNull()),
+    ]
+    # key uniqueness: violations = rows carrying a duplicated key
+    dup = (
+        cust.groupBy("c_custkey")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.lit("customer.custkey unique").alias("constraint"),
+            F.sum("n").cast("long").alias("n_checked"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    # referential integrity: orphan foreign keys via left-anti join
+    # (customer is the broadcastable side at any realistic ratio)
+    n_orders = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked")
+    )
+    orphans = (
+        orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.lit("orders.custkey references customer").alias("constraint"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    out = rules[0]
+    for r in rules[1:] + [dup, orphans]:
+        out = out.unionByName(r)
+    return out
