@@ -136,8 +136,17 @@ def test_dedup_lsh_pair_source_no_shingle_selfjoin(spark, sf_smoke):
 
     lsh = dedup.near_dup_pairs(spark, sf_smoke, pair_source="lsh")
     plan = formatted_plan(lsh)
-    assert "MapInPandas" in plan, plan
     assert not any("sh#" in l for l in _join_key_lines(plan)), plan
+    # The signature kernel (MapInPandas) sits BEHIND the eager
+    # localCheckpoint that shares the doc table between candidate
+    # generation and verify, so it no longer appears in the pair
+    # plan; assert it on the pre-checkpoint stage instead.
+    from mimir_spark.sources.tables import load_table
+
+    tbl_plan = formatted_plan(
+        dedup._minhash_doc_table(load_table(spark, sf_smoke, "documents"))
+    )
+    assert "MapInPandas" in tbl_plan, tbl_plan
     # sanity: the detector does fire on the exact path's shingle join
     exact = dedup.near_dup_pairs(spark, sf_smoke, pair_source="exact")
     eplan = formatted_plan(exact)
