@@ -464,3 +464,35 @@ def test_multimodal_dedup_images_cross_format(spark, sf_smoke):
         assert r.n_formats == 2  # groups mix BMP and PNG by construction
     # survivor ids are distinct group minima
     assert len({r.survivor_id for r in rows}) == len(rows)
+
+
+def test_new_round6_ops_partition_invariance(spark, sf_smoke):
+    """Every round-6 operator's output must be a pure function of the
+    data SET: a sibling session with a prime, tiny shuffle partition
+    count produces identical rows."""
+    from mimir_spark.operators.multimodal import (
+        multimodal_decode_png,
+        multimodal_decode_wav,
+        multimodal_dedup_images,
+    )
+    from mimir_spark.operators.profiling import constraint_report
+    from mimir_spark.operators.retrieval import (
+        bm25_topk_batch,
+        hybrid_retrieval_batch,
+        phrase_search,
+    )
+
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    for fn in (
+        multimodal_decode_png,
+        multimodal_decode_wav,
+        multimodal_dedup_images,
+        bm25_topk_batch,
+        hybrid_retrieval_batch,
+        phrase_search,
+        constraint_report,
+    ):
+        base = {tuple(r) for r in fn(spark, sf_smoke).collect()}
+        alt = {tuple(r) for r in fn(odd, sf_smoke).collect()}
+        assert base == alt and base, fn.__name__
