@@ -149,9 +149,7 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "id",
             F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(
-                    F.col("c").desc(), "word"
-                )
+                Window.orderBy(F.col("c").desc(), "word")  # V-bounded
             ).cast("long"),
         )
         .select("word", "id")

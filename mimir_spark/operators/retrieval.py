@@ -94,10 +94,11 @@ def bm25_rank_from_parts(tf: DataFrame, dl: DataFrame, k: int) -> DataFrame:
     top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
     from pyspark.sql import Window
 
-    # constant partition key: input is k-bounded (post-limit); this
-    # silences the WindowExec no-partition warning without changing
-    # the single-partition execution
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), "doc_id")
+    # single-partition window over the k-bounded post-limit rows —
+    # deliberate (Spark 4 strips constant partition keys, so the
+    # cosmetic WindowExec warning is silenced at the harness logger
+    # instead; see bench.py)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "score", "rank"
     )
@@ -147,7 +148,7 @@ def hybrid_retrieval(
     top = scored.orderBy(F.col("cos").desc(), "doc_id").limit(k)
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos").desc(), "doc_id")
+    w = Window.orderBy(F.col("cos").desc(), "doc_id")  # k-bounded (post-limit)
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "bm25_rank", "cos", "rank"
     )
@@ -205,7 +206,7 @@ def retrieval_hard_negatives(
         .join(partners, "doc_id", "left_anti")
         .select("doc_id", "score")
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), "doc_id")
+    w = Window.orderBy(F.col("score").desc(), "doc_id")  # pool-bounded
     return (
         negs.withColumn("neg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("neg_rank") <= k)

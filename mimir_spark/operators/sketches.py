@@ -192,11 +192,10 @@ def quantiles_from_histogram(
     rank-to-bin match is a 3-row broadcast against the bins — the
     histogram is the only corpus-sized pass."""
     spark = hist.sparkSession
-    # constant partition key on the O(bins) table — silences the
-    # WindowExec no-partition warning; execution is one task either way
-    w = Window.partitionBy(F.lit(0)).orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # single-partition cumulative walk over the O(bins) table —
+    # bounded by construction (the warning it logs is cosmetic and
+    # silenced at the harness logger; see bench.py)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     cum = hist.select(
         "bin",
         "cnt",
@@ -279,9 +278,7 @@ def quantiles_from_ddsketch(
     bucket's geometric midpoint 2*gamma^b/(gamma+1) — identical literal
     arithmetic on both engines."""
     spark = sk.sparkSession
-    w = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     cum = sk.select(
         "bucket",
         "cnt",
@@ -387,7 +384,7 @@ def quantiles_from_bottomk(
     ranked = sample.select(
         "value",
         F.row_number()
-        .over(Window.partitionBy(F.lit(0)).orderBy("value", "sid"))
+        .over(Window.orderBy("value", "sid"))  # k-bounded sample
         .cast("long")
         .alias("rk"),
     )

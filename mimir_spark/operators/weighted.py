@@ -42,42 +42,6 @@ from mimir_spark.operators.dedup import (
 )
 from mimir_spark.sources.tables import load_table
 
-WJ_THRESHOLD = 0.5
-ICWS_HASHES = 128
-ICWS_BANDS = 32  # 4 rows/band — same S-curve operating point as set-LSH
-
-
-T_CLAMP = 1 << 32  # sample-level clamp — see _icws_band_bucket
-
-
-def _icws_band_bucket(start: int, rows: int) -> F.Column:
-    """Engine-portable bucket over the band's (g, t) sample pairs: a
-    fixed-coefficient linear combination (g and t interleave over the
-    shared BUCKET_COEFFS family — a bucket collision needs the full
-    consistent sample to agree, same as the xxhash64 form it
-    replaces). The overflow bound is UNCONDITIONAL: t enters clamped
-    to T_CLAMP = 2^32 (t = ⌊ln(w)/r + β⌋ is typically single-digit
-    but unbounded as the Gamma draw r → 0; unclamped, an
-    astronomically rare draw could push t·coeff past int64, which
-    ANSI arithmetic turns into a job failure at 100 TB draw counts).
-    With g < 2^31, t ≤ 2^32, coefficients < 2^25, and rows ≤ 32, the
-    band sum is < 32·2^56 + 32·2^57 < 2^63. A clamped t only MERGES
-    buckets — an extra candidate that exact verification removes —
-    and the DuckDB oracle applies the identical least() clamp."""
-    terms = [
-        F.element_at("sig_g", start + j + 1) * F.lit(BUCKET_COEFFS[2 * j])
-        for j in range(rows)
-    ] + [
-        F.least(F.element_at("sig_t", start + j + 1), F.lit(T_CLAMP))
-        * F.lit(BUCKET_COEFFS[2 * j + 1])
-        for j in range(rows)
-    ]
-    out = terms[0]
-    for term in terms[1:]:
-        out = out + term
-    return out
-
-
 # The tokenize / memoized-md5 / shingle-fold kernels are shared with
 # the set-sketch family — see functions/pykernels.py for the
 # bit-exactness contract (and the fix rationale for the round-5
@@ -85,6 +49,73 @@ def _icws_band_bucket(start: int, rows: int) -> F.Column:
 from mimir_spark.functions.pykernels import (  # noqa: E402
     doc_weighted_set as _doc_weighted_set,
 )
+
+WJ_THRESHOLD = 0.5
+ICWS_HASHES = 128
+ICWS_BANDS = 32  # 4 rows/band — same S-curve operating point as set-LSH
+
+
+T_CLAMP = 1 << 32  # sample-level clamp — see _icws_bucket_rows
+
+
+def _icws_bucket_rows(sig: DataFrame, rows: int) -> DataFrame:
+    """(doc_id, band, bucket) rows from ICWS signatures with `rows`
+    samples per band: a fixed-coefficient linear combination of the
+    band's (g, t) consistent-sample pairs (g and t interleave over the
+    shared BUCKET_COEFFS family — a bucket collision needs the full
+    consistent sample to agree), computed for every band at once.
+    The JVM expression tree for 128/rows bands × 2·rows clamped
+    terms is large enough that janino REJECTS the
+    generated explode method (observed at rows=4: whole-stage codegen
+    falls back to interpreted eval — silently ~an order of magnitude
+    slower on the hot candidate path), so the same integer arithmetic
+    runs as one (128,)-vector multiply-add per doc inside the Arrow
+    pass instead. Identical values: same BUCKET_COEFFS layout
+    (position-within-band indexed), same t clamp, int64 throughout.
+    The overflow bound is UNCONDITIONAL: g < 2^31, t clamped to
+    T_CLAMP = 2^32 (t = ⌊ln(w)/r + β⌋ is typically single-digit but
+    unbounded as the Gamma draw r → 0), coefficients < 2^25, rows ≤
+    32 ⇒ band sum < 32·2^56 + 32·2^57 < 2^63. A clamped t only MERGES
+    buckets — an extra candidate that exact verification removes —
+    and the DuckDB oracle applies the identical least() clamp."""
+    import numpy as np
+    import pandas as pd
+
+    n = ICWS_HASHES
+    cg = np.array(
+        [BUCKET_COEFFS[2 * (p % rows)] for p in range(n)], dtype=np.int64
+    )
+    ct = np.array(
+        [BUCKET_COEFFS[2 * (p % rows) + 1] for p in range(n)],
+        dtype=np.int64,
+    )
+    n_bands = n // rows
+    clamp = np.int64(T_CLAMP)
+
+    def _buckets(batches):
+        for pdf in batches:
+            out_doc, out_band, out_bucket = [], [], []
+            for doc_id, gs, ts in zip(
+                pdf["doc_id"], pdf["sig_g"], pdf["sig_t"]
+            ):
+                g = np.asarray(gs, dtype=np.int64)
+                t = np.minimum(np.asarray(ts, dtype=np.int64), clamp)
+                b = (g * cg + t * ct).reshape(n_bands, rows).sum(axis=1)
+                out_doc.extend([int(doc_id)] * n_bands)
+                out_band.extend(range(n_bands))
+                out_bucket.extend(b.tolist())
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_doc,
+                        "band": out_band,
+                        "bucket": out_bucket,
+                    }
+                )
+
+    return sig.mapInPandas(
+        _buckets, "doc_id long, band int, bucket long"
+    )
 
 
 def _weighted_arrays(docs: DataFrame) -> DataFrame:
@@ -380,20 +411,9 @@ def icws_candidates(
     cost is O(batch × history) bucket collisions, never O(history²)
     — the same contract as dedup.lsh_candidates."""
     rows = ICWS_HASHES // ICWS_BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                _icws_band_bucket(i * rows, rows).alias("bucket"),
-            )
-            for i in range(ICWS_BANDS)
-        ]
-    )
 
     def _buckets(df: DataFrame) -> DataFrame:
-        return df.select("doc_id", F.explode(bands).alias("bb")).select(
-            "doc_id", "bb.band", "bb.bucket"
-        )
+        return _icws_bucket_rows(df, rows)
 
     b = _buckets(sig).alias("b")
     if probe is None:
@@ -576,18 +596,9 @@ def weighted_containment_pairs(
     for r in rs:
         cross = [(i, j) for (i, j, rr) in cfg if rr == r and i != j]
         same = [i for (i, j, rr) in cfg if rr == r and i == j]
-        bands_r = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    _icws_band_bucket(b * r, r).alias("bucket"),
-                )
-                for b in range(ICWS_HASHES // r)
-            ]
-        )
-        bk = side.select(
-            "doc_id", "cls", F.explode(bands_r).alias("bb")
-        ).select("doc_id", "cls", "bb.band", "bb.bucket")
+        bk = _icws_bucket_rows(
+            side.select("doc_id", "sig_g", "sig_t"), r
+        ).join(cls_tbl, "doc_id")
         if cross:
             small_cls = sorted({i for i, _ in cross})
             big_cls = sorted({j for _, j in cross})
