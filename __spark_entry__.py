@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_png": multimodal.multimodal_decode_png,
         "multimodal_decode_wav": multimodal.multimodal_decode_wav,
         "multimodal_dedup_images": multimodal.multimodal_dedup_images,
+        "multimodal_frame_sample_gif": multimodal.multimodal_frame_sample_gif,
         "bm25_topk_batch": retrieval.bm25_topk_batch,
         "hybrid_retrieval_batch": retrieval.hybrid_retrieval_batch,
         "phrase_search": retrieval.phrase_search,
@@ -1591,6 +1592,26 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM orders)::BIGINT,
                    count(*) FILTER (c.c_custkey IS NULL)::BIGINT
             FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        # Real multi-frame GIF decode + frame sampling: the oracle
+        # recomputes the sampled-frame RGB sum from the generation
+        # rule and the fixed palette arithmetic — the Spark side
+        # reaches the same bytes through a full LZW decode.
+        "multimodal_frame_sample_gif": """
+            SELECT doc_id,
+                   ((doc_id % 8) + 2)::INT AS width,
+                   ((doc_id % 4) + 2)::INT AS height,
+                   ((doc_id % 6) + 2)::BIGINT AS n_frames,
+                   (((doc_id % 6) + 2 + 1) // 2)::BIGINT AS n_sampled,
+                   list_sum(list_transform(range(0, (doc_id % 6) + 2),
+                     f -> CASE WHEN f % 2 = 0 THEN
+                       list_sum(list_transform(
+                         range(0, ((doc_id % 8) + 2) * ((doc_id % 4) + 2)),
+                         j -> (((doc_id * 31 + f * 17 + j) % 256) * 7) % 256
+                            + (((doc_id * 31 + f * 17 + j) % 256) * 11) % 256
+                            + (((doc_id * 31 + f * 17 + j) % 256) * 13) % 256))
+                     ELSE 0 END))::BIGINT AS sum_sampled
+            FROM documents
         """,
         # Cross-format image content dedup: the oracle recomputes each
         # doc's normalized-pixel digest (Horner fold over [w, h] ++

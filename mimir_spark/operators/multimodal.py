@@ -849,3 +849,263 @@ def multimodal_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .select("digest", "n_copies", "n_formats", "survivor_id")
     )
+
+
+# ---- GIF: a REAL multi-frame (video-ish) decode path ------------------
+# Animated GIF is the one genuinely multi-FRAME format implementable
+# without codec libs: LZW is ~60 lines of pure Python. This turns the
+# frame-sample leg of the multimodal story real end-to-end — generate
+# a spec-valid multi-frame GIF, parse it (header, logical screen
+# descriptor, global color table, per-frame descriptors, sub-block
+# stream), LZW-decompress every frame with true dictionary growth
+# (9→12-bit codes, clear-code resets, the KwKwK case), and sample
+# every n-th frame. javax.imageio cross-validates frame count,
+# dimensions, and every pixel in tests.
+
+GIF_N_COLORS = 256
+
+
+def _gif_palette() -> list:
+    """Fixed 256-entry RGB palette: palette[i] = ((i*7)%256, (i*11)%256,
+    (i*13)%256)."""
+    return [
+        ((i * 7) % 256, (i * 11) % 256, (i * 13) % 256)
+        for i in range(GIF_N_COLORS)
+    ]
+
+
+def _gif_frame_indices(doc_id: int, f: int, w: int, h: int) -> list:
+    """Frame f's palette indices: idx_j = (id*31 + f*17 + j) % 256."""
+    return [(doc_id * 31 + f * 17 + j) % 256 for j in range(w * h)]
+
+
+def _lzw_encode(indices: list, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, clear/end codes,
+    code-width growth 9→12 bits, dictionary reset at 4096."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple:
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, nxt, size = fresh()
+    emit(clear, size)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], size)
+        if nxt < 4096:
+            table[wk] = nxt
+            nxt += 1
+            # The decoder builds its table one entry BEHIND the
+            # encoder and widens when ITS next-free hits 2^size, so
+            # the encoder widens one entry later: after adding entry
+            # 2^size (nxt == 2^size + 1).
+            if nxt == (1 << size) + 1 and size < 12:
+                size += 1
+        else:
+            emit(clear, size)
+            table, nxt, size = fresh()
+        w = bytes([k])
+    if w:
+        emit(table[w], size)
+    emit(end, size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """Full GIF LZW decoder: dictionary rebuild on clear, KwKwK
+    handling, code width growth synchronized with the encoder."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = 0
+
+    def read(size: int):
+        nonlocal pos
+        if pos + size > len(data) * 8:
+            return None
+        byte, bit = divmod(pos, 8)
+        val = 0
+        got = 0
+        while got < size:
+            val |= (data[byte] >> bit) << got
+            got += 8 - bit
+            bit = 0
+            byte += 1
+        pos += size
+        return val & ((1 << size) - 1)
+
+    out = bytearray()
+    table: list = []
+    size = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(size)
+        if code is None or code == end:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            size = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # table frozen at 12-bit capacity
+                table.append(prev + entry[:1])
+        else:  # KwKwK: code == len(table)
+            entry = prev + prev[:1]
+            table.append(entry)
+        out.extend(entry)
+        if len(table) == (1 << size) and size < 12:
+            size += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(doc_id: int) -> bytes:
+    """Deterministic multi-frame GIF89a per doc: n_frames=(id%6)+2,
+    frame size w=(id%8)+2 × h=(id%4)+2, fixed global palette, real
+    LZW-compressed frame data."""
+    w, h = (doc_id % 8) + 2, (doc_id % 4) + 2
+    n_frames = (doc_id % 6) + 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    for r, g, b in _gif_palette():
+        out += bytes([r, g, b])
+    for f in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(8)  # LZW min code size
+        lzw = _lzw_encode(_gif_frame_indices(doc_id, f, w, h))
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)  # block terminator
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """REAL multi-frame GIF decode: header + logical screen descriptor
+    checks, global color table, per-frame image descriptors, sub-block
+    reassembly, full LZW decompression, palette mapping. Returns
+    (width, height, [frame RGB-byte lists])."""
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    gct_size = 2 << (packed & 0x07)
+    pos = 13
+    palette = [
+        tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_size)
+    ]
+    pos += 3 * gct_size
+    frames = []
+    while pos < len(payload):
+        marker = payload[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        fl, ft, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+        fpacked = payload[pos + 9]
+        if fpacked & 0xC0:
+            raise ValueError("local color table / interlace unsupported")
+        pos += 10
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            n = payload[pos]
+            data += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code)
+        if len(idx) < fw * fh:
+            raise ValueError("LZW underflow")
+        rgb = []
+        for i in idx[: fw * fh]:
+            rgb.extend(palette[i])
+        frames.append(rgb)
+    return w, h, frames
+
+
+GIF_FRAME_SCHEMA = (
+    "doc_id long, width int, height int, n_frames long,"
+    " n_sampled long, sum_sampled long"
+)
+
+
+def multimodal_frame_sample_gif(
+    spark: SparkSession, sf_dir: str, every_n: int = 2
+) -> DataFrame:
+    """REAL frame sampling over a multi-frame (video-ish) binary
+    column: per doc, fully decode the animated GIF and keep every
+    `every_n`-th frame, emitting frame counts and the exact RGB byte
+    sum over the SAMPLED frames. Map-only — generation, LZW decode,
+    and sampling fuse into one scan. Oracle-checked: the oracle
+    recomputes the sampled-frame sum from the generation rule +
+    palette arithmetic, so an LZW, sub-block, or palette bug
+    hash-mismatches immediately. (A real pipeline samples frames
+    BEFORE decoding the rest — here every frame must be decoded
+    anyway to verify the stream, which is the honest cost of a
+    format with inter-frame byte offsets only discoverable by
+    walking the stream.)"""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _gen_dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                w, h, frames = decode_gif(encode_gif(int(d)))
+                sampled = frames[::every_n]
+                rows.append(
+                    (
+                        int(d),
+                        w,
+                        h,
+                        len(frames),
+                        len(sampled),
+                        sum(sum(f) for f in sampled),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "n_sampled",
+                    "sum_sampled",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen_dec, GIF_FRAME_SCHEMA)

@@ -496,3 +496,71 @@ def test_new_round6_ops_partition_invariance(spark, sf_smoke):
         base = {tuple(r) for r in fn(spark, sf_smoke).collect()}
         alt = {tuple(r) for r in fn(odd, sf_smoke).collect()}
         assert base == alt and base, fn.__name__
+
+
+def test_gif_codec_spec_valid_and_cross_decoded(spark):
+    """encode_gif emits SPEC-valid multi-frame GIF89a: javax.imageio
+    (independent reader) must agree on frame count, dimensions, and
+    every pixel of every frame; the LZW layer survives stress
+    sequences that force 12-bit code growth, dictionary resets, and
+    the KwKwK case; corruption raises."""
+    import random
+
+    import pytest as _pytest
+
+    import mimir_spark.operators.multimodal as m
+
+    rng = random.Random(1)
+    for seq in (
+        [5] * 20000,
+        [rng.randrange(256) for _ in range(30000)],
+        list(range(256)) * 40,
+        [1, 1],
+        [0],
+    ):
+        assert list(m._lzw_decode(m._lzw_encode(seq))) == seq
+
+    pal = m._gif_palette()
+    for d in range(40):
+        w, h, frames = m.decode_gif(m.encode_gif(d))
+        assert (w, h, len(frames)) == (
+            (d % 8) + 2,
+            (d % 4) + 2,
+            (d % 6) + 2,
+        )
+        for f, rgb in enumerate(frames):
+            exp = []
+            for i in m._gif_frame_indices(d, f, w, h):
+                exp.extend(pal[i])
+            assert rgb == exp
+
+    jvm = spark._jvm
+    for d in (0, 13, 29, 123):
+        p = m.encode_gif(d)
+        iis = jvm.javax.imageio.ImageIO.createImageInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(p))
+        )
+        readers = jvm.javax.imageio.ImageIO.getImageReaders(iis)
+        assert readers.hasNext()
+        r = readers.next()
+        r.setInput(iis)
+        w, h, frames = m.decode_gif(p)
+        assert r.getNumImages(True) == len(frames)
+        for f in range(len(frames)):
+            img = r.read(f)
+            assert (img.getWidth(), img.getHeight()) == (w, h)
+            got = []
+            for y in range(h):
+                for x in range(w):
+                    rgb = img.getRGB(x, y)
+                    got.extend(
+                        [(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255]
+                    )
+            assert got == frames[f], (d, f)
+
+    with _pytest.raises(ValueError):
+        m.decode_gif(b"NOTAGIF")
+    trunc = bytearray(m.encode_gif(7))
+    trunc[6] = 0xFF  # corrupt screen descriptor width
+    w, h, frames = m.decode_gif(bytes(trunc))  # parses, wrong dims
+    assert w != (7 % 8) + 2
