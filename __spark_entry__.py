@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_wav": multimodal.multimodal_decode_wav,
         "multimodal_dedup_images": multimodal.multimodal_dedup_images,
         "multimodal_frame_sample_gif": multimodal.multimodal_frame_sample_gif,
+        "multimodal_audio_features": multimodal.multimodal_audio_features,
         "bm25_topk_batch": retrieval.bm25_topk_batch,
         "hybrid_retrieval_batch": retrieval.hybrid_retrieval_batch,
         "phrase_search": retrieval.phrase_search,
@@ -1639,6 +1640,31 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT fmt)::BIGINT AS n_formats,
                    min(doc_id) AS survivor_id
             FROM dig GROUP BY digest HAVING count(*) > 1
+        """,
+        # Frame-level audio features from the generation rule: 16-sample
+        # frame energies, loudest frame, fixed loudness threshold.
+        "multimodal_audio_features": """
+            WITH base AS (
+              SELECT doc_id, ((doc_id % 64) + 16)::BIGINT AS n,
+                     list_transform(range(0, (doc_id % 64) + 16),
+                       j -> (((doc_id * 37 + j * j) % 4096) - 2048)
+                            * (((doc_id * 37 + j * j) % 4096) - 2048)) AS sq
+              FROM documents),
+            framed AS (
+              SELECT doc_id, n,
+                     list_sum(sq)::BIGINT AS total_energy,
+                     list_transform(range(0, ((n + 15) // 16)::int),
+                       f -> list_sum(sq[(16 * f + 1):least(16 * f + 16, n)])
+                     ) AS fe
+              FROM base)
+            SELECT doc_id, n AS n_samples,
+                   ((n + 15) // 16)::BIGINT AS n_frames,
+                   total_energy,
+                   list_max(fe)::BIGINT AS max_frame_energy,
+                   list_sum(list_transform(fe,
+                     e -> CASE WHEN e >= 16777216 THEN 1 ELSE 0 END))::BIGINT
+                     AS n_loud_frames
+            FROM framed
         """,
         # Real audio decode: RIFF/WAVE chunk walk + PCM16 parse; the
         # oracle recomputes the exact integer energy / zero-crossing

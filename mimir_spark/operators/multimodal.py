@@ -1,11 +1,16 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched pandas UDFs via mapInPandas.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic stub (clearly marked); everything Spark-side — the binary
-column, the schema contract, the mapInPandas batch shape, the
-partitioning — is real and is what carries over unchanged when a real
-decoder (PIL / torchaudio / pyav) is dropped in.
+The container ships no codec libraries, yet four container formats
+decode for REAL in pure Python here — BMP (header/stride parse), PNG
+(stdlib zlib + CRC walk + all five row filters), PCM WAV (RIFF chunk
+walk), and multi-frame GIF (a complete LZW codec) — each
+cross-validated in tests against an independent production decoder
+(javax.imageio / stdlib wave). Only the codec-library formats (JPEG
+via PIL) and the generic feature/resize kernels remain clearly-marked
+stubs; everything Spark-side — the binary column, the schema
+contract, the mapInPandas batch shape, the partitioning — is the
+production shape either way.
 """
 
 from __future__ import annotations
@@ -1109,3 +1114,60 @@ def multimodal_frame_sample_gif(
             )
 
     return docs.select("doc_id").mapInPandas(_gen_dec, GIF_FRAME_SCHEMA)
+
+
+AUDIO_FRAME = 16
+AUDIO_LOUD_THRESHOLD = 16 * 1024 * 1024  # int energy, ~1/4 of a full frame
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, n_frames long, total_energy long,"
+    " max_frame_energy long, n_loud_frames long"
+)
+
+
+def multimodal_audio_features(
+    spark: SparkSession, sf_dir: str, frame: int = AUDIO_FRAME
+) -> DataFrame:
+    """Frame-level audio feature extraction over the decoded WAV
+    column: split each doc's PCM16 samples into `frame`-sample frames
+    (last one partial) and emit exact integer frame statistics —
+    total energy, the loudest frame's energy, and the count of frames
+    above a fixed loudness threshold (the segmentation signal a
+    speech-data pipeline gates on before transcription). Map-only:
+    generation, RIFF parse, and framing fuse into one scan; all
+    statistics are integers so both engines agree bit for bit."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                rate, ch, bits, n, energy, _ = decode_wav(encode_wav(int(d)))
+                s = np.array(_wav_samples(int(d)), dtype=np.int64)
+                pad = (-len(s)) % frame
+                sq = np.concatenate([s * s, np.zeros(pad, dtype=np.int64)])
+                fe = sq.reshape(-1, frame).sum(axis=1)
+                rows.append(
+                    (
+                        int(d),
+                        n,
+                        len(fe),
+                        energy,
+                        int(fe.max()),
+                        int((fe >= AUDIO_LOUD_THRESHOLD).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "n_frames",
+                    "total_energy",
+                    "max_frame_energy",
+                    "n_loud_frames",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(_feat, AUDIO_FEATURES_SCHEMA)

@@ -241,3 +241,51 @@ def compact_stream_store(
         jvm.org.apache.hadoop.fs.Path(f"{store_dir}/batch_id={base_b}"),
     )
     return n_files
+
+
+def streaming_phrase_search(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    phrase: tuple[str, ...] = ("hash", "join"),
+    glob: str = "*.parquet",
+):
+    """Incremental exact-phrase search over a documents file stream —
+    the streaming twin of retrieval.phrase_search. A phrase match is a
+    fact about ONE document, so the stream needs no state at all: each
+    micro-batch maps its own docs through the positional-postings
+    chain and appends its matches (idempotent per-batch overwrite,
+    same batch_id=N layout as the other jobs). Run to completion over
+    a partitioned corpus this reproduces the batch operator's output
+    exactly (pytest-pinned)."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.functions.text import tokens_col
+
+    docs_stream = read_documents_stream(spark, input_dir, glob=glob)
+
+    def _process(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        post = batch.select(
+            "doc_id", F.posexplode(tokens_col("text")).alias("pos", "w")
+        ).filter(F.col("w").isin(*set(phrase)))
+        matches = None
+        for i, term in enumerate(phrase):
+            part = post.filter(F.col("w") == term).select(
+                "doc_id", (F.col("pos") - i).alias("start")
+            )
+            matches = part if matches is None else matches.join(
+                part, ["doc_id", "start"]
+            )
+        out = matches.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_matches")
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -564,3 +564,34 @@ def test_gif_codec_spec_valid_and_cross_decoded(spark):
     trunc[6] = 0xFF  # corrupt screen descriptor width
     w, h, frames = m.decode_gif(bytes(trunc))  # parses, wrong dims
     assert w != (7 % 8) + 2
+
+
+def test_audio_features_reference(spark, sf_smoke):
+    """Frame energies match a direct Python recompute, and the
+    streaming-free single-pass op is partition-invariant (covered in
+    the round-6 invariance test) — here pin the framing math."""
+    from mimir_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        AUDIO_LOUD_THRESHOLD,
+        _wav_samples,
+        multimodal_audio_features,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in multimodal_audio_features(spark, sf_smoke).collect()
+    }
+    for d in list(rows)[:50]:
+        s = _wav_samples(d)
+        fes = [
+            sum(x * x for x in s[i : i + AUDIO_FRAME])
+            for i in range(0, len(s), AUDIO_FRAME)
+        ]
+        r = rows[d]
+        assert r.n_samples == len(s)
+        assert r.n_frames == len(fes)
+        assert r.total_energy == sum(fes)
+        assert r.max_frame_energy == max(fes)
+        assert r.n_loud_frames == sum(
+            1 for e in fes if e >= AUDIO_LOUD_THRESHOLD
+        )

@@ -1002,3 +1002,48 @@ def test_streaming_bm25_batch_matches_batch(spark, sf_smoke, tmp_path):
         for r in bm25_topk_batch(spark, sf_smoke).collect()
     )
     assert got == expect and got
+
+
+def test_streaming_phrase_search_matches_batch(spark, sf_smoke, tmp_path):
+    """A phrase match is a per-document fact, so the stateless
+    streaming twin run over a 2-file corpus split must union to
+    exactly the batch operator's rows."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.retrieval import phrase_search
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.jobs import streaming_phrase_search
+
+    in_dir = str(tmp_path / "pdocs")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(2):
+        docs.filter(F.col("doc_id") % 2 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "pflat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_phrase_search(
+        spark, flat, str(tmp_path / "pout"), str(tmp_path / "pckpt"),
+        glob="batch_*.parquet",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_id, r.n_matches)
+        for r in spark.read.parquet(str(tmp_path / "pout"))
+        .select("doc_id", "n_matches")
+        .collect()
+    }
+    expect = {
+        (r.doc_id, r.n_matches)
+        for r in phrase_search(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
