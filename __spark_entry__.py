@@ -54,11 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict in
     # order and covers a ~50-key window per round (r01: 50, r02: 51,
-    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — the 8
+    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — the 10
     # new round-6 keys lead (first driver rows), then the 70 keys with
     # no driver row in r4/r5; a 50-key window covers the new keys plus
-    # the first 42 of those, leaving ~28 (from `lang_id`
-    # onward) to rotate to the front in round 7. Permanent rows-only
+    # the first 40 of those, leaving ~30 to rotate to the front in
+    # round 7 (everything from position 50 to the rows-only block).
+    # Permanent rows-only
     # keys are parked past the window, r4/r5-green keys trail.
     return {
         # --- new in round 6 (need first driver rows, so they lead) ---

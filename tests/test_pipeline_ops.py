@@ -471,9 +471,11 @@ def test_new_round6_ops_partition_invariance(spark, sf_smoke):
     data SET: a sibling session with a prime, tiny shuffle partition
     count produces identical rows."""
     from mimir_spark.operators.multimodal import (
+        multimodal_audio_features,
         multimodal_decode_png,
         multimodal_decode_wav,
         multimodal_dedup_images,
+        multimodal_frame_sample_gif,
     )
     from mimir_spark.operators.profiling import constraint_report
     from mimir_spark.operators.retrieval import (
@@ -488,6 +490,8 @@ def test_new_round6_ops_partition_invariance(spark, sf_smoke):
         multimodal_decode_png,
         multimodal_decode_wav,
         multimodal_dedup_images,
+        multimodal_frame_sample_gif,
+        multimodal_audio_features,
         bm25_topk_batch,
         hybrid_retrieval_batch,
         phrase_search,
