@@ -54,10 +54,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict in
     # order and covers a ~50-key window per round (r01: 50, r02: 51,
-    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — the 10
+    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — the 9
     # new round-6 keys lead (first driver rows), then the 70 keys with
     # no driver row in r4/r5; a 50-key window covers the new keys plus
-    # the first 40 of those, leaving ~30 to rotate to the front in
+    # the first 41 of those, leaving ~30 to rotate to the front in
     # round 7 (everything from position 50 to the rows-only block).
     # Permanent rows-only
     # keys are parked past the window, r4/r5-green keys trail.
