@@ -380,14 +380,20 @@ def encode_png(doc_id: int) -> bytes:
     """Deterministic tiny 8-bit RGB PNG per doc: width=(id%16)+1,
     height=(id%8)+1, raw pixel byte j = (id*31 + j) % 256 — the same
     generation rule as encode_bmp, so the two decode keys share one
-    oracle shape. Row r is written with filter type r % 5, exercising
-    every PNG filter."""
+    oracle shape."""
+    w, h = (doc_id % 16) + 1, (doc_id % 8) + 1
+    raw = [(doc_id * 31 + j) % 256 for j in range(h * w * 3)]
+    return encode_png_rgb(w, h, raw)
+
+
+def encode_png_rgb(w: int, h: int, raw: list) -> bytes:
+    """Spec-valid 8-bit RGB PNG from arbitrary row-major pixel bytes.
+    Row r is written with filter type r % 5, exercising every PNG
+    filter (a decoder faking any of Sub/Up/Average/Paeth fails)."""
     import zlib
 
-    w, h = (doc_id % 16) + 1, (doc_id % 8) + 1
     bpp = 3  # bytes per RGB pixel
     row_bytes = w * bpp
-    raw = [(doc_id * 31 + j) % 256 for j in range(h * row_bytes)]
     out = bytearray()
     prior = [0] * row_bytes
     for r in range(h):

@@ -199,3 +199,43 @@ def test_prefix_filter_lemma(data, threshold):
                     f"lemma violated: J={jac} t={threshold} a={a} b={b} "
                     f"pa={prefix(a)} pb={prefix(b)}"
                 )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1,
+             max_size=4000)
+)
+def test_lzw_roundtrip_arbitrary_sequences(seq):
+    """The GIF LZW codec round-trips ANY byte sequence — hypothesis
+    explores dictionary-growth boundaries, repeated-symbol (KwKwK)
+    patterns, and incompressible noise beyond the fixed stress
+    cases."""
+    from mimir_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    assert list(_lzw_decode(_lzw_encode(seq))) == seq
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.data(),
+)
+def test_png_roundtrip_arbitrary_pixels(w, h, data):
+    """encode_png_rgb/decode_png round-trip arbitrary pixel contents
+    at arbitrary tiny dimensions — every row filter (cycled per row)
+    must invert exactly whatever the pixel data is, not just on the
+    smooth generation-rule ramps the driver keys use."""
+    from mimir_spark.operators.multimodal import decode_png, encode_png_rgb
+
+    raw = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=w * h * 3,
+            max_size=w * h * 3,
+        )
+    )
+    dw, dh, bpp, n, s = decode_png(encode_png_rgb(w, h, raw))
+    assert (dw, dh, bpp, n) == (w, h, 24, w * h)
+    assert s == sum(raw)
