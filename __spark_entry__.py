@@ -54,10 +54,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict in
     # order and covers a ~50-key window per round (r01: 50, r02: 51,
-    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — the 9
+    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — the 10
     # new round-6 keys lead (first driver rows), then the 70 keys with
     # no driver row in r4/r5; a 50-key window covers the new keys plus
-    # the first 41 of those, leaving ~30 to rotate to the front in
+    # the first 40 of those, leaving ~30 to rotate to the front in
     # round 7 (everything from position 50 to the rows-only block).
     # Permanent rows-only
     # keys are parked past the window, r4/r5-green keys trail.
@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_batch": retrieval.bm25_topk_batch,
         "hybrid_retrieval_batch": retrieval.hybrid_retrieval_batch,
         "phrase_search": retrieval.phrase_search,
+        "phrase_search_batch": retrieval.phrase_search_batch,
         "constraint_report": profiling.constraint_report,
         # --- ROUND-6 WINDOW ROTATION: the 70 oracle keys below have no
         #     recorded driver row in r4/r5 (last checked r2/r3 or never).
@@ -2715,6 +2716,36 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.cross_entropy <= c.p67 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored s JOIN cuts c ON c.lang = s.lang
+        """,
+        # Batched phrase search: one token pass, three phrase chains.
+        "phrase_search_batch": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            m AS (
+              SELECT 0 AS phrase_id, doc_id,
+                     list_sum(list_transform(range(1, len(t)),
+                       i -> CASE WHEN t[i] = 'hash' AND t[i+1] = 'join'
+                            THEN 1 ELSE 0 END)) AS n_matches
+              FROM t
+              UNION ALL
+              SELECT 1, doc_id,
+                     list_sum(list_transform(range(1, len(t)),
+                       i -> CASE WHEN t[i] = 'merge' AND t[i+1] = 'sort'
+                            THEN 1 ELSE 0 END))
+              FROM t
+              UNION ALL
+              SELECT 2, doc_id,
+                     list_sum(list_transform(range(1, len(t) - 1),
+                       i -> CASE WHEN t[i] = 'big' AND t[i+1] = 'table'
+                                  AND t[i+2] = 'scan'
+                            THEN 1 ELSE 0 END))
+              FROM t)
+            SELECT phrase_id::BIGINT AS phrase_id, doc_id,
+                   n_matches::BIGINT AS n_matches
+            FROM m WHERE n_matches > 0
         """,
         # Exact consecutive-phrase search: positional zip over the
         # token list, same Java-\s tokenization as the Spark side.

@@ -410,3 +410,56 @@ def hybrid_retrieval_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "bm25_rank", "cos", "rank")
     )
+
+
+PHRASE_BATCH: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, PHRASE_QUERY),
+    (1, ("merge", "sort")),
+    (2, ("big", "table", "scan")),
+)
+
+
+def phrase_search_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    phrases: tuple[tuple[int, tuple[str, ...]], ...] = PHRASE_BATCH,
+) -> DataFrame:
+    """Exact phrase search for a BATCH of phrases in ONE corpus pass —
+    the scan-amortization twin of `bm25_topk_batch` on the positional
+    side: one posexplode filtered to the UNION of all phrase terms
+    (the only corpus-sized stage; Catalyst shares it across every
+    phrase's join chain via the localCheckpoint), then per phrase the
+    same co-partitioned (doc_id, pos − i) chain, results unioned with
+    their phrase_id. Output: (phrase_id, doc_id, n_matches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    all_terms = sorted({t for _, p in phrases for t in p})
+    post = (
+        docs.select(
+            "doc_id", F.posexplode(tokens_col("text")).alias("pos", "w")
+        )
+        .filter(F.col("w").isin(*all_terms))
+        .localCheckpoint(eager=True)  # one scan feeds every chain
+    )
+    parts = []
+    for pid, phrase in phrases:
+        matches = None
+        for i, term in enumerate(phrase):
+            part = post.filter(F.col("w") == term).select(
+                "doc_id", (F.col("pos") - i).alias("start")
+            )
+            matches = part if matches is None else matches.join(
+                part, ["doc_id", "start"]
+            )
+        parts.append(
+            matches.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_matches"))
+            .select(
+                F.lit(pid).cast("long").alias("phrase_id"),
+                "doc_id",
+                "n_matches",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -482,6 +482,7 @@ def test_new_round6_ops_partition_invariance(spark, sf_smoke):
         bm25_topk_batch,
         hybrid_retrieval_batch,
         phrase_search,
+        phrase_search_batch,
     )
 
     odd = spark.newSession()
@@ -495,6 +496,7 @@ def test_new_round6_ops_partition_invariance(spark, sf_smoke):
         bm25_topk_batch,
         hybrid_retrieval_batch,
         phrase_search,
+        phrase_search_batch,
         constraint_report,
     ):
         base = {tuple(r) for r in fn(spark, sf_smoke).collect()}

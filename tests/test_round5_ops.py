@@ -562,3 +562,27 @@ def test_hybrid_retrieval_batch_matches_single(spark, sf_smoke):
         for r in hybrid_retrieval(spark, sf_smoke).collect()
     }
     assert got == single and got
+
+
+def test_phrase_search_batch_matches_single(spark, sf_smoke):
+    """Restricted to phrase 0, the batched operator must be
+    row-identical to phrase_search; every batch phrase yields rows."""
+    from mimir_spark.operators.retrieval import (
+        phrase_search,
+        phrase_search_batch,
+    )
+
+    batch = phrase_search_batch(spark, sf_smoke)
+    got0 = {
+        (r.doc_id, r.n_matches)
+        for r in batch.filter("phrase_id = 0")
+        .select("doc_id", "n_matches")
+        .collect()
+    }
+    single = {
+        (r.doc_id, r.n_matches)
+        for r in phrase_search(spark, sf_smoke).collect()
+    }
+    assert got0 == single and got0
+    for pid in (1, 2):
+        assert batch.filter(f"phrase_id = {pid}").count() > 0
