@@ -59,9 +59,11 @@ def token_hashes31(toks: list) -> "object":
 def doc_shingle_hashes(text, n: int = 3):
     """POSITIONAL hashed n-gram array for one document (np.int64), or
     None for empty/whitespace-only text — the NumPy twin of
-    word_shingle_hashes_all: ×131 mod-Mersenne31 fold over the token
-    hashes, zero-padded so a doc shorter than n tokens yields one
-    padded shingle."""
+    word_shingle_hashes_all for ANY n: ×131 mod-Mersenne31 Horner
+    fold over n token hashes per position, zero-padded so a doc
+    shorter than n tokens yields one padded shingle (the exact
+    coalesce-0 semantics of the JVM zip_with chain; pinned against it
+    for n=2..5 in tests/test_portable_hash.py)."""
     import numpy as np
 
     if not text:
@@ -71,9 +73,12 @@ def doc_shingle_hashes(text, n: int = 3):
         return None
     th = token_hashes31(toks)
     m31 = np.int64(MERSENNE31)
-    padded = np.concatenate([th, np.zeros(2, dtype=np.int64)])
-    sh = ((padded[:-2] * 131 + padded[1:-1]) % m31 * 131 + padded[2:]) % m31
-    return sh[: max(len(toks) - n + 1, 1)]
+    padded = np.concatenate([th, np.zeros(n - 1, dtype=np.int64)])
+    L = len(toks)
+    sh = padded[:L].copy()
+    for k in range(1, n):
+        sh = (sh * 131 + padded[k : k + L]) % m31
+    return sh[: max(L - n + 1, 1)]
 
 
 def doc_weighted_set(text, n: int = 3):

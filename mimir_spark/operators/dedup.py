@@ -250,7 +250,13 @@ def _minhash_doc_table(
     128-way min with a per-doc aggregate — a corpus-token-sized
     shuffle that existed only because the set was assembled
     JVM-side). Emitting sh_set beside sig also hands the verify step
-    its arrays without a second tokenize pass."""
+    its arrays without a second tokenize pass.
+
+    Empty/whitespace-only documents yield NO row (no signature is
+    definable over an empty set — the old explode path dropped them
+    from signatures the same way); a consumer that needs one row per
+    document left-joins the corpus and coalesces to an empty array,
+    as write_lsh_index does for the index shingles table."""
     import numpy as np
     import pandas as pd
 

@@ -85,9 +85,16 @@ def write_lsh_index(
         f"{index_dir}/buckets"
     )
     sig.write.mode("overwrite").parquet(f"{index_dir}/signatures")
-    tbl.select("doc_id", F.col("sh_set").alias("s")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/shingles")
+    # one shingles row PER DOCUMENT, including empty/whitespace-only
+    # docs (the doc table drops them — no signature is definable —
+    # but index consumers joining shingles back to the corpus expect
+    # an empty set, not a missing row)
+    docs.select("doc_id").join(tbl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.col("sh_set"), F.array().cast("array<long>")
+        ).alias("s"),
+    ).write.mode("overwrite").parquet(f"{index_dir}/shingles")
 
 
 def lsh_query_index(

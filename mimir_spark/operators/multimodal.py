@@ -428,69 +428,15 @@ def encode_png_rgb(w: int, h: int, raw: list) -> bytes:
 def decode_png(payload: bytes) -> tuple[int, int, int, int, int]:
     """REAL PNG decode (pure Python + stdlib zlib): signature check,
     chunk walk with CRC verification, IDAT inflate, and per-row
-    unfiltering of all five filter types per the spec. Returns
+    unfiltering of all five filter types per the spec — one shared
+    kernel with `_png_pixels` (the pixel-level form). Returns
     (width, height, bits-per-pixel, n_pixels, exact pixel-byte sum) —
     the same contract as decode_bmp. Supports 8-bit RGB (color type
     2), the layout the generator emits; anything else raises, because
     a decoder that silently mis-handles a layout corrupts every
     statistic downstream."""
-    import zlib
-
-    if payload[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos = len(_PNG_SIG)
-    idat = bytearray()
-    w = h = depth = ctype = None
-    while pos < len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r} chunk")
-        if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack_from(">IIBB", body, 0)
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if w is None:
-        raise ValueError("missing IHDR")
-    if depth != 8 or ctype != 2:
-        raise ValueError(f"unsupported PNG layout depth={depth} type={ctype}")
-    bpp = 3
-    row_bytes = w * bpp
-    flat = zlib.decompress(bytes(idat))
-    if len(flat) != h * (row_bytes + 1):
-        raise ValueError("IDAT length mismatch")
-    total = 0
-    prior = [0] * row_bytes
-    for r in range(h):
-        start = r * (row_bytes + 1)
-        ftype = flat[start]
-        enc = flat[start + 1 : start + 1 + row_bytes]
-        row = [0] * row_bytes
-        for i, e in enumerate(enc):
-            a = row[i - bpp] if i >= bpp else 0
-            b = prior[i]
-            c = prior[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                x = e
-            elif ftype == 1:
-                x = (e + a) % 256
-            elif ftype == 2:
-                x = (e + b) % 256
-            elif ftype == 3:
-                x = (e + (a + b) // 2) % 256
-            elif ftype == 4:
-                x = (e + _paeth(a, b, c)) % 256
-            else:
-                raise ValueError(f"bad filter type {ftype}")
-            row[i] = x
-        total += sum(row)
-        prior = row
-    return w, h, 8 * bpp, w * h, total
+    w, h, px = _png_pixels(payload)
+    return w, h, 24, w * h, sum(px)
 
 
 def with_png_payload(docs: DataFrame) -> DataFrame:
@@ -610,12 +556,10 @@ def encode_wav(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
-    """REAL WAV decode: RIFF/WAVE signature checks, chunk walk, fmt
-    validation (PCM only), PCM16 sample parse, and two exact integer
-    statistics — energy Σ s² and strict zero crossings
-    (s_j · s_{j−1} < 0). Integers, not float means, so both engines
-    agree bit for bit. Raises on non-WAV / non-PCM payloads."""
+def _wav_parse(payload: bytes):
+    """(rate, n_channels, bits, samples) from a PCM WAV payload —
+    the chunk walk + validation + PCM16 sample parse shared by
+    decode_wav and the frame-feature kernel."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     (riff_len,) = struct.unpack_from("<I", payload, 4)
@@ -642,11 +586,21 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
         raise ValueError("inconsistent fmt chunk")
     n = len(data) // (2 * n_ch)
     samples = struct.unpack(f"<{n * n_ch}h", data[: 2 * n * n_ch])
+    return rate, n_ch, bits, samples
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL WAV decode: RIFF/WAVE signature checks, chunk walk, fmt
+    validation (PCM only), PCM16 sample parse, and two exact integer
+    statistics — energy Σ s² and strict zero crossings
+    (s_j · s_{j−1} < 0). Integers, not float means, so both engines
+    agree bit for bit. Raises on non-WAV / non-PCM payloads."""
+    rate, n_ch, bits, samples = _wav_parse(payload)
     energy = sum(s * s for s in samples)
     crossings = sum(
         1 for i in range(1, len(samples)) if samples[i] * samples[i - 1] < 0
     )
-    return rate, n_ch, bits, n, energy, crossings
+    return rate, n_ch, bits, len(samples) // n_ch, energy, crossings
 
 
 def with_wav_payload(docs: DataFrame) -> DataFrame:
@@ -743,6 +697,8 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
     bpp = 3
     row_bytes = w * bpp
     flat = zlib.decompress(bytes(idat))
+    if len(flat) != h * (row_bytes + 1):
+        raise ValueError("IDAT length mismatch")
     out = bytearray()
     prior = [0] * row_bytes
     for r in range(h):
@@ -1149,17 +1105,20 @@ def multimodal_audio_features(
         for pdf in batches:
             rows = []
             for d in pdf["doc_id"]:
-                rate, ch, bits, n, energy, _ = decode_wav(encode_wav(int(d)))
-                s = np.array(_wav_samples(int(d)), dtype=np.int64)
+                # the frames come from the DECODED stream (one RIFF
+                # parse per doc, samples reused) — a sample-parse bug
+                # shifts every frame statistic, not just the total
+                rate, ch, bits, samples = _wav_parse(encode_wav(int(d)))
+                s = np.array(samples, dtype=np.int64)
                 pad = (-len(s)) % frame
                 sq = np.concatenate([s * s, np.zeros(pad, dtype=np.int64)])
                 fe = sq.reshape(-1, frame).sum(axis=1)
                 rows.append(
                     (
                         int(d),
-                        n,
+                        len(s),
                         len(fe),
-                        energy,
+                        int(sq.sum()),
                         int(fe.max()),
                         int((fe >= AUDIO_LOUD_THRESHOLD).sum()),
                     )

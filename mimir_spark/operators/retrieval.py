@@ -271,8 +271,11 @@ def bm25_batch_rank_from_parts(
     from pyspark.sql import Window
 
     spark = tf.sparkSession
+    # distinct (qid, term) pairs: a term repeated inside one query's
+    # tuple must score once (the single-query path's isin filter is
+    # set-semantics — a duplicate row here would double that term)
     qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in terms],
+        sorted({(qid, t) for qid, terms in queries for t in terms}),
         "query_id long, w string",
     )
     stats = dl.agg(

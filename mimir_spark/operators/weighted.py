@@ -58,7 +58,9 @@ ICWS_BANDS = 32  # 4 rows/band — same S-curve operating point as set-LSH
 T_CLAMP = 1 << 32  # sample-level clamp — see _icws_bucket_rows
 
 
-def _icws_bucket_rows(sig: DataFrame, rows: int) -> DataFrame:
+def _icws_bucket_rows(
+    sig: DataFrame, rows: int, carry: tuple = ()
+) -> DataFrame:
     """(doc_id, band, bucket) rows from ICWS signatures with `rows`
     samples per band: a fixed-coefficient linear combination of the
     band's (g, t) consistent-sample pairs (g and t interleave over the
@@ -77,7 +79,12 @@ def _icws_bucket_rows(sig: DataFrame, rows: int) -> DataFrame:
     unbounded as the Gamma draw r → 0), coefficients < 2^25, rows ≤
     32 ⇒ band sum < 32·2^56 + 32·2^57 < 2^63. A clamped t only MERGES
     buckets — an extra candidate that exact verification removes —
-    and the DuckDB oracle applies the identical least() clamp."""
+    and the DuckDB oracle applies the identical least() clamp.
+
+    ``carry`` names extra long/int columns of ``sig`` to replicate
+    onto every bucket row (e.g. the containment path's size class) —
+    carrying them through the kernel keeps the per-r bucket tables
+    join-free instead of re-joining a doc-keyed table per r value."""
     import numpy as np
     import pandas as pd
 
@@ -94,28 +101,25 @@ def _icws_bucket_rows(sig: DataFrame, rows: int) -> DataFrame:
 
     def _buckets(batches):
         for pdf in batches:
-            out_doc, out_band, out_bucket = [], [], []
-            for doc_id, gs, ts in zip(
-                pdf["doc_id"], pdf["sig_g"], pdf["sig_t"]
-            ):
-                g = np.asarray(gs, dtype=np.int64)
-                t = np.minimum(np.asarray(ts, dtype=np.int64), clamp)
+            out: dict = {"doc_id": [], "band": [], "bucket": []}
+            for c in carry:
+                out[c] = []
+            for row in pdf.itertuples(index=False):
+                g = np.asarray(row.sig_g, dtype=np.int64)
+                t = np.minimum(np.asarray(row.sig_t, dtype=np.int64), clamp)
                 b = (g * cg + t * ct).reshape(n_bands, rows).sum(axis=1)
-                out_doc.extend([int(doc_id)] * n_bands)
-                out_band.extend(range(n_bands))
-                out_bucket.extend(b.tolist())
-            if out_doc:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": out_doc,
-                        "band": out_band,
-                        "bucket": out_bucket,
-                    }
-                )
+                out["doc_id"].extend([int(row.doc_id)] * n_bands)
+                out["band"].extend(range(n_bands))
+                out["bucket"].extend(b.tolist())
+                for c in carry:
+                    out[c].extend([getattr(row, c)] * n_bands)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
 
-    return sig.mapInPandas(
-        _buckets, "doc_id long, band int, bucket long"
+    schema = "doc_id long, band int, bucket long" + "".join(
+        f", {c} int" for c in carry
     )
+    return sig.mapInPandas(_buckets, schema)
 
 
 def _weighted_arrays(docs: DataFrame) -> DataFrame:
@@ -596,9 +600,7 @@ def weighted_containment_pairs(
     for r in rs:
         cross = [(i, j) for (i, j, rr) in cfg if rr == r and i != j]
         same = [i for (i, j, rr) in cfg if rr == r and i == j]
-        bk = _icws_bucket_rows(
-            side.select("doc_id", "sig_g", "sig_t"), r
-        ).join(cls_tbl, "doc_id")
+        bk = _icws_bucket_rows(side, r, carry=("cls",))
         if cross:
             small_cls = sorted({i for i, _ in cross})
             big_cls = sorted({j for _, j in cross})

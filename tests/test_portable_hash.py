@@ -134,3 +134,29 @@ def test_icws_signatures_invariant_to_log_ulp_noise(spark, sf_smoke):
         if got != base[int(doc_id)]:
             flips += 1
     assert flips == 0, f"{flips} docs flipped under 1-ulp log noise"
+
+
+def test_python_shingle_kernel_matches_jvm_for_any_n(spark):
+    """The Arrow-side shingle fold must be bit-identical to the JVM
+    zip_with/coalesce chain for EVERY n, not just the default 3 —
+    the module's contract is that operators can choose per call
+    which side a stage runs on (a hard-coded trigram fold would
+    silently diverge for n != 3)."""
+    from mimir_spark.functions.pykernels import doc_shingle_hashes
+    from mimir_spark.functions.text import word_shingle_hashes_all
+
+    texts = ["a", "a bb", "a bb ccc", "a bb ccc dddd",
+             "x y z w v u", "  pad  ded  "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    for n in (2, 3, 4, 5):
+        jvm = {
+            r.i: list(r.sh)
+            for r in df.select(
+                "i", word_shingle_hashes_all("text", n).alias("sh")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            py = doc_shingle_hashes(t, n)
+            assert py is not None and list(py) == jvm[i], (n, t)
