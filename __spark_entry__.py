@@ -54,10 +54,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict in
     # order and covers a ~50-key window per round (r01: 50, r02: 51,
-    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — the 10
+    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — the 11
     # new round-6 keys lead (first driver rows), then the 70 keys with
     # no driver row in r4/r5; a 50-key window covers the new keys plus
-    # the first 40 of those, leaving ~30 to rotate to the front in
+    # the first 39 of those, leaving ~30 to rotate to the front in
     # round 7 (everything from position 50 to the rows-only block).
     # Permanent rows-only
     # keys are parked past the window, r4/r5-green keys trail.
@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": retrieval.phrase_search,
         "phrase_search_batch": retrieval.phrase_search_batch,
         "constraint_report": profiling.constraint_report,
+        "dedup_survivors_icws": weighted.dedup_survivors_icws,
         # --- ROUND-6 WINDOW ROTATION: the 70 oracle keys below have no
         #     recorded driver row in r4/r5 (last checked r2/r3 or never).
         #     The driver gate walks ~50 keys from position 0, so the first
@@ -1474,6 +1475,28 @@ def oracle_sql() -> dict[str, str]:
         # The oracle recomputes the decoded fields from the BMP
         # GENERATION rule (pixel j = (id*31+j) % 256), so a decoder
         # that misparses stride/offset/padding hash-mismatches.
+        "dedup_survivors_icws": f"""
+            WITH RECURSIVE {_icws_ctes()},
+            wedges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM icws_pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM icws_pairs),
+            wreach(a, b) AS (
+              SELECT src, src FROM wedges
+              UNION
+              SELECT r.a, e.dst FROM wreach r JOIN wedges e ON r.b = e.src),
+            wcomp AS (SELECT a AS doc_id, min(b) AS cluster_id
+                      FROM wreach GROUP BY a)
+            SELECT cluster_id, survivor_doc_id, n_members FROM (
+              SELECT c.cluster_id, d.doc_id AS survivor_doc_id,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY d.n_chars DESC, d.doc_id)
+                       AS rn,
+                     count(*) OVER (PARTITION BY c.cluster_id)::BIGINT
+                       AS n_members
+              FROM wcomp c JOIN documents d ON d.doc_id = c.doc_id)
+            WHERE rn = 1
+        """,
         "dedup_icws": f"""
             WITH {_icws_ctes()}
             SELECT doc_a, doc_b, wjaccard FROM icws_pairs

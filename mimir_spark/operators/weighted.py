@@ -682,3 +682,22 @@ def weighted_containment_lsh_recall(
         "n_exact_pairs long, n_lsh_pairs long, n_hit long, "
         "precision double, recall double",
     )
+
+
+def dedup_survivors_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_survivors on the ICWS weighted-MinHash pair source —
+    completes the survivors family across pair generators (exact
+    set-Jaccard, set-LSH, and now weighted): per weighted-near-dup
+    cluster keep the longest document (ties → lowest doc_id). The
+    clustering/survivor machinery is dedup.dedup_survivors verbatim
+    via its callable pair_source; only the pair generator differs,
+    so boilerplate-heavy duplicate groups that set-Jaccard
+    undercounts land in the keep-list too."""
+    from mimir_spark.operators.dedup import dedup_survivors
+
+    return dedup_survivors(
+        spark,
+        sf_dir,
+        threshold=WJ_THRESHOLD,
+        pair_source=lambda sp, sd, th: dedup_icws(sp, sd, th),
+    )

@@ -478,6 +478,7 @@ def test_new_round6_ops_partition_invariance(spark, sf_smoke):
         multimodal_frame_sample_gif,
     )
     from mimir_spark.operators.profiling import constraint_report
+    from mimir_spark.operators.weighted import dedup_survivors_icws
     from mimir_spark.operators.retrieval import (
         bm25_topk_batch,
         hybrid_retrieval_batch,
@@ -498,6 +499,7 @@ def test_new_round6_ops_partition_invariance(spark, sf_smoke):
         phrase_search,
         phrase_search_batch,
         constraint_report,
+        dedup_survivors_icws,
     ):
         base = {tuple(r) for r in fn(spark, sf_smoke).collect()}
         alt = {tuple(r) for r in fn(odd, sf_smoke).collect()}
