@@ -53,71 +53,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER matters: the driver's correctness gate walks this dict in
-    # order and covers a ~50-key window per round (r01: 50, r02: 51,
-    # r03: 50, r04: 50, r05: 50). Round-6 order: rotation round — the 11
-    # new round-6 keys lead (first driver rows), then the 70 keys with
-    # no driver row in r4/r5; a 50-key window covers the new keys plus
-    # the first 39 of those, leaving ~30 to rotate to the front in
-    # round 7 (everything from position 50 to the rows-only block).
-    # Permanent rows-only
-    # keys are parked past the window, r4/r5-green keys trail.
+    # order and covers a ~50-key window per round (r01-r06: 50 each).
+    # Round-7 order: the FINAL rotation — the 31 oracle keys that have
+    # never had a driver row lead (wordcount/BFS/octree among them), then
+    # keys whose implementations changed this round plus new r7 keys,
+    # then the permanent rows-only block parked past the window, then the
+    # driver-green trail. After this round every oracle key has a row.
     return {
-        # --- new in round 6 (need first driver rows, so they lead) ---
-        "multimodal_decode_png": multimodal.multimodal_decode_png,
-        "multimodal_decode_wav": multimodal.multimodal_decode_wav,
-        "multimodal_dedup_images": multimodal.multimodal_dedup_images,
-        "multimodal_frame_sample_gif": multimodal.multimodal_frame_sample_gif,
-        "multimodal_audio_features": multimodal.multimodal_audio_features,
-        "bm25_topk_batch": retrieval.bm25_topk_batch,
-        "hybrid_retrieval_batch": retrieval.hybrid_retrieval_batch,
-        "phrase_search": retrieval.phrase_search,
-        "phrase_search_batch": retrieval.phrase_search_batch,
-        "constraint_report": profiling.constraint_report,
-        "dedup_survivors_icws": weighted.dedup_survivors_icws,
-        # --- ROUND-6 WINDOW ROTATION: the 70 oracle keys below have no
-        #     recorded driver row in r4/r5 (last checked r2/r3 or never).
-        #     The driver gate walks ~50 keys from position 0, so the first
-        #     50 get fresh rows this round; the ~20 past position 49 (plus
-        #     any round-6 keys inserted at the front) rotate in round 7. ---
-        "event_windows_sliding": features.event_windows_sliding,
-        "hourly_value_correlation": features.hourly_value_correlation,
-        "dedup_span_removal": dedup.dedup_span_removal,
-        "ddsketch_quantiles": sketches.ddsketch_quantiles,
-        "sample_weighted": pipeline.sample_weighted,
-        "dup_span_islands": dedup.dup_span_islands,
-        "dedup_clusters_star": dedup.dedup_clusters_star,
-        "triangle_count": graph.triangle_count,
-        "unigram_logppl": quality.unigram_logppl,
-        "dup_span_fraction": dedup.dup_span_fraction,
-        "histogram_quantiles": sketches.histogram_quantiles,
-        "cohort_retention": features.cohort_retention,
-        "funnel_conversion": advanced.funnel_conversion,
-        "gopher_quality_filter": quality.gopher_quality_filter,
-        "quality_topk_select": quality.quality_topk_select,
-        "zipf_slope": quality.zipf_slope,
-        "cooccurrence_pmi": corpus.cooccurrence_pmi,
-        "anomaly_zscore": features.anomaly_zscore,
-        "dedup_prefix": dedup.dedup_prefix,
-        "ann_range_search": similarity.ann_range_search,
-        "knn_graph": similarity.knn_graph,
-        "multimodal_features": multimodal.multimodal_features_hist,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_nation_revenue": relational.q5_nation_revenue,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q10_returned_items": relational.q10_returned_items,
-        "sessionize": relational.sessionize,
-        "event_windows": relational.event_windows,
-        "q4_order_priority": relational2.q4_order_priority,
-        "q14_promo_revenue": relational2.q14_promo_revenue,
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_clusters": dedup.dedup_clusters,
-        "dedup_survivors": dedup.dedup_survivors,
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "pii_scrub": textstats2.pii_scrub,
-        "bpe_pair_counts": textstats2.bpe_pair_counts,
-        "top_ngrams_per_lang": textstats2.top_ngrams_per_lang,
-        "sample_stratified": pipeline.sample_stratified,
+        # --- ROUND-7 WINDOW: the 31 oracle keys below have NEVER had a
+        #     driver row (r1-r6); putting them at positions 0-30 completes
+        #     driver coverage of every oracle key in the inventory. ---
         "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
         "repetition_ratio": textstats2.repetition_ratio,
         "text_normalize": textstats2.text_normalize,
@@ -149,16 +94,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": graph.bfs_levels,
         "octree_bin": octree.octree_bin,
         "octree_adaptive": octree.octree_adaptive,
+        # --- re-checks: implementations changed in round 7 (batch phrase
+        #     rewrite, containment-LSH candidate-join cut, decoded-pixel
+        #     features); new r7 keys are inserted here as they land. ---
+        "phrase_search_batch": retrieval.phrase_search_batch,
+        "dedup_containment_lsh": dedup2.dedup_containment_lsh,
+        "containment_lsh_recall": dedup2.containment_lsh_recall,
+        "multimodal_features": multimodal.multimodal_features_hist,
         # --- permanent rows-only keys, parked past the window so no slot
         #     is spent on a guaranteed no_oracle row (blockers documented
         #     in oracle_sql()) ---
         "approx_distinct": core.approx_distinct,
+        "embedding_pca": clustering.embedding_pca,
+        "multimodal_resize": multimodal.multimodal_resize,
         "approx_quantiles": relational2.approx_quantiles,
         "kll_quantiles": sketches.kll_quantiles,
         "tdigest_quantiles": sketches.tdigest_quantiles,
-        "embedding_pca": clustering.embedding_pca,
-        "multimodal_resize": multimodal.multimodal_resize,
-        # --- driver-green in r4/r5 and unchanged since ---
+        # --- driver-green in r4/r5/r6 and unchanged since ---
+        "multimodal_decode_png": multimodal.multimodal_decode_png,
+        "multimodal_decode_wav": multimodal.multimodal_decode_wav,
+        "multimodal_dedup_images": multimodal.multimodal_dedup_images,
+        "multimodal_frame_sample_gif": multimodal.multimodal_frame_sample_gif,
+        "multimodal_audio_features": multimodal.multimodal_audio_features,
+        "bm25_topk_batch": retrieval.bm25_topk_batch,
+        "hybrid_retrieval_batch": retrieval.hybrid_retrieval_batch,
+        "phrase_search": retrieval.phrase_search,
+        "constraint_report": profiling.constraint_report,
+        "dedup_survivors_icws": weighted.dedup_survivors_icws,
+        "event_windows_sliding": features.event_windows_sliding,
+        "hourly_value_correlation": features.hourly_value_correlation,
+        "dedup_span_removal": dedup.dedup_span_removal,
+        "ddsketch_quantiles": sketches.ddsketch_quantiles,
+        "sample_weighted": pipeline.sample_weighted,
+        "dup_span_islands": dedup.dup_span_islands,
+        "dedup_clusters_star": dedup.dedup_clusters_star,
+        "triangle_count": graph.triangle_count,
+        "unigram_logppl": quality.unigram_logppl,
+        "dup_span_fraction": dedup.dup_span_fraction,
+        "histogram_quantiles": sketches.histogram_quantiles,
+        "cohort_retention": features.cohort_retention,
+        "funnel_conversion": advanced.funnel_conversion,
+        "gopher_quality_filter": quality.gopher_quality_filter,
+        "quality_topk_select": quality.quality_topk_select,
+        "zipf_slope": quality.zipf_slope,
+        "cooccurrence_pmi": corpus.cooccurrence_pmi,
+        "anomaly_zscore": features.anomaly_zscore,
+        "dedup_prefix": dedup.dedup_prefix,
+        "ann_range_search": similarity.ann_range_search,
+        "knn_graph": similarity.knn_graph,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "sessionize": relational.sessionize,
+        "event_windows": relational.event_windows,
+        "q4_order_priority": relational2.q4_order_priority,
+        "q14_promo_revenue": relational2.q14_promo_revenue,
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_clusters": dedup.dedup_clusters,
+        "dedup_survivors": dedup.dedup_survivors,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "pii_scrub": textstats2.pii_scrub,
+        "bpe_pair_counts": textstats2.bpe_pair_counts,
+        "top_ngrams_per_lang": textstats2.top_ngrams_per_lang,
+        "sample_stratified": pipeline.sample_stratified,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_clusters_lsh": dedup.dedup_clusters_lsh,
         "dedup_survivors_lsh": dedup.dedup_survivors_lsh,
@@ -180,8 +180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": tokenizer.bpe_train,
         "bpe_encode": tokenizer.bpe_encode,
         "rank_quantiles": sketches.rank_quantiles,
-        "dedup_containment_lsh": dedup2.dedup_containment_lsh,
-        "containment_lsh_recall": dedup2.containment_lsh_recall,
         "dedup_weighted_jaccard": weighted.dedup_weighted_jaccard,
         "dedup_weighted_containment": weighted.dedup_weighted_containment,
         "dedup_weighted_containment_lsh": weighted.dedup_weighted_containment_lsh,

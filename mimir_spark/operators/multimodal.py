@@ -571,6 +571,8 @@ def _wav_parse(payload: bytes):
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (length,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + length > len(payload):
+            raise ValueError("truncated chunk")
         body = payload[pos + 8 : pos + 8 + length]
         if tag == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
@@ -597,8 +599,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
     agree bit for bit. Raises on non-WAV / non-PCM payloads."""
     rate, n_ch, bits, samples = _wav_parse(payload)
     energy = sum(s * s for s in samples)
+    # Crossings per channel over the de-interleaved stream (sample j of
+    # channel c is samples[j * n_ch + c]), summed — a stereo payload no
+    # longer counts spurious cross-channel sign flips.
     crossings = sum(
-        1 for i in range(1, len(samples)) if samples[i] * samples[i - 1] < 0
+        1
+        for c in range(n_ch)
+        for i in range(1, len(samples) // n_ch)
+        if samples[i * n_ch + c] * samples[(i - 1) * n_ch + c] < 0
     )
     return rate, n_ch, bits, len(samples) // n_ch, energy, crossings
 
@@ -920,7 +928,7 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
         return val & ((1 << size) - 1)
 
     out = bytearray()
-    table: list = []
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
     size = min_code_size + 1
     prev: bytes | None = None
     while True:
@@ -933,12 +941,16 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
             prev = None
             continue
         if prev is None:
+            if code >= clear:  # first code must be a literal
+                raise ValueError(f"LZW stream starts with code {code}")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
             if len(table) < 4096:  # table frozen at 12-bit capacity
                 table.append(prev + entry[:1])
-        else:  # KwKwK: code == len(table)
+        else:  # KwKwK: only code == len(table) is decodable
+            if code != len(table):
+                raise ValueError(f"LZW code {code} beyond table")
             entry = prev + prev[:1]
             table.append(entry)
         out.extend(entry)
@@ -1005,6 +1017,8 @@ def decode_gif(payload: bytes):
         fpacked = payload[pos + 9]
         if fpacked & 0xC0:
             raise ValueError("local color table / interlace unsupported")
+        if fl or ft or (fw, fh) != (w, h):
+            raise ValueError("offset/partial GIF frames unsupported")
         pos += 10
         min_code = payload[pos]
         pos += 1

@@ -116,8 +116,14 @@ def _icws_bucket_rows(
             if out["doc_id"]:
                 yield pd.DataFrame(out)
 
+    # Carry columns keep their source dtype (a hardcoded int would
+    # overflow a long carry, e.g. a doc-derived id, at Arrow conversion).
+    carry_types = {
+        f.name: "long" if f.dataType.typeName() in ("long", "bigint") else "int"
+        for f in sig.schema.fields
+    }
     schema = "doc_id long, band int, bucket long" + "".join(
-        f", {c} int" for c in carry
+        f", {c} {carry_types[c]}" for c in carry
     )
     return sig.mapInPandas(_buckets, schema)
 

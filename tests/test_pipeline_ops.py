@@ -438,6 +438,31 @@ def test_wav_codec_spec_valid_and_cross_decoded():
     with _pytest.raises(ValueError):
         m.decode_wav(b"RIFFxxxxWAVE")
 
+    # A truncated data chunk must fail loudly, not yield fewer samples:
+    # cut 4 payload bytes and patch the RIFF length so only the chunk
+    # bound check can catch it.
+    cut = bytearray(m.encode_wav(9))[:-4]
+    _struct.pack_into("<I", cut, 4, len(cut) - 8)
+    with _pytest.raises(ValueError):
+        m.decode_wav(bytes(cut))
+
+    # Stereo: crossings count per de-interleaved channel. L alternates
+    # sign every sample (4 crossings), R is constant-positive (0) — the
+    # interleaved stream would wrongly see up to 9.
+    lr = [100, 50, -100, 50, 100, 50, -100, 50, 100, 50]
+    data = b"".join(_struct.pack("<h", s) for s in lr)
+    fmt = _struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    stereo = b"RIFF" + _struct.pack("<I", len(body)) + body
+    rate, ch, bits, n, energy, cross = m.decode_wav(stereo)
+    assert (ch, n) == (2, 5)
+    assert cross == 4
+    assert energy == sum(s * s for s in lr)
+
 
 def test_multimodal_dedup_images_cross_format(spark, sf_smoke):
     """Every duplicate group must span BOTH container formats (ids in
@@ -570,8 +595,18 @@ def test_gif_codec_spec_valid_and_cross_decoded(spark):
         m.decode_gif(b"NOTAGIF")
     trunc = bytearray(m.encode_gif(7))
     trunc[6] = 0xFF  # corrupt screen descriptor width
-    w, h, frames = m.decode_gif(bytes(trunc))  # parses, wrong dims
-    assert w != (7 % 8) + 2
+    with _pytest.raises(ValueError):  # frame dims no longer match screen
+        m.decode_gif(bytes(trunc))
+    # Offset frames are explicitly unsupported (raise, not garbage stats)
+    off = bytearray(m.encode_gif(7))
+    desc = off.index(0x2C, 13 + 3 * 256)
+    off[desc + 1] = 1  # fl = 1
+    with _pytest.raises(ValueError):
+        m.decode_gif(bytes(off))
+    # A corrupt LZW code beyond the table must raise, not KwKwK-guess:
+    # min_code_size=2 → literal 3 then code 7 with only 6 table entries.
+    with _pytest.raises(ValueError):
+        m._lzw_decode(bytes([0b00111011]), 2)
 
 
 def test_audio_features_reference(spark, sf_smoke):
