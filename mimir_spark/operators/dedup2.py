@@ -489,16 +489,23 @@ def containment_lsh_pairs(
     Plan: one doc-table pass (shared _minhash_doc_table), size-class
     tag per doc, bucket explosion at EVERY rows-per-band value the
     class-pair table needs (≤ |{r}| band sets per doc — constant
-    fan-out), then PER r two class-restricted joins: a cross-class
-    join (docs that are the SMALL side of some r-pair × docs that are
-    the BIG side) and a same-class self-join. Restricting classes IN
-    the join matters most at the permissive r values: at r=1 the bulk
-    of bucket collisions are large×large docs sharing a hot signature
-    minimum, and every one of them is invalid for r=1 (near-equal
-    sizes demand a selective r) — filtering after the join would
-    stream ~7× the candidate volume through the dedup (measured at
-    sf0.1: 757k unrestricted vs 110k restricted r=1 pairs). The exact
-    verify is one array_intersect per survivor."""
+    fan-out), folded into ONE (r, band, bucket)-keyed self-join: the
+    a-side holds each doc's bucket rows at the r values where its
+    class can be the SMALL side of some class pair, the b-side where
+    it can be the BIG side. The per-r per-side class restriction
+    stays PRE-join — at r=1 the bulk of bucket collisions are
+    large×large docs sharing a hot signature minimum, every one
+    invalid for r=1 (near-equal sizes demand a selective r), so
+    keeping them out of the join sides bounds a hot bucket's pair
+    count to |small|×|big| instead of |all|² (measured at sf0.1:
+    757k unrestricted vs 110k restricted r=1 pairs). Exact
+    (cls_a, cls_b, r) validity rides a broadcast semi-join, so a
+    collision whose class pair was assigned a different r dies
+    pipelined, never shuffled. One join + one distinct replaces the
+    previous per-r join pair (up to 12 joins / ~24 exchanges — pure
+    stage overhead at bench scale, and 12 recomputes of the shared
+    bucket table at any scale). The exact verify is one
+    array_intersect per survivor."""
     from mimir_spark.operators.dedup import (
         N_HASHES,
         _minhash_doc_table,
@@ -513,78 +520,89 @@ def containment_lsh_pairs(
     # 31-bit merge happens identically on both sides.
     tbl = _minhash_doc_table(docs).localCheckpoint(eager=True)
     hsets = tbl.select("doc_id", F.col("sh_set").alias("hs"))
-    cls_tbl = tbl.select(
+    side = tbl.select(
         "doc_id",
-        F.size("sh_set").alias("n_sh"),
+        "sig",
         F.floor(F.log2(F.greatest(F.size("sh_set"), F.lit(1))))
         .cast("int")
         .alias("cls"),
     )
     classes = sorted(
-        r.cls for r in cls_tbl.select("cls").distinct().collect()
+        r.cls for r in side.select("cls").distinct().collect()
     )  # ≤ log2(longest doc) rows — bounded metadata
     cfg = _containment_band_configs(classes, threshold, N_HASHES)
     rs = sorted({r for _, _, r in cfg})
+    # Which classes can play which side at each r (same-class pairs
+    # put the class on both sides).
+    a_cls = {r: sorted({i for i, _, rr in cfg if rr == r}) for r in rs}
+    b_cls = {r: sorted({j for _, j, rr in cfg if rr == r}) for r in rs}
 
-    side = tbl.select("doc_id", "sig").join(
-        cls_tbl.select("doc_id", "cls"), "doc_id"
+    def _bucket_rows(side_cls: dict[int, list[int]]) -> DataFrame:
+        parts = []
+        for r in rs:
+            if not side_cls[r]:
+                continue
+            bands_r = F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        portable_band_bucket("sig", b * r, r).alias("bucket"),
+                    )
+                    for b in range(N_HASHES // r)
+                ]
+            )
+            parts.append(
+                side.filter(F.col("cls").isin(side_cls[r]))
+                .select(
+                    "doc_id",
+                    "cls",
+                    F.lit(r).alias("r"),
+                    F.explode(bands_r).alias("bb"),
+                )
+                .select("doc_id", "cls", "r", "bb.band", "bb.bucket")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # (cls_a, cls_b, r) validity as bounded metadata, not an OR-chain
+    # join predicate (a big boolean expression risks the janino
+    # codegen rejection the ICWS kernel hit).
+    spark = docs.sparkSession
+    cfg_tbl = spark.createDataFrame(
+        [(i, j, rr) for i, j, rr in cfg], "cls_a int, cls_b int, r int"
     )
-    cand_parts = []
-    for r in rs:
-        cross = [(i, j) for (i, j, rr) in cfg if rr == r and i != j]
-        same = [i for (i, j, rr) in cfg if rr == r and i == j]
-        bands_r = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    portable_band_bucket("sig", b * r, r).alias("bucket"),
+    a = _bucket_rows(a_cls).alias("a")
+    b = _bucket_rows(b_cls).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (
+                (F.col("a.cls") < F.col("b.cls"))
+                | (
+                    (F.col("a.cls") == F.col("b.cls"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
                 )
-                for b in range(N_HASHES // r)
-            ]
+            ),
         )
-        bk = side.select(
-            "doc_id", "cls", F.explode(bands_r).alias("bb")
-        ).select("doc_id", "cls", "bb.band", "bb.bucket")
-        if cross:
-            small_cls = sorted({i for i, _ in cross})
-            big_cls = sorted({j for _, j in cross})
-            pair_ok = F.lit(False)
-            for i, j in cross:
-                pair_ok = pair_ok | (
-                    (F.col("a.cls") == i) & (F.col("b.cls") == j)
-                )
-            a = bk.filter(F.col("cls").isin(small_cls)).alias("a")
-            b = bk.filter(F.col("cls").isin(big_cls)).alias("b")
-            cand_parts.append(
-                a.join(
-                    b,
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bucket") == F.col("b.bucket"))
-                    & pair_ok,
-                ).select(
-                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-                )
-            )
-        if same:
-            s = bk.filter(F.col("cls").isin(same))
-            a, b = s.alias("a"), s.alias("b")
-            cand_parts.append(
-                a.join(
-                    b,
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.cls") == F.col("b.cls"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")),
-                ).select(
-                    F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                )
-            )
-    cand = cand_parts[0]
-    for part in cand_parts[1:]:
-        cand = cand.unionByName(part)
-    cand = cand.distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.cls").alias("cls_a"),
+            F.col("b.cls").alias("cls_b"),
+            F.col("a.r").alias("r"),
+        )
+        .join(F.broadcast(cfg_tbl), ["cls_a", "cls_b", "r"], "left_semi")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
     sa = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
     sb = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     return (

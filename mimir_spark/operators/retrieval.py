@@ -429,40 +429,54 @@ def phrase_search_batch(
 ) -> DataFrame:
     """Exact phrase search for a BATCH of phrases in ONE corpus pass —
     the scan-amortization twin of `bm25_topk_batch` on the positional
-    side: one posexplode filtered to the UNION of all phrase terms
-    (the only corpus-sized stage; Catalyst shares it across every
-    phrase's join chain via the localCheckpoint), then per phrase the
-    same co-partitioned (doc_id, pos − i) chain, results unioned with
-    their phrase_id. Output: (phrase_id, doc_id, n_matches)."""
+    side, and DATA-driven in the batch: the phrases ride a broadcast
+    (phrase_id, term, offset, phrase_len) table, so the logical plan
+    is ONE postings join + two aggregates however many phrases are in
+    the batch (the previous per-phrase join-chain union grew the plan
+    O(phrases × phrase_len) — Catalyst analysis cost exploded at the
+    1000-query batches `bm25_topk_batch` is built for).
+
+    Semantics: term postings (filtered to the union of phrase terms
+    BEFORE any shuffle) join the phrase table on the term; each hit
+    proposes occurrence start = pos − offset; a start is a real
+    occurrence iff all `phrase_len` distinct offsets report in
+    (duplicate terms in a phrase contribute their several offsets
+    from the same posting row, so repeated-term phrases count
+    correctly). Output: (phrase_id, doc_id, n_matches), identical
+    rows to the per-phrase join chain (pytest-pinned).
+
+    Scale shape: the corpus-sized stages are the token scan and one
+    exchange keyed (phrase_id, doc_id, start) on phrase-term postings
+    only; the occurrence rows that reach the second (per-doc count)
+    exchange are matches only. Batch size rides the broadcast table,
+    not the plan."""
     docs = load_table(spark, sf_dir, "documents")
     all_terms = sorted({t for _, p in phrases for t in p})
-    post = (
-        docs.select(
-            "doc_id", F.posexplode(tokens_col("text")).alias("pos", "w")
-        )
-        .filter(F.col("w").isin(*all_terms))
-        .localCheckpoint(eager=True)  # one scan feeds every chain
+    post = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "w")
+    ).filter(F.col("w").isin(*all_terms))
+    ptab = spark.createDataFrame(
+        [(pid, t, i, len(p)) for pid, p in phrases for i, t in enumerate(p)],
+        "phrase_id long, w string, off int, plen int",
     )
-    parts = []
-    for pid, phrase in phrases:
-        matches = None
-        for i, term in enumerate(phrase):
-            part = post.filter(F.col("w") == term).select(
-                "doc_id", (F.col("pos") - i).alias("start")
-            )
-            matches = part if matches is None else matches.join(
-                part, ["doc_id", "start"]
-            )
-        parts.append(
-            matches.groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_matches"))
-            .select(
-                F.lit(pid).cast("long").alias("phrase_id"),
-                "doc_id",
-                "n_matches",
-            )
+    hits = (
+        post.join(F.broadcast(ptab), "w")
+        .select(
+            "phrase_id",
+            "doc_id",
+            (F.col("pos") - F.col("off")).alias("start"),
+            "off",
+            "plen",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .filter(F.col("start") >= 0)
+    )
+    occurrences = (
+        hits.groupBy("phrase_id", "doc_id", "start", "plen")
+        .agg(F.countDistinct("off").alias("n_off"))
+        .filter(F.col("n_off") == F.col("plen"))
+    )
+    return (
+        occurrences.groupBy("phrase_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+        .select("phrase_id", "doc_id", "n_matches")
+    )

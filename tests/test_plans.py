@@ -481,6 +481,44 @@ def test_phrase_search_single_exchange_chain(spark, sf_correct):
     assert "IN (" in plan or "isin" in plan, plan
 
 
+def test_phrase_batch_plan_size_independent_of_batch(spark, sf_correct):
+    """phrase_search_batch is DATA-driven in the batch: the phrases
+    ride a broadcast table, so the physical plan has exactly ONE
+    postings join and the same node count whether the batch holds 3
+    phrases or 30 — the O(phrases × len) per-phrase join-chain union
+    would blow up Catalyst at the 1000-query batches the op targets."""
+    from mimir_spark.operators.retrieval import (
+        PHRASE_BATCH,
+        phrase_search_batch,
+    )
+
+    import re
+
+    big = tuple(
+        (100 + i, (t1, t2))
+        for i, (t1, t2) in enumerate(
+            (a, b)
+            for a in ("hash", "merge", "sort", "scan", "big")
+            for b in ("join", "table", "index", "group", "filter", "limit")
+        )
+    )
+    small_plan = formatted_plan(phrase_search_batch(spark, sf_correct))
+    big_plan = formatted_plan(
+        phrase_search_batch(spark, sf_correct, phrases=PHRASE_BATCH + big)
+    )
+    for plan in (small_plan, big_plan):
+        # exactly one join node, and it is the broadcast postings join
+        joins = re.findall(r"\(\d+\) (\S*Join)", plan)
+        assert joins == ["BroadcastHashJoin"], plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+    n_nodes = lambda p: len(re.findall(r"\(\d+\) ", p))
+    assert n_nodes(big_plan) == n_nodes(small_plan), (
+        n_nodes(small_plan),
+        n_nodes(big_plan),
+    )
+
+
 def test_minhash_doc_table_is_shuffle_free(spark, sf_correct):
     """The sketch family's only corpus-sized stage: one repartition
     (the deliberate _spread) feeding the Arrow kernel — no groupBy /

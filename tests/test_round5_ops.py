@@ -565,24 +565,36 @@ def test_hybrid_retrieval_batch_matches_single(spark, sf_smoke):
 
 
 def test_phrase_search_batch_matches_single(spark, sf_smoke):
-    """Restricted to phrase 0, the batched operator must be
-    row-identical to phrase_search; every batch phrase yields rows."""
+    """For EVERY batch phrase the data-driven batched operator must be
+    row-identical to the per-phrase join chain (phrase_search), and a
+    repeated-term phrase must count like the chain (the distinct-offset
+    gate, not a bag count)."""
     from mimir_spark.operators.retrieval import (
+        PHRASE_BATCH,
         phrase_search,
         phrase_search_batch,
     )
 
     batch = phrase_search_batch(spark, sf_smoke)
-    got0 = {
+    rows = {(r.phrase_id, r.doc_id, r.n_matches) for r in batch.collect()}
+    expect = set()
+    for pid, phrase in PHRASE_BATCH:
+        for r in phrase_search(spark, sf_smoke, phrase=phrase).collect():
+            expect.add((pid, r.doc_id, r.n_matches))
+    assert rows == expect and rows
+    for pid, _ in PHRASE_BATCH:
+        assert any(p == pid for p, _, _ in rows), pid
+
+    # repeated-term phrase: the same posting row carries both offsets
+    rep = (("the", "the"),)
+    got = {
         (r.doc_id, r.n_matches)
-        for r in batch.filter("phrase_id = 0")
-        .select("doc_id", "n_matches")
-        .collect()
+        for r in phrase_search_batch(
+            spark, sf_smoke, phrases=((7, rep[0]),)
+        ).collect()
     }
     single = {
         (r.doc_id, r.n_matches)
-        for r in phrase_search(spark, sf_smoke).collect()
+        for r in phrase_search(spark, sf_smoke, phrase=rep[0]).collect()
     }
-    assert got0 == single and got0
-    for pid in (1, 2):
-        assert batch.filter(f"phrase_id = {pid}").count() > 0
+    assert got == single
