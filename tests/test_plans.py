@@ -546,3 +546,68 @@ def test_weighted_arrays_is_shuffle_free(spark, sf_correct):
     plan = formatted_plan(df)
     assert "HashAggregate" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_no_unbounded_global_window_in_headline_plans(spark, sf_smoke):
+    """Backstop for bench.py's WindowExec logger silencing: that
+    silencing is COSMETIC only while no headline query runs a global
+    (unpartitioned) window over unbounded input. Sweep every headline
+    plan: an unpartitioned Window node is allowed only when its input
+    subtree is limit-bounded (GlobalLimit / TakeOrderedAndProject /
+    CollectLimit — the post-limit pools and sketch finalizers), and
+    the set of queries that have one at all is pinned, so a future
+    operator that accidentally windows the whole corpus on one
+    partition fails HERE instead of warning into a silenced log."""
+    import json
+
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    BOUNDED = {
+        "GlobalLimitExec",
+        "LocalLimitExec",
+        "TakeOrderedAndProjectExec",
+        "CollectLimitExec",
+    }
+    ALLOWED_GLOBAL_WINDOW = {"rank_quantiles"}
+
+    def tree(nodes):
+        it = iter(nodes)
+
+        def build():
+            n = next(it)
+            kids = [build() for _ in range(n.get("num-children", 0))]
+            return (n, kids)
+
+        return build()
+
+    def classes(root):
+        n, kids = root
+        yield n["class"].rsplit(".", 1)[-1]
+        for k in kids:
+            yield from classes(k)
+
+    def global_windows(root):
+        n, kids = root
+        cls = n["class"].rsplit(".", 1)[-1]
+        if cls in ("WindowExec", "WindowInPandasExec") and not n.get(
+            "partitionSpec"
+        ):
+            yield (n, kids)
+        for k in kids:
+            yield from global_windows(k)
+
+    queries = entrymod.queries()
+    offenders = []
+    for name in HEADLINE:
+        df = queries[name](spark, sf_smoke)
+        nodes = json.loads(df._jdf.queryExecution().sparkPlan().toJSON())
+        for wn, wkids in global_windows(tree(nodes)):
+            subtree = set()
+            for k in wkids:
+                subtree |= set(classes(k))
+            if not (subtree & BOUNDED):
+                offenders.append((name, "unbounded global window"))
+            elif name not in ALLOWED_GLOBAL_WINDOW:
+                offenders.append((name, "new global window — pin it"))
+    assert not offenders, offenders
