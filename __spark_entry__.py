@@ -101,15 +101,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_lsh": dedup2.dedup_containment_lsh,
         "containment_lsh_recall": dedup2.containment_lsh_recall,
         "multimodal_features": multimodal.multimodal_features_hist,
-        # --- permanent rows-only keys, parked past the window so no slot
-        #     is spent on a guaranteed no_oracle row (blockers documented
-        #     in oracle_sql()) ---
+        # --- new round-7 keys: decoded-pixel feature + resize kernels ---
+        "multimodal_pixel_features": multimodal.multimodal_pixel_features,
+        "multimodal_resize_pixels": multimodal.multimodal_resize_pixels,
+        # --- rows-only keys that have NEVER had a driver row: inside the
+        #     window once so the weaker rows-only check records them
+        #     (blockers documented in oracle_sql()) ---
         "approx_distinct": core.approx_distinct,
         "embedding_pca": clustering.embedding_pca,
         "multimodal_resize": multimodal.multimodal_resize,
-        "approx_quantiles": relational2.approx_quantiles,
-        "kll_quantiles": sketches.kll_quantiles,
-        "tdigest_quantiles": sketches.tdigest_quantiles,
         # --- driver-green in r4/r5/r6 and unchanged since ---
         "multimodal_decode_png": multimodal.multimodal_decode_png,
         "multimodal_decode_wav": multimodal.multimodal_decode_wav,
@@ -121,6 +121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": retrieval.phrase_search,
         "constraint_report": profiling.constraint_report,
         "dedup_survivors_icws": weighted.dedup_survivors_icws,
+        # --- permanent rows-only keys that ALREADY have a driver row
+        #     (no_oracle in r4/r5), parked past the window so no slot is
+        #     spent re-recording a guaranteed no_oracle result ---
+        "approx_quantiles": relational2.approx_quantiles,
+        "kll_quantiles": sketches.kll_quantiles,
+        "tdigest_quantiles": sketches.tdigest_quantiles,
         "event_windows_sliding": features.event_windows_sliding,
         "hourly_value_correlation": features.hourly_value_correlation,
         "dedup_span_removal": dedup.dedup_span_removal,

@@ -1150,3 +1150,103 @@ def multimodal_audio_features(
             )
 
     return docs.select("doc_id").mapInPandas(_feat, AUDIO_FEATURES_SCHEMA)
+
+
+# ---- Decoded-pixel features + real resize ------------------------------
+# The feature/resize legs graduated from byte-stub to DECODED-content
+# kernels: both run on the mixed BMP/PNG payload and reach the pixels
+# through the real format parsers (decode_pixels), so a decode bug in
+# either codec shows up as a hash mismatch here too. Mimir's convert/
+# map stage analogue for binary columns: map-only, payload bytes never
+# shuffle.
+
+PIXEL_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "sum_r long, sum_g long, sum_b long, "
+    + ", ".join(f"lum{k} long" for k in range(8))
+)
+
+
+def multimodal_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel pixel statistics from a REAL decode: each mixed
+    BMP/PNG payload is parsed to row-major RGB, then per-channel sums
+    and an 8-bin luminance histogram (lum = (r+g+b)//3, bin = lum//32)
+    are computed vectorized over the decoded array. This is the
+    decoded-content replacement for the byte-histogram featurizer stub
+    (`_featurize_batches`): integer outputs, so the whole row is
+    driver-hashable against a closed-form oracle.
+
+    Scale shape: map-only mapInPandas — decode parallelism follows the
+    input partitioning, no shuffle, payload read exactly once."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_pixels(p)
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                lum = arr.sum(axis=1, dtype=np.int64) // 3
+                hist = np.bincount(lum // 32, minlength=8)
+                rows.append(
+                    (int(d), w, h, *map(int, sums), *map(int, hist[:8]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g",
+                         "sum_b", *[f"lum{k}" for k in range(8)]],
+            )
+
+    return with_mixed_image_payload(docs).mapInPandas(
+        _feat, PIXEL_FEATURES_SCHEMA
+    )
+
+
+def resize_pixels_nn(w: int, h: int, px: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbour resize over row-major RGB bytes with the
+    integer source mapping src_x = x*w // out_w, src_y = y*h // out_h
+    (top-left anchored — deterministic and closed-form, so an external
+    comparator can recompute every output byte)."""
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[np.ix_(ys, xs)].tobytes()
+
+
+def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode the mixed BMP/PNG payload to pixels,
+    nearest-neighbour-resample to RESIZE_TARGET, and emit the Horner
+    digest of the resized content ([out_w, out_h] ++ RGB bytes — same
+    fold as `pixel_digest`). Replaces the byte-decimation stub resize
+    with a decoded-content kernel whose every output byte has a
+    closed-form oracle. Map-only; the only bytes that cross stages are
+    the 12-byte output row, never the payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    out_w, out_h = RESIZE_TARGET
+
+    def _rsz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_pixels(p)
+                out = resize_pixels_nn(w, h, px, out_w, out_h)
+                rows.append(
+                    (int(d), w, h, out_w, out_h,
+                     pixel_digest(out_w, out_h, out))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "out_width",
+                         "out_height", "digest"],
+            )
+
+    return with_mixed_image_payload(docs).mapInPandas(
+        _rsz,
+        "doc_id long, width int, height int, out_width int,"
+        " out_height int, digest long",
+    )
