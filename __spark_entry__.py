@@ -20,6 +20,7 @@ from mimir_spark.operators import (
     corpus,
     dedup,
     dedup2,
+    editdist,
     features,
     graph,
     lsh_index,
@@ -27,6 +28,7 @@ from mimir_spark.operators import (
     octree,
     packing,
     pipeline,
+    pq,
     profiling,
     sketches,
     substr,
@@ -52,17 +54,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Key ORDER matters: the driver's correctness gate walks this dict in
-    # order and covers a ~50-key window per round (r01-r06: 50 each).
-    # Round-7 order: the FINAL rotation — the 31 oracle keys that have
-    # never had a driver row lead (wordcount/BFS/octree among them), then
-    # keys whose implementations changed this round plus new r7 keys,
-    # then the permanent rows-only block parked past the window, then the
-    # driver-green trail. After this round every oracle key has a row.
+    # Key ORDER matters: the driver's correctness gate walks this dict
+    # in order and covers a ~50-key window per round. Rotation finished
+    # in r7 (every oracle key has a driver row across r4-r8), so the
+    # round-9 window leads with keys whose CONTRACT changed this round,
+    # then re-confirms the keys whose last driver row is oldest (r4).
     return {
-        # --- ROUND-7 WINDOW: the 31 oracle keys below have NEVER had a
-        #     driver row (r1-r6); putting them at positions 0-30 completes
-        #     driver coverage of every oracle key in the inventory. ---
+        # --- ROUND-9 WINDOW: contract changes first — the two round-7
+        #     pixel kernels (closed-form oracles added this round), the
+        #     tolerance-band reworks of the Spark-internal sketch
+        #     estimators, and the new oracle-checked Gram projection of
+        #     embedding_pca's distributed state. ---
+        "multimodal_pixel_features": multimodal.multimodal_pixel_features,
+        "multimodal_resize_pixels": multimodal.multimodal_resize_pixels,
+        "approx_distinct": core.approx_distinct,
+        "approx_quantiles": relational2.approx_quantiles,
+        "embedding_gram": clustering.embedding_gram,
+        # (new round-9 keys are inserted here as they land)
+        "ann_pq_topk": pq.ann_pq_topk,
+        "ann_pq_rerank_topk": pq.ann_pq_rerank_topk,
+        "ann_pq_recall": pq.ann_pq_recall,
+        "dedup_edit_distance": editdist.dedup_edit_distance,
+        # --- oldest driver rows (last checked r4) re-confirmed while
+        #     window slots are free ---
+        "tfidf": advanced.tfidf,
+        "ngram_counts": advanced.ngram_counts,
+        "window_suite": advanced.window_suite,
+        "asof_join": advanced.asof_join,
+        "interval_join": advanced.interval_join,
+        "salted_agg": advanced.salted_agg,
+        "embedding_centroids": advanced.embedding_centroids,
+        "q18_large_orders": relational2.q18_large_orders,
+        "q19_bracketed_revenue": relational2.q19_bracketed_revenue,
+        "semi_anti_join": relational2.semi_anti_join,
+        "rollup_revenue": relational2.rollup_revenue,
+        "cube_revenue": relational3.cube_revenue,
+        "grouping_sets_revenue": relational3.grouping_sets_revenue,
+        "moving_avg_revenue": relational3.moving_avg_revenue,
+        "pivot_status_priority": relational2.pivot_status_priority,
+        "median_order_value": relational2.median_order_value,
+        "secondary_sort": relational2.secondary_sort,
+        "q7_volume_shipping": relational3.q7_volume_shipping,
+        "q8_market_share": relational3.q8_market_share,
+        "q9_profit_by_nation_year": relational3.q9_profit_by_nation_year,
+        "q13_order_count_distribution": relational3.q13_order_count_distribution,
+        "q15_top_supplier": relational3.q15_top_supplier,
+        "q16_supplier_part_variety": relational3.q16_supplier_part_variety,
+        "q17_small_qty_revenue": relational3.q17_small_qty_revenue,
+        "q22_dormant_customers": relational3.q22_dormant_customers,
+        "q12_ship_delay": relational3.q12_ship_delay,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_containment": dedup.dedup_containment,
+        "dedup_jaccard_prefix": dedup2.dedup_jaccard_prefix,
+        "dedup_containment_prefix": dedup2.dedup_containment_prefix,
+        "lsh_tuning_curve": dedup2.lsh_tuning_curve,
+        "bm25_topk": retrieval.bm25_topk,
+        "hybrid_retrieval": retrieval.hybrid_retrieval,
+        "ccnet_ppl_buckets": quality.ccnet_ppl_buckets,
+        "sample_reservoir": pipeline.sample_reservoir,
+        "train_val_test_split": pipeline.train_val_test_split,
+        "sequence_pack": packing.sequence_pack,
+        "dataset_mixture_plan": packing.dataset_mixture_plan,
+        "clustering_coefficient": graph.clustering_coefficient,
+        "table_profile": profiling.table_profile,
+        "rfm_segmentation": features.rfm_segmentation,
+        "dataset_card": corpus.dataset_card,
+        # --- driver-green r5-r8 trail (rotation complete: every oracle
+        #     key has a hash-green row; order here is inert) ---
         "corpus_clean_pipeline": pipeline.corpus_clean_pipeline,
         "repetition_ratio": textstats2.repetition_ratio,
         "text_normalize": textstats2.text_normalize,
@@ -94,23 +152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": graph.bfs_levels,
         "octree_bin": octree.octree_bin,
         "octree_adaptive": octree.octree_adaptive,
-        # --- re-checks: implementations changed in round 7 (batch phrase
-        #     rewrite, containment-LSH candidate-join cut, decoded-pixel
-        #     features); new r7 keys are inserted here as they land. ---
         "phrase_search_batch": retrieval.phrase_search_batch,
         "dedup_containment_lsh": dedup2.dedup_containment_lsh,
         "containment_lsh_recall": dedup2.containment_lsh_recall,
         "multimodal_features": multimodal.multimodal_features_hist,
-        # --- new round-7 keys: decoded-pixel feature + resize kernels ---
-        "multimodal_pixel_features": multimodal.multimodal_pixel_features,
-        "multimodal_resize_pixels": multimodal.multimodal_resize_pixels,
-        # --- rows-only keys that have NEVER had a driver row: inside the
-        #     window once so the weaker rows-only check records them
-        #     (blockers documented in oracle_sql()) ---
-        "approx_distinct": core.approx_distinct,
-        "embedding_pca": clustering.embedding_pca,
-        "multimodal_resize": multimodal.multimodal_resize,
-        # --- driver-green in r4/r5/r6 and unchanged since ---
         "multimodal_decode_png": multimodal.multimodal_decode_png,
         "multimodal_decode_wav": multimodal.multimodal_decode_wav,
         "multimodal_dedup_images": multimodal.multimodal_dedup_images,
@@ -121,12 +166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": retrieval.phrase_search,
         "constraint_report": profiling.constraint_report,
         "dedup_survivors_icws": weighted.dedup_survivors_icws,
-        # --- permanent rows-only keys that ALREADY have a driver row
-        #     (no_oracle in r4/r5), parked past the window so no slot is
-        #     spent re-recording a guaranteed no_oracle result ---
-        "approx_quantiles": relational2.approx_quantiles,
-        "kll_quantiles": sketches.kll_quantiles,
-        "tdigest_quantiles": sketches.tdigest_quantiles,
         "event_windows_sliding": features.event_windows_sliding,
         "hourly_value_correlation": features.hourly_value_correlation,
         "dedup_span_removal": dedup.dedup_span_removal,
@@ -211,48 +250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": relational4.q21_waiting_suppliers,
         "degree_distribution": graph.degree_distribution,
         "decontaminate_corpus": corpus.decontaminate_corpus,
-        "q18_large_orders": relational2.q18_large_orders,
-        "q19_bracketed_revenue": relational2.q19_bracketed_revenue,
-        "semi_anti_join": relational2.semi_anti_join,
-        "rollup_revenue": relational2.rollup_revenue,
-        "pivot_status_priority": relational2.pivot_status_priority,
-        "median_order_value": relational2.median_order_value,
-        "secondary_sort": relational2.secondary_sort,
-        "q7_volume_shipping": relational3.q7_volume_shipping,
-        "q8_market_share": relational3.q8_market_share,
-        "q9_profit_by_nation_year": relational3.q9_profit_by_nation_year,
-        "q13_order_count_distribution": relational3.q13_order_count_distribution,
-        "q15_top_supplier": relational3.q15_top_supplier,
-        "q16_supplier_part_variety": relational3.q16_supplier_part_variety,
-        "q17_small_qty_revenue": relational3.q17_small_qty_revenue,
-        "q22_dormant_customers": relational3.q22_dormant_customers,
-        "q12_ship_delay": relational3.q12_ship_delay,
-        "cube_revenue": relational3.cube_revenue,
-        "grouping_sets_revenue": relational3.grouping_sets_revenue,
-        "moving_avg_revenue": relational3.moving_avg_revenue,
-        "tfidf": advanced.tfidf,
-        "ngram_counts": advanced.ngram_counts,
-        "window_suite": advanced.window_suite,
-        "asof_join": advanced.asof_join,
-        "interval_join": advanced.interval_join,
-        "salted_agg": advanced.salted_agg,
-        "embedding_centroids": advanced.embedding_centroids,
-        "dedup_jaccard_prefix": dedup2.dedup_jaccard_prefix,
-        "ccnet_ppl_buckets": quality.ccnet_ppl_buckets,
-        "sample_reservoir": pipeline.sample_reservoir,
-        "clustering_coefficient": graph.clustering_coefficient,
-        "bm25_topk": retrieval.bm25_topk,
-        "hybrid_retrieval": retrieval.hybrid_retrieval,
-        "dedup_containment_prefix": dedup2.dedup_containment_prefix,
-        "table_profile": profiling.table_profile,
-        "rfm_segmentation": features.rfm_segmentation,
-        "dataset_card": corpus.dataset_card,
-        "lsh_tuning_curve": dedup2.lsh_tuning_curve,
-        "train_val_test_split": pipeline.train_val_test_split,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_containment": dedup.dedup_containment,
-        "dataset_mixture_plan": packing.dataset_mixture_plan,
-        "sequence_pack": packing.sequence_pack,
+        # --- permanent rows-only keys parked past the window (each
+        #     already has a no_oracle driver row; blockers documented
+        #     in oracle_sql()) ---
+        "embedding_pca": clustering.embedding_pca,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "kll_quantiles": sketches.kll_quantiles,
+        "tdigest_quantiles": sketches.tdigest_quantiles,
     }
 
 
@@ -1088,6 +1092,162 @@ def _ivf_recall_sql() -> str:
     )
 
 
+def _pq_chain(
+    m: int = 8, dsub: int = 8, k: int = 16, iters: int = 3
+) -> str:
+    """CTE chain reproducing the PQ/ADC pipeline (operators.pq):
+    per-subspace Lloyd on L2-normalized slices (lowest-vec_id 9dp
+    seeds, per-round 9dp grids — the kmeans/IVF determinism recipe),
+    argmin encode (ties → lowest code), and fixed-order ADC folds
+    rounded to 6dp. Ends at CTEs `codes`, `qrs`, `adc`."""
+    parts = [
+        """WITH pts AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> y::DOUBLE * y::DOUBLE)))) AS e
+          FROM embeddings)"""
+    ]
+    for s in range(m):
+        o = s * dsub
+        dist = (
+            f"list_sum(list_transform(generate_series(1, {dsub}),"
+            f" j -> (p.e[{o} + j] - s.c[j]) * (p.e[{o} + j] - s.c[j])))"
+        )
+        parts.append(
+            f""", s{s}c0 AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+                     list_transform(e[{o + 1}:{o + dsub}],
+                                    x -> round(x, 9)) AS c
+              FROM (SELECT vec_id, e FROM pts ORDER BY vec_id
+                    LIMIT {k}) q0)"""
+        )
+        for i in range(iters):
+            parts.append(
+                f""", s{s}a{i} AS MATERIALIZED (
+                  SELECT vec_id, cid FROM (
+                    SELECT p.vec_id, s.cid,
+                           row_number() OVER (PARTITION BY p.vec_id
+                                              ORDER BY {dist}, s.cid) AS rk
+                    FROM pts p CROSS JOIN s{s}c{i} s) q
+                  WHERE rk = 1)
+                , s{s}c{i + 1} AS MATERIALIZED (
+                  SELECT s.cid, coalesce(u.c, s.c) AS c
+                  FROM s{s}c{i} s LEFT JOIN (
+                    SELECT cid, list(v ORDER BY j) AS c FROM (
+                      SELECT a.cid, dims.j,
+                             round(avg(p.e[{o} + dims.j]), 9) AS v
+                      FROM s{s}a{i} a JOIN pts p USING (vec_id)
+                      CROSS JOIN (SELECT unnest(
+                        generate_series(1, {dsub})) AS j) dims
+                      GROUP BY a.cid, dims.j) g
+                    GROUP BY cid) u ON u.cid = s.cid)"""
+            )
+        parts.append(
+            f""", cd{s} AS MATERIALIZED (
+              SELECT vec_id, cid AS code{s} FROM (
+                SELECT p.vec_id, s.cid,
+                       row_number() OVER (PARTITION BY p.vec_id
+                                          ORDER BY {dist}, s.cid) AS rk
+                FROM pts p CROSS JOIN s{s}c{iters} s) q
+              WHERE rk = 1)"""
+        )
+    joins = " ".join(f"JOIN cd{s} USING (vec_id)" for s in range(m))
+    parts.append(
+        f""", codes AS MATERIALIZED (
+          SELECT p.vec_id AS neighbor_id,
+                 {", ".join(f"code{s}" for s in range(m))}
+          FROM pts p {joins})
+        , qrs AS MATERIALIZED (
+          SELECT vec_id AS query_id, e AS qe FROM pts WHERE vec_id < 10)"""
+    )
+    terms = []
+    for s in range(m):
+        o = s * dsub
+        terms.append(
+            f"list_sum(list_transform(generate_series(1, {dsub}),"
+            f" j -> (q.qe[{o} + j] - b{s}.c[j])"
+            f" * (q.qe[{o} + j] - b{s}.c[j])))"
+        )
+    bjoins = " ".join(
+        f"JOIN s{s}c{iters} b{s} ON b{s}.cid = x.code{s}" for s in range(m)
+    )
+    parts.append(
+        f""", adc AS MATERIALIZED (
+          SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc, neighbor_id)::BIGINT
+                   AS rank
+          FROM (
+            SELECT q.query_id, x.neighbor_id,
+                   round({" + ".join(terms)}, 6) AS adc
+            FROM qrs q JOIN codes x ON x.neighbor_id <> q.query_id
+            {bjoins}) z)"""
+    )
+    return "\n".join(parts)
+
+
+def _pq_topk_sql(topk: int = 5) -> str:
+    return (
+        _pq_chain()
+        + f"""
+        SELECT query_id, neighbor_id, adc, rank FROM adc
+        WHERE rank <= {topk}"""
+    )
+
+
+def _pq_rerank_sql(topk: int = 5, shortlist: int = 64) -> str:
+    """ADC shortlist re-ranked with the exact metric — cosine computed
+    over the same NORMALIZED vectors the Spark side uses, so the
+    doubles (and their 6dp rounding) are bit-equal."""
+    cos = _raw_cos("q.e", "n.e")
+    return (
+        _pq_chain()
+        + f"""
+        , shortq AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM adc WHERE rank <= {shortlist})
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT s.query_id, s.neighbor_id,
+                 round({cos}, 6) AS cos,
+                 row_number() OVER (PARTITION BY s.query_id
+                    ORDER BY round({cos}, 6) DESC, s.neighbor_id)::BIGINT
+                   AS rank
+          FROM shortq s JOIN pts q ON q.vec_id = s.query_id
+          JOIN pts n ON n.vec_id = s.neighbor_id) z
+        WHERE rank <= {topk}"""
+    )
+
+
+def _pq_recall_sql(topk: int = 5) -> str:
+    cos_tb = _raw_cos("a.ce", "b.ce")
+    return (
+        _pq_chain()
+        + f"""
+        , corpus AS MATERIALIZED (
+          SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS ce
+          FROM embeddings)
+        , truth AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT a.neighbor_id AS query_id, b.neighbor_id,
+                   row_number() OVER (PARTITION BY a.neighbor_id
+                      ORDER BY round({cos_tb}, 6) DESC, b.neighbor_id)
+                     AS rank
+            FROM corpus a JOIN corpus b
+              ON a.neighbor_id <> b.neighbor_id
+            WHERE a.neighbor_id < 10) t WHERE rank <= {topk})
+        SELECT t.query_id,
+               sum(CASE WHEN p.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+               round(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / {topk}e0, 6) AS recall
+        FROM truth t LEFT JOIN (
+          SELECT query_id, neighbor_id FROM adc WHERE rank <= {topk}) p
+          ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id"""
+    )
+
+
 def _kmeans_sql(k: int = 8, dim: int = 64, iters: int = 5) -> str:
     """Unrolled Lloyd k-means (DuckDB dialect — list arithmetic and
     AS MATERIALIZED, which pins each round's centroid table to ONE
@@ -1253,12 +1413,113 @@ def _label_propagation_sql(iters: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Decoded-pixel features recomputed from the generation rule —
+        # pixel byte j = (id*31 + j) % 256 in BOTH containers (BMP and
+        # PNG share it), so channel sums and the 8-bin luminance
+        # histogram are closed-form in doc_id. lum//32 with
+        # lum=(r+g+b)//3 composes to (r+g+b)//96 for non-negative ints.
+        "multimodal_pixel_features": """
+            WITH p AS (
+              SELECT doc_id, (doc_id % 16) + 1 AS w, (doc_id % 8) + 1 AS h
+              FROM documents)
+            SELECT doc_id, w::INT AS width, h::INT AS height,
+                   """
+        + ",\n                   ".join(
+            f"list_sum(list_transform(range(0, w*h),"
+            f" q -> (doc_id*31 + 3*q + {c}) % 256))::BIGINT AS sum_{n}"
+            for c, n in enumerate("rgb")
+        )
+        + ",\n                   "
+        + ",\n                   ".join(
+            f"list_sum(list_transform(range(0, w*h), q ->"
+            f" CASE WHEN (((doc_id*31 + 3*q) % 256)"
+            f" + ((doc_id*31 + 3*q + 1) % 256)"
+            f" + ((doc_id*31 + 3*q + 2) % 256)) // 96 = {k}"
+            f" THEN 1 ELSE 0 END))::BIGINT AS lum{k}"
+            for k in range(8)
+        )
+        + """
+            FROM p
+        """,
+        # Nearest-neighbour resize digest recomputed byte-for-byte from
+        # the generation rule + the integer index map src = x*in // out:
+        # output byte i (row-major 48×64 RGB, 192 bytes/row) pulls
+        # source pixel (y*h//48, x*w//64), channel i%3; Horner fold over
+        # [out_w, out_h] ++ bytes, same as pixel_digest.
+        "multimodal_resize_pixels": """
+            WITH p AS (
+              SELECT doc_id, (doc_id % 16) + 1 AS w, (doc_id % 8) + 1 AS h
+              FROM documents)
+            SELECT doc_id, w::INT AS width, h::INT AS height,
+                   64::INT AS out_width, 48::INT AS out_height,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_concat(
+                         [64::BIGINT, 48::BIGINT],
+                         list_transform(range(0, 9216), i ->
+                           ((doc_id*31
+                             + 3*(((i // 192) * h // 48) * w
+                                  + ((i % 192) // 3) * w // 64)
+                             + (i % 3)) % 256)::BIGINT))),
+                     (acc, b) -> (acc * 131 + b) % 1000000007) AS digest
+            FROM p
+        """,
+        # Tolerance-band check for the HLL estimator: the oracle owns
+        # the exact side and asserts Spark's within-eps flag (|est -
+        # exact| <= 4·rsd·exact) came out 1 — the estimate itself is
+        # Spark-internal and deliberately not hashed.
+        "approx_distinct": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS exact_users,
+                   1::BIGINT AS within_eps
+            FROM events GROUP BY 1
+        """,
+        # Tolerance-band check for the GK quantile sketch: exact
+        # interpolated percentiles are the portable hashed side
+        # (identical to median_order_value); the flags assert the
+        # sketch value fell inside the exact [p-0.002, p+0.002] band.
+        "approx_quantiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   1::BIGINT AS p50_within,
+                   1::BIGINT AS p90_within
+            FROM orders GROUP BY o_orderpriority
+        """,
+        # Brute-force ground truth for the PassJoin operator: the
+        # length filter is implied by lev <= 8, so the oracle answer
+        # is the true pair set — any chunk/window off-by-one on the
+        # Spark side surfaces as a missing pair here.
+        "dedup_edit_distance": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.text, b.text)::BIGINT AS edit_distance
+            FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 8
+            WHERE levenshtein(a.text, b.text) <= 8
+        """,
+        # The PCA's distributed reduced state is plain sums of float64
+        # products — engine-portable up to summation order, absorbed by
+        # round(.,4). Only the driver-side eigensolve stays rows-only.
+        "embedding_gram": """
+            WITH idx AS (SELECT i FROM range(0, 64) t(i)),
+            ij AS (SELECT a.i AS i, b.i AS j
+                   FROM idx a JOIN idx b ON a.i <= b.i)
+            SELECT ij.i::BIGINT AS i, ij.j::BIGINT AS j,
+                   round(sum(e.embedding[ij.i + 1]::DOUBLE
+                             * e.embedding[ij.j + 1]::DOUBLE), 4) AS gram
+            FROM ij CROSS JOIN embeddings e
+            GROUP BY 1, 2
+        """,
         "table_profile": _PROFILE_SQL,
         "k_core": _k_core_sql(),
         "pagerank": _pagerank_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
+        "ann_pq_topk": _pq_topk_sql(),
+        "ann_pq_rerank_topk": _pq_rerank_sql(),
+        "ann_pq_recall": _pq_recall_sql(),
         "label_propagation": _label_propagation_sql(),
         # Portable-sketch family (see _lsh_ctes/_simhash_ctes): the
         # candidate SETS themselves are replicated, not just the

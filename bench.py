@@ -68,6 +68,11 @@ HEADLINE = [
     # signatures — tracked after the r5 portable-id regression and its
     # memoized-kernel fix)
     "dedup_icws",
+    # round-9: track the round-7 single-join batch rewrites (positional
+    # postings phrase search; shared-scan batch BM25) the way
+    # dedup_icws is tracked — plan regressions show up as bench moves.
+    "phrase_search_batch",
+    "bm25_topk_batch",
 ]
 
 

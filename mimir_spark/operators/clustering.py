@@ -157,24 +157,16 @@ def kmeans_embeddings(
     )
 
 
-def embedding_pca(spark: SparkSession, sf_dir: str, top: int = 5) -> DataFrame:
-    """PCA spectrum of the embedding space — the dimension-collapse
-    check an embedding-ingest QA runs (a healthy space spreads
-    variance; a collapsed encoder concentrates it in a few axes).
-
-    Scale shape: the 64×64 covariance needs ONE pass — each Arrow
-    batch contributes a partial Gram matrix (NumPy einsum), a count,
-    and a sum vector; partials are 64²+64+1 floats per batch, summed
-    by position in a shuffle bounded by 4161·batches rows. The
-    eigendecomposition runs on the DRIVER over the tiny 64×64 result
-    (not a distributed solve — at ANY corpus size the reduced state
-    is d², which is the whole point). Pinned against full-matrix
-    NumPy PCA in tests."""
+def _gram_flat(spark: SparkSession, sf_dir: str, d: int = 64):
+    """Distributed single-pass second-moment state: per Arrow batch a
+    partial Gram matrix (NumPy einsum over float64), sum vector, and
+    count; partials are position-keyed and summed in one bounded
+    shuffle (d²+d+1 rows per batch). Shared by embedding_pca (driver
+    eigensolve) and embedding_gram (oracle-checked raw state)."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    d = 64
 
     def _partials(batches):
         for pdf in batches:
@@ -191,6 +183,47 @@ def embedding_pca(spark: SparkSession, sf_dir: str, top: int = 5) -> DataFrame:
     flat = np.zeros(d * d + d + 1)
     for r in rows:
         flat[r.pos] = r.val
+    return flat
+
+
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked projection of embedding_pca's reduced state: the
+    position-summed Gram matrix Σ xᵢxⱼ (upper triangle, d(d+1)/2 rows,
+    rounded to 4 decimals) — plain sums of float64 products, so DuckDB
+    recomputes it exactly up to summation order. This pins the entire
+    distributed leg of the PCA (partial einsum + positional sum); only
+    the driver-side eigensolve stays rows-only (embedding_pca)."""
+    d = 64
+    flat = _gram_flat(spark, sf_dir, d)
+    gram = flat[: d * d].reshape(d, d)
+    return spark.createDataFrame(
+        [
+            (i, j, round(float(gram[i, j]), 4))
+            for i in range(d)
+            for j in range(i, d)
+        ],
+        "i long, j long, gram double",
+    )
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str, top: int = 5) -> DataFrame:
+    """PCA spectrum of the embedding space — the dimension-collapse
+    check an embedding-ingest QA runs (a healthy space spreads
+    variance; a collapsed encoder concentrates it in a few axes).
+
+    Scale shape: the 64×64 covariance needs ONE pass — each Arrow
+    batch contributes a partial Gram matrix (NumPy einsum), a count,
+    and a sum vector; partials are 64²+64+1 floats per batch, summed
+    by position in a shuffle bounded by 4161·batches rows. The
+    eigendecomposition runs on the DRIVER over the tiny 64×64 result
+    (not a distributed solve — at ANY corpus size the reduced state
+    is d², which is the whole point). Pinned against full-matrix
+    NumPy PCA in tests; the distributed leg (partial einsum +
+    positional sum) is oracle-checked via embedding_gram."""
+    import numpy as np
+
+    d = 64
+    flat = _gram_flat(spark, sf_dir, d)
     gram, s, n = flat[: d * d].reshape(d, d), flat[d * d : d * d + d], flat[-1]
     cov = gram / n - np.outer(s / n, s / n)
     evals = np.linalg.eigvalsh(cov)[::-1][:top]

@@ -129,9 +129,31 @@ def group_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct users per event type. Mergeable-sketch path:
     at 100 TB this is the only sane distinct-count (exact countDistinct
-    re-shuffles raw keys). rsd=1.5% keeps the small-SF answer exact in
-    practice; tested against exact counts in unit tests."""
+    re-shuffles raw keys).
+
+    Tolerance-band driver contract: the HLL estimate itself is
+    Spark-internal (not engine-portable), so the hashed columns are the
+    EXACT count plus a within-epsilon flag — the oracle recomputes the
+    exact side and asserts the flag is 1. eps = 4×rsd (rsd=1.5% is the
+    published relative standard deviation of Spark's HLL++; 4 sigma is
+    a ~1-in-16k false-failure band). The exact leg exists only for
+    verification — a production 100 TB run keeps just the sketch."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.015).alias("approx_users")
+    eps = 4 * 0.015
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.015).alias("est"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.col("exact_users") * eps
+            )
+            .cast("long")
+            .alias("within_eps"),
+        )
     )

@@ -1,0 +1,180 @@
+"""Exact edit-distance dedup via PassJoin partitioning (Li, Deng,
+Wang, Feng, "PassJoin: A Partition-based Method for Similarity Joins",
+PVLDB 2011).
+
+Why not a brute-force levenshtein self-join: lev() is O(len²) per
+pair and the pair space is O(n²) — at corpus scale both are fatal.
+PassJoin's pigeonhole guarantee makes the candidate set EXACT: split
+every indexed string into K+1 chunks; any string within K edits must
+contain at least one chunk VERBATIM (K edits can destroy at most K
+chunks), and the matching occurrence's start can drift at most K
+positions from the chunk's home position (each edit shifts alignment
+by ≤1). So candidates = an equi-join between indexed chunks and probe
+substrings drawn from a bounded position window — hot-text popularity
+never squares, because the join key is a ~len/(K+1)-char substring
+(30-ish chars here), not a frequent token.
+
+Scale shape: chunk and substring generation are map-only explodes
+(arrays built per row, no shuffle); the join is keyed on
+(chunk_index, xxhash64(substring)) — an 8-byte shuffle key; a hash
+collision only ADDS a candidate, which verification removes. Probe
+fan-out is O(K²) substrings per doc — independent of corpus size — so
+the operator is one equi-join plus a candidate-bounded verify
+(one levenshtein per DISTINCT candidate pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.operators.dedup import _spread
+from mimir_spark.sources.tables import load_table
+
+EDIT_K = 8  # max edit distance — near-identical revision dedup
+N_CHUNKS = EDIT_K + 1
+
+
+def _guarded_seq(lo, hi):
+    """F.sequence that yields an EMPTY array when lo > hi — Spark's
+    sequence(5, 3) silently counts DOWN, which here would emit
+    out-of-range probe starts instead of none."""
+    return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def dedup_edit_distance(
+    spark: SparkSession, sf_dir: str, k: int = EDIT_K
+) -> DataFrame:
+    """All document pairs within `k` character edits (Levenshtein),
+    exact, via PassJoin.
+
+    Chunk rule (shared by both sides' arithmetic): base = len // (K+1),
+    rem = len % (K+1); the FIRST rem chunks are base+1 chars, so chunk
+    i starts at 1 + i·base + min(i, rem) (1-based) with length
+    base + (i < rem).
+
+    Probe windows are a SUPERSET of the lemma's: substrings of every
+    chunk length admissible for partners within ±K length (lengths
+    (len±K)//(K+1) … +1) starting within ±2K of the probe's own chunk-i
+    home position (alignment drift ≤K plus chunk-position drift ≤K
+    across the admissible length range). Post-join filters re-check
+    the tight constraints (|len_a − len_b| ≤ K, |probe_start −
+    chunk_start| ≤ K); the final levenshtein keeps only true pairs.
+    The brute-force oracle makes any window/chunk off-by-one a missing
+    pair at the driver gate, not a silent recall loss."""
+    n = F.lit(N_CHUNKS)
+    docs = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    base = (F.col("len") / n).cast("int")
+    rem = (F.col("len") % n).cast("int")
+
+    def chunk_start(i):  # 1-based home position of chunk i
+        return (i * base + F.least(i, rem) + F.lit(1)).cast("int")
+
+    # ---- index side: the K+1 chunks of every doc --------------------
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(N_CHUNKS - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("ci"),
+            chunk_start(i).alias("cstart"),
+            (base + (i < rem).cast("int")).alias("clen"),
+        ),
+    )
+    idx = (
+        docs.select(
+            F.col("doc_id").alias("id_s"),
+            F.col("len").alias("len_s"),
+            "text",
+            F.explode(chunks).alias("c"),
+        )
+        .select(
+            "id_s",
+            "len_s",
+            F.col("c.ci").alias("ci"),
+            F.col("c.cstart").alias("cstart"),
+            F.xxhash64(
+                F.expr("substring(text, c.cstart, c.clen)")
+            ).alias("h"),
+        )
+    )
+
+    # ---- probe side: candidate substrings per (chunk index, length) -
+    lmin = ((F.col("len") - k) / n).cast("int")
+    lmax = ((F.col("len") + k) / n).cast("int") + 1
+    cand_subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_CHUNKS - 1)),
+            lambda i: F.flatten(
+                F.transform(
+                    _guarded_seq(F.greatest(lmin, F.lit(1)), lmax),
+                    lambda L: F.transform(
+                        _guarded_seq(
+                            F.greatest(
+                                chunk_start(i) - F.lit(2 * k), F.lit(1)
+                            ),
+                            F.least(
+                                chunk_start(i) + F.lit(2 * k),
+                                (F.col("len") - L + 1).cast("int"),
+                            ),
+                        ),
+                        lambda st: F.struct(
+                            i.cast("int").alias("ci"),
+                            st.cast("int").alias("pstart"),
+                            L.cast("int").alias("plen"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    probe = (
+        docs.select(
+            F.col("doc_id").alias("id_r"),
+            F.col("len").alias("len_r"),
+            "text",
+            F.explode(cand_subs).alias("p"),
+        )
+        .select(
+            "id_r",
+            "len_r",
+            F.col("p.ci").alias("ci"),
+            F.col("p.pstart").alias("pstart"),
+            F.xxhash64(
+                F.expr("substring(text, p.pstart, p.plen)")
+            ).alias("h"),
+        )
+    )
+
+    cand = (
+        idx.join(probe, ["ci", "h"])
+        .filter(
+            (F.col("id_s") != F.col("id_r"))
+            & (F.abs(F.col("len_s") - F.col("len_r")) <= k)
+            & (F.abs(F.col("pstart") - F.col("cstart")) <= k)
+        )
+        .select(
+            F.least("id_s", "id_r").alias("doc_a"),
+            F.greatest("id_s", "id_r").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    ta = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "edit_distance",
+            F.levenshtein("text_a", "text_b").cast("long"),
+        )
+        .filter(F.col("edit_distance") <= k)
+        .select("doc_a", "doc_b", "edit_distance")
+    )

@@ -1167,20 +1167,12 @@ PIXEL_FEATURES_SCHEMA = (
 )
 
 
-def multimodal_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-channel pixel statistics from a REAL decode: each mixed
-    BMP/PNG payload is parsed to row-major RGB, then per-channel sums
-    and an 8-bin luminance histogram (lum = (r+g+b)//3, bin = lum//32)
-    are computed vectorized over the decoded array. This is the
-    decoded-content replacement for the byte-histogram featurizer stub
-    (`_featurize_batches`): integer outputs, so the whole row is
-    driver-hashable against a closed-form oracle.
-
-    Scale shape: map-only mapInPandas — decode parallelism follows the
-    input partitioning, no shuffle, payload read exactly once."""
+def pixel_features_transform(docs: DataFrame) -> DataFrame:
+    """The pixel-features kernel as a plain DataFrame transform —
+    stateless and map-only, so the SAME code path serves the batch
+    operator and its streaming twin (streaming.jobs
+    .streaming_pixel_features) bit-identically."""
     import numpy as np
-
-    docs = load_table(spark, sf_dir, "documents")
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1205,6 +1197,20 @@ def multimodal_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel pixel statistics from a REAL decode: each mixed
+    BMP/PNG payload is parsed to row-major RGB, then per-channel sums
+    and an 8-bin luminance histogram (lum = (r+g+b)//3, bin = lum//32)
+    are computed vectorized over the decoded array. This is the
+    decoded-content replacement for the byte-histogram featurizer stub
+    (`_featurize_batches`): integer outputs, so the whole row is
+    driver-hashable against a closed-form oracle.
+
+    Scale shape: map-only mapInPandas — decode parallelism follows the
+    input partitioning, no shuffle, payload read exactly once."""
+    return pixel_features_transform(load_table(spark, sf_dir, "documents"))
+
+
 def resize_pixels_nn(w: int, h: int, px: bytes, out_w: int, out_h: int) -> bytes:
     """Nearest-neighbour resize over row-major RGB bytes with the
     integer source mapping src_x = x*w // out_w, src_y = y*h // out_h
@@ -1218,15 +1224,10 @@ def resize_pixels_nn(w: int, h: int, px: bytes, out_w: int, out_h: int) -> bytes
     return arr[np.ix_(ys, xs)].tobytes()
 
 
-def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image resize: decode the mixed BMP/PNG payload to pixels,
-    nearest-neighbour-resample to RESIZE_TARGET, and emit the Horner
-    digest of the resized content ([out_w, out_h] ++ RGB bytes — same
-    fold as `pixel_digest`). Replaces the byte-decimation stub resize
-    with a decoded-content kernel whose every output byte has a
-    closed-form oracle. Map-only; the only bytes that cross stages are
-    the 12-byte output row, never the payload."""
-    docs = load_table(spark, sf_dir, "documents")
+def resize_pixels_transform(docs: DataFrame) -> DataFrame:
+    """The decoded-resize kernel as a plain DataFrame transform —
+    stateless and map-only, shared bit-identically by the batch
+    operator and streaming.jobs.streaming_resize_pixels."""
     out_w, out_h = RESIZE_TARGET
 
     def _rsz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1250,3 +1251,15 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, out_width int,"
         " out_height int, digest long",
     )
+
+
+def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode the mixed BMP/PNG payload to pixels,
+    nearest-neighbour-resample to RESIZE_TARGET, and emit the Horner
+    digest of the resized content ([out_w, out_h] ++ RGB bytes — same
+    fold as `pixel_digest`). Replaces the byte-decimation stub resize
+    with a decoded-content kernel whose every output byte has a
+    closed-form oracle (and a pytest pin against an independent loop
+    resize). Map-only; the only bytes that cross stages are the
+    12-byte output row, never the payload."""
+    return resize_pixels_transform(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,233 @@
+"""Product-quantization ANN (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+memory-bounded scale path the similarity tier was missing.
+
+Why PQ at 100 TB: IVF prunes WHICH vectors are scored; PQ compresses
+WHAT is scored. Each vector becomes m sub-codes (here 8 × 4 bits of
+codebook id ⇒ 8 small ints per vector instead of 64 floats), the
+codebooks are k·dim bounded METADATA (broadcast literals, like the
+k-means centroids), and query scoring is an asymmetric-distance
+(ADC) map over the codes — one corpus scan, no joins against the
+raw vectors. A billion-vector corpus holds its codes in a fraction
+of the raw footprint and the scan stays JVM-side (codegen'd literal
+lookups + fixed-order float folds), which is why FAISS-style systems
+pair IVF (pruning) with PQ (compression); `ann_pq_topk` is the PQ
+half expressed as a DataFrame plan.
+
+Determinism/oracle story (same as kmeans/IVF): training runs Lloyd
+per subspace on L2-normalized vectors with lowest-vec_id seeds and
+per-round 9dp centroid rounding; assignment argmin ties break toward
+the lowest code; ADC distances are fixed-order double folds rounded
+to 6dp before ranking with an id tie-break. Every step is replicated
+in the DuckDB oracle, so the CODES and the full top-k are
+value-hashed, not just spot-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mimir_spark.operators.clustering import _lloyd_iterate
+from mimir_spark.sources.tables import load_table
+
+M_SUB = 8  # subspaces
+D_SUB = 8  # dims per subspace (8 × 8 = 64)
+K_CODES = 16  # centroids per sub-codebook (4-bit codes)
+PQ_ITERS = 3
+N_QUERIES = 10  # vec_id < 10 are the query vectors (similarity.py parity)
+TOP_K = 5
+
+
+def _normalized_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e) with e = L2-normalized double vector — PQ is run in
+    the normalized space so ADC-L2 ranking orders like cosine (L2² =
+    2 − 2cos on unit vectors), matching the rest of the ANN tier."""
+    e = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(e, lambda x: x / norm).alias("e")
+    )
+
+
+def pq_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[float]]]:
+    """Train the m sub-codebooks: per subspace, Lloyd k-means over the
+    8-dim slices (seeds = slices of the K_CODES lowest vec_ids, 9dp;
+    per-round 9dp grids — the exact lloyd_centroids recipe, sliced).
+    Driver state is m·k·d_sub floats (1k doubles) — bounded metadata.
+    At corpus scale you'd train on a bounded sample (codebooks are a
+    statistic of the distribution, not of every row); the encode/scan
+    below is what runs over the full data."""
+    pts = _normalized_pts(spark, sf_dir).localCheckpoint(eager=True)
+    books = []
+    for s in range(M_SUB):
+        pts_s = pts.select(
+            "vec_id", F.slice("e", s * D_SUB + 1, D_SUB).alias("e")
+        )
+        seeds = pts_s.orderBy("vec_id").limit(K_CODES).collect()
+        books.append(
+            _lloyd_iterate(
+                pts_s,
+                [[round(float(x), 9) for x in r.e] for r in seeds],
+                PQ_ITERS,
+                round_dp=9,
+            )
+        )
+    return books
+
+
+def _book_lit(book: list[list[float]]):
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+    )
+
+
+def _sq_dist(e_slice, centroid):
+    """Fixed-order fold Σ(x−y)² — the same ((0+v₁)+v₂)+… shape the
+    DuckDB oracle's list_sum produces, so distances are bit-equal."""
+    return F.aggregate(
+        F.zip_with(e_slice, centroid, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(pts: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Map-only encode: per subspace the argmin over K_CODES literal
+    centroids (ties → lowest code, 1-based like array_position). The
+    corpus never shuffles; output is id + m small ints."""
+    def _dists(book, s):
+        # NB: the inner lambda must stay SINGLE-argument — F.transform
+        # reads the lambda's arity and passes the array INDEX as a
+        # second argument, so a `s=s` default-capture silently rebinds
+        # s to 0..k-1 per codebook entry.
+        sl = F.slice("e", s * D_SUB + 1, D_SUB)
+        return F.transform(_book_lit(book), lambda ce: _sq_dist(sl, ce))
+
+    cols = [F.col("vec_id").alias("neighbor_id")]
+    for s, book in enumerate(books):
+        dists = _dists(book, s)
+        cols.append(
+            F.array_position(dists, F.array_min(dists))
+            .cast("long")
+            .alias(f"code{s}")
+        )
+    return pts.select(*cols)
+
+
+def ann_pq_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """PQ/ADC top-k: train sub-codebooks, encode the corpus (map-only),
+    then score each query against the CODES — adc(q, x) = Σ_s ||q_s −
+    c_{s, code_s(x)}||², a literal-table lookup per subspace, summed in
+    fixed subspace order and rounded to 6dp before the (adc asc, id)
+    ranking window. The scan is one pass over m-int rows with a
+    broadcast query set; the k·queries-bounded window is the only
+    shuffle."""
+    books = pq_codebooks(spark, sf_dir)
+    pts = _normalized_pts(spark, sf_dir)
+    codes = pq_encode(pts, books)
+    q = pts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    joined = codes.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = None
+    for s, book in enumerate(books):
+        term = _sq_dist(
+            F.slice("qe", s * D_SUB + 1, D_SUB),
+            F.element_at(_book_lit(book), F.col(f"code{s}").cast("int")),
+        )
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(adc, 6).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+RERANK_SHORTLIST = 64
+
+
+def ann_pq_rerank_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    shortlist: int = RERANK_SHORTLIST,
+) -> DataFrame:
+    """The complete production PQ recipe (FAISS's IVFADC+refine): the
+    ADC scan produces a SHORTLIST (top-`shortlist` by quantized
+    distance — cheap, code-only), then only shortlist rows are scored
+    with the exact metric and re-ranked to top-k. At scale the exact
+    leg touches shortlist·queries vectors instead of the corpus — the
+    re-rank join is k·queries-bounded metadata against the vector
+    store. Ranking: round(cos, 6) desc with an id tie-break, same
+    contract as the rest of the ANN tier."""
+    from mimir_spark.functions.vectors import cosine_sim
+
+    short = ann_pq_topk(spark, sf_dir, shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    pts = _normalized_pts(spark, sf_dir)
+    q = pts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = pts.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim("qe", "ce"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ann_pq_recall(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Recall@k of the PQ/ADC ranking vs exact cosine top-k per query
+    (ann_ivf_recall's shape) — the quality dial a PQ deployment tunes
+    (m, k_codes) against; both sides re-derived in the oracle."""
+    from mimir_spark.operators.similarity import ann_bruteforce_topk
+
+    truth = ann_bruteforce_topk(spark, sf_dir, k).select(
+        "query_id", "neighbor_id"
+    )
+    pq = ann_pq_topk(spark, sf_dir, k).select(
+        "query_id", F.col("neighbor_id").alias("pq_neighbor")
+    )
+    hits = truth.join(
+        pq,
+        (truth.query_id == pq.query_id)
+        & (truth.neighbor_id == pq.pq_neighbor),
+        "left",
+    ).select(
+        truth.query_id,
+        F.when(F.col("pq_neighbor").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("n_hit"),
+        F.round(F.sum("hit") / F.lit(float(k)), 6).alias("recall"),
+    )

@@ -168,11 +168,44 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles (KLL/GK-style approx_percentile) — the
     100 TB path for median_order_value; no per-group sort, mergeable
-    partials. Rows-only check (sketches aren't engine-portable)."""
+    partials.
+
+    Tolerance-band driver contract: the GK sketch's picked value is
+    plan-dependent (not engine-portable), so the hashed columns are
+    the exact interpolated percentiles (the portable side, identical
+    to median_order_value's oracle) plus per-quantile within-band
+    flags. accuracy=10000 bounds the sketch's rank error at N/10000;
+    the band [percentile(p−δ), percentile(p+δ)] with δ=0.002 leaves
+    ≥20× slack at any N (exact percentile is monotone in p, so a value
+    whose rank is within εN of pN lies inside the band)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50_approx"),
-        F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90_approx"),
+    d = 0.002
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50a"),
+        F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90a"),
+        F.expr(f"percentile(o_totalprice, {0.5 - d})").alias("p50_lo"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_mid"),
+        F.expr(f"percentile(o_totalprice, {0.5 + d})").alias("p50_hi"),
+        F.expr(f"percentile(o_totalprice, {0.9 - d})").alias("p90_lo"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_mid"),
+        F.expr(f"percentile(o_totalprice, {0.9 + d})").alias("p90_hi"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round("p50_mid", 4).alias("p50"),
+        F.round("p90_mid", 4).alias("p90"),
+        (
+            (F.col("p50a") >= F.col("p50_lo"))
+            & (F.col("p50a") <= F.col("p50_hi"))
+        )
+        .cast("long")
+        .alias("p50_within"),
+        (
+            (F.col("p90a") >= F.col("p90_lo"))
+            & (F.col("p90a") <= F.col("p90_hi"))
+        )
+        .cast("long")
+        .alias("p90_within"),
     )
 
 

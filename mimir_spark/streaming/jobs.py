@@ -184,6 +184,27 @@ def streaming_event_windows_sliding(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_pixel_features(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of multimodal_pixel_features: the decoded-pixel
+    feature kernel is a pure per-row function of the payload, so the
+    twin IS the shared batch transform applied to the stream — map-only
+    mapInPandas, stateless, append mode, no watermark needed. Rows
+    emitted per micro-batch are bit-identical to the batch operator's
+    rows for the same documents."""
+    from mimir_spark.operators.multimodal import pixel_features_transform
+
+    return pixel_features_transform(docs_stream)
+
+
+def streaming_resize_pixels(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of multimodal_resize_pixels — same trivial
+    map-only case as streaming_pixel_features (pure function of the
+    payload, shared transform, stateless append)."""
+    from mimir_spark.operators.multimodal import resize_pixels_transform
+
+    return resize_pixels_transform(docs_stream)
+
+
 def compact_stream_store(
     spark: SparkSession,
     store_dir: str,

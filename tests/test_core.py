@@ -46,8 +46,8 @@ def test_histogram_covers_all_rows(spark, sf_smoke):
 
 
 def test_approx_distinct_close_to_exact(spark, sf_smoke):
-    approx = {
-        r.event_type: r.approx_users
+    got = {
+        r.event_type: r
         for r in core.approx_distinct(spark, sf_smoke).collect()
     }
     exact = {
@@ -58,7 +58,8 @@ def test_approx_distinct_close_to_exact(spark, sf_smoke):
         .collect()
     }
     for k, v in exact.items():
-        assert abs(approx[k] - v) <= max(1, int(0.05 * v)), (k, approx[k], v)
+        assert got[k].exact_users == v, (k, got[k].exact_users, v)
+        assert got[k].within_eps == 1, k
 
 
 def test_pipeline_reduce_multivalue(spark, sf_smoke):

@@ -1,0 +1,451 @@
+"""Round-9 pins: decoded-pixel kernels against independent
+reimplementations, the JPEG dispatch branches, the tolerance-band
+sketch contracts, and the oracle-checked Gram projection."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+# ---- resize_pixels_nn vs an independent nested-loop resize -------------
+
+
+def _resize_nn_reference(w, h, px, out_w, out_h):
+    """Independent nearest-neighbour resize: plain Python loops over
+    the closed-form index map src = x*in // out (no NumPy fancy
+    indexing shared with the kernel under test)."""
+    out = bytearray()
+    for y in range(out_h):
+        sy = (y * h) // out_h
+        for x in range(out_w):
+            sx = (x * w) // out_w
+            base = (sy * w + sx) * 3
+            out.extend(px[base : base + 3])
+    return bytes(out)
+
+
+@pytest.mark.parametrize("w,h,out_w,out_h", [
+    (1, 1, 64, 48),      # upsample from a single pixel
+    (16, 8, 64, 48),     # max generator size
+    (7, 3, 64, 48),      # non-divisor dims
+    (16, 8, 4, 2),       # downsample
+    (5, 5, 5, 5),        # identity
+])
+def test_resize_nn_matches_reference(w, h, out_w, out_h):
+    from mimir_spark.operators.multimodal import resize_pixels_nn
+
+    px = bytes((i * 7 + 13) % 256 for i in range(w * h * 3))
+    assert resize_pixels_nn(w, h, px, out_w, out_h) == _resize_nn_reference(
+        w, h, px, out_w, out_h
+    )
+
+
+def test_resize_pixels_digest_closed_form(spark, sf_smoke):
+    """The operator's digest equals a from-scratch recomputation:
+    generation rule -> reference resize -> Horner fold, per doc."""
+    from mimir_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        multimodal_resize_pixels,
+        pixel_digest,
+    )
+
+    out_w, out_h = RESIZE_TARGET
+    rows = {r.doc_id: r for r in
+            multimodal_resize_pixels(spark, sf_smoke).collect()}
+    assert rows
+    for doc_id in list(rows)[:25]:
+        w, h = (doc_id % 16) + 1, (doc_id % 8) + 1
+        px = bytes((doc_id * 31 + j) % 256 for j in range(w * h * 3))
+        expect = pixel_digest(
+            out_w, out_h, _resize_nn_reference(w, h, px, out_w, out_h)
+        )
+        r = rows[doc_id]
+        assert (r.width, r.height, r.out_width, r.out_height) == (
+            w, h, out_w, out_h,
+        )
+        assert r.digest == expect, doc_id
+
+
+def test_pixel_features_closed_form(spark, sf_smoke):
+    """Channel sums + luminance histogram recomputed from the
+    generation rule with plain Python (no NumPy bincount)."""
+    from mimir_spark.operators.multimodal import multimodal_pixel_features
+
+    rows = {r.doc_id: r for r in
+            multimodal_pixel_features(spark, sf_smoke).collect()}
+    assert rows
+    for doc_id in list(rows)[:25]:
+        w, h = (doc_id % 16) + 1, (doc_id % 8) + 1
+        b = [(doc_id * 31 + j) % 256 for j in range(w * h * 3)]
+        sums = [sum(b[c::3]) for c in range(3)]
+        hist = [0] * 8
+        for p in range(w * h):
+            hist[((b[3 * p] + b[3 * p + 1] + b[3 * p + 2]) // 3) // 32] += 1
+        r = rows[doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert [r.sum_r, r.sum_g, r.sum_b] == sums
+        assert [getattr(r, f"lum{k}") for k in range(8)] == hist
+
+
+# ---- decode_image dispatch: all three magic-byte branches --------------
+
+
+def test_decode_image_dispatch_bmp_png():
+    from mimir_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    assert decode_image(encode_bmp(7)) == decode_bmp(encode_bmp(7))
+    assert decode_image(encode_png(7)) == decode_png(encode_png(7))
+    with pytest.raises(ValueError, match="magic"):
+        decode_image(b"\x00\x01\x02\x03garbage")
+
+
+def test_decode_image_jpeg_without_pil_raises():
+    # This container has no PIL, so the honest-failure branch is the
+    # live one: a JPEG magic prefix must raise NotImplementedError
+    # (clear cluster-dependency message), never silently mis-decode.
+    from mimir_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; covered by the stubbed test below")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xe0fakejpegbody")
+
+
+def test_decode_image_jpeg_with_stubbed_pil(monkeypatch):
+    """Pin the PIL branch's contract with a stub module: dispatch must
+    call Image.open on the payload bytes, convert('RGB'), and emit
+    (w, h, 24, w*h, int pixel sum) from the array view."""
+    from mimir_spark.operators import multimodal
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+
+    class _FakeImg:
+        width, height = 3, 2
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            a = arr.astype(dtype) if dtype is not None else arr
+            return np.array(a) if copy else a
+
+    class _FakeImage:
+        @staticmethod
+        def open(buf):
+            assert buf.read(3) == b"\xff\xd8\xff"
+            return _FakeImg()
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _FakeImage
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    w, h, bpp, n_px, total = multimodal.decode_image(
+        b"\xff\xd8\xff\xe0stubbed"
+    )
+    assert (w, h, bpp, n_px) == (3, 2, 24, 6)
+    assert total == int(arr.sum())
+
+
+# ---- tolerance-band sketch contracts ------------------------------------
+
+
+def test_approx_distinct_band_holds(spark, sf_correct):
+    from mimir_spark.operators.core import approx_distinct
+
+    rows = approx_distinct(spark, sf_correct).collect()
+    assert rows
+    assert all(r.within_eps == 1 for r in rows)
+    assert all(r.exact_users > 0 for r in rows)
+
+
+def test_approx_quantiles_band_holds(spark, sf_correct):
+    from mimir_spark.operators.relational2 import (
+        approx_quantiles,
+        median_order_value,
+    )
+
+    rows = {r.o_orderpriority: r for r in
+            approx_quantiles(spark, sf_correct).collect()}
+    assert rows
+    assert all(r.p50_within == 1 and r.p90_within == 1
+               for r in rows.values())
+    # the hashed exact side is the SAME number median_order_value emits
+    med = {r.o_orderpriority: r for r in
+           median_order_value(spark, sf_correct).collect()}
+    for k, r in rows.items():
+        assert (r.p50, r.p90) == (med[k].p50, med[k].p90)
+
+
+# ---- streaming twins of the decoded-pixel kernels -----------------------
+
+
+def _run_stream(sdf, name: str):
+    import shutil
+
+    shutil.rmtree(f"/tmp/mimir_ckpt_{name}", ignore_errors=True)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"/tmp/mimir_ckpt_{name}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_pixel_features_matches_batch(spark, sf_smoke):
+    from mimir_spark.operators.multimodal import multimodal_pixel_features
+    from mimir_spark.streaming.jobs import (
+        read_documents_stream,
+        streaming_pixel_features,
+    )
+
+    stream = read_documents_stream(spark, sf_smoke)
+    _run_stream(streaming_pixel_features(stream), "pxf_t")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pxf_t").collect()}
+    expect = {
+        tuple(r) for r in multimodal_pixel_features(spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_streaming_resize_pixels_matches_batch(spark, sf_smoke):
+    from mimir_spark.operators.multimodal import multimodal_resize_pixels
+    from mimir_spark.streaming.jobs import (
+        read_documents_stream,
+        streaming_resize_pixels,
+    )
+
+    stream = read_documents_stream(spark, sf_smoke)
+    _run_stream(streaming_resize_pixels(stream), "rszp_t")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM rszp_t").collect()}
+    expect = {
+        tuple(r) for r in multimodal_resize_pixels(spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+# ---- product quantization -----------------------------------------------
+
+
+def test_pq_encode_matches_numpy(spark, sf_smoke):
+    """Codes = per-subspace argmin over the trained codebooks,
+    recomputed with NumPy from the same normalized vectors."""
+    from mimir_spark.operators.pq import (
+        D_SUB,
+        M_SUB,
+        _normalized_pts,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(spark, sf_smoke)
+    pts = _normalized_pts(spark, sf_smoke)
+    vecs = {r.vec_id: np.array(r.e) for r in pts.collect()}
+    got = {r.neighbor_id: [r[f"code{s}"] for s in range(M_SUB)]
+           for r in pq_encode(pts, books).collect()}
+    for vid in list(vecs)[:40]:
+        e = vecs[vid]
+        for s in range(M_SUB):
+            sl = e[s * D_SUB : (s + 1) * D_SUB]
+            d = [((sl - np.array(c)) ** 2).sum() for c in books[s]]
+            assert got[vid][s] == int(np.argmin(d)) + 1, (vid, s)
+
+
+def test_pq_high_recall_on_structured_data(spark):
+    """The PQ mechanism itself recovers neighbors when the data has
+    structure above the quantization grain: corpus = 80 well-separated
+    base vectors, queries = tiny perturbations of the first 10; exact
+    top-1 is the base vector and PQ/ADC must find it. (On the synthetic
+    embeddings table the neighbor signal sits BELOW the 32-bit code
+    grain, which is why ann_pq_recall reports a low number there and
+    why ann_pq_rerank_topk exists — this test pins that the low number
+    is a data property, not an encode/ADC bug.)"""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from mimir_spark.operators import pq as pqm
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(80, 64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    e = F.col("embedding")
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+    pts = df.select(
+        "vec_id", F.transform(e, lambda x: x / norm).alias("e")
+    ).localCheckpoint(eager=True)
+
+    from mimir_spark.operators.clustering import _lloyd_iterate
+
+    books = []
+    for s in range(pqm.M_SUB):
+        pts_s = pts.select(
+            "vec_id", F.slice("e", s * pqm.D_SUB + 1, pqm.D_SUB).alias("e")
+        )
+        seeds = pts_s.orderBy("vec_id").limit(pqm.K_CODES).collect()
+        books.append(
+            _lloyd_iterate(
+                pts_s,
+                [[round(float(x), 9) for x in r.e] for r in seeds],
+                pqm.PQ_ITERS,
+                round_dp=9,
+            )
+        )
+    codes = {r.neighbor_id: [r[f"code{s}"] for s in range(pqm.M_SUB)]
+             for r in pq_encode_rows(pts, books)}
+    # ADC: query = base + tiny noise, truth = its base vector
+    hits = 0
+    for qid in range(10):
+        qe = base[qid] + rng.randn(64) * 0.01
+        qe /= np.linalg.norm(qe)
+        best, best_d = None, None
+        for vid, cs in codes.items():
+            d = 0.0
+            for s in range(pqm.M_SUB):
+                c = np.array(books[s][cs[s] - 1])
+                sl = qe[s * pqm.D_SUB : (s + 1) * pqm.D_SUB]
+                d += ((sl - c) ** 2).sum()
+            if best_d is None or d < best_d:
+                best, best_d = vid, d
+        hits += best == qid
+    assert hits >= 9, hits
+
+
+def pq_encode_rows(pts, books):
+    from mimir_spark.operators.pq import pq_encode
+
+    return pq_encode(pts, books).collect()
+
+
+def test_pq_rerank_recall_floor(spark, sf_correct):
+    """The shipped PQ recipe (ADC shortlist + exact re-rank) must hold
+    a recall floor on the real embeddings table."""
+    from mimir_spark.operators.pq import ann_pq_rerank_topk
+    from mimir_spark.operators.similarity import ann_bruteforce_topk
+
+    rr = ann_pq_rerank_topk(spark, sf_correct).select(
+        "query_id", "neighbor_id"
+    )
+    bf = ann_bruteforce_topk(spark, sf_correct, 5).select(
+        "query_id", "neighbor_id"
+    )
+    hit = rr.join(bf, ["query_id", "neighbor_id"]).count()
+    assert hit >= 30, hit  # 0.6 floor; measured 39/50 at sf0.01
+
+
+# ---- PassJoin edit-distance dedup ---------------------------------------
+
+
+def _apply_edits(text, rng, n_edits):
+    """n random single-char edits (ins/del/sub) — ground-truth pairs
+    for the completeness test (true distance <= n_edits)."""
+    s = list(text)
+    for _ in range(n_edits):
+        op = rng.choice(3)
+        pos = rng.randint(0, max(1, len(s)))
+        if op == 0 and len(s) > 1:
+            del s[pos % len(s)]
+        elif op == 1:
+            s.insert(pos, chr(97 + rng.randint(0, 26)))
+        else:
+            s[pos % len(s)] = chr(97 + rng.randint(0, 26))
+    return "".join(s)
+
+
+def test_passjoin_finds_all_crafted_pairs(spark, tmp_path):
+    """Completeness pin independent of the corpus: 40 base strings,
+    each paired with a <=8-edit variant; PassJoin must find every
+    (base, variant) pair a brute-force levenshtein confirms."""
+    from mimir_spark.operators.editdist import dedup_edit_distance
+
+    rng = np.random.RandomState(11)
+    alphabet = "abcdefghij klmnopqrst"
+    rows = []
+    for i in range(40):
+        base = "".join(
+            alphabet[rng.randint(0, len(alphabet))] for _ in range(
+                rng.randint(60, 400)
+            )
+        )
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, _apply_edits(base, rng, rng.randint(0, 9))))
+    import pandas as pd
+
+    sf = str(tmp_path / "crafted")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "crafted",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    pdf.to_parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_edit_distance(spark, sf).collect()
+    }
+    # brute-force truth in python over all pairs
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expect = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        if abs(len(ta) - len(tb)) <= 8 and lev(ta, tb) <= 8:
+            expect.add((min(ia, ib), max(ia, ib)))
+    assert got == expect
+    assert len(expect) >= 25  # the crafted pairs are actually present
+
+
+# ---- embedding_gram vs full-matrix NumPy --------------------------------
+
+
+def test_embedding_gram_matches_numpy(spark, sf_smoke):
+    from mimir_spark.operators.clustering import embedding_gram
+    from mimir_spark.sources.tables import load_table
+
+    x = np.array(
+        [r.embedding for r in
+         load_table(spark, sf_smoke, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    full = x.T @ x
+    rows = embedding_gram(spark, sf_smoke).collect()
+    d = x.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        assert r.gram == pytest.approx(full[r.i, r.j], abs=2e-4)
