@@ -494,29 +494,48 @@ def _containment_lsh_ctes(threshold: float = 0.8) -> str:
             for b in range(dedup.N_HASHES // r)
         )
         parts.append(f"bk{r} AS MATERIALIZED (\n{bands})")
+    # r=1 tier mirrors dedup2.R1_MIN_COLLISIONS: its single-hash
+    # S-curve sits far below every class pair's J floor, so a pair
+    # must hit >= 2 distinct bands to become a candidate there; the
+    # r >= 2 tiers keep the standard any-band rule.
+    from mimir_spark.operators.dedup2 import R1_MIN_COLLISIONS
+
+    def _min_hits(r: int) -> int:
+        return R1_MIN_COLLISIONS if r == 1 else 1
+
     cands = []
     for r in rs:
         cross = [(i, j) for (i, j, rr) in cfg if rr == r and i != j]
         same = [i for (i, j, rr) in cfg if rr == r and i == j]
+        having = (
+            f"\n              GROUP BY doc_a, doc_b"
+            f"\n              HAVING count(DISTINCT band) >= {_min_hits(r)}"
+            if _min_hits(r) > 1
+            else ""
+        )
         if cross:
             pair_ok = " OR ".join(
                 f"(a.cls = {i} AND b.cls = {j})" for i, j in cross
             )
             cands.append(
-                f"""SELECT least(a.doc_id, b.doc_id) AS doc_a,
-                     greatest(a.doc_id, b.doc_id) AS doc_b
-              FROM bk{r} a JOIN bk{r} b
-                ON a.band = b.band AND a.bucket = b.bucket
-                   AND ({pair_ok})"""
+                f"""SELECT doc_a, doc_b FROM (
+                SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                       greatest(a.doc_id, b.doc_id) AS doc_b,
+                       a.band AS band
+                FROM bk{r} a JOIN bk{r} b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                     AND ({pair_ok})) z{r}c{having}"""
             )
         if same:
             in_list = ", ".join(str(i) for i in same)
             cands.append(
-                f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bk{r} a JOIN bk{r} b
-                ON a.band = b.band AND a.bucket = b.bucket
-                   AND a.cls = b.cls AND a.cls IN ({in_list})
-                   AND a.doc_id < b.doc_id"""
+                f"""SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.band AS band
+                FROM bk{r} a JOIN bk{r} b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.cls = b.cls AND a.cls IN ({in_list})
+                     AND a.doc_id < b.doc_id) z{r}s{having}"""
             )
     cand_union = "\n              UNION ALL\n              ".join(cands)
     parts_sql = ",\n            ".join(parts)

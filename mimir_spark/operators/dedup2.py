@@ -477,6 +477,9 @@ def _containment_band_configs(
     return out
 
 
+R1_MIN_COLLISIONS = 2  # band hits required at the r=1 tier
+
+
 def containment_lsh_pairs(
     docs: DataFrame, threshold: float = CONTAINMENT_LSH_THRESHOLD
 ) -> DataFrame:
@@ -566,13 +569,13 @@ def containment_lsh_pairs(
             out = out.unionByName(p)
         return out
 
-    # (cls_a, cls_b, r) validity as bounded metadata, not an OR-chain
-    # join predicate (a big boolean expression risks the janino
-    # codegen rejection the ICWS kernel hit).
-    spark = docs.sparkSession
-    cfg_tbl = spark.createDataFrame(
-        [(i, j, rr) for i, j, rr in cfg], "cls_a int, cls_b int, r int"
-    )
+    # (cls_a, cls_b, r) validity as ONE packed-int isin (cls <= 20,
+    # r <= 32, so cls_a*4096 + cls_b*64 + r is collision-free and far
+    # from overflow): a single IN over <=|cfg| literals is a tiny
+    # codegen fragment — unlike the OR-chain predicate that risked
+    # the janino rejection the ICWS kernel hit — and it drops the
+    # broadcast exchange + semi-join the previous cfg-table carried.
+    valid_keys = [i * 4096 + j * 64 + rr for i, j, rr in cfg]
     a = _bucket_rows(a_cls).alias("a")
     b = _bucket_rows(b_cls).alias("b")
     cand = (
@@ -589,19 +592,43 @@ def containment_lsh_pairs(
                 )
             ),
         )
+        .filter(
+            (
+                F.col("a.cls") * 4096 + F.col("b.cls") * 64 + F.col("a.r")
+            ).isin(valid_keys)
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.cls").alias("cls_a"),
-            F.col("b.cls").alias("cls_b"),
             F.col("a.r").alias("r"),
+            F.col("a.band").alias("band"),
         )
-        .join(F.broadcast(cfg_tbl), ["cls_a", "cls_b", "r"], "left_semi")
+        # r=1 needs >= R1_MIN_COLLISIONS distinct band hits: its
+        # single-hash S-curve threshold ((1/128)^1 ~ 0.008) sits ~6x
+        # below every class pair's J floor (>= ~0.05), so one-band
+        # collisions are overwhelmingly background noise (measured at
+        # sf0.1: ~169k single-hit candidates -> 256 true pairs).
+        # Requiring 2 of 128 bands moves the operating point to
+        # P(miss) = (1-J)^128 + 128 J (1-J)^127 <= ~1% at the worst
+        # J floor, while the r >= 2 tiers keep their one-hit rule.
+        # The same aggregation replaces the pair distinct, so the
+        # shuffle count is unchanged — only the verify input shrinks.
         .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.least("doc_a", "doc_b").alias("pa"),
+            F.greatest("doc_a", "doc_b").alias("pb"),
+            "r",
+            "band",
         )
-        .distinct()
+        .groupBy("pa", "pb")
+        .agg(
+            F.max("r").alias("r"),  # a pair has exactly one valid r
+            # size(collect_set) instead of countDistinct: ONE exchange
+            # (countDistinct expands to two); bands per pair <= 128 so
+            # the set state is bounded.
+            F.size(F.collect_set("band")).alias("nb"),
+        )
+        .filter((F.col("r") >= 2) | (F.col("nb") >= R1_MIN_COLLISIONS))
+        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
     )
     sa = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
     sb = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
