@@ -23,6 +23,7 @@ from mimir_spark.operators import (
     editdist,
     features,
     graph,
+    ivfpq,
     lsh_index,
     multimodal,
     octree,
@@ -75,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank_topk": pq.ann_pq_rerank_topk,
         "ann_pq_recall": pq.ann_pq_recall,
         "dedup_edit_distance": editdist.dedup_edit_distance,
+        "ann_ivfpq_topk": ivfpq.ann_ivfpq_topk,
+        "ann_ivfpq_recall": ivfpq.ann_ivfpq_recall,
         # --- oldest driver rows (last checked r4) re-confirmed while
         #     window slots are free ---
         "tfidf": advanced.tfidf,
@@ -1267,6 +1270,160 @@ def _pq_recall_sql(topk: int = 5) -> str:
     )
 
 
+def _ivfpq_chain(
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    nprobe: int = 8,
+    dim: int = 64,
+) -> str:
+    """CTE chain reproducing the IVF-PQ pipeline (operators.ivfpq):
+    reuses _ivf_chain's trained coarse quantizer (`pts`, `cents`),
+    then adds the normalized-space cell assignment (cos argmax, ties →
+    lowest cell), elementwise residuals, per-subspace Lloyd on the
+    residual slices (the shared 9dp recipe), residual codes, query
+    probes with per-cell query residuals, and the fixed-order ADC
+    fold. Ends at CTE `iadc`."""
+    cos_pc = _raw_cos("p.e", "s.c", dim)
+    parts = [
+        _ivf_chain(),
+        f""", nasg AS MATERIALIZED (
+          SELECT vec_id, cell_id FROM (
+            SELECT p.vec_id, s.cell_id,
+                   row_number() OVER (PARTITION BY p.vec_id
+                      ORDER BY {cos_pc} DESC, s.cell_id) AS rk
+            FROM pts p CROSS JOIN cents s) q WHERE rk = 1)
+        , nres AS MATERIALIZED (
+          SELECT p.vec_id, a.cell_id,
+                 list_transform(generate_series(1, {dim}),
+                                j -> p.e[j] - s.c[j]) AS r
+          FROM pts p JOIN nasg a USING (vec_id)
+          JOIN cents s ON s.cell_id = a.cell_id)""",
+    ]
+    for s in range(m):
+        o = s * dsub
+        dist = (
+            f"list_sum(list_transform(generate_series(1, {dsub}),"
+            f" j -> (p.r[{o} + j] - s.c[j]) * (p.r[{o} + j] - s.c[j])))"
+        )
+        parts.append(
+            f""", p{s}c0 AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+                     list_transform(r[{o + 1}:{o + dsub}],
+                                    x -> round(x, 9)) AS c
+              FROM (SELECT vec_id, r FROM nres ORDER BY vec_id
+                    LIMIT {k}) q0)"""
+        )
+        for i in range(iters):
+            parts.append(
+                f""", p{s}a{i} AS MATERIALIZED (
+                  SELECT vec_id, cid FROM (
+                    SELECT p.vec_id, s.cid,
+                           row_number() OVER (PARTITION BY p.vec_id
+                                              ORDER BY {dist}, s.cid) AS rk
+                    FROM nres p CROSS JOIN p{s}c{i} s) q
+                  WHERE rk = 1)
+                , p{s}c{i + 1} AS MATERIALIZED (
+                  SELECT s.cid, coalesce(u.c, s.c) AS c
+                  FROM p{s}c{i} s LEFT JOIN (
+                    SELECT cid, list(v ORDER BY j) AS c FROM (
+                      SELECT a.cid, dims.j,
+                             round(avg(p.r[{o} + dims.j]), 9) AS v
+                      FROM p{s}a{i} a JOIN nres p USING (vec_id)
+                      CROSS JOIN (SELECT unnest(
+                        generate_series(1, {dsub})) AS j) dims
+                      GROUP BY a.cid, dims.j) g
+                    GROUP BY cid) u ON u.cid = s.cid)"""
+            )
+        parts.append(
+            f""", pcd{s} AS MATERIALIZED (
+              SELECT vec_id, cid AS code{s} FROM (
+                SELECT p.vec_id, s.cid,
+                       row_number() OVER (PARTITION BY p.vec_id
+                                          ORDER BY {dist}, s.cid) AS rk
+                FROM nres p CROSS JOIN p{s}c{iters} s) q
+              WHERE rk = 1)"""
+        )
+    joins = " ".join(f"JOIN pcd{s} USING (vec_id)" for s in range(m))
+    parts.append(
+        f""", pcodes AS MATERIALIZED (
+          SELECT n.vec_id AS neighbor_id, n.cell_id,
+                 {", ".join(f"code{s}" for s in range(m))}
+          FROM nres n {joins})
+        , qprobe AS MATERIALIZED (
+          SELECT query_id, cell_id, qr FROM (
+            SELECT p.vec_id AS query_id, s.cell_id,
+                   list_transform(generate_series(1, {dim}),
+                                  j -> p.e[j] - s.c[j]) AS qr,
+                   row_number() OVER (PARTITION BY p.vec_id
+                      ORDER BY {cos_pc} DESC, s.cell_id) AS rk
+            FROM pts p CROSS JOIN cents s
+            WHERE p.vec_id < 10) z WHERE rk <= {nprobe})"""
+    )
+    terms = []
+    for s in range(m):
+        o = s * dsub
+        terms.append(
+            f"list_sum(list_transform(generate_series(1, {dsub}),"
+            f" j -> (q.qr[{o} + j] - b{s}.c[j])"
+            f" * (q.qr[{o} + j] - b{s}.c[j])))"
+        )
+    bjoins = " ".join(
+        f"JOIN p{s}c{iters} b{s} ON b{s}.cid = x.code{s}" for s in range(m)
+    )
+    parts.append(
+        f""", iadc AS MATERIALIZED (
+          SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc, neighbor_id)::BIGINT
+                   AS rank
+          FROM (
+            SELECT q.query_id, x.neighbor_id,
+                   round({" + ".join(terms)}, 6) AS adc
+            FROM qprobe q JOIN pcodes x
+              ON x.cell_id = q.cell_id
+             AND x.neighbor_id <> q.query_id
+            {bjoins}) z)"""
+    )
+    return "\n".join(parts)
+
+
+def _ivfpq_topk_sql(topk: int = 5) -> str:
+    return (
+        _ivfpq_chain()
+        + f"""
+        SELECT query_id, neighbor_id, adc, rank FROM iadc
+        WHERE rank <= {topk}"""
+    )
+
+
+def _ivfpq_recall_sql(topk: int = 5) -> str:
+    cos_tb = _raw_cos("a.ce", "b.ce")
+    return (
+        _ivfpq_chain()
+        + f"""
+        , truth AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT a.neighbor_id AS query_id, b.neighbor_id,
+                   row_number() OVER (PARTITION BY a.neighbor_id
+                      ORDER BY round({cos_tb}, 6) DESC, b.neighbor_id)
+                     AS rank
+            FROM corpus a JOIN corpus b
+              ON a.neighbor_id <> b.neighbor_id
+            WHERE a.neighbor_id < 10) t WHERE rank <= {topk})
+        SELECT t.query_id,
+               sum(CASE WHEN p.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+               round(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / {topk}e0, 6) AS recall
+        FROM truth t LEFT JOIN (
+          SELECT query_id, neighbor_id FROM iadc WHERE rank <= {topk}) p
+          ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id"""
+    )
+
+
 def _kmeans_sql(k: int = 8, dim: int = 64, iters: int = 5) -> str:
     """Unrolled Lloyd k-means (DuckDB dialect — list arithmetic and
     AS MATERIALIZED, which pins each round's centroid table to ONE
@@ -1539,6 +1696,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_topk_sql(),
         "ann_pq_rerank_topk": _pq_rerank_sql(),
         "ann_pq_recall": _pq_recall_sql(),
+        "ann_ivfpq_topk": _ivfpq_topk_sql(),
+        "ann_ivfpq_recall": _ivfpq_recall_sql(),
         "label_propagation": _label_propagation_sql(),
         # Portable-sketch family (see _lsh_ctes/_simhash_ctes): the
         # candidate SETS themselves are replicated, not just the

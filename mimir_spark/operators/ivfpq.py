@@ -1,0 +1,159 @@
+"""IVF-PQ — the composed FAISS `IVFADC` architecture (Jégou et al.
+TPAMI 2011 §IV): an inverted-file coarse quantizer PRUNES which
+vectors are scored (each query probes N_PROBE of N_CELLS Voronoi
+cells) and product quantization of the CELL RESIDUALS compresses what
+is scored (8 × 4-bit codes per vector, asymmetric-distance scan over
+codes only). This is the layout a billion-vector deployment actually
+runs: cells → partition pruning (see write_ivf_index), residual codes
+→ ~8 bytes/vector in the scan, codebooks + centroids → broadcast
+metadata.
+
+Residuals beat raw-vector PQ because within a Voronoi cell the
+residual distribution is centred and tighter than the global one —
+the same 32-bit code budget spends its resolution on the
+within-cell structure the coarse quantizer removed.
+
+Determinism/oracle story: both quantizers train with the shared
+Lloyd recipe (lowest-id seeds, per-round 9dp grids), assignments
+break ties toward the lowest id, residual arithmetic is elementwise
+double subtraction, and ADC distances are fixed-order folds rounded
+to 6dp before ranking — the full chain (coarse training, residual PQ
+training, encode, probe, ADC) is replicated in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.vectors import cosine_sim
+from mimir_spark.operators.pq import (
+    D_SUB,
+    M_SUB,
+    N_QUERIES,
+    TOP_K,
+    _book_lit,
+    _normalized_pts,
+    _sq_dist,
+    pq_codebooks_from,
+    pq_encode,
+)
+from mimir_spark.operators.similarity import N_PROBE, _ivf_centroids
+
+
+def _cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id, res): every normalized vector assigned to its
+    nearest trained centroid (cos argmax, ties → lowest cell — the
+    ann_ivf_topk rule) with the elementwise residual e − centroid.
+    One broadcast join + a bounded window; the corpus never
+    self-joins."""
+    cents = _ivf_centroids(spark, sf_dir)
+    pts = _normalized_pts(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cell_id")
+    )
+    return (
+        pts.join(F.broadcast(cents))
+        .withColumn("sim", cosine_sim("e", "cent"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with("e", "cent", lambda x, y: x - y).alias("res"),
+        )
+    )
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-PQ/ADC top-k: assign the corpus to trained Voronoi cells,
+    PQ-encode the cell residuals (map-only), then each query probes
+    its `nprobe` nearest cells and ADC-scores only those cells' CODES
+    against its per-cell query residual. The scan is cell-pruned and
+    code-compressed — at scale the probe reads nprobe partition
+    directories of ~8-byte codes; the k·queries-bounded ranking
+    window is the only shuffle."""
+    res = _cell_residuals(spark, sf_dir)
+    books = pq_codebooks_from(
+        res.select("vec_id", F.col("res").alias("e"))
+    )
+    codes = pq_encode(
+        res.select("vec_id", "cell_id", F.col("res").alias("e")),
+        books,
+        extra_cols=("cell_id",),
+    )
+
+    cents = _ivf_centroids(spark, sf_dir)
+    pts = _normalized_pts(spark, sf_dir)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cell_id")
+    )
+    q_probe = (
+        pts.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        .join(F.broadcast(cents))
+        .withColumn("sim", cosine_sim("qe", "cent"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select(
+            "query_id",
+            "cell_id",
+            F.zip_with("qe", "cent", lambda x, y: x - y).alias("qres"),
+        )
+    )
+
+    joined = codes.join(F.broadcast(q_probe), "cell_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = None
+    for s, book in enumerate(books):
+        term = _sq_dist(
+            F.slice("qres", s * D_SUB + 1, D_SUB),
+            F.element_at(_book_lit(book), F.col(f"code{s}").cast("int")),
+        )
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(adc, 6).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+
+
+def ann_ivfpq_recall(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Recall@k of IVF-PQ vs exact brute-force truth — the end-to-end
+    quality dial (coarse-probe misses + quantization-grain misses
+    combined); both sides re-derived in the oracle."""
+    from mimir_spark.operators.similarity import ann_bruteforce_topk
+
+    truth = ann_bruteforce_topk(spark, sf_dir, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_ivfpq_topk(spark, sf_dir, k).select(
+        "query_id", F.col("neighbor_id").alias("pq_neighbor")
+    )
+    hits = truth.join(
+        approx,
+        (truth.query_id == approx.query_id)
+        & (truth.neighbor_id == approx.pq_neighbor),
+        "left",
+    ).select(
+        truth.query_id,
+        F.when(F.col("pq_neighbor").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("n_hit"),
+        F.round(F.sum("hit") / F.lit(float(k)), 6).alias("recall"),
+    )

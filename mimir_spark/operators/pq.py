@@ -50,17 +50,14 @@ def _normalized_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pq_codebooks(
-    spark: SparkSession, sf_dir: str
-) -> list[list[list[float]]]:
-    """Train the m sub-codebooks: per subspace, Lloyd k-means over the
-    8-dim slices (seeds = slices of the K_CODES lowest vec_ids, 9dp;
-    per-round 9dp grids — the exact lloyd_centroids recipe, sliced).
-    Driver state is m·k·d_sub floats (1k doubles) — bounded metadata.
-    At corpus scale you'd train on a bounded sample (codebooks are a
-    statistic of the distribution, not of every row); the encode/scan
-    below is what runs over the full data."""
-    pts = _normalized_pts(spark, sf_dir).localCheckpoint(eager=True)
+def pq_codebooks_from(pts: DataFrame) -> list[list[list[float]]]:
+    """Train the m sub-codebooks over any (vec_id, e) point set: per
+    subspace, Lloyd k-means on the 8-dim slices (seeds = slices of the
+    K_CODES lowest vec_ids, 9dp; per-round 9dp grids — the exact
+    lloyd_centroids recipe, sliced). Driver state is m·k·d_sub floats
+    (1k doubles) — bounded metadata. Shared by the flat-PQ operators
+    (normalized vectors) and IVF-PQ (cell residuals)."""
+    pts = pts.localCheckpoint(eager=True)
     books = []
     for s in range(M_SUB):
         pts_s = pts.select(
@@ -76,6 +73,16 @@ def pq_codebooks(
             )
         )
     return books
+
+
+def pq_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[float]]]:
+    """Sub-codebooks over the L2-normalized embeddings table. At
+    corpus scale you'd train on a bounded sample (codebooks are a
+    statistic of the distribution, not of every row); the encode/scan
+    is what runs over the full data."""
+    return pq_codebooks_from(_normalized_pts(spark, sf_dir))
 
 
 def _book_lit(book: list[list[float]]):
@@ -94,10 +101,15 @@ def _sq_dist(e_slice, centroid):
     )
 
 
-def pq_encode(pts: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+def pq_encode(
+    pts: DataFrame,
+    books: list[list[list[float]]],
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Map-only encode: per subspace the argmin over K_CODES literal
     centroids (ties → lowest code, 1-based like array_position). The
-    corpus never shuffles; output is id + m small ints."""
+    corpus never shuffles; output is id + m small ints (+ any
+    passthrough columns, e.g. IVF-PQ's cell_id)."""
     def _dists(book, s):
         # NB: the inner lambda must stay SINGLE-argument — F.transform
         # reads the lambda's arity and passes the array INDEX as a
@@ -107,6 +119,7 @@ def pq_encode(pts: DataFrame, books: list[list[list[float]]]) -> DataFrame:
         return F.transform(_book_lit(book), lambda ce: _sq_dist(sl, ce))
 
     cols = [F.col("vec_id").alias("neighbor_id")]
+    cols += [F.col(c) for c in extra_cols]
     for s, book in enumerate(books):
         dists = _dists(book, s)
         cols.append(
