@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank_topk": pq.ann_pq_rerank_topk,
         "ann_pq_recall": pq.ann_pq_recall,
         "dedup_edit_distance": editdist.dedup_edit_distance,
+        "dedup_edit_clusters": editdist.dedup_edit_clusters,
+        "dedup_edit_survivors": editdist.dedup_edit_survivors,
         "ann_ivfpq_topk": ivfpq.ann_ivfpq_topk,
         "ann_ivfpq_recall": ivfpq.ann_ivfpq_recall,
         # --- oldest driver rows (last checked r4) re-confirmed while
@@ -1673,6 +1675,50 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 8
             WHERE levenshtein(a.text, b.text) <= 8
+        """,
+        "dedup_edit_clusters": """
+            WITH RECURSIVE lpairs AS MATERIALIZED (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM documents a JOIN documents b
+                ON a.doc_id < b.doc_id
+               AND abs(a.n_chars - b.n_chars) <= 8
+              WHERE levenshtein(a.text, b.text) <= 8),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM lpairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM lpairs),
+            reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        "dedup_edit_survivors": """
+            WITH RECURSIVE lpairs AS MATERIALIZED (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM documents a JOIN documents b
+                ON a.doc_id < b.doc_id
+               AND abs(a.n_chars - b.n_chars) <= 8
+              WHERE levenshtein(a.text, b.text) <= 8),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM lpairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM lpairs),
+            reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+            comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+                     FROM reach GROUP BY a)
+            SELECT cluster_id, survivor_doc_id, n_members FROM (
+              SELECT c.cluster_id, d.doc_id AS survivor_doc_id,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY d.n_chars DESC, d.doc_id)
+                       AS rn,
+                     count(*) OVER (PARTITION BY c.cluster_id)::BIGINT
+                       AS n_members
+              FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+            WHERE rn = 1
         """,
         # The PCA's distributed reduced state is plain sums of float64
         # products — engine-portable up to summation order, absorbed by

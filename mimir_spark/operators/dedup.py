@@ -471,6 +471,18 @@ def dedup_clusters(
     pairs = near_dup_pairs(spark, sf_dir, threshold, pair_source).select(
         "doc_a", "doc_b"
     )
+    return min_label_components(pairs, max_iters)
+
+
+def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components of an undirected (doc_a, doc_b) pair graph
+    via iterative min-label propagation — the shared finisher for
+    every pairwise dedup family (shingle-Jaccard, LSH, ICWS, edit
+    distance). Each round is one shuffle on node id; lineage truncates
+    per round with localCheckpoint; converges in O(diameter) rounds
+    (near-dup components are mutually-similar cliques, so diameter
+    stays small at any corpus size). Returns (doc_id, cluster_id =
+    component-min doc_id) for every doc that appears in a pair."""
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .toDF("src", "dst")

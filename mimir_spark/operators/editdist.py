@@ -178,3 +178,41 @@ def dedup_edit_distance(
         .filter(F.col("edit_distance") <= k)
         .select("doc_a", "doc_b", "edit_distance")
     )
+
+def dedup_edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the edit-distance pair graph — the
+    revision-family grouping step (docs transitively within K edits
+    share a cluster_id). Pair generation is the PassJoin operator;
+    the component finisher is the shared min-label propagation."""
+    from mimir_spark.operators.dedup import min_label_components
+
+    return min_label_components(
+        dedup_edit_distance(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+def dedup_edit_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list over the edit-distance clusters: per revision family
+    keep the LONGEST document (ties → lowest doc_id) — the same
+    survivor rule every other dedup family uses, so keep-lists from
+    different pair sources are directly comparable."""
+    from pyspark.sql import Window
+
+    clusters = dedup_edit_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "n_members",
+        )
+    )

@@ -157,3 +157,106 @@ def ann_ivfpq_recall(
         F.sum("hit").cast("long").alias("n_hit"),
         F.round(F.sum("hit") / F.lit(float(k)), 6).alias("recall"),
     )
+
+def write_ivfpq_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Materialize the IVF-PQ index — the 'build once, query many'
+    layout a billion-vector deployment ships: centroids to
+    `<dir>/centroids`, the m sub-codebooks to `<dir>/codebooks`
+    (m·k rows of 8-dim arrays — bounded metadata), and the residual
+    CODES to `<dir>/codes` PARTITIONED BY cell_id. On disk each
+    Voronoi cell is its own partition directory of ~8-byte code rows,
+    so a probe reads exactly nprobe directories of compressed codes
+    (PartitionFilters, pinned in tests) — the raw vectors never leave
+    the source table."""
+    res = _cell_residuals(spark, sf_dir)
+    books = pq_codebooks_from(
+        res.select("vec_id", F.col("res").alias("e"))
+    )
+    codes = pq_encode(
+        res.select("vec_id", "cell_id", F.col("res").alias("e")),
+        books,
+        extra_cols=("cell_id",),
+    )
+    cents = _ivf_centroids(spark, sf_dir)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    spark.createDataFrame(
+        [
+            (s, cid, book[cid])
+            for s, book in enumerate(books)
+            for cid in range(len(book))
+        ],
+        "sub int, cid int, c array<double>",
+    ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    codes.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{index_dir}/codes"
+    )
+
+
+def ann_ivfpq_query_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Query the PERSISTED IVF-PQ index: centroids + codebooks load as
+    bounded metadata, queries probe their nprobe cells, and the scan
+    reads ONLY the probed cell_id partitions of the codes table (a
+    partition-pruned read of ~8-byte rows). Matches ann_ivfpq_topk
+    row-for-row (pytest-pinned) — same training, same probe rule, same
+    ADC fold — but against the index instead of a recomputation."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    book_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    books: list[list[list[float]]] = []
+    for s in range(M_SUB):
+        rows_s = sorted(
+            (r for r in book_rows if r.sub == s), key=lambda r: r.cid
+        )
+        books.append([list(r.c) for r in rows_s])
+
+    pts = _normalized_pts(spark, sf_dir)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cell_id")
+    )
+    q_probe = (
+        pts.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        .join(F.broadcast(cents))
+        .withColumn("sim", cosine_sim("qe", "cent"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select(
+            "query_id",
+            "cell_id",
+            F.zip_with("qe", "cent", lambda x, y: x - y).alias("qres"),
+        )
+    )
+    probed = [
+        r.cell_id for r in q_probe.select("cell_id").distinct().collect()
+    ]
+    codes = spark.read.parquet(f"{index_dir}/codes").filter(
+        F.col("cell_id").isin(probed)
+    )
+    joined = codes.join(F.broadcast(q_probe), "cell_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = None
+    for s, book in enumerate(books):
+        term = _sq_dist(
+            F.slice("qres", s * D_SUB + 1, D_SUB),
+            F.element_at(_book_lit(book), F.col(f"code{s}").cast("int")),
+        )
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(adc, 6).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

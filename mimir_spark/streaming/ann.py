@@ -131,3 +131,20 @@ def finalize_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+def streaming_pq_encode(emb_stream: DataFrame, books) -> DataFrame:
+    """Streaming twin of the PQ encode (operators.pq.pq_encode): the
+    sub-codebooks are FROZEN index metadata (trained once on the
+    static base corpus — retraining per micro-batch would silently
+    re-key every previously-encoded vector), so encoding arriving
+    vectors is a stateless map — normalize, per-subspace argmin — and
+    each new vector's codes are bit-identical to what the batch encode
+    would assign. Append mode, no watermark, no state."""
+    from mimir_spark.operators.pq import pq_encode
+
+    e = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+    pts = emb_stream.select(
+        "vec_id", F.transform(e, lambda x: x / norm).alias("e")
+    )
+    return pq_encode(pts, books)

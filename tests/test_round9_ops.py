@@ -371,6 +371,69 @@ def test_ivfpq_scan_is_cell_pruned(spark, sf_smoke):
     assert worst_probe < total
 
 
+def test_ivfpq_index_persist_and_query(spark, sf_smoke, tmp_path):
+    """The persisted IVF-PQ query path must (a) return exactly the
+    in-memory ann_ivfpq_topk results and (b) read the codes through
+    partition pruning (PartitionFilters on cell_id), not a full
+    scan."""
+    from mimir_spark.operators.ivfpq import (
+        ann_ivfpq_query_indexed,
+        ann_ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    write_ivfpq_index(spark, sf_smoke, idx)
+    got_df = ann_ivfpq_query_indexed(spark, sf_smoke, idx)
+    got = {tuple(r) for r in got_df.collect()}
+    expect = {tuple(r) for r in ann_ivfpq_topk(spark, sf_smoke).collect()}
+    assert got == expect and got
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell_id" in plan, plan[:2000]
+
+
+def test_streaming_pq_encode_matches_batch(spark, sf_smoke):
+    from mimir_spark.operators.pq import (
+        _normalized_pts,
+        pq_codebooks,
+        pq_encode,
+    )
+    from mimir_spark.streaming.ann import (
+        read_embeddings_stream,
+        streaming_pq_encode,
+    )
+
+    books = pq_codebooks(spark, sf_smoke)
+    stream = read_embeddings_stream(spark, sf_smoke)
+    _run_stream(streaming_pq_encode(stream, books), "pqe_t")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pqe_t").collect()}
+    expect = {
+        tuple(r)
+        for r in pq_encode(_normalized_pts(spark, sf_smoke), books).collect()
+    }
+    assert got == expect
+
+
+def test_edit_clusters_group_revision_families(spark, sf_correct):
+    """Every edit pair's endpoints share a cluster_id, and survivors
+    pick the longest member."""
+    from mimir_spark.operators.editdist import (
+        dedup_edit_clusters,
+        dedup_edit_distance,
+        dedup_edit_survivors,
+    )
+
+    pairs = dedup_edit_distance(spark, sf_correct).collect()
+    cl = {r.doc_id: r.cluster_id
+          for r in dedup_edit_clusters(spark, sf_correct).collect()}
+    assert pairs
+    for p in pairs:
+        assert cl[p.doc_a] == cl[p.doc_b], p
+    surv = dedup_edit_survivors(spark, sf_correct).collect()
+    assert {s.cluster_id for s in surv} == set(cl.values())
+    assert sum(s.n_members for s in surv) == len(cl)
+
+
 def test_pq_rerank_recall_floor(spark, sf_correct):
     """The shipped PQ recipe (ADC shortlist + exact re-rank) must hold
     a recall floor on the real embeddings table."""
