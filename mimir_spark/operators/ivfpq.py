@@ -28,17 +28,31 @@ from pyspark.sql import functions as F
 
 from mimir_spark.functions.vectors import cosine_sim
 from mimir_spark.operators.pq import (
-    D_SUB,
     M_SUB,
     N_QUERIES,
+    PQ_ITERS,
+    K_CODES,
     TOP_K,
-    _book_lit,
+    _adc_term,
     _normalized_pts,
-    _sq_dist,
     pq_codebooks_from,
     pq_encode,
 )
 from mimir_spark.operators.similarity import N_PROBE, _ivf_centroids
+
+# Residual codebooks memoized per sf_dir (deterministic 9dp training —
+# cache hit == recompute), same pattern as _IVF_CENTROID_CACHE.
+_RES_BOOK_CACHE: dict[tuple, list] = {}
+
+
+def _residual_codebooks(spark: SparkSession, sf_dir: str):
+    key = (sf_dir, "ivfpq", M_SUB, K_CODES, PQ_ITERS)
+    if key not in _RES_BOOK_CACHE:
+        res = _cell_residuals(spark, sf_dir)
+        _RES_BOOK_CACHE[key] = pq_codebooks_from(
+            res.select("vec_id", F.col("res").alias("e"))
+        )
+    return _RES_BOOK_CACHE[key]
 
 
 def _cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,9 +93,7 @@ def ann_ivfpq_topk(
     directories of ~8-byte codes; the k·queries-bounded ranking
     window is the only shuffle."""
     res = _cell_residuals(spark, sf_dir)
-    books = pq_codebooks_from(
-        res.select("vec_id", F.col("res").alias("e"))
-    )
+    books = _residual_codebooks(spark, sf_dir)
     codes = pq_encode(
         res.select("vec_id", "cell_id", F.col("res").alias("e")),
         books,
@@ -112,10 +124,7 @@ def ann_ivfpq_topk(
     )
     adc = None
     for s, book in enumerate(books):
-        term = _sq_dist(
-            F.slice("qres", s * D_SUB + 1, D_SUB),
-            F.element_at(_book_lit(book), F.col(f"code{s}").cast("int")),
-        )
+        term = _adc_term("qres", s, book, f"code{s}")
         adc = term if adc is None else adc + term
     scored = joined.select(
         "query_id", "neighbor_id", F.round(adc, 6).alias("adc")
@@ -171,9 +180,7 @@ def write_ivfpq_index(
     (PartitionFilters, pinned in tests) — the raw vectors never leave
     the source table."""
     res = _cell_residuals(spark, sf_dir)
-    books = pq_codebooks_from(
-        res.select("vec_id", F.col("res").alias("e"))
-    )
+    books = _residual_codebooks(spark, sf_dir)
     codes = pq_encode(
         res.select("vec_id", "cell_id", F.col("res").alias("e")),
         books,
@@ -244,10 +251,7 @@ def ann_ivfpq_query_indexed(
     )
     adc = None
     for s, book in enumerate(books):
-        term = _sq_dist(
-            F.slice("qres", s * D_SUB + 1, D_SUB),
-            F.element_at(_book_lit(book), F.col(f"code{s}").cast("int")),
-        )
+        term = _adc_term("qres", s, book, f"code{s}")
         adc = term if adc is None else adc + term
     scored = joined.select(
         "query_id", "neighbor_id", F.round(adc, 6).alias("adc")

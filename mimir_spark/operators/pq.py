@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mimir_spark.operators.clustering import _lloyd_iterate
 from mimir_spark.sources.tables import load_table
 
 M_SUB = 8  # subspaces
@@ -56,23 +55,85 @@ def pq_codebooks_from(pts: DataFrame) -> list[list[list[float]]]:
     K_CODES lowest vec_ids, 9dp; per-round 9dp grids — the exact
     lloyd_centroids recipe, sliced). Driver state is m·k·d_sub floats
     (1k doubles) — bounded metadata. Shared by the flat-PQ operators
-    (normalized vectors) and IVF-PQ (cell residuals)."""
+    (normalized vectors) and IVF-PQ (cell residuals).
+
+    All m subspaces train in the SAME Lloyd round: each iteration is
+    ONE job — a melt to (s, cid, slice) rows (map-only explode, no
+    extra corpus pass) feeding a single (s, cid)-grouped update agg —
+    instead of m independent loops (m·iters sequential driver rounds,
+    which at bench scale is pure scheduling latency). The arithmetic
+    is unchanged: per-subspace argmin with lowest-code ties, mean =
+    sum/n rounded to the same 9dp grid that absorbs partial-agg
+    summation-order ULPs."""
     pts = pts.localCheckpoint(eager=True)
-    books = []
-    for s in range(M_SUB):
-        pts_s = pts.select(
-            "vec_id", F.slice("e", s * D_SUB + 1, D_SUB).alias("e")
-        )
-        seeds = pts_s.orderBy("vec_id").limit(K_CODES).collect()
-        books.append(
-            _lloyd_iterate(
-                pts_s,
-                [[round(float(x), 9) for x in r.e] for r in seeds],
-                PQ_ITERS,
-                round_dp=9,
+    seeds = pts.orderBy("vec_id").limit(K_CODES).collect()
+    books = [
+        [
+            [
+                round(float(x), 9)
+                for x in r.e[s * D_SUB : (s + 1) * D_SUB]
+            ]
+            for r in seeds
+        ]
+        for s in range(M_SUB)
+    ]
+    for _ in range(PQ_ITERS):
+        melted = []
+        for s, book in enumerate(books):
+            dists = _dists_hof(book, s)
+            melted.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.array_position(dists, F.array_min(dists))
+                    .cast("int")
+                    .alias("cid"),
+                    F.slice("e", s * D_SUB + 1, D_SUB).alias("e8"),
+                )
             )
+        stats = (
+            pts.select(F.explode(F.array(*melted)).alias("m"))
+            .select("m.*")
+            .groupBy("s", "cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("e8", j + 1)).alias(f"v{j}")
+                    for j in range(D_SUB)
+                ],
+            )
+            .collect()
         )
+        new_books = [list(b) for b in books]  # empty cids keep centroids
+        for r in stats:
+            new_books[r.s][r.cid - 1] = [
+                round(r[f"v{j}"] / r.n, 9) for j in range(D_SUB)
+            ]
+        books = new_books
     return books
+
+
+def _dists_hof(book: list[list[float]], s: int):
+    """Array of K_CODES squared distances from subspace s of `e` to
+    each centroid of `book`, via higher-order functions over ONE
+    nested array literal. The HOF lambdas run interpreted, but that
+    beats the static-expression alternative here: expanding 8×16×8
+    literal terms into the projection makes the generated source
+    change with every codebook (janino recompiles per training round
+    per dataset — measured 65s+ cold), while the HOF form keeps the
+    literals DATA inside a single array expression.
+
+    NB: the inner lambda must stay SINGLE-argument — F.transform reads
+    the lambda's arity and passes the array INDEX as a second
+    argument, so a `s=s` default-capture silently rebinds s."""
+    sl = F.slice("e", s * D_SUB + 1, D_SUB)
+    return F.transform(_book_lit(book), lambda ce: _sq_dist(sl, ce))
+
+
+# Codebook training is a PQ_ITERS-round Spark job over bounded driver
+# state; memoize per sf_dir like _IVF_CENTROID_CACHE (deterministic —
+# every round rounds to the 9dp grid, so a cache hit and a recompute
+# are bit-identical).
+_PQ_BOOK_CACHE: dict[tuple, list] = {}
 
 
 def pq_codebooks(
@@ -82,7 +143,20 @@ def pq_codebooks(
     corpus scale you'd train on a bounded sample (codebooks are a
     statistic of the distribution, not of every row); the encode/scan
     is what runs over the full data."""
-    return pq_codebooks_from(_normalized_pts(spark, sf_dir))
+    key = (sf_dir, "flat", M_SUB, K_CODES, PQ_ITERS)
+    if key not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[key] = pq_codebooks_from(_normalized_pts(spark, sf_dir))
+    return _PQ_BOOK_CACHE[key]
+
+
+def _adc_term(q_col: str, s: int, book: list[list[float]], code_col: str):
+    """ADC partial distance Σ_j (q[s·8+j] − book[code][j])² with a
+    per-row dynamic code lookup (same fixed-order fold as _sq_dist;
+    the codebook stays a single array literal — see _dists_hof)."""
+    return _sq_dist(
+        F.slice(q_col, s * D_SUB + 1, D_SUB),
+        F.element_at(_book_lit(book), F.col(code_col).cast("int")),
+    )
 
 
 def _book_lit(book: list[list[float]]):
@@ -110,18 +184,10 @@ def pq_encode(
     centroids (ties → lowest code, 1-based like array_position). The
     corpus never shuffles; output is id + m small ints (+ any
     passthrough columns, e.g. IVF-PQ's cell_id)."""
-    def _dists(book, s):
-        # NB: the inner lambda must stay SINGLE-argument — F.transform
-        # reads the lambda's arity and passes the array INDEX as a
-        # second argument, so a `s=s` default-capture silently rebinds
-        # s to 0..k-1 per codebook entry.
-        sl = F.slice("e", s * D_SUB + 1, D_SUB)
-        return F.transform(_book_lit(book), lambda ce: _sq_dist(sl, ce))
-
     cols = [F.col("vec_id").alias("neighbor_id")]
     cols += [F.col(c) for c in extra_cols]
     for s, book in enumerate(books):
-        dists = _dists(book, s)
+        dists = _dists_hof(book, s)
         cols.append(
             F.array_position(dists, F.array_min(dists))
             .cast("long")
@@ -151,10 +217,7 @@ def ann_pq_topk(
     )
     adc = None
     for s, book in enumerate(books):
-        term = _sq_dist(
-            F.slice("qe", s * D_SUB + 1, D_SUB),
-            F.element_at(_book_lit(book), F.col(f"code{s}").cast("int")),
-        )
+        term = _adc_term("qe", s, book, f"code{s}")
         adc = term if adc is None else adc + term
     scored = joined.select(
         "query_id", "neighbor_id", F.round(adc, 6).alias("adc")
