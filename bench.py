@@ -73,6 +73,13 @@ HEADLINE = [
     # dedup_icws is tracked — plan regressions show up as bench moves.
     "phrase_search_batch",
     "bm25_topk_batch",
+    # round-9 additions: PassJoin exact edit-distance dedup (substring
+    # equi-join + candidate-bounded levenshtein — a workload shape no
+    # other entry exercises) and the composed IVF-PQ index search
+    # (trained coarse quantizer + residual-code ADC; first timed run
+    # includes index build, best-of-2 records the warm probe).
+    "dedup_edit_distance",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -47,6 +47,11 @@ PROBES = [
     # and the positional phrase join
     "bm25_topk_batch",
     "phrase_search",
+    # round-9: PassJoin edit-distance dedup (candidate fan-out is
+    # O(K²)/doc, so time must track input, never pair-space) and the
+    # IVF-PQ probe (cell-pruned code scan)
+    "dedup_edit_distance",
+    "ann_ivfpq_topk",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
