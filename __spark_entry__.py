@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": relational2.approx_quantiles,
         "embedding_gram": clustering.embedding_gram,
         # (new round-9 keys are inserted here as they land)
+        "corpus_keep_list": pipeline.corpus_keep_list,
         "ann_pq_topk": pq.ann_pq_topk,
         "ann_pq_rerank_topk": pq.ann_pq_rerank_topk,
         "ann_pq_recall": pq.ann_pq_recall,
@@ -1675,6 +1676,96 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 8
             WHERE levenshtein(a.text, b.text) <= 8
+        """,
+        # End-to-end keep-list: the conjunction of four stage chains
+        # (clean, Gopher, LSH near-dup survivors, decontamination) —
+        # each identical to its own key's oracle, renamed to avoid CTE
+        # collisions with the shared _lsh_ctes names.
+        "corpus_keep_list": f"""
+            WITH RECURSIVE {_lsh_ctes()},
+            kedges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs),
+            kreach(a, b) AS (
+              SELECT src, src FROM kedges
+              UNION
+              SELECT r.a, e.dst FROM kreach r JOIN kedges e ON r.b = e.src),
+            kcomp AS (SELECT a AS doc_id, min(b) AS cluster_id
+                      FROM kreach GROUP BY a),
+            ksurv AS (
+              SELECT survivor_doc_id FROM (
+                SELECT c.cluster_id, d.doc_id AS survivor_doc_id,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                                          ORDER BY d.n_chars DESC, d.doc_id)
+                         AS rn
+                FROM kcomp c JOIN documents d ON d.doc_id = c.doc_id)
+              WHERE rn = 1),
+            klosers AS (
+              SELECT doc_id FROM kcomp
+              WHERE doc_id NOT IN (SELECT survivor_doc_id FROM ksurv)),
+            ksd AS (
+              SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+            kw AS (SELECT doc_id,
+                          unnest(string_split_regex(text, '\\s+')) AS word
+                   FROM documents),
+            kpw AS (SELECT doc_id, word, count(*) AS c
+                    FROM kw WHERE word <> '' GROUP BY 1, 2),
+            kstats AS (SELECT doc_id,
+                              round(max(c) / sum(c), 6) AS rep_ratio,
+                              sum(c)::BIGINT AS n_tokens
+                       FROM kpw GROUP BY doc_id),
+            kclean AS (
+              SELECT s.doc_id, s.lang, st.n_tokens
+              FROM ksd s JOIN kstats st ON st.doc_id = s.doc_id
+              WHERE st.rep_ratio <= 0.12
+                AND st.n_tokens BETWEEN 20 AND 10000),
+            kt AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS toks,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS swl
+              FROM documents),
+            kgop AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       len(toks)::BIGINT AS n_words,
+                       round(swl / len(toks), 6) AS mean_word_len,
+                       round(len(list_filter(toks,
+                           x -> contains(x, '#') OR contains(x, '...')))
+                           / len(toks), 6) AS symbol_ratio,
+                       round(len(list_filter(toks,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                           / len(toks), 6) AS alpha_word_ratio,
+                       len(list_filter(toks, x -> x IN
+                           ('the','be','to','of','and','that','have','with')
+                           ))::BIGINT AS n_stopwords
+                FROM kt)
+              WHERE (n_words BETWEEN 50 AND 100000)
+                AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                AND symbol_ratio <= 0.1
+                AND alpha_word_ratio >= 0.8
+                AND n_stopwords >= 2),
+            ksh AS ({_SHINGLES}),
+            kex AS (SELECT doc_id, unnest(s) AS g FROM ksh),
+            kev AS (SELECT doc_id AS eval_doc_id, g FROM kex
+                    WHERE doc_id % 97 = 0),
+            kco AS (SELECT doc_id, g FROM kex WHERE doc_id % 97 <> 0),
+            kbad AS (
+              SELECT DISTINCT kco.doc_id
+              FROM kco JOIN kev ON kco.g = kev.g
+              GROUP BY kco.doc_id, kev.eval_doc_id
+              HAVING count(*) >= 2)
+            SELECT c.doc_id, c.lang, c.n_tokens
+            FROM kclean c
+            WHERE c.doc_id IN (SELECT doc_id FROM kgop)
+              AND c.doc_id % 97 <> 0
+              AND c.doc_id NOT IN (SELECT doc_id FROM kbad)
+              AND c.doc_id NOT IN (SELECT doc_id FROM klosers)
         """,
         "dedup_edit_clusters": """
             WITH RECURSIVE lpairs AS MATERIALIZED (

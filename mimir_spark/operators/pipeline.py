@@ -162,3 +162,43 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("n_tokens"),
         )
     )
+
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END keep-list a pre-training corpus build
+    materializes, composed from the pipeline's own stages in one
+    declarative plan: corpus_clean_pipeline (exact dedup + repetition
+    + length gates) ∩ Gopher rule pass ∩ decontaminated (eval split +
+    n-gram overlap removed) ∖ near-dup losers (MinHash-LSH clusters
+    minus their survivors). Returns (doc_id, lang, n_tokens) — the
+    manifest downstream mixing/packing reads.
+
+    Scale shape: every leg is an existing bounded-shuffle operator;
+    the composition is three semi/anti joins on doc_id — an 8-byte
+    key — so the integration layer adds no new scan of text. Fusing
+    them in one plan (instead of materializing per-stage corpora) is
+    what makes clean→filter→dedup→decontaminate one job at 100 TB.
+    Oracle: the conjunction of the four stages' own oracle chains."""
+    from mimir_spark.operators.corpus import decontaminate_corpus
+    from mimir_spark.operators.dedup import dedup_clusters, dedup_survivors
+    from mimir_spark.operators.quality import gopher_quality_filter
+
+    clean = corpus_clean_pipeline(spark, sf_dir)
+    gop = (
+        gopher_quality_filter(spark, sf_dir)
+        .filter(F.col("passes_gopher") == 1)
+        .select("doc_id")
+    )
+    clustered = dedup_clusters(spark, sf_dir, pair_source="lsh").select(
+        "doc_id"
+    )
+    survivors = dedup_survivors(spark, sf_dir, pair_source="lsh").select(
+        F.col("survivor_doc_id").alias("doc_id")
+    )
+    losers = clustered.join(survivors, "doc_id", "left_anti")
+    decont = decontaminate_corpus(spark, sf_dir).select("doc_id")
+    return (
+        clean.join(gop, "doc_id", "left_semi")
+        .join(decont, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+    )

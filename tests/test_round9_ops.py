@@ -530,6 +530,72 @@ def test_passjoin_finds_all_crafted_pairs(spark, tmp_path):
     assert len(expect) >= 25  # the crafted pairs are actually present
 
 
+# ---- end-to-end keep-list -----------------------------------------------
+
+
+def test_corpus_keep_list_is_conjunction(spark, sf_correct):
+    """Every kept doc passes each stage; every stage-passing doc that
+    all other stages also pass is kept (true conjunction, nothing
+    dropped or added by the composition)."""
+    from pyspark.sql import functions as F
+    from mimir_spark.operators.corpus import decontaminate_corpus
+    from mimir_spark.operators.dedup import dedup_clusters, dedup_survivors
+    from mimir_spark.operators.pipeline import (
+        corpus_clean_pipeline,
+        corpus_keep_list,
+    )
+    from mimir_spark.operators.quality import gopher_quality_filter
+
+    kept = {r.doc_id for r in corpus_keep_list(spark, sf_correct).collect()}
+    clean = {r.doc_id
+             for r in corpus_clean_pipeline(spark, sf_correct).collect()}
+    gop = {r.doc_id for r in gopher_quality_filter(spark, sf_correct)
+           .filter(F.col("passes_gopher") == 1).collect()}
+    dec = {r.doc_id
+           for r in decontaminate_corpus(spark, sf_correct).collect()}
+    clustered = {r.doc_id for r in
+                 dedup_clusters(spark, sf_correct,
+                                pair_source="lsh").collect()}
+    surv = {r.survivor_doc_id for r in
+            dedup_survivors(spark, sf_correct, pair_source="lsh").collect()}
+    losers = clustered - surv
+    expect = (clean & gop & dec) - losers
+    assert kept == expect
+    assert kept and kept < clean  # the extra gates really remove docs
+
+
+# ---- plan shape + partition invariance for the round-9 operators --------
+
+
+def test_editdist_no_cartesian_and_partition_invariance(spark, sf_smoke):
+    """PassJoin's candidate join must stay an equi-join on
+    (chunk_index, substring-hash), and the pair set must be a pure
+    function of the data (xxhash64 keys + exact verify), never of the
+    partitioning."""
+    from mimir_spark.operators.editdist import dedup_edit_distance
+    from mimir_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(dedup_edit_distance(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    base = {tuple(r)
+            for r in dedup_edit_distance(spark, sf_smoke).collect()}
+    alt = {tuple(r) for r in dedup_edit_distance(odd, sf_smoke).collect()}
+    assert base == alt and base
+
+
+def test_ivfpq_no_cartesian(spark, sf_smoke):
+    """IVF-PQ's probe join is an equi-join on cell_id with a broadcast
+    query side — no CartesianProduct anywhere in the plan."""
+    from mimir_spark.operators.ivfpq import ann_ivfpq_topk
+    from mimir_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(ann_ivfpq_topk(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
 # ---- embedding_gram vs full-matrix NumPy --------------------------------
 
 
