@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_clusters": editdist.dedup_edit_clusters,
         "dedup_edit_survivors": editdist.dedup_edit_survivors,
         "ann_ivfpq_topk": ivfpq.ann_ivfpq_topk,
+        "ann_ivfpq_rerank_topk": ivfpq.ann_ivfpq_rerank_topk,
         "ann_ivfpq_recall": ivfpq.ann_ivfpq_recall,
         # --- oldest driver rows (last checked r4) re-confirmed while
         #     window slots are free ---
@@ -1401,6 +1402,27 @@ def _ivfpq_topk_sql(topk: int = 5) -> str:
     )
 
 
+def _ivfpq_rerank_sql(topk: int = 5, shortlist: int = 64) -> str:
+    """IVFADC shortlist re-ranked with the exact metric over the same
+    normalized vectors the Spark side uses (bit-equal 6dp cosines)."""
+    cos = _raw_cos("q.e", "n.e")
+    return (
+        _ivfpq_chain()
+        + f"""
+        , ishort AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM iadc WHERE rank <= {shortlist})
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT s.query_id, s.neighbor_id,
+                 round({cos}, 6) AS cos,
+                 row_number() OVER (PARTITION BY s.query_id
+                    ORDER BY round({cos}, 6) DESC, s.neighbor_id)::BIGINT
+                   AS rank
+          FROM ishort s JOIN pts q ON q.vec_id = s.query_id
+          JOIN pts n ON n.vec_id = s.neighbor_id) z
+        WHERE rank <= {topk}"""
+    )
+
+
 def _ivfpq_recall_sql(topk: int = 5) -> str:
     cos_tb = _raw_cos("a.ce", "b.ce")
     return (
@@ -1834,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_rerank_topk": _pq_rerank_sql(),
         "ann_pq_recall": _pq_recall_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
+        "ann_ivfpq_rerank_topk": _ivfpq_rerank_sql(),
         "ann_ivfpq_recall": _ivfpq_recall_sql(),
         "label_propagation": _label_propagation_sql(),
         # Portable-sketch family (see _lsh_ctes/_simhash_ctes): the

@@ -139,6 +139,47 @@ def ann_ivfpq_topk(
     )
 
 
+def ann_ivfpq_rerank_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    shortlist: int = 64,
+) -> DataFrame:
+    """The complete IVFADC+refine recipe: the cell-pruned code scan
+    produces a SHORTLIST (top-`shortlist` by quantized distance), then
+    only shortlist rows are scored with the exact metric and re-ranked
+    to top-k — at scale the exact leg touches shortlist·queries
+    vectors. Same ranking contract as the ANN tier (round(cos,6) desc,
+    id tie-break)."""
+    short = ann_ivfpq_topk(spark, sf_dir, shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    pts = _normalized_pts(spark, sf_dir)
+    q = pts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = pts.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim("qe", "ce"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def ann_ivfpq_recall(
     spark: SparkSession, sf_dir: str, k: int = TOP_K
 ) -> DataFrame:

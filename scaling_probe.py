@@ -69,6 +69,8 @@ INPUT_TABLES = {
     "max_dup_span": "documents",
     "bm25_topk_batch": "documents",
     "phrase_search": "documents",
+    "dedup_edit_distance": "documents",
+    "ann_ivfpq_topk": "embeddings",
 }
 
 
