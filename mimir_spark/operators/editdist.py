@@ -44,11 +44,15 @@ def _guarded_seq(lo, hi):
     )
 
 
-def dedup_edit_distance(
-    spark: SparkSession, sf_dir: str, k: int = EDIT_K
+def edit_pairs(
+    docs_all: DataFrame, probe_docs: DataFrame, k: int = EDIT_K
 ) -> DataFrame:
-    """All document pairs within `k` character edits (Levenshtein),
-    exact, via PassJoin.
+    """All (doc_a, doc_b, edit_distance) pairs with lev ≤ k where at
+    least one side is in `probe_docs` — the PassJoin core shared by the
+    batch operator (probe = everything) and the streaming twin (probe
+    = the arriving micro-batch; the pigeonhole lemma is symmetric, so
+    indexing ALL docs' chunks and probing only the NEW side still
+    finds every pair that touches a new doc).
 
     Chunk rule (shared by both sides' arithmetic): base = len // (K+1),
     rem = len % (K+1); the FIRST rem chunks are base+1 chars, so chunk
@@ -65,7 +69,10 @@ def dedup_edit_distance(
     The brute-force oracle makes any window/chunk off-by-one a missing
     pair at the driver gate, not a silent recall loss."""
     n = F.lit(N_CHUNKS)
-    docs = _spread(load_table(spark, sf_dir, "documents")).select(
+    docs = docs_all.select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    pdocs = probe_docs.select(
         "doc_id", "text", F.length("text").alias("len")
     )
     base = (F.col("len") / n).cast("int")
@@ -131,7 +138,7 @@ def dedup_edit_distance(
         )
     )
     probe = (
-        docs.select(
+        pdocs.select(
             F.col("doc_id").alias("id_r"),
             F.col("len").alias("len_r"),
             "text",
@@ -162,10 +169,10 @@ def dedup_edit_distance(
         .distinct()
     )
 
-    ta = load_table(spark, sf_dir, "documents").select(
+    ta = docs_all.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
     )
-    tb = load_table(spark, sf_dir, "documents").select(
+    tb = docs_all.select(
         F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
     )
     return (
@@ -178,6 +185,16 @@ def dedup_edit_distance(
         .filter(F.col("edit_distance") <= k)
         .select("doc_a", "doc_b", "edit_distance")
     )
+
+
+def dedup_edit_distance(
+    spark: SparkSession, sf_dir: str, k: int = EDIT_K
+) -> DataFrame:
+    """All document pairs within `k` character edits (Levenshtein),
+    exact, via PassJoin — see edit_pairs for the algorithm and the
+    completeness argument; here both sides are the documents table."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return edit_pairs(docs, docs, k)
 
 def dedup_edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the edit-distance pair graph — the

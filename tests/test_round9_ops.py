@@ -530,6 +530,58 @@ def test_passjoin_finds_all_crafted_pairs(spark, tmp_path):
     assert len(expect) >= 25  # the crafted pairs are actually present
 
 
+# ---- streaming edit-distance dedup ---------------------------------------
+
+
+def test_streaming_edit_dedup_matches_batch(spark, sf_smoke, tmp_path):
+    """Accumulated streaming pairs over a 2-batch split equal the
+    batch PassJoin operator over the whole corpus (exactly once: pairs
+    are emitted in the later member's batch, both-new pairs once)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from mimir_spark.operators.editdist import dedup_edit_distance
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.editdist import streaming_edit_dedup
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        in_dir + "/b0", compression="none"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        in_dir + "/b1", compression="none"
+    )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_edit_dedup(
+        spark,
+        flat,
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    expect = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in dedup_edit_distance(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
+
+
 # ---- end-to-end keep-list -----------------------------------------------
 
 
