@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": ivfpq.ann_ivfpq_topk,
         "ann_ivfpq_rerank_topk": ivfpq.ann_ivfpq_rerank_topk,
         "ann_ivfpq_recall": ivfpq.ann_ivfpq_recall,
+        "dedup_containment_lsh": dedup2.dedup_containment_lsh,
+        "containment_lsh_recall": dedup2.containment_lsh_recall,
         # --- oldest driver rows (last checked r4) re-confirmed while
         #     window slots are free ---
         "tfidf": advanced.tfidf,
@@ -160,8 +162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "octree_bin": octree.octree_bin,
         "octree_adaptive": octree.octree_adaptive,
         "phrase_search_batch": retrieval.phrase_search_batch,
-        "dedup_containment_lsh": dedup2.dedup_containment_lsh,
-        "containment_lsh_recall": dedup2.containment_lsh_recall,
         "multimodal_features": multimodal.multimodal_features_hist,
         "multimodal_decode_png": multimodal.multimodal_decode_png,
         "multimodal_decode_wav": multimodal.multimodal_decode_wav,
