@@ -80,6 +80,10 @@ HEADLINE = [
     # includes index build, best-of-2 records the warm probe).
     "dedup_edit_distance",
     "ann_ivfpq_topk",
+    # the end-to-end keep-list: the one query a corpus build actually
+    # ships — tracks the integration layer (three doc_id semi/anti
+    # joins over the clean/Gopher/LSH/decontamination legs).
+    "corpus_keep_list",
 ]
 
 
