@@ -530,6 +530,29 @@ def test_passjoin_finds_all_crafted_pairs(spark, tmp_path):
     assert len(expect) >= 25  # the crafted pairs are actually present
 
 
+def test_passjoin_chunk_rule_tiles_exactly():
+    """The shared chunk rule (base = len // (K+1), first rem chunks
+    one char longer, start = 1 + i*base + min(i, rem)) must tile
+    [1..len] exactly for every length — a gap or overlap breaks the
+    pigeonhole guarantee silently."""
+    from hypothesis import given, strategies as st
+    from mimir_spark.operators.editdist import N_CHUNKS
+
+    @given(st.integers(min_value=N_CHUNKS, max_value=100000))
+    def check(length):
+        base, rem = divmod(length, N_CHUNKS)
+        pos = 1
+        for i in range(N_CHUNKS):
+            start = 1 + i * base + min(i, rem)
+            clen = base + (1 if i < rem else 0)
+            assert start == pos, (length, i)
+            assert clen >= 1
+            pos += clen
+        assert pos == length + 1, length
+
+    check()
+
+
 # ---- streaming edit-distance dedup ---------------------------------------
 
 
