@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": ivfpq.ann_ivfpq_recall,
         "dedup_containment_lsh": dedup2.dedup_containment_lsh,
         "containment_lsh_recall": dedup2.containment_lsh_recall,
+        "kll_quantiles": sketches.kll_quantiles_banded,
+        "tdigest_quantiles": sketches.tdigest_quantiles_banded,
         # --- oldest driver rows (last checked r4) re-confirmed while
         #     window slots are free ---
         "tfidf": advanced.tfidf,
@@ -262,8 +264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     in oracle_sql()) ---
         "embedding_pca": clustering.embedding_pca,
         "multimodal_resize": multimodal.multimodal_resize,
-        "kll_quantiles": sketches.kll_quantiles,
-        "tdigest_quantiles": sketches.tdigest_quantiles,
     }
 
 
@@ -1674,6 +1674,42 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS exact_users,
                    1::BIGINT AS within_eps
             FROM events GROUP BY 1
+        """,
+        # Tolerance-band checks for the plan-dependent quantile
+        # sketches (KLL compactor cascade / merging t-digest): the
+        # oracle owns the exact side (count + interpolated
+        # percentiles) and asserts the Spark-side envelope flags —
+        # estimate's true rank within eps of target, sketch weight
+        # within tolerance — came out 1.
+        "kll_quantiles": """
+            WITH qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+            agg AS (SELECT count(*) AS n,
+                           quantile_cont(value, 0.5) AS p0,
+                           quantile_cont(value, 0.9) AS p1,
+                           quantile_cont(value, 0.99) AS p2
+                    FROM events)
+            SELECT q, n::BIGINT AS n_exact,
+                   round(CASE q WHEN 0.5 THEN p0
+                                WHEN 0.9 THEN p1
+                                ELSE p2 END, 4) AS exact_value,
+                   1::BIGINT AS rank_ok,
+                   1::BIGINT AS n_ok
+            FROM qs, agg
+        """,
+        "tdigest_quantiles": """
+            WITH qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+            agg AS (SELECT count(*) AS n,
+                           quantile_cont(value, 0.5) AS p0,
+                           quantile_cont(value, 0.9) AS p1,
+                           quantile_cont(value, 0.99) AS p2
+                    FROM events)
+            SELECT q, n::BIGINT AS n_exact,
+                   round(CASE q WHEN 0.5 THEN p0
+                                WHEN 0.9 THEN p1
+                                ELSE p2 END, 4) AS exact_value,
+                   1::BIGINT AS rank_ok,
+                   1::BIGINT AS n_ok
+            FROM qs, agg
         """,
         # Tolerance-band check for the GK quantile sketch: exact
         # interpolated percentiles are the portable hashed side

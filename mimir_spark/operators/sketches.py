@@ -602,3 +602,80 @@ def tdigest_quantiles(
     return partial.groupBy(F.lit("all").alias("g")).applyInPandas(
         _finalize, "q double, n_total long, est double"
     )
+
+def _quantile_band(
+    spark: SparkSession,
+    sf_dir: str,
+    est_df: DataFrame,
+    rank_eps: float,
+    n_tol_frac: float,
+    n_tol_abs: float,
+    qs: tuple[float, ...] = QUANTS,
+) -> DataFrame:
+    """Tolerance-band driver contract for the plan-dependent quantile
+    sketches (the approx_distinct/approx_quantiles move): the sketch
+    ESTIMATE cannot be value-hashed cross-engine (compaction/centroid
+    content depends on partition boundaries), but its published rank
+    envelope CAN be verified exactly — the hashed columns are the
+    exact side (row count + interpolated percentiles) plus flags
+    asserting the estimate's TRUE rank (count of values ≤ est,
+    computed against the data) sits within rank_eps of its target and
+    the sketch's weight within the n tolerance. The raw estimates
+    stay available through the Python API (kll_quantiles /
+    tdigest_quantiles call paths); the flags promote the pytest rank
+    envelope to the driver gate."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    exact = ev.agg(
+        F.count("*").alias("n"),
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"p{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    ranks = (
+        ev.join(F.broadcast(est_df))
+        .groupBy("q", "n_total", "est")
+        .agg(
+            F.sum((F.col("value") <= F.col("est")).cast("long")).alias("rk")
+        )
+    )
+    exact_val = F.when(F.col("q") == qs[0], F.col("p0"))
+    for i, q in enumerate(qs[1:-1], start=1):
+        exact_val = exact_val.when(F.col("q") == q, F.col(f"p{i}"))
+    exact_val = exact_val.otherwise(F.col(f"p{len(qs) - 1}"))
+    return ranks.join(F.broadcast(exact)).select(
+        "q",
+        F.col("n").alias("n_exact"),
+        F.round(exact_val, 4).alias("exact_value"),
+        (
+            F.abs(F.col("rk") / F.col("n") - F.col("q"))
+            <= F.lit(rank_eps)
+        )
+        .cast("long")
+        .alias("rank_ok"),
+        (
+            F.abs(F.col("n_total") - F.col("n"))
+            <= F.lit(n_tol_frac) * F.col("n") + F.lit(n_tol_abs)
+        )
+        .cast("long")
+        .alias("n_ok"),
+    )
+
+
+def kll_quantiles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of kll_quantiles: the pytest rank
+    envelope (5% rank error, weight within 2%+2 — generous vs the
+    ~1-2% typical at k=200) verified exactly and hashed alongside the
+    exact percentiles."""
+    return _quantile_band(
+        spark, sf_dir, kll_quantiles(spark, sf_dir), 0.05, 0.02, 2.0
+    )
+
+
+def tdigest_quantiles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection of tdigest_quantiles: 3% rank
+    envelope and EXACT weight conservation (merging preserves total
+    weight, unlike KLL's odd-buffer truncation)."""
+    return _quantile_band(
+        spark, sf_dir, tdigest_quantiles(spark, sf_dir), 0.03, 0.0, 0.0
+    )
