@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_lsh_recall": dedup2.containment_lsh_recall,
         "kll_quantiles": sketches.kll_quantiles_banded,
         "tdigest_quantiles": sketches.tdigest_quantiles_banded,
+        "sssp_weighted": graph.sssp_weighted,
         # --- oldest driver rows (last checked r4) re-confirmed while
         #     window slots are free ---
         "tfidf": advanced.tfidf,
@@ -1449,6 +1450,38 @@ def _ivfpq_recall_sql(topk: int = 5) -> str:
     )
 
 
+def _sssp_sql(rounds: int = 12) -> str:
+    """Unrolled synchronous Bellman-Ford over the weighted bipartite
+    order-part graph — integer min over integer sums, so the
+    `rounds`-step relaxation prefix is bit-equal on any engine with
+    no rounding anywhere."""
+    parts = [
+        """WITH base AS MATERIALIZED (
+          SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+                 min(l_quantity::BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2),
+        ed AS MATERIALIZED (
+          SELECT src, dst, w FROM base
+          UNION ALL
+          SELECT dst AS src, src AS dst, w FROM base),
+        d0(node, dist) AS (
+          SELECT (SELECT min(l_orderkey) * 2 FROM lineitem)::BIGINT,
+                 0::BIGINT)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", d{i + 1} AS MATERIALIZED (
+              SELECT node, min(dist)::BIGINT AS dist FROM (
+                SELECT node, dist FROM d{i}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d{i} d JOIN ed e ON e.src = d.node) z
+              GROUP BY node)"""
+        )
+    parts.append(f"SELECT node, dist FROM d{rounds}")
+    return "\n".join(parts)
+
+
 def _kmeans_sql(k: int = 8, dim: int = 64, iters: int = 5) -> str:
     """Unrolled Lloyd k-means (DuckDB dialect — list arithmetic and
     AS MATERIALIZED, which pins each round's centroid table to ONE
@@ -1885,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _PROFILE_SQL,
         "k_core": _k_core_sql(),
         "pagerank": _pagerank_sql(),
+        "sssp_weighted": _sssp_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),

@@ -530,6 +530,51 @@ def test_passjoin_finds_all_crafted_pairs(spark, tmp_path):
     assert len(expect) >= 25  # the crafted pairs are actually present
 
 
+# ---- weighted SSSP --------------------------------------------------------
+
+
+def test_sssp_matches_python_bellman_ford(spark, sf_smoke):
+    """Distances pinned against a pure-Python Bellman-Ford over the
+    collected edge list, and the fixed-round prefix is the true
+    fixpoint at this SF (one extra round changes nothing)."""
+    from collections import defaultdict
+
+    from mimir_spark.operators.graph import SSSP_ROUNDS, sssp_weighted
+    from mimir_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    w = defaultdict(lambda: 1 << 60)
+    for r in li.collect():
+        a, b = 2 * r.l_orderkey, 2 * r.l_partkey + 1
+        w[(a, b)] = min(w[(a, b)], int(r.l_quantity))
+    edges = defaultdict(list)
+    for (a, b), wt in w.items():
+        edges[a].append((b, wt))
+        edges[b].append((a, wt))
+    src = 2 * min(a for a, _ in w)
+    dist = {src: 0}
+    for _ in range(SSSP_ROUNDS):
+        nxt = dict(dist)
+        for node, d in dist.items():
+            for nb, wt in edges[node]:
+                if d + wt < nxt.get(nb, 1 << 60):
+                    nxt[nb] = d + wt
+        dist = nxt
+    got = {r.node: r.dist for r in sssp_weighted(spark, sf_smoke).collect()}
+    assert got == dist
+    # prefix monotonicity: an extra round only ever improves distances
+    # (weighted SP can keep relaxing past the hop diameter — the key's
+    # contract is the exact fixed-round prefix, like pagerank's fixed
+    # 10 iterations)
+    more = {r.node: r.dist
+            for r in sssp_weighted(spark, sf_smoke,
+                                   rounds=SSSP_ROUNDS + 1).collect()}
+    assert set(more) >= set(got)
+    assert all(more[n] <= d for n, d in got.items())
+
+
 def test_passjoin_chunk_rule_tiles_exactly():
     """The shared chunk rule (base = len // (K+1), first rem chunks
     one char longer, start = 1 + i*base + min(i, rem)) must tile
