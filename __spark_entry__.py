@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": sketches.kll_quantiles_banded,
         "tdigest_quantiles": sketches.tdigest_quantiles_banded,
         "sssp_weighted": graph.sssp_weighted,
+        "hypertable_rollup": relational.hypertable_rollup,
         # --- oldest driver rows (last checked r4) re-confirmed while
         #     window slots are free ---
         "tfidf": advanced.tfidf,
@@ -1919,6 +1920,32 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(),
         "pagerank": _pagerank_sql(),
         "sssp_weighted": _sssp_sql(),
+        # Cascading continuous aggregates: each level re-aggregates
+        # the UNROUNDED previous level (sums round only at emission),
+        # mirroring the Spark cascade exactly.
+        "hypertable_rollup": """
+            WITH minute AS (
+              SELECT date_trunc('minute', ts) AS bucket, event_type,
+                     count(*) AS n, sum(value) AS v
+              FROM events GROUP BY 1, 2),
+            hour AS (
+              SELECT date_trunc('hour', bucket) AS bucket, event_type,
+                     sum(n) AS n, sum(v) AS v
+              FROM minute GROUP BY 1, 2),
+            day AS (
+              SELECT date_trunc('day', bucket) AS bucket, event_type,
+                     sum(n) AS n, sum(v) AS v
+              FROM hour GROUP BY 1, 2)
+            SELECT 'minute' AS resolution, bucket, event_type,
+                   n::BIGINT AS n_events, round(v, 4) AS total_value
+            FROM minute
+            UNION ALL
+            SELECT 'hour', bucket, event_type, n::BIGINT, round(v, 4)
+            FROM hour
+            UNION ALL
+            SELECT 'day', bucket, event_type, n::BIGINT, round(v, 4)
+            FROM day
+        """,
         "kmeans_embeddings": _kmeans_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),

@@ -189,3 +189,41 @@ def event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading continuous aggregates — the hypertable/materialized-
+    rollup pattern a time-series store maintains: minute buckets from
+    the raw events, HOUR buckets from the minute aggregates, DAY
+    buckets from the hour aggregates, emitted as one table with a
+    resolution column. Counts and sums are re-aggregable, so each
+    coarser level reads the previous level's (orders-of-magnitude
+    smaller) output instead of the raw table — at 100 TB the raw scan
+    happens exactly once and the cascade is the incremental-refresh
+    plan a continuous aggregate runs per window close. Sums are
+    rounded only at emission; every level aggregates the unrounded
+    parent, so the oracle's identical cascade hashes."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+
+    def emit(df, level):
+        return df.select(
+            F.lit(level).alias("resolution"),
+            "bucket",
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.round("v", 4).alias("total_value"),
+        )
+
+    return (
+        emit(minute, "minute")
+        .unionByName(emit(hour, "hour"))
+        .unionByName(emit(day, "day"))
+    )
