@@ -575,6 +575,44 @@ def test_sssp_matches_python_bellman_ford(spark, sf_smoke):
     assert all(more[n] <= d for n, d in got.items())
 
 
+def test_sssp_partition_invariance(spark, sf_smoke):
+    """Integer min over integer sums — the relaxation prefix cannot
+    depend on partitioning."""
+    from mimir_spark.operators.graph import sssp_weighted
+
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    base = {tuple(r) for r in sssp_weighted(spark, sf_smoke).collect()}
+    alt = {tuple(r) for r in sssp_weighted(odd, sf_smoke).collect()}
+    assert base == alt and base
+
+
+def test_hypertable_levels_consistent(spark, sf_smoke):
+    """The hour level of the cascade equals the direct hour
+    aggregation (event_windows), and each level's totals conserve the
+    grand total — re-aggregation loses nothing."""
+    from mimir_spark.operators.relational import (
+        event_windows,
+        hypertable_rollup,
+    )
+
+    roll = hypertable_rollup(spark, sf_smoke).collect()
+    by_level = {}
+    for r in roll:
+        by_level.setdefault(r.resolution, {})[
+            (r.bucket, r.event_type)
+        ] = (r.n_events, r.total_value)
+    direct = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in event_windows(spark, sf_smoke).collect()
+    }
+    assert by_level["hour"] == direct
+    n_by_level = {
+        lvl: sum(n for n, _ in d.values()) for lvl, d in by_level.items()
+    }
+    assert len(set(n_by_level.values())) == 1  # counts conserved
+
+
 def test_passjoin_chunk_rule_tiles_exactly():
     """The shared chunk rule (base = len // (K+1), first rem chunks
     one char longer, start = 1 + i*base + min(i, rem)) must tile
