@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles": sketches.tdigest_quantiles_banded,
         "sssp_weighted": graph.sssp_weighted,
         "hypertable_rollup": relational.hypertable_rollup,
+        "sample_quality_temperature": pipeline.sample_quality_temperature,
         # --- oldest driver rows (last checked r4) re-confirmed while
         #     window slots are free ---
         "tfidf": advanced.tfidf,
@@ -1920,6 +1921,46 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(),
         "pagerank": _pagerank_sql(),
         "sssp_weighted": _sssp_sql(),
+        # Temperature resampling: the quality chain is the
+        # quality_score oracle; w/sum/p rounding (6dp/4dp/6dp) makes
+        # the kept set a pure function of the data on both engines.
+        "sample_quality_temperature": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS alpha_chars
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     alpha_chars / n_chars AS alpha_ratio,
+                     len(list_filter(toks,
+                         x -> x IN ('the','a','of','and','to','in','is',
+                                    'it'))) / len(toks) AS stop_ratio,
+                     n_chars / len(toks) AS mean_tok_len,
+                     CASE WHEN n_chars >= 100 AND n_chars <= 2000
+                          THEN 1.0 ELSE 0.5 END AS len_band
+              FROM t),
+            q AS (
+              SELECT doc_id,
+                     round(0.3 * len_band + 0.3 * alpha_ratio
+                           + 0.25 * least(stop_ratio * 4.0, 1.0)
+                           + 0.15 * least(mean_tok_len / 8.0, 1.0), 6)
+                       AS quality
+              FROM m),
+            w AS (SELECT doc_id, round(exp(quality / 0.5), 6) AS w FROM q),
+            tot AS (SELECT round(sum(w), 4) AS sw,
+                           count(*)::BIGINT AS n FROM w),
+            p AS (SELECT doc_id,
+                         round(least(1.0, 0.3 * n / sw * w), 6) AS keep_p
+                  FROM w, tot)
+            SELECT d.doc_id, d.lang, d.source, p.keep_p
+            FROM documents d JOIN p USING (doc_id)
+            WHERE ((d.doc_id * 2654435761) % 4294967296)
+                  / 4294967296.0 < p.keep_p
+        """,
         # Cascading continuous aggregates: each level re-aggregates
         # the UNROUNDED previous level (sums round only at emission),
         # mirroring the Spark cascade exactly.

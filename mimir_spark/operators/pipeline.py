@@ -202,3 +202,59 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(losers, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_tokens")
     )
+
+SAMPLE_TEMPERATURE = 0.5
+SAMPLE_BUDGET = 0.3
+
+
+def sample_quality_temperature(
+    spark: SparkSession,
+    sf_dir: str,
+    temperature: float = SAMPLE_TEMPERATURE,
+    budget: float = SAMPLE_BUDGET,
+) -> DataFrame:
+    """Temperature-scaled quality RESAMPLING — the softmax-style
+    upweighting a modern pre-training mix applies (keep high-quality
+    docs with higher probability instead of hard-thresholding): weight
+    w = exp(quality / T), acceptance p = min(1, c·w) with c calibrated
+    so the expected keep-rate is `budget`, decision u(doc_id) < p with
+    the shared multiplicative-hash u — reproducible across runs,
+    engines, and partitionings, and map-only after one scalar agg.
+
+    Determinism plumbing: quality and w are 6dp-rounded, the weight
+    SUM is rounded to 4dp (its partial-agg association noise is ~1e-6
+    absolute at any SF — two decades below the grid), and p is
+    6dp-rounded — so the kept SET is a pure function of the data and
+    the DuckDB oracle replicates the whole chain including the
+    calibration constant."""
+    from mimir_spark.operators.textstats import quality_score
+
+    wq = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            F.exp(F.col("quality") / F.lit(float(temperature))), 6
+        ).alias("w"),
+    )
+    tot = wq.agg(
+        F.round(F.sum("w"), 4).alias("sw"), F.count("*").alias("n")
+    )
+    u = ((F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)) / F.lit(
+        float(_HASH_MOD)
+    )
+    p = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget)) * F.col("n") / F.col("sw") * F.col("w"),
+        ),
+        6,
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return (
+        wq.join(F.broadcast(tot))
+        .select("doc_id", p.alias("keep_p"))
+        .filter(u < F.col("keep_p"))
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "source", "keep_p")
+    )
