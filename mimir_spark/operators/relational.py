@@ -206,6 +206,15 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minute = ev.groupBy(
         F.date_trunc("minute", F.col("ts")).alias("bucket"), "event_type"
     ).agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    return rollup_cascade(minute)
+
+
+def rollup_cascade(minute: DataFrame) -> DataFrame:
+    """hour/day levels derived from a (bucket, event_type, n, v)
+    minute table and the three levels emitted with a resolution
+    column — shared by the batch operator and the streaming
+    continuous-aggregate finalizer (counts/sums re-aggregate, so the
+    cascade is valid over any correctly-summed minute table)."""
     hour = minute.groupBy(
         F.date_trunc("hour", F.col("bucket")).alias("bucket"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))

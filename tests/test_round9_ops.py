@@ -575,6 +575,53 @@ def test_sssp_matches_python_bellman_ford(spark, sf_smoke):
     assert all(more[n] <= d for n, d in got.items())
 
 
+def test_streaming_hypertable_matches_batch(spark, sf_smoke, tmp_path):
+    """Finalized continuous aggregate over a 2-batch event split
+    equals the batch cascade over the whole table — partials merge by
+    addition at every level."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from mimir_spark.operators.relational import hypertable_rollup
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.hypertable import (
+        finalize_hypertable_rollup,
+        streaming_hypertable_build,
+    )
+
+    in_dir = str(tmp_path / "ev_in")
+    ev = load_table(spark, sf_smoke, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        in_dir + "/b0", compression="none"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        in_dir + "/b1", compression="none"
+    )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_hypertable_build(
+        spark, flat, str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in finalize_hypertable_rollup(
+            spark, str(tmp_path / "store")
+        ).collect()
+    }
+    expect = {tuple(r) for r in hypertable_rollup(spark, sf_smoke).collect()}
+    assert got == expect and got
+
+
 def test_sssp_partition_invariance(spark, sf_smoke):
     """Integer min over integer sums — the relaxation prefix cannot
     depend on partitioning."""
