@@ -158,17 +158,25 @@ def main() -> None:
         # 15.9s on the same query across back-to-back runs); the min of
         # two runs is the standard interference-robust estimator and
         # still measures a full cold-cache-free execution.
-        best, n_rows = None, 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            row = _run(fn, sf_dir)
-            dt = time.perf_counter() - t0
-            if best is None or dt < best:
-                best, n_rows = dt, row["n"]
+        # A single failing query must not cost the round its ENTIRE
+        # bench artifact: record the failure (-1 sentinel, excluded
+        # from the total) and keep timing the rest.
+        try:
+            best, n_rows = None, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                row = _run(fn, sf_dir)
+                dt = time.perf_counter() - t0
+                if best is None or dt < best:
+                    best, n_rows = dt, row["n"]
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            print(f"# {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {n_rows} rows in {timings[name]}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {
