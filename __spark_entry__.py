@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": graph.sssp_weighted,
         "hypertable_rollup": relational.hypertable_rollup,
         "sample_quality_temperature": pipeline.sample_quality_temperature,
+        "skyline_orders": relational.skyline_orders,
         # --- oldest driver rows (last checked r4) re-confirmed while
         #     window slots are free ---
         "tfidf": advanced.tfidf,
@@ -1921,6 +1922,18 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(),
         "pagerank": _pagerank_sql(),
         "sssp_weighted": _sssp_sql(),
+        # Skyline ground truth: literal dominance NOT EXISTS — any
+        # pruning bug on the Spark side surfaces as a row diff.
+        "skyline_orders": """
+            SELECT x.o_orderkey, x.o_totalprice, x.o_orderdate
+            FROM orders x
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders y
+              WHERE y.o_totalprice <= x.o_totalprice
+                AND y.o_orderdate <= x.o_orderdate
+                AND (y.o_totalprice < x.o_totalprice
+                     OR y.o_orderdate < x.o_orderdate))
+        """,
         # Temperature resampling: the quality chain is the
         # quality_score oracle; w/sum/p rounding (6dp/4dp/6dp) makes
         # the kept set a pure function of the data on both engines.

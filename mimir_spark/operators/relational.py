@@ -236,3 +236,64 @@ def rollup_cascade(minute: DataFrame) -> DataFrame:
         .unionByName(emit(hour, "hour"))
         .unionByName(emit(day, "day"))
     )
+
+SKYLINE_BUCKETS = 64
+
+
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of orders minimizing (o_totalprice,
+    o_orderdate): an order survives iff no other order is <= in both
+    dimensions and strictly < in at least one — the classic
+    multi-criteria "cheapest AND earliest" frontier (Börzsönyi et al.
+    ICDE 2001).
+
+    Two-phase distributed shape: a LOCAL skyline per hash bucket
+    first (windows partitioned by bucket — bounded groups, and local
+    pruning is lossless: a globally dominated row is dominated inside
+    any subset containing its dominator... the converse — every
+    global skyline row survives its own bucket — is what matters and
+    always holds), then the exact pass over the pruned union. The
+    final window runs over the pruned set, which is skyline-sized in
+    practice (frontiers of correlated dims are tiny); a fully
+    anti-correlated worst case degrades to the inherent skyline size,
+    which no algorithm beats.
+
+    Per-phase dominance test (no self-join): aggregate to one row per
+    price (min date), lag the running min over price order to get the
+    min date among STRICTLY cheaper prices, join the tiny per-price
+    table back — a row is dominated iff that min is <= its date, or a
+    same-price row has a strictly earlier date."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+    def prune(df, part_cols):
+        gp = df.groupBy(*part_cols, "o_totalprice").agg(
+            F.min("o_orderdate").alias("mind")
+        )
+        w = Window.partitionBy(*part_cols).orderBy(
+            F.col("o_totalprice").asc()
+        )
+        gp = gp.withColumn(
+            "cum",
+            F.min("mind").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        ).withColumn("rm_strict", F.lag("cum", 1).over(w))
+        return (
+            df.join(gp, [*part_cols, "o_totalprice"])
+            .filter(
+                (
+                    F.col("rm_strict").isNull()
+                    | (F.col("rm_strict") > F.col("o_orderdate"))
+                )
+                & (F.col("mind") == F.col("o_orderdate"))
+            )
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+        )
+
+    bucketed = orders.withColumn(
+        "b", F.pmod(F.xxhash64("o_orderkey"), F.lit(SKYLINE_BUCKETS))
+    )
+    local = prune(bucketed, ["b"])
+    return prune(local.withColumn("g", F.lit(1)), ["g"])

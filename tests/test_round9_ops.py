@@ -622,6 +622,26 @@ def test_streaming_hypertable_matches_batch(spark, sf_smoke, tmp_path):
     assert got == expect and got
 
 
+def test_skyline_partition_invariance_and_frontier(spark, sf_smoke):
+    """The skyline is a pure function of the data (bucket pruning is
+    lossless under any partitioning), and frontier rows are mutually
+    non-dominating."""
+    from mimir_spark.operators.relational import skyline_orders
+
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    base = {tuple(r) for r in skyline_orders(spark, sf_smoke).collect()}
+    alt = {tuple(r) for r in skyline_orders(odd, sf_smoke).collect()}
+    assert base == alt and base
+    rows = sorted(base, key=lambda r: (r[1], r[2]))
+    for (_, p1, d1), (_, p2, d2) in zip(rows, rows[1:]):
+        # ordered by price asc: later (costlier) rows must be strictly
+        # earlier, else they'd be dominated
+        assert p2 >= p1
+        if p2 > p1:
+            assert d2 < d1, (p1, d1, p2, d2)
+
+
 def test_sssp_partition_invariance(spark, sf_smoke):
     """Integer min over integer sums — the relaxation prefix cannot
     depend on partitioning."""
