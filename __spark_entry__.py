@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": relational.hypertable_rollup,
         "sample_quality_temperature": pipeline.sample_quality_temperature,
         "skyline_orders": relational.skyline_orders,
+        "anomaly_mad": features.anomaly_mad,
         # --- oldest driver rows (last checked r4) re-confirmed while
         #     window slots are free ---
         "tfidf": advanced.tfidf,
@@ -1922,6 +1923,22 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(),
         "pagerank": _pagerank_sql(),
         "sssp_weighted": _sssp_sql(),
+        "anomaly_mad": """
+            WITH med AS (
+              SELECT event_type,
+                     round(quantile_cont(value, 0.5), 6) AS med_v
+              FROM events GROUP BY 1),
+            mad AS (
+              SELECT e.event_type, med_v,
+                     round(quantile_cont(abs(value - med_v), 0.5), 6)
+                       AS mad_v
+              FROM events e JOIN med USING (event_type)
+              GROUP BY e.event_type, med_v)
+            SELECT event_id, event_type, value,
+                   round((value - med_v) / (1.4826 * mad_v), 4) AS rz
+            FROM events JOIN mad USING (event_type)
+            WHERE abs(round((value - med_v) / (1.4826 * mad_v), 4)) >= 3.0
+        """,
         # Skyline ground truth: literal dominance NOT EXISTS — any
         # pruning bug on the Spark side surfaces as a row diff.
         "skyline_orders": """

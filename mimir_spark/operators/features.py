@@ -320,3 +320,37 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_users"),
         F.round(F.avg("monetary"), 4).alias("avg_monetary"),
     )
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier scan over events.value — the
+    heavy-tail-safe twin of anomaly_zscore: a single extreme burst
+    inflates mean/stddev and can mask real outliers, while the median
+    and the median-absolute-deviation are 50%-breakdown estimators.
+    Flags rows with |value − median| / (1.4826·MAD) ≥ 3 per event
+    type (1.4826 scales MAD to σ under normality).
+
+    Two tiny per-type aggregates (median, then MAD over broadcast-
+    joined deviations) and one fact scan — the same two-phase shape as
+    winsorize_events; medians/MAD rounded 6dp and the robust z 4dp on
+    both engines so membership can't flip on interpolation ulps."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med_v")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("ad", F.abs(F.col("value") - F.col("med_v")))
+        .groupBy("event_type", "med_v")
+        .agg(F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad_v"))
+    )
+    rz = F.round(
+        (F.col("value") - F.col("med_v"))
+        / (F.lit(1.4826) * F.col("mad_v")),
+        4,
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .withColumn("rz", rz)
+        .filter(F.abs(F.col("rz")) >= Z_THRESHOLD)
+        .select("event_id", "event_type", "value", "rz")
+    )
