@@ -1923,6 +1923,8 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _k_core_sql(),
         "pagerank": _pagerank_sql(),
         "sssp_weighted": _sssp_sql(),
+        # Zero-MAD groups (≥50% identical values) flag every off-median
+        # row with the finite ±RZ_INF sentinel — see features.anomaly_mad.
         "anomaly_mad": """
             WITH med AS (
               SELECT event_type,
@@ -1933,11 +1935,17 @@ def oracle_sql() -> dict[str, str]:
                      round(quantile_cont(abs(value - med_v), 0.5), 6)
                        AS mad_v
               FROM events e JOIN med USING (event_type)
-              GROUP BY e.event_type, med_v)
-            SELECT event_id, event_type, value,
-                   round((value - med_v) / (1.4826 * mad_v), 4) AS rz
-            FROM events JOIN mad USING (event_type)
-            WHERE abs(round((value - med_v) / (1.4826 * mad_v), 4)) >= 3.0
+              GROUP BY e.event_type, med_v),
+            scored AS (
+              SELECT event_id, event_type, value,
+                     CASE WHEN mad_v > 0
+                          THEN round((value - med_v) / (1.4826 * mad_v), 4)
+                          ELSE sign(value - med_v)::DOUBLE
+                               * 999999999.0::DOUBLE
+                     END AS rz
+              FROM events JOIN mad USING (event_type))
+            SELECT event_id, event_type, value, rz
+            FROM scored WHERE abs(rz) >= 3.0
         """,
         # Skyline ground truth: literal dominance NOT EXISTS — any
         # pruning bug on the Spark side surfaces as a row diff.

@@ -86,6 +86,14 @@ HEADLINE = [
     "corpus_keep_list",
 ]
 
+# localCheckpoint-heavy / iterative entries materialize intermediate
+# state mid-plan, so a co-tenant burst during ANY round of the loop
+# inflates the whole measurement — two rounds of verdicts re-measured
+# dedup_containment_lsh at ~2.5s warm while best-of-2 recorded 5-7s.
+# Best-of-3 for exactly these makes the artifact match the plan's real
+# warm cost without tripling total bench wall-time.
+BEST_OF_3 = {"dedup_containment_lsh", "dedup_clusters_lsh", "pagerank"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,7 +171,7 @@ def main() -> None:
         # from the total) and keep timing the rest.
         try:
             best, n_rows = None, 0
-            for _ in range(2):
+            for _ in range(3 if name in BEST_OF_3 else 2):
                 t0 = time.perf_counter()
                 row = _run(fn, sf_dir)
                 dt = time.perf_counter() - t0

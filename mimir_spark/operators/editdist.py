@@ -67,14 +67,29 @@ def edit_pairs(
     the tight constraints (|len_a − len_b| ≤ K, |probe_start −
     chunk_start| ≤ K); the final levenshtein keeps only true pairs.
     The brute-force oracle makes any window/chunk off-by-one a missing
-    pair at the driver gate, not a silent recall loss."""
+    pair at the driver gate, not a silent recall loss.
+
+    Short-doc escape hatch: the pigeonhole argument needs all K+1
+    indexed chunks nonempty, i.e. len ≥ K+1. A doc with len ≤ K has
+    ≤ K nonempty chunks, all destructible by K edits, so PassJoin can
+    miss its pairs. Those docs are routed around the chunk join: every
+    pair touching a len ≤ K doc has its partner at len ≤ 2K (length
+    filter), so the direct path is a broadcast nested-loop join of the
+    tiny short set against the len ≤ 2K slice — candidate count
+    |short|·|≤2K-slice|, bounded by the corpus's short-text mass, and
+    both paths share the single levenshtein verify. PassJoin itself
+    then runs on the len ≥ K+1 docs only, where the lemma holds."""
     n = F.lit(N_CHUNKS)
-    docs = docs_all.select(
+    all_docs = docs_all.select(
         "doc_id", "text", F.length("text").alias("len")
     )
-    pdocs = probe_docs.select(
+    all_pdocs = probe_docs.select(
         "doc_id", "text", F.length("text").alias("len")
     )
+    # PassJoin runs where its lemma holds (len ≥ K+1); pairs touching
+    # shorter docs go through the direct short-doc path below.
+    docs = all_docs.filter(F.col("len") >= n)
+    pdocs = all_pdocs.filter(F.col("len") >= n)
     base = (F.col("len") / n).cast("int")
     rem = (F.col("len") % n).cast("int")
 
@@ -155,7 +170,7 @@ def edit_pairs(
         )
     )
 
-    cand = (
+    passjoin_cand = (
         idx.join(probe, ["ci", "h"])
         .filter(
             (F.col("id_s") != F.col("id_r"))
@@ -166,6 +181,34 @@ def edit_pairs(
             F.least("id_s", "id_r").alias("doc_a"),
             F.greatest("id_s", "id_r").alias("doc_b"),
         )
+    )
+
+    # ---- short-doc direct path (len ≤ K on at least one side) -------
+    # Any qualifying pair touching probe_docs with a short member is
+    # (short ∈ all) × (≤2K ∈ probe)  ∪  (short ∈ probe) × (≤2K ∈ all);
+    # the short side broadcasts, the length predicate bounds fan-out,
+    # and the shared verify below discharges the candidates exactly.
+    def _short_cand(short_side: DataFrame, compat_side: DataFrame):
+        s = short_side.filter(F.col("len") < n).select(
+            F.col("doc_id").alias("id_s"), F.col("len").alias("len_s")
+        )
+        t = compat_side.filter(
+            F.col("len") <= F.lit(N_CHUNKS - 1 + k)
+        ).select(
+            F.col("doc_id").alias("id_r"), F.col("len").alias("len_r")
+        )
+        return t.join(
+            F.broadcast(s),
+            (F.col("id_s") != F.col("id_r"))
+            & (F.abs(F.col("len_s") - F.col("len_r")) <= k),
+        ).select(
+            F.least("id_s", "id_r").alias("doc_a"),
+            F.greatest("id_s", "id_r").alias("doc_b"),
+        )
+
+    cand = (
+        passjoin_cand.unionByName(_short_cand(all_docs, all_pdocs))
+        .unionByName(_short_cand(all_pdocs, all_docs))
         .distinct()
     )
 

@@ -85,6 +85,10 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Z_THRESHOLD = 3.0
+# Finite stand-in for the ±∞ robust z of a zero-MAD group (anomaly_mad):
+# a numeric literal hashes identically on both engines, where Infinity /
+# NULL round-trip differently through pandas.
+RZ_INF = 999999999.0
 
 
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,7 +336,15 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two tiny per-type aggregates (median, then MAD over broadcast-
     joined deviations) and one fact scan — the same two-phase shape as
     winsorize_events; medians/MAD rounded 6dp and the robust z 4dp on
-    both engines so membership can't flip on interpolation ulps."""
+    both engines so membership can't flip on interpolation ulps.
+
+    Degenerate groups: when ≥50% of a type's values are identical the
+    MAD is 0 and the robust z is mathematically ±∞ for every value off
+    the median — the textbook MAD estimator implodes, it does not go
+    blind. Those rows (value ≠ median, mad = 0) are still flagged,
+    with rz pinned to the finite sentinel ±RZ_INF (hash-stable on both
+    engines, unlike NULL/Infinity); rows AT the median deviate by
+    zero and are never outliers."""
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("med_v")
@@ -343,10 +355,15 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "med_v")
         .agg(F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad_v"))
     )
-    rz = F.round(
-        (F.col("value") - F.col("med_v"))
-        / (F.lit(1.4826) * F.col("mad_v")),
-        4,
+    rz = F.when(
+        F.col("mad_v") > 0,
+        F.round(
+            (F.col("value") - F.col("med_v"))
+            / (F.lit(1.4826) * F.col("mad_v")),
+            4,
+        ),
+    ).otherwise(
+        F.signum(F.col("value") - F.col("med_v")) * F.lit(RZ_INF)
     )
     return (
         ev.join(F.broadcast(mad), "event_type")

@@ -174,36 +174,45 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-dependent (not engine-portable), so the hashed columns are
     the exact interpolated percentiles (the portable side, identical
     to median_order_value's oracle) plus per-quantile within-band
-    flags. accuracy=10000 bounds the sketch's rank error at N/10000;
-    the band [percentile(p−δ), percentile(p+δ)] with δ=0.002 leaves
-    ≥20× slack at any N (exact percentile is monotone in p, so a value
-    whose rank is within εN of pN lies inside the band)."""
+    flags on the estimate's TRUE RANK (sketches._quantile_band's
+    recipe): rk = count of group values ≤ the estimate, flag
+    |rk/n − p| ≤ 0.005 + 1/n. accuracy=10000 bounds the sketch's rank
+    error at n/10000 and the returned value is an actual data element
+    (one more rank of discretization), so the flag is 1 by
+    construction at ANY group size — unlike the previous VALUE band
+    [percentile(p−δ), percentile(p+δ)], which collapses below one
+    inter-value gap for groups under ~1/δ rows and could
+    deterministically fail on small groups."""
     orders = load_table(spark, sf_dir, "orders")
-    d = 0.002
     agg = orders.groupBy("o_orderpriority").agg(
         F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50a"),
         F.approx_percentile("o_totalprice", 0.9, 10000).alias("p90a"),
-        F.expr(f"percentile(o_totalprice, {0.5 - d})").alias("p50_lo"),
         F.expr("percentile(o_totalprice, 0.5)").alias("p50_mid"),
-        F.expr(f"percentile(o_totalprice, {0.5 + d})").alias("p50_hi"),
-        F.expr(f"percentile(o_totalprice, {0.9 - d})").alias("p90_lo"),
         F.expr("percentile(o_totalprice, 0.9)").alias("p90_mid"),
-        F.expr(f"percentile(o_totalprice, {0.9 + d})").alias("p90_hi"),
+        F.count("*").alias("n"),
     )
-    return agg.select(
+    ranks = (
+        orders.select("o_orderpriority", "o_totalprice")
+        .join(F.broadcast(agg), "o_orderpriority")
+        .groupBy("o_orderpriority", "p50a", "p90a", "p50_mid", "p90_mid", "n")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice") <= F.col("p50a")).cast("long")
+            ).alias("rk50"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("p90a")).cast("long")
+            ).alias("rk90"),
+        )
+    )
+    eps = F.lit(0.005) + F.lit(1.0) / F.col("n")
+    return ranks.select(
         "o_orderpriority",
         F.round("p50_mid", 4).alias("p50"),
         F.round("p90_mid", 4).alias("p90"),
-        (
-            (F.col("p50a") >= F.col("p50_lo"))
-            & (F.col("p50a") <= F.col("p50_hi"))
-        )
+        (F.abs(F.col("rk50") / F.col("n") - F.lit(0.5)) <= eps)
         .cast("long")
         .alias("p50_within"),
-        (
-            (F.col("p90a") >= F.col("p90_lo"))
-            & (F.col("p90a") <= F.col("p90_hi"))
-        )
+        (F.abs(F.col("rk90") / F.col("n") - F.lit(0.9)) <= eps)
         .cast("long")
         .alias("p90_within"),
     )

@@ -1,0 +1,234 @@
+"""Round-10 pins: the three ADVICE fixes.
+
+1. PassJoin short-doc escape hatch — docs with len ≤ K break the
+   pigeonhole lemma (all nonempty chunks destructible), so they route
+   through a direct broadcast verify; the pair set must stay EXACT on
+   corpora full of tiny strings.
+2. approx_quantiles rank-band — the within flags are now a true-rank
+   envelope, deterministically 1 at any group size (the old value band
+   collapsed below ~1/δ rows per group).
+3. anomaly_mad zero-MAD groups — ≥50% identical values made the robust
+   z NULL and silently unflagged arbitrarily extreme rows; now every
+   off-median row of a zero-MAD group is flagged with the finite
+   ±RZ_INF sentinel, on both engines.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _write_documents(path: str, rows: list[tuple[int, str]]) -> str:
+    os.makedirs(path, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "crafted",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_passjoin_short_docs_exact(spark, tmp_path):
+    """Corpus dominated by len ≤ 2K strings (including empty / 1-char /
+    exactly-K / exactly-K+1): the pair set must equal brute force.
+    Before the short-doc path, every pair whose both sides were ≤ K
+    chars was silently missing."""
+    from mimir_spark.operators.editdist import dedup_edit_distance
+
+    rows = [
+        (0, ""),
+        (1, "a"),
+        (2, "ab"),
+        (3, "abcdefg"),          # len 7
+        (4, "abcdefgh"),         # len 8 == K (short side boundary)
+        (5, "abcdefghi"),        # len 9 == K+1 (PassJoin side boundary)
+        (6, "abcdxfghi"),        # 1 sub from doc 5
+        (7, "zyxwvu"),           # len 6, far from the abc family
+        (8, "abcdefghijklmnop"),  # len 16 == 2K
+        (9, "abcdefghijklmnopq"),  # len 17 == 2K+1 (outside short compat)
+        (10, "qqqqqqqq"),        # len 8, all-distinct content
+        (11, "qqqqqqq"),         # len 7, 1 del from doc 10
+        (12, "mmmmmmmmmmmmmmmmmmmmmmmmmmmmmm"),  # len 30, long-long pair
+        (13, "mmmmmmmmmmmmmmmmmmmmmmmmmmmmmmmm"),  # len 32
+    ]
+    sf = _write_documents(str(tmp_path / "short"), rows)
+    got = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in dedup_edit_distance(spark, sf).collect()
+    }
+    expect = {
+        (ia, ib, _lev(ta, tb))
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2)
+        if _lev(ta, tb) <= 8
+    }
+    assert got == expect
+    # the regression class is actually exercised: short-short pairs exist
+    assert any(
+        len(rows[a][1]) <= 8 and len(rows[b][1]) <= 8 for a, b, _ in expect
+    )
+
+
+def test_passjoin_short_docs_streaming(spark, tmp_path):
+    """The streaming twin shares edit_pairs, so incremental arrival of
+    short docs must accumulate the same exact pair set."""
+    from mimir_spark.operators.editdist import dedup_edit_distance
+    from mimir_spark.streaming.editdist import streaming_edit_dedup
+
+    rows = [
+        (0, "a"),
+        (1, "ab"),
+        (2, "abcdefgh"),
+        (3, "abcdefghi"),
+        (4, "abcdxfghi"),
+        (5, ""),
+    ]
+    sf = _write_documents(str(tmp_path / "batchref"), rows)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, chunk in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in chunk],
+                "text": [r[1] for r in chunk],
+                "lang": "en",
+                "source": "crafted",
+                "n_chars": [len(r[1]) for r in chunk],
+            }
+        ).to_parquet(f"{in_dir}/part{i}.parquet")
+    q = streaming_edit_dedup(
+        spark,
+        in_dir,
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).select(
+            "doc_a", "doc_b", "edit_distance"
+        ).distinct().collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in dedup_edit_distance(spark, sf).collect()
+    }
+    # 13 of C(6,2)=15 pairs: "" is 9 edits from both 9-char docs
+    assert got == batch and len(batch) == 13
+
+
+def test_approx_quantiles_rank_band_small_groups(spark, tmp_path):
+    """12-row groups: the old value band [p(0.498), p(0.502)] is far
+    narrower than one inter-value gap here, so the flags could come out
+    0 while the oracle hard-codes 1. The rank envelope (|rk/n − p| ≤
+    0.005 + 1/n) must yield 1 deterministically."""
+    from mimir_spark.operators.relational2 import approx_quantiles
+
+    rng = np.random.RandomState(7)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    n_per = 12
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_per * len(prios), dtype="int64"),
+            "o_custkey": np.arange(n_per * len(prios), dtype="int64"),
+            "o_orderstatus": "O",
+            "o_totalprice": rng.uniform(100, 100000, n_per * len(prios)),
+            "o_orderdate": pd.to_datetime("1995-01-01"),
+            "o_orderpriority": np.repeat(prios, n_per),
+        }
+    )
+    sf = str(tmp_path / "smallorders")
+    os.makedirs(sf, exist_ok=True)
+    # µs timestamps: pandas' default ns unit reads back as bigint under
+    # the session's nanosAsLong conf and trips the schema contract
+    pdf.to_parquet(f"{sf}/orders.parquet", coerce_timestamps="us")
+    rows = approx_quantiles(spark, sf).collect()
+    assert len(rows) == len(prios)
+    for r in rows:
+        assert r.p50_within == 1 and r.p90_within == 1, r
+
+
+def test_approx_quantiles_flags_hold_at_smoke_sf(spark, sf_smoke):
+    """sf0.001 (~300 rows/group) was the marginal regime for the old
+    band — the rank envelope must be all-1 there too."""
+    from mimir_spark.operators.relational2 import approx_quantiles
+
+    for r in approx_quantiles(spark, sf_smoke).collect():
+        assert r.p50_within == 1 and r.p90_within == 1, r
+
+
+def test_anomaly_mad_zero_mad_group(spark, tmp_path):
+    """One event type with 60% identical values (MAD = 0) and two
+    extreme rows: the extremes must be flagged with the ±RZ_INF
+    sentinel, median-valued rows must not be, and a normal-spread type
+    keeps its ordinary robust-z behaviour. Cross-checked against the
+    driver's DuckDB oracle on the same crafted table."""
+    import __spark_entry__ as entry
+    from mimir_spark.operators.features import RZ_INF, anomaly_mad
+
+    rng = np.random.RandomState(3)
+    n = 40
+    flat = [50.0] * 24 + list(rng.uniform(49.9, 50.1, 14)) + [5000.0, -77.0]
+    spread = list(rng.normal(0, 1, n - 1)) + [9.0]
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(2 * n, dtype="int64"),
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": np.arange(2 * n, dtype="int64"),
+            "event_type": ["flat"] * n + ["spread"] * n,
+            "value": flat + spread,
+            "props": "{}",
+        }
+    )
+    sf = str(tmp_path / "madevents")
+    os.makedirs(sf, exist_ok=True)
+    pdf.to_parquet(f"{sf}/events.parquet")
+
+    rows = anomaly_mad(spark, sf).collect()
+    flagged = {r.event_id: r for r in rows}
+    hi, lo = n - 2, n - 1  # ids of 5000.0 and -77.0
+    assert flagged[hi].rz == RZ_INF
+    assert flagged[lo].rz == -RZ_INF
+    # median-valued rows of the zero-MAD group are not outliers
+    assert all(
+        r.event_type != "flat" or r.event_id in {hi, lo}
+        or abs(pdf.value[r.event_id] - 50.0) > 0
+        for r in rows
+    )
+    # the spread group still flags its planted extreme
+    assert (2 * n - 1) in flagged
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    duck = {
+        (r[0], round(r[3], 4))
+        for r in con.execute(entry.oracle_sql()["anomaly_mad"]).fetchall()
+    }
+    assert {(r.event_id, round(r.rz, 4)) for r in rows} == duck
