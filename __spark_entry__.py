@@ -61,11 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-9 window leads with keys whose CONTRACT changed this round,
     # then re-confirms the keys whose last driver row is oldest (r4).
     return {
-        # --- ROUND-9 WINDOW: contract changes first — the two round-7
-        #     pixel kernels (closed-form oracles added this round), the
-        #     tolerance-band reworks of the Spark-internal sketch
-        #     estimators, and the new oracle-checked Gram projection of
-        #     embedding_pca's distributed state. ---
+        # --- ROUND-10 WINDOW: new keys + contract changes first ---
+        "multimodal_decode_jpeg": multimodal.multimodal_decode_jpeg,
+        # --- round-9 window below (rotation continues at round end) ---
         "multimodal_pixel_features": multimodal.multimodal_pixel_features,
         "multimodal_resize_pixels": multimodal.multimodal_resize_pixels,
         "approx_distinct": core.approx_distinct,
@@ -2491,6 +2489,26 @@ def oracle_sql() -> dict[str, str]:
                             * (((doc_id * 37 + (j-1) * (j-1)) % 4096) - 2048)
                             < 0 THEN 1 ELSE 0 END
                    ))::BIGINT AS zero_crossings
+            FROM documents
+        """,
+        # Baseline-JPEG decode: block-constant grayscale with an
+        # all-ones quant table is DC-only, so the lossy format decodes
+        # EXACTLY (any conforming IDCT; javax.imageio agrees
+        # pixel-for-pixel, pytest-pinned) and the oracle recomputes the
+        # stats from the generation rule — a Huffman / DC-prediction /
+        # dequant / block-placement bug on the Spark side
+        # hash-mismatches here.
+        "multimodal_decode_jpeg": """
+            SELECT doc_id,
+                   (8 * ((doc_id % 4) + 1))::INT AS width,
+                   (8 * ((doc_id % 2) + 1))::INT AS height,
+                   24::INT AS bpp,
+                   (64 * ((doc_id % 4) + 1) * ((doc_id % 2) + 1))::BIGINT
+                     AS n_pixels,
+                   (3 * 64 * list_sum(list_transform(
+                     range(0, ((doc_id % 4) + 1) * ((doc_id % 2) + 1)),
+                     b -> (doc_id * 31 + 7 * b) % 256)))::BIGINT
+                     AS sum_pixels
             FROM documents
         """,
         # Same generation rule as the BMP twin — but the Spark side

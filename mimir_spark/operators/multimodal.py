@@ -486,23 +486,34 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decode_image(payload: bytes) -> tuple[int, int, int, int, int]:
     """Format-dispatching decode behind the shared DECODE_SCHEMA
-    contract: BMP and PNG decode with the real pure-Python kernels
-    above; JPEG dispatches to PIL when it is importable (the standard
-    production codec) and raises a clear error in codec-less
-    containers — the plumbing (magic-byte dispatch, schema, batch
-    shape) is what carries to a cluster image with PIL installed."""
+    contract: BMP, PNG and baseline JPEG decode with the real
+    pure-Python kernels (operators/jpeg.py for JPEG — huffman +
+    dequant + IDCT + YCbCr, javax.imageio-cross-validated like PNG);
+    non-baseline JPEG modes (progressive SOF2, arithmetic, 12-bit)
+    fall back to PIL when it is importable and raise a clear
+    dependency error otherwise — the boundary is now the exotic tail
+    of the format, not the format itself."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
+        from mimir_spark.operators.jpeg import (  # noqa: PLC0415
+            UnsupportedJpeg,
+            decode_jpeg,
+        )
+
         try:
-            from PIL import Image  # noqa: PLC0415
-        except ImportError as exc:  # pragma: no cover - no PIL here
-            raise NotImplementedError(
-                "JPEG decode requires PIL (pip install pillow on the "
-                "cluster image); BMP/PNG decode pure-Python"
-            ) from exc
+            return decode_jpeg(payload)
+        except UnsupportedJpeg:
+            try:
+                from PIL import Image  # noqa: PLC0415
+            except ImportError as exc:  # pragma: no cover - no PIL here
+                raise NotImplementedError(
+                    "non-baseline JPEG (progressive/arithmetic/12-bit) "
+                    "requires PIL (pip install pillow on the cluster "
+                    "image); baseline JPEG + BMP/PNG decode pure-Python"
+                ) from exc
         import io
 
         img = Image.open(io.BytesIO(payload)).convert("RGB")
@@ -517,6 +528,60 @@ def decode_image(payload: bytes) -> tuple[int, int, int, int, int]:
             int(px.sum()),
         )
     raise ValueError("unrecognized image magic bytes")
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Attach a real baseline-JPEG binary column (Arrow-batched
+    generation via the pure-Python encoder in operators/jpeg.py)."""
+    from mimir_spark.operators.jpeg import encode_jpeg_gray_blocks
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(encode_jpeg_gray_blocks),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id long, payload binary")
+
+
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-format image decode over a binary column: per doc,
+    fully parse a baseline JFIF (marker walk, Huffman entropy decode,
+    dequantize, IDCT, level shift) and emit the shared DECODE_SCHEMA
+    stats. Map-only like the PNG/BMP twins — generation and decode
+    fuse into one scan, payload bytes never shuffle.
+
+    Exact despite JPEG being lossy: the generator emits block-constant
+    grayscale with an all-ones quant table, so every block is DC-only
+    and ANY conforming IDCT reproduces it bit-exactly (javax.imageio
+    agrees pixel-for-pixel, pytest-pinned in test_jpeg.py); the oracle
+    recomputes the stats from the generation rule, so a Huffman/DC-
+    prediction/dequant/placement bug hash-mismatches at the driver.
+    The AC + chroma-subsampling paths are exercised in pytest against
+    javax.imageio-encoded payloads (the lossy tail can't be
+    SQL-oracled)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mimir_spark.operators.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = [decode_jpeg(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "bpp": [r[2] for r in rows],
+                    "n_pixels": [r[3] for r in rows],
+                    "sum_pixels": [r[4] for r in rows],
+                }
+            )
+
+    return with_jpeg_payload(docs).mapInPandas(_dec, DECODE_SCHEMA)
 
 
 # ---- WAV: a REAL audio decode path ------------------------------------

@@ -110,9 +110,12 @@ def test_decode_image_dispatch_bmp_png():
 
 
 def test_decode_image_jpeg_without_pil_raises():
-    # This container has no PIL, so the honest-failure branch is the
-    # live one: a JPEG magic prefix must raise NotImplementedError
-    # (clear cluster-dependency message), never silently mis-decode.
+    # Since round 10 BASELINE JPEG decodes pure-Python; the honest
+    # dependency boundary moved to the non-baseline tail — a
+    # PROGRESSIVE (SOF2) payload must raise NotImplementedError with a
+    # clear cluster-dependency message in this PIL-less container,
+    # never silently mis-decode. Baseline decode itself is covered in
+    # test_jpeg.py.
     from mimir_spark.operators.multimodal import decode_image
 
     try:
@@ -122,13 +125,14 @@ def test_decode_image_jpeg_without_pil_raises():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0fakejpegbody")
+        decode_image(b"\xff\xd8\xff\xc2\x00\x0bprogressive")
 
 
 def test_decode_image_jpeg_with_stubbed_pil(monkeypatch):
-    """Pin the PIL branch's contract with a stub module: dispatch must
-    call Image.open on the payload bytes, convert('RGB'), and emit
-    (w, h, 24, w*h, int pixel sum) from the array view."""
+    """Pin the PIL fallback's contract with a stub module: on a
+    NON-BASELINE payload, dispatch must call Image.open on the payload
+    bytes, convert('RGB'), and emit (w, h, 24, w*h, int pixel sum)
+    from the array view."""
     from mimir_spark.operators import multimodal
 
     arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
@@ -155,7 +159,7 @@ def test_decode_image_jpeg_with_stubbed_pil(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
 
     w, h, bpp, n_px, total = multimodal.decode_image(
-        b"\xff\xd8\xff\xe0stubbed"
+        b"\xff\xd8\xff\xc2\x00\x0bstubbed"
     )
     assert (w, h, bpp, n_px) == (3, 2, 24, 6)
     assert total == int(arr.sum())
