@@ -54,16 +54,87 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q1_pricing_summary(spark, SF_SMOKE)
 
 
+# The driver's correctness gate walks queries() in order and covers a
+# ~50-key window per round, so the first ~50 keys ARE the round's gate.
+# Round-10 lead: new keys, contract/implementation changes, then the
+# min_label_components consumers touched by the r9 refactor, then the
+# keys whose last driver row is oldest (r4, then r5) — per-key vintages
+# from the union of CORRECTNESS_r04..r09.
+_R10_WINDOW = [
+    # new this round
+    "multimodal_decode_jpeg",
+    "token_count_cjk",
+    "dsir_weights",
+    "dsir_select",
+    # contract / implementation changes this round
+    "approx_quantiles",
+    "anomaly_mad",
+    "dedup_edit_distance",
+    "dedup_edit_clusters",
+    "dedup_edit_survivors",
+    "sequence_pack",
+    "dataset_mixture_plan",
+    # min-label finisher consumers (helper refactored in r9)
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_clusters_star",
+    # oldest driver rows: the r4 block
+    "bm25_topk",
+    "ccnet_ppl_buckets",
+    "clustering_coefficient",
+    "dataset_card",
+    "dedup_containment",
+    "dedup_containment_prefix",
+    "dedup_jaccard_prefix",
+    "dedup_ngram_jaccard",
+    "hybrid_retrieval",
+    "lsh_tuning_curve",
+    "rfm_segmentation",
+    "sample_reservoir",
+    "table_profile",
+    "train_val_test_split",
+    # r5 vintage fill (shared-helper-heavy first)
+    "dedup_minhash_lsh",
+    "dedup_survivors_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "semdedup",
+    "dedup_method_agreement",
+    "embedding_clusters",
+    "dedup_icws",
+    "icws_recall",
+    "dedup_weighted_jaccard",
+    "dedup_weighted_containment",
+    "dedup_weighted_containment_lsh",
+    "weighted_containment_lsh_recall",
+    "minhash_containment",
+    "minhash_dedup_recall",
+    "dedup_lsh_query_indexed",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_lsh_topk",
+    "kmeans_embeddings",
+    "k_core",
+    "label_propagation",
+    "degree_distribution",
+    "pagerank",
+    "max_dup_span",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Key ORDER matters: the driver's correctness gate walks this dict
-    # in order and covers a ~50-key window per round. Rotation finished
-    # in r7 (every oracle key has a driver row across r4-r8), so the
-    # round-9 window leads with keys whose CONTRACT changed this round,
-    # then re-confirms the keys whose last driver row is oldest (r4).
+    base = _queries_base()
+    out = {k: base[k] for k in _R10_WINDOW}
+    out.update({k: v for k, v in base.items() if k not in out})
+    return out
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROUND-10 WINDOW: new keys + contract changes first ---
         "multimodal_decode_jpeg": multimodal.multimodal_decode_jpeg,
-        # --- round-9 window below (rotation continues at round end) ---
+        "token_count_cjk": textstats.token_count_cjk,
+        "dsir_weights": quality.dsir_weights,
+        "dsir_select": quality.dsir_select,
         "multimodal_pixel_features": multimodal.multimodal_pixel_features,
         "multimodal_resize_pixels": multimodal.multimodal_resize_pixels,
         "approx_distinct": core.approx_distinct,
@@ -2571,6 +2642,90 @@ def oracle_sql() -> dict[str, str]:
                    max(cs) AS max_class_size
             FROM classes
         """,
+        # DSIR: the bucket log-ratios fold from the same per-doc
+        # distinct-bigram counts as bigram_logppl; the md5-31 bucket
+        # hash is the portable_token_hash31 expression verbatim.
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            dab AS (
+              SELECT doc_id, w1, w2, count(*) AS c_dab
+              FROM bg GROUP BY 1, 2, 3),
+            b AS (
+              SELECT doc_id, c_dab,
+                     (cast(concat('0x', substring(
+                        md5(concat(w1, ' ', w2)), 1, 8)) AS BIGINT)
+                      & 2147483647) % 1024 AS bucket,
+                     CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END
+                       AS is_target
+              FROM dab),
+            stats AS (
+              SELECT bucket,
+                     sum(c_dab * is_target)::BIGINT AS ct,
+                     sum(c_dab * (1 - is_target))::BIGINT AS cs
+              FROM b GROUP BY 1),
+            tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cs)::BIGINT AS ts
+                    FROM stats),
+            llr AS (
+              SELECT bucket,
+                     ln((ct + 1)::DOUBLE / (tt::DOUBLE + 1024.0))
+                     - ln((cs + 1)::DOUBLE / (ts::DOUBLE + 1024.0)) AS llr
+              FROM stats CROSS JOIN tot)
+            SELECT doc_id, sum(c_dab)::BIGINT AS n_grams,
+                   round(sum(c_dab * llr), 6) AS logw
+            FROM b JOIN llr USING (bucket)
+            WHERE is_target = 0 GROUP BY doc_id
+        """,
+        "dsir_select": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            dab AS (
+              SELECT doc_id, w1, w2, count(*) AS c_dab
+              FROM bg GROUP BY 1, 2, 3),
+            b AS (
+              SELECT doc_id, c_dab,
+                     (cast(concat('0x', substring(
+                        md5(concat(w1, ' ', w2)), 1, 8)) AS BIGINT)
+                      & 2147483647) % 1024 AS bucket,
+                     CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END
+                       AS is_target
+              FROM dab),
+            stats AS (
+              SELECT bucket,
+                     sum(c_dab * is_target)::BIGINT AS ct,
+                     sum(c_dab * (1 - is_target))::BIGINT AS cs
+              FROM b GROUP BY 1),
+            tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cs)::BIGINT AS ts
+                    FROM stats),
+            llr AS (
+              SELECT bucket,
+                     ln((ct + 1)::DOUBLE / (tt::DOUBLE + 1024.0))
+                     - ln((cs + 1)::DOUBLE / (ts::DOUBLE + 1024.0)) AS llr
+              FROM stats CROSS JOIN tot),
+            scored AS (
+              SELECT doc_id, sum(c_dab)::BIGINT AS n_grams,
+                     round(sum(c_dab * llr), 6) AS logw
+              FROM b JOIN llr USING (bucket)
+              WHERE is_target = 0 GROUP BY doc_id),
+            cut AS (SELECT round(quantile_cont(logw, 0.75), 6) AS cut
+                    FROM scored)
+            SELECT doc_id, n_grams, logw
+            FROM scored CROSS JOIN cut WHERE logw >= cut
+        """,
         "bigram_logppl": r"""
             WITH toks AS (
               SELECT doc_id,
@@ -3899,6 +4054,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS re_tokens
+            FROM documents
+        """,
+        # Mixed-script token counting: literal BMP char-class ranges
+        # run identically under Java regex and RE2; on this English
+        # corpus cjk_chars is 0 and mixed == ws (the rule is still
+        # hash-checked end-to-end); CJK behaviour is pinned on crafted
+        # docs in tests/test_round10_ops.py.
+        "token_count_cjk": r"""
+            SELECT doc_id,
+                   length(regexp_replace(text,
+                     '[^぀-ヿ㐀-䶿一-鿿가-힯]', '', 'g'))::BIGINT
+                     AS cjk_chars,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> ''))::BIGINT AS ws_tokens,
+                   (len(list_filter(string_split_regex(
+                        regexp_replace(text, '[぀-ヿ㐀-䶿一-鿿가-힯]',
+                                       ' ', 'g'), '\s+'),
+                     x -> x <> ''))
+                    + length(regexp_replace(text,
+                        '[^぀-ヿ㐀-䶿一-鿿가-힯]', '', 'g')))::BIGINT
+                     AS mixed_tokens
             FROM documents
         """,
         "doc_fingerprint": r"""

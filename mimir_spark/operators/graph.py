@@ -216,6 +216,19 @@ def pagerank(
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
     n_nodes = nodes.count()
 
+    return _pagerank_rounds(contrib_edges, nodes, n_nodes, iters, damping)
+
+
+def _pagerank_rounds(
+    contrib_edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    iters: int,
+    damping: float,
+) -> DataFrame:
+    """The shared power-iteration loop over a dst-partitioned
+    (cached or bucketed) contribution table — see pagerank's docstring
+    for the zero-exchange-per-round argument."""
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     teleport = (1.0 - damping) / n_nodes
     for i in range(iters):
@@ -234,6 +247,46 @@ def pagerank(
         )
         ranks = out if i == iters - 1 else out.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = N_PAGERANK_ITERS,
+    damping: float = DAMPING,
+    table_name: str = "pagerank_contrib_bucketed",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """pagerank's ON-DISK twin — the shape that runs when the
+    contribution table outlives one job or one cluster's memory: the
+    (src, dst, deg) table is written ONCE through write_bucketed
+    (bucketBy dst), and every round's edge side is the bucketed SCAN —
+    the FileScan itself reports the dst hash-partitioning, so a round
+    plans with zero edge-side exchanges straight off disk (pinned in
+    test_plans.py::test_pagerank_bucketed_rounds_read_without_exchange),
+    with no cache residency requirement at all. Pay the partitioning
+    shuffle at write time, never again across jobs — the docstring
+    promise 'bucket edges by src at scale for co-located rounds' made
+    concrete. Output is identical to pagerank (same rounds helper,
+    same 9dp grid; equality pytest-pinned)."""
+    from mimir_spark.sources.io import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    write_bucketed(
+        edges.join(deg, "src"), table_name, ["dst"], n_buckets
+    )
+    contrib_edges = spark.table(table_name)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    return _pagerank_rounds(contrib_edges, nodes, n_nodes, iters, damping)
 
 
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -227,7 +227,23 @@ def write_ivfpq_index(
         books,
         extra_cols=("cell_id",),
     )
-    cents = _ivf_centroids(spark, sf_dir)
+    write_ivfpq_metadata(
+        spark, _ivf_centroids(spark, sf_dir), books, index_dir
+    )
+    codes.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{index_dir}/codes"
+    )
+
+
+def write_ivfpq_metadata(
+    spark: SparkSession,
+    cents: DataFrame,
+    books: list[list[list[float]]],
+    index_dir: str,
+) -> None:
+    """The bounded-metadata half of the index layout (centroids +
+    sub-codebooks) — shared by the batch builder above and the
+    streaming publisher (streaming/ann.export_ivfpq_index_from_stream)."""
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     spark.createDataFrame(
         [
@@ -237,9 +253,6 @@ def write_ivfpq_index(
         ],
         "sub int, cid int, c array<double>",
     ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
-    codes.write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{index_dir}/codes"
-    )
 
 
 def ann_ivfpq_query_indexed(

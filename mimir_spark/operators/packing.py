@@ -96,7 +96,14 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     token lands in, its offset in the stream, and how many sequences
     it spans. Zero-token docs pack nowhere (n_seqs = 0).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return sequence_pack_docs(load_table(spark, sf_dir, "documents"))
+
+
+def sequence_pack_docs(docs: DataFrame) -> DataFrame:
+    """sequence_pack over an arbitrary (doc_id, lang, text) corpus —
+    the composition point: a corpus-build feeds the KEPT docs
+    (corpus_keep_list semi-join) straight in, so packing runs on the
+    filtered stream without re-deriving the keep decisions."""
     toks = docs.select(
         "doc_id",
         "lang",
@@ -136,7 +143,13 @@ def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     surplus from capped sources is reported, not redistributed
     (water-filling is an iterative driver decision, not a scan).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return dataset_mixture_plan_docs(load_table(spark, sf_dir, "documents"))
+
+
+def dataset_mixture_plan_docs(docs: DataFrame) -> DataFrame:
+    """dataset_mixture_plan over an arbitrary corpus — composition
+    point for the end-to-end build (plan the mixture of what SURVIVED
+    cleaning, not of the raw corpus)."""
     per_source = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokens_col("text")).cast("long")).alias("n_tokens"),

@@ -312,3 +312,98 @@ def bigram_ppl_from_parts(dab: DataFrame, words: DataFrame) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+# ---- DSIR importance resampling (round 10) -----------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_EVAL_MOD = 97  # target slice = doc_id % 97 == 0 (contamination_check's convention)
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie, Santurkar, Ma, Liang, "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023): score every RAW document by how target-like its hashed
+    n-gram feature profile is — logw(doc) = Σ_grams [ln p̂_target(b(g))
+    − ln p̂_raw(b(g))] under Laplace-smoothed unigram models over
+    hashed word-bigram feature BUCKETS. Resampling raw data ∝
+    exp(logw) is the paper's published recipe for matching a target
+    domain; here target = the held-out eval slice (doc_id %
+    DSIR_EVAL_MOD == 0, the contamination_check convention) and raw =
+    everything else, so the weights are a pure function of the corpus.
+
+    Scale shape: one token scan → per-doc bigram counts (the SHARED
+    bigram_parts state — shuffle on (doc, w1, w2), map-side combined)
+    → bucket stats fold FROM those counts into a FIXED 1024-row table
+    (the paper's hashing trick: feature space is O(buckets) however
+    large the vocabulary) → broadcast-join the bucket log-ratios back
+    and weighted-sum per doc (one doc_id shuffle). Same
+    distinct-bigram-group summation + 6dp round + Spark log ↔ DuckDB
+    ln contract as bigram_logppl, which the gate has hash-verified
+    since r5."""
+    from mimir_spark.functions.text import portable_token_hash31
+
+    docs = load_table(spark, sf_dir, "documents")
+    dab, _ = bigram_parts(docs)
+    bucketed = dab.withColumn(
+        "bucket",
+        F.pmod(
+            portable_token_hash31(F.concat_ws(" ", "w1", "w2")),
+            F.lit(DSIR_BUCKETS),
+        ),
+    ).withColumn(
+        "is_target", (F.col("doc_id") % DSIR_EVAL_MOD == 0).cast("long")
+    )
+    stats = bucketed.groupBy("bucket").agg(
+        F.sum(F.col("c_dab") * F.col("is_target")).alias("ct"),
+        F.sum(F.col("c_dab") * (1 - F.col("is_target"))).alias("cs"),
+    )
+    totals = stats.agg(
+        F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
+    )
+    llr = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("ct") + 1)
+                / (F.col("tt") + F.lit(float(DSIR_BUCKETS)))
+            )
+            - F.log(
+                (F.col("cs") + 1)
+                / (F.col("ts") + F.lit(float(DSIR_BUCKETS)))
+            )
+        ).alias("llr"),
+    )
+    return (
+        bucketed.filter(F.col("is_target") == 0)
+        .join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dab").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c_dab") * F.col("llr")), 6).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    spark: SparkSession, sf_dir: str, keep_frac: float = 0.25
+) -> DataFrame:
+    """The selection step DSIR's weights exist for: keep the most
+    target-like ~keep_frac of the raw corpus. THRESHOLD-based, not a
+    global top-k window (a corpus-wide row_number would funnel every
+    doc through one task — the scale-killer the ccnet_ppl_buckets
+    docstring spells out): the (1−keep_frac) weight quantile
+    broadcasts as a scalar cut point and selection is one map-side
+    comparison; at true scale the exact percentile swaps for the
+    engine's sketch path, same plan. Rank selection is the noise-free
+    limit of the paper's Gumbel resampling; docs tied AT the 6dp cut
+    are all kept, so the kept set is a pure function of the data."""
+    scored = dsir_weights(spark, sf_dir)
+    cut = scored.agg(
+        F.round(F.percentile("logw", 1.0 - keep_frac), 6).alias("cut")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .filter(F.col("logw") >= F.col("cut"))
+        .select("doc_id", "n_grams", "logw")
+    )

@@ -108,6 +108,42 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BMP codepoint classes for scripts that do not delimit words with
+# whitespace: kana, CJK Unified (+ext A), hangul syllables. Literal
+# character ranges, so the same pattern runs under Java regex (Spark)
+# and RE2 (DuckDB); BMP-only keeps UTF-16 vs codepoint length counts
+# identical across engines.
+CJK_CLASS = "぀-ヿ㐀-䶿一-鿿가-힯"
+
+
+def token_count_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-script token counting — the codepoint-class fallback for
+    whitespace-free scripts that plain `token_count` silently
+    under-counts (a zh/ja/ko document is ONE whitespace token however
+    long it is): each CJK codepoint counts as its own token (the
+    standard char-level fallback absent a real segmenter) and the
+    remaining text tokenizes by whitespace as usual. Output:
+    (doc_id, cjk_chars, ws_tokens, mixed_tokens) with ws_tokens the
+    original whitespace rule for comparison. Pure Column expressions;
+    the oracle replicates the regex arithmetic; CJK behaviour is
+    additionally pinned on crafted zh/ja/mixed docs in pytest (the
+    test corpus is English, where cjk_chars = 0 and
+    mixed_tokens = ws_tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cjk_chars = F.length(
+        F.regexp_replace("text", f"[^{CJK_CLASS}]", "")
+    )
+    non_cjk_ws = F.size(
+        tokens_col(F.regexp_replace("text", f"[{CJK_CLASS}]", " "))
+    )
+    return docs.select(
+        "doc_id",
+        cjk_chars.cast("long").alias("cjk_chars"),
+        F.size(tokens_col("text")).cast("long").alias("ws_tokens"),
+        (non_cjk_ws + cjk_chars).cast("long").alias("mixed_tokens"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash fingerprint of the full text
     (h = fold chars: (acc·131 + codepoint) mod 1e9+7). Engine-portable:

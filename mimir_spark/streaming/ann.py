@@ -132,6 +132,118 @@ def finalize_ann_topk(
         .select("query_id", "neighbor_id", "cos", "rank")
     )
 
+def streaming_ivfpq_encode(
+    emb_stream: DataFrame, cent_rows: list, books
+) -> DataFrame:
+    """Streaming IVF-PQ encode — the composed twin of
+    streaming_pq_encode: coarse centroids AND residual sub-codebooks
+    are FROZEN index metadata, so each arriving vector is a stateless
+    map: normalize → nearest-cell assignment → residual vs the
+    assigned centroid → per-subspace argmin codes, bit-identical to
+    the batch encode (pytest-pinned).
+
+    The batch assignment (_cell_residuals) is a broadcast join + a
+    rank-1 window, which append-mode streaming can't run; here the
+    N_CELLS centroids are literal arrays and the argmax is
+    array_position(sims, array_max(sims)) over a cell_id-ordered sims
+    array — first-max == (sim desc, cell_id asc), the identical
+    tie-break, over the identical cosine fold (same expression tree,
+    literal instead of joined column). Output schema == the persisted
+    index's codes table."""
+    from mimir_spark.functions.vectors import cosine_sim
+    from mimir_spark.operators.pq import pq_encode
+
+    e = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+    pts = emb_stream.select(
+        "vec_id", F.transform(e, lambda x: x / norm).alias("e")
+    )
+    cents = sorted(
+        (int(r.cell_id), [float(x) for x in r.cent]) for r in cent_rows
+    )
+
+    def _lit_arr(vals: list):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    sims = F.array(
+        *[cosine_sim(F.col("e"), _lit_arr(c)) for _, c in cents]
+    )
+    # 1-based first max (element_at needs an INT index; array_position
+    # yields bigint)
+    pos = F.array_position(sims, F.array_max(sims)).cast("int")
+    cell = F.element_at(
+        F.array(*[F.lit(cid) for cid, _ in cents]), pos
+    )
+    cent_sel = F.element_at(
+        F.array(*[_lit_arr(c) for _, c in cents]), pos
+    )
+    assigned = pts.select(
+        "vec_id",
+        cell.alias("cell_id"),
+        F.zip_with("e", cent_sel, lambda x, y: x - y).alias("res"),
+    ).select("vec_id", "cell_id", F.col("res").alias("e"))
+    return pq_encode(assigned, books, extra_cols=("cell_id",))
+
+
+def streaming_ivfpq_encode_store(
+    spark: SparkSession,
+    input_dir: str,
+    sf_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.parquet",
+) -> StreamingQuery:
+    """Start the ingest half of a streaming vector-index pipeline:
+    arriving embedding files are IVF-PQ-encoded against the FROZEN
+    quantizers (trained once on the static corpus at `sf_dir` via the
+    memoized deterministic trainers — cache hit ≡ recompute) and
+    appended to a parquet code store. Stateless map ⇒ the exactly-once
+    parquet file sink (commit-log) is sufficient; no foreachBatch
+    batch-id store is needed. export_ivfpq_index_from_stream publishes
+    the store as the queryable cell-partitioned index."""
+    from mimir_spark.operators.ivfpq import _residual_codebooks
+    from mimir_spark.operators.similarity import _ivf_centroids
+
+    cent_rows = _ivf_centroids(spark, sf_dir).collect()
+    books = _residual_codebooks(spark, sf_dir)
+    stream = read_embeddings_stream(spark, input_dir, glob=glob)
+    codes = streaming_ivfpq_encode(stream, cent_rows, books)
+    return (
+        codes.writeStream.format("parquet")
+        .option("path", store_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def export_ivfpq_index_from_stream(
+    spark: SparkSession, sf_dir: str, store_dir: str, index_dir: str
+) -> None:
+    """Publish the ACCUMULATED streaming code store as the persisted
+    cell_id-partitioned IVF-PQ index (write_ivfpq_index's exact
+    layout) WITHOUT re-scanning or re-encoding the corpus — the
+    streaming mirror of export_lsh_index_from_stream: quantizer
+    metadata is the frozen trainers' bounded output, and the publish
+    pass is one store-sized repartition into partition directories.
+    ann_ivfpq_query_indexed runs against the result unchanged
+    (probe-equivalence pytest-pinned)."""
+    from mimir_spark.operators.ivfpq import (
+        _residual_codebooks,
+        write_ivfpq_metadata,
+    )
+    from mimir_spark.operators.similarity import _ivf_centroids
+
+    write_ivfpq_metadata(
+        spark,
+        _ivf_centroids(spark, sf_dir),
+        _residual_codebooks(spark, sf_dir),
+        index_dir,
+    )
+    spark.read.parquet(store_dir).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{index_dir}/codes")
+
+
 def streaming_pq_encode(emb_stream: DataFrame, books) -> DataFrame:
     """Streaming twin of the PQ encode (operators.pq.pq_encode): the
     sub-codebooks are FROZEN index metadata (trained once on the

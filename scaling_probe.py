@@ -52,6 +52,10 @@ PROBES = [
     # IVF-PQ probe (cell-pruned code scan)
     "dedup_edit_distance",
     "ann_ivfpq_topk",
+    # round-10: the end-to-end keep-list — three doc_id semi/anti
+    # joins over bounded-shuffle stage chains; the one headline
+    # integration query, so its growth must track the corpus too
+    "corpus_keep_list",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -71,6 +75,7 @@ INPUT_TABLES = {
     "phrase_search": "documents",
     "dedup_edit_distance": "documents",
     "ann_ivfpq_topk": "embeddings",
+    "corpus_keep_list": "documents",
 }
 
 

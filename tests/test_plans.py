@@ -207,6 +207,42 @@ def test_pagerank_rounds_have_no_exchange(spark, sf_smoke):
     assert "BroadcastHashJoin" in round_plan, plan
 
 
+def test_pagerank_bucketed_rounds_read_without_exchange(spark, sf_smoke):
+    """The ON-DISK twin of the cached-contribution pin above: with the
+    contribution table written through write_bucketed(dst), the
+    bucketed FileScan itself carries the dst hash-partitioning, so a
+    round (broadcast rank join → groupBy(dst)) plans with ZERO shuffle
+    exchanges straight off disk — the cross-job / bigger-than-memory
+    version of the same per-round cost model."""
+    from mimir_spark.operators import graph
+
+    df = graph.pagerank_bucketed(
+        spark, sf_smoke, iters=1, table_name="pr_bucket_plan_test"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pagerank_bucketed_matches_cached(spark, sf_smoke):
+    """Same rounds helper, same 9dp grid — the on-disk and cached
+    paths must emit identical ranks."""
+    from mimir_spark.operators import graph
+
+    a = {
+        (r.node, r.rank)
+        for r in graph.pagerank(spark, sf_smoke, iters=3).collect()
+    }
+    b = {
+        (r.node, r.rank)
+        for r in graph.pagerank_bucketed(
+            spark, sf_smoke, iters=3, table_name="pr_bucket_eq_test"
+        ).collect()
+    }
+    assert a == b
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_correct):
     """The 100 TB fact⋈fact contract: when the build side carries a
     selective filter and the join is a shuffle join (no broadcast —

@@ -182,6 +182,168 @@ def test_approx_quantiles_flags_hold_at_smoke_sf(spark, sf_smoke):
         assert r.p50_within == 1 and r.p90_within == 1, r
 
 
+def test_streaming_ivfpq_store_and_export_match_batch(spark, sf_smoke, tmp_path):
+    """The stream-to-index publishing path (round 10): embeddings
+    arrive as two files → stateless frozen-quantizer IVF-PQ encode →
+    parquet code store → export publishes the cell-partitioned index.
+    Pins (a) streamed codes ≡ the batch encode, (b) the exported index
+    answers queries exactly like the in-memory operator, through the
+    partition-pruned read."""
+    import glob as globmod
+    import shutil
+
+    from mimir_spark.operators.ivfpq import (
+        _cell_residuals,
+        _residual_codebooks,
+        ann_ivfpq_query_indexed,
+        ann_ivfpq_topk,
+    )
+    from mimir_spark.operators.pq import pq_encode
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.ann import (
+        export_ivfpq_index_from_stream,
+        streaming_ivfpq_encode_store,
+    )
+    from pyspark.sql import functions as F
+
+    # two single-file arrival batches
+    stage = str(tmp_path / "stage")
+    load_table(spark, sf_smoke, "embeddings").repartition(2).write.parquet(stage)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, f in enumerate(sorted(globmod.glob(f"{stage}/part-*.parquet"))):
+        shutil.copy(f, f"{in_dir}/f{i}.parquet")
+
+    store = str(tmp_path / "store")
+    q = streaming_ivfpq_encode_store(
+        spark, in_dir, sf_smoke, store, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    res = _cell_residuals(spark, sf_smoke)
+    books = _residual_codebooks(spark, sf_smoke)
+    expect_codes = {
+        tuple(r)
+        for r in pq_encode(
+            res.select("vec_id", "cell_id", F.col("res").alias("e")),
+            books,
+            extra_cols=("cell_id",),
+        ).collect()
+    }
+    got_codes = {tuple(r) for r in spark.read.parquet(store).collect()}
+    assert got_codes == expect_codes and got_codes
+
+    idx = str(tmp_path / "idx")
+    export_ivfpq_index_from_stream(spark, sf_smoke, store, idx)
+    got_df = ann_ivfpq_query_indexed(spark, sf_smoke, idx)
+    got = {tuple(r) for r in got_df.collect()}
+    expect = {tuple(r) for r in ann_ivfpq_topk(spark, sf_smoke).collect()}
+    assert got == expect and got
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell_id" in plan, plan[:2000]
+
+
+def test_corpus_build_end_to_end_manifest(spark, sf_smoke, tmp_path):
+    """The composed corpus build (examples/corpus_build_end_to_end.py):
+    keep-list → semi-joined corpus → mixture plan → packing → shards,
+    with the manifest's invariants pinned:
+      - packing covers exactly the kept docs;
+      - the mixture plan's token total equals the kept docs' tokens;
+      - shard manifest docs/tokens re-aggregate to the packed corpus;
+      - written shard files round-trip the packed rows."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from corpus_build_end_to_end import build
+
+    out = str(tmp_path / "shards")
+    keep, plan, packed, manifest = build(spark, sf_smoke, out)
+    kept_ids = {r.doc_id for r in keep.select("doc_id").collect()}
+    packed_rows = packed.collect()
+    assert {r.doc_id for r in packed_rows} == kept_ids and kept_ids
+
+    from pyspark.sql import functions as F
+
+    plan_tokens = plan.agg(F.sum("n_tokens")).collect()[0][0]
+    packed_tokens = sum(r.n_tokens for r in packed_rows)
+    assert plan_tokens == packed_tokens
+
+    man = manifest.collect()
+    assert sum(r.n_docs for r in man) == len(kept_ids)
+    assert sum(r.n_tokens for r in man) == packed_tokens
+    # every doc's shard holds its first token's sequence
+    written = spark.read.parquet(out)
+    wrows = written.collect()
+    assert {r.doc_id for r in wrows} == kept_ids
+    for r in wrows:
+        assert r.shard == r.seq_id // 1000
+
+
+def test_token_count_cjk_crafted(spark, tmp_path):
+    """Codepoint-class fallback on whitespace-free scripts: crafted
+    zh/ja/ko/mixed docs where the whitespace rule collapses to 1-2
+    tokens but the mixed rule counts each CJK codepoint — plus an
+    ASCII doc where both rules agree. Cross-checked against the
+    driver's DuckDB oracle on the same crafted table."""
+    import __spark_entry__ as entry
+    from mimir_spark.operators.textstats import token_count_cjk
+
+    rows = [
+        (0, "hello world plain ascii"),          # 4 ws, 0 cjk
+        (1, "你好世界"),                           # 1 ws token, 4 cjk
+        (2, "ありがとうございます"),                 # 1 ws, 10 cjk
+        (3, "안녕하세요 세계"),                     # 2 ws, 7 cjk
+        (4, "mixed 文本 with 漢字 inside"),        # 5 ws, 4 cjk
+    ]
+    sf = _write_documents(str(tmp_path / "cjk"), rows)
+    got = {r.doc_id: r for r in token_count_cjk(spark, sf).collect()}
+    assert (got[0].cjk_chars, got[0].ws_tokens, got[0].mixed_tokens) == (0, 4, 4)
+    assert (got[1].cjk_chars, got[1].ws_tokens, got[1].mixed_tokens) == (4, 1, 4)
+    assert (got[2].cjk_chars, got[2].ws_tokens, got[2].mixed_tokens) == (10, 1, 10)
+    assert (got[3].cjk_chars, got[3].ws_tokens, got[3].mixed_tokens) == (7, 2, 7)
+    assert (got[4].cjk_chars, got[4].ws_tokens, got[4].mixed_tokens) == (4, 5, 7)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    duck = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            entry.oracle_sql()["token_count_cjk"]
+        ).fetchall()
+    }
+    assert {
+        k: (v.cjk_chars, v.ws_tokens, v.mixed_tokens)
+        for k, v in got.items()
+    } == duck
+
+
+def test_dsir_weights_rank_target_like_docs(spark, tmp_path):
+    """DSIR semantics on a crafted corpus: target docs (doc_id % 97 ==
+    0) talk about topic A; raw docs are half A-like, half B-like. The
+    A-like raw docs must receive strictly higher importance weights,
+    and dsir_select at 50% must keep exactly them."""
+    from mimir_spark.operators.quality import dsir_select, dsir_weights
+
+    a_text = "the quick brown fox jumps over the lazy dog near the old barn"
+    b_text = "stock market prices fell sharply today amid global trade fears"
+    rows = [(0, a_text), (97, a_text + " again and again")]  # targets
+    rows += [(i, a_text + f" variant {i}") for i in range(1, 11)]
+    rows += [(i, b_text + f" variant {i}") for i in range(11, 21)]
+    sf = _write_documents(str(tmp_path / "dsir"), rows)
+    w = {r.doc_id: r.logw for r in dsir_weights(spark, sf).collect()}
+    assert set(w) == set(range(1, 21))  # raw docs only
+    a_min = min(w[i] for i in range(1, 11))
+    b_max = max(w[i] for i in range(11, 21))
+    assert a_min > b_max, (a_min, b_max)
+    kept = {r.doc_id for r in dsir_select(spark, sf, keep_frac=0.5).collect()}
+    assert kept == set(range(1, 11))
+
+
 def test_anomaly_mad_zero_mad_group(spark, tmp_path):
     """One event type with 60% identical values (MAD = 0) and two
     extreme rows: the extremes must be flagged with the ±RZ_INF
