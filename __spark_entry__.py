@@ -66,6 +66,10 @@ _R10_WINDOW = [
     "token_count_cjk",
     "dsir_weights",
     "dsir_select",
+    "ema_user_value",
+    "event_transitions",
+    "hybrid_rrf",
+    "kneser_ney_logppl",
     # contract / implementation changes this round
     "approx_quantiles",
     "anomaly_mad",
@@ -135,6 +139,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_cjk": textstats.token_count_cjk,
         "dsir_weights": quality.dsir_weights,
         "dsir_select": quality.dsir_select,
+        "ema_user_value": features.ema_user_value,
+        "event_transitions": features.event_transitions,
+        "hybrid_rrf": retrieval.hybrid_rrf,
+        "kneser_ney_logppl": quality.kneser_ney_logppl,
         "multimodal_pixel_features": multimodal.multimodal_pixel_features,
         "multimodal_resize_pixels": multimodal.multimodal_resize_pixels,
         "approx_distinct": core.approx_distinct,
@@ -2642,6 +2650,36 @@ def oracle_sql() -> dict[str, str]:
                    max(cs) AS max_class_size
             FROM classes
         """,
+        # EMA: a strictly sequential fold on both engines
+        # (F.aggregate seeded by the first element == list_reduce);
+        # alpha = 1/8 is exact in binary, so the folds are bit-equal.
+        "ema_user_value": """
+            WITH seq AS (
+              SELECT user_id,
+                     array_agg(value ORDER BY ts, event_id) AS vals
+              FROM events GROUP BY user_id)
+            SELECT user_id, len(vals)::BIGINT AS n_events,
+                   round(vals[-1], 6) AS last_value,
+                   round(list_reduce(vals,
+                         (acc, v) -> 0.125 * v + 0.875 * acc), 6) AS ema
+            FROM seq
+        """,
+        "event_transitions": """
+            WITH pairs AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS to_type
+              FROM events),
+            counts AS (
+              SELECT from_type, to_type, count(*)::BIGINT AS n
+              FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            totals AS (
+              SELECT from_type, sum(n)::BIGINT AS tot
+              FROM counts GROUP BY 1)
+            SELECT from_type, to_type, n, round(n / tot, 6) AS prob
+            FROM counts JOIN totals USING (from_type)
+        """,
         # DSIR: the bucket log-ratios fold from the same per-doc
         # distinct-bigram counts as bigram_logppl; the md5-31 bucket
         # hash is the portable_token_hash31 expression verbatim.
@@ -2725,6 +2763,43 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored)
             SELECT doc_id, n_grams, logw
             FROM scored CROSS JOIN cut WHERE logw >= cut
+        """,
+        # Kneser-Ney: identical expression parenthesization to the
+        # Spark side; all count tables fold from the dab CTE.
+        "kneser_ney_logppl": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+              FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            dab AS (
+              SELECT doc_id, w1, w2, count(*) AS c_dab
+              FROM bg GROUP BY 1, 2, 3),
+            lm_ab AS (
+              SELECT w1, w2, sum(c_dab)::BIGINT AS c_ab
+              FROM dab GROUP BY 1, 2),
+            lm_a AS (
+              SELECT w1, sum(c_ab)::BIGINT AS c_a,
+                     count(*)::BIGINT AS n1p_fw
+              FROM lm_ab GROUP BY 1),
+            cont AS (
+              SELECT w2, count(*)::BIGINT AS n1p_bw FROM lm_ab GROUP BY 1),
+            nbig AS (SELECT count(*)::BIGINT AS nb FROM lm_ab)
+            SELECT doc_id, sum(c_dab)::BIGINT AS n_bigrams,
+                   round(-sum(c_dab * ln(
+                     greatest(c_ab - 0.75, 0.0) / c_a
+                     + (0.75 * n1p_fw / c_a) * (n1p_bw / nb)
+                   )) / sum(c_dab), 6) AS cross_entropy
+            FROM dab
+            JOIN lm_ab USING (w1, w2)
+            JOIN lm_a USING (w1)
+            JOIN cont USING (w2)
+            CROSS JOIN nbig
+            GROUP BY doc_id
         """,
         "bigram_logppl": r"""
             WITH toks AS (
@@ -3844,6 +3919,74 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, doc_id)::BIGINT AS rank
               FROM scored)
             WHERE rank <= 20
+        """,
+        # RRF: both first-stage rankings replicated (the bm25_topk and
+        # vector-cosine oracles verbatim), fused by ranks only; absent
+        # ranks are 0 (NULL hashes engine-dependently).
+        "hybrid_rrf": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, w, count(*)::BIGINT AS tf
+              FROM tok WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2
+            ), dft AS (
+              SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT tf.doc_id,
+                     round(SUM(
+                       LN((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                     ), 6) AS score
+              FROM tf JOIN dft USING (w)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ), lex AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+                       AS bm25_rank
+              FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 50)
+            ), qv AS (
+              SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), vscore AS (
+              SELECT e.vec_id AS doc_id,
+                     round(
+                       list_sum(list_transform(generate_series(1, 64),
+                         i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                          * sqrt(list_sum(list_transform(generate_series(1, 64),
+                            i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))), 6)
+                       AS cos
+              FROM embeddings e CROSS JOIN qv q
+              WHERE e.vec_id <> 0
+            ), vec AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY cos DESC, doc_id)::BIGINT
+                       AS vec_rank
+              FROM (SELECT * FROM vscore ORDER BY cos DESC, doc_id LIMIT 50)
+            ), fused AS (
+              SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                     coalesce(l.bm25_rank, 0)::BIGINT AS bm25_rank,
+                     coalesce(v.vec_rank, 0)::BIGINT AS vec_rank,
+                     round(
+                       coalesce(1.0 / (60 + l.bm25_rank), 0)
+                       + coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf
+              FROM lex l FULL JOIN vec v USING (doc_id)
+            )
+            SELECT doc_id, bm25_rank, vec_rank, rrf,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT
+                     AS rank
+            FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
         """,
         "bm25_topk": r"""
             WITH tok AS (

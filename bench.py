@@ -84,6 +84,13 @@ HEADLINE = [
     # ships — tracks the integration layer (three doc_id semi/anti
     # joins over the clean/Gopher/LSH/decontamination legs).
     "corpus_keep_list",
+    # round-10 additions: DSIR importance weights (token scan → hashed
+    # bucket stats → broadcast log-ratio fold — a workload shape the
+    # quality family didn't track) and the pure-Python baseline-JPEG
+    # decode (Arrow-batched Python kernel throughput, the one
+    # mapInPandas-bound entry in the headline).
+    "dsir_weights",
+    "multimodal_decode_jpeg",
 ]
 
 # localCheckpoint-heavy / iterative entries materialize intermediate

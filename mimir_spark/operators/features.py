@@ -371,3 +371,82 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("rz")) >= Z_THRESHOLD)
         .select("event_id", "event_type", "value", "rz")
     )
+
+
+# ---- exponential moving average (round 10) -----------------------------
+
+EMA_ALPHA_NUM, EMA_ALPHA_DEN = 1, 8  # α = 0.125 — exact in binary
+
+
+def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values — the
+    classic time-series smoother (TimescaleDB/Influx parity) that SQL
+    windows cannot express (EMA_n = α·v_n + (1−α)·EMA_{n−1} is a
+    sequential FOLD, not a frame aggregate). Expressed as the
+    engine-portable fold recipe: per user, values are collected in
+    (ts, event_id) order and folded left-to-right with F.aggregate
+    seeded by the FIRST element — bit-identical to DuckDB's
+    list_reduce over array_agg(... ORDER BY), because both folds are
+    strictly sequential and α = 1/8 is exact in binary (the recipe the
+    gate has verified for dot-product folds since r4; 6dp round for
+    belt and braces).
+
+    Scale shape: one groupBy(user_id) collect — per-user state is that
+    user's event history, the SAME state any per-entity sequential
+    model needs (cf. applyInPandasWithState's running totals); users
+    with pathological histories would stream through the stateful
+    twin instead. Output (user_id, n_events, last_value, ema)."""
+    ev = load_table(spark, sf_dir, "events")
+    alpha = EMA_ALPHA_NUM / EMA_ALPHA_DEN
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda x: x["value"])
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, v: F.lit(alpha) * v + F.lit(1 - alpha) * acc,
+    )
+    return seq.select(
+        "user_id",
+        F.size("s").cast("long").alias("n_events"),
+        F.round(F.element_at(vals, -1), 6).alias("last_value"),
+        F.round(ema, 6).alias("ema"),
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (the product-analytics
+    'path analysis' / Markov-chain step): per user, consecutive events
+    in (ts, event_id) order form (from_type → to_type) transitions;
+    output counts and row-normalized probabilities. The lead() window
+    partitions by user (bounded per-user state, the sessionize
+    precedent — never a global order), and the matrix aggregate is
+    |types|² rows however large the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+        )
+    )

@@ -269,7 +269,7 @@ def pagerank_bucketed(
     promise 'bucket edges by src at scale for co-located rounds' made
     concrete. Output is identical to pagerank (same rounds helper,
     same 9dp grid; equality pytest-pinned)."""
-    from mimir_spark.sources.io import write_bucketed
+    from mimir_spark.sources.io import drop_bucketed_table, write_bucketed
 
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
@@ -280,6 +280,8 @@ def pagerank_bucketed(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # a prior session's orphan location would fail the managed write
+    drop_bucketed_table(spark, table_name)
     write_bucketed(
         edges.join(deg, "src"), table_name, ["dst"], n_buckets
     )

@@ -407,3 +407,59 @@ def dsir_select(
         .filter(F.col("logw") >= F.col("cut"))
         .select("doc_id", "n_grams", "logw")
     )
+
+
+# ---- Kneser-Ney bigram LM scoring (round 10) ---------------------------
+
+KN_D = 0.75  # absolute discount (the standard default)
+
+
+def kneser_ney_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram cross-entropy under an interpolated KNESER-NEY
+    LM (Kneser & Ney, ICASSP 1995; Chen & Goodman 1998's interpolated
+    form) — the standard step up from bigram_logppl's Laplace
+    smoothing: probability mass freed by absolute discounting (D =
+    0.75) is spent on the CONTINUATION unigram (how many distinct
+    contexts a word follows — 'Francisco' is frequent but follows
+    almost nothing except 'San', so its continuation weight is tiny),
+    which is what actually separates boilerplate from prose:
+
+      p_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+                    + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    All four count tables fold FROM the shared bigram_parts state (no
+    extra corpus scan): corpus bigram counts, left-context totals +
+    distinct-successor counts, distinct-predecessor counts, and the
+    distinct-bigram scalar. Scored docs' bigrams all occur in the LM
+    (trained on the same corpus), so p > 0 with no unseen-mass term.
+    Same distinct-group summation + 6dp + identical expression
+    parenthesization on both engines as bigram_logppl."""
+    docs = load_table(spark, sf_dir, "documents")
+    dab, _ = bigram_parts(docs)
+    lm_ab = dab.groupBy("w1", "w2").agg(F.sum("c_dab").alias("c_ab"))
+    lm_a = lm_ab.groupBy("w1").agg(
+        F.sum("c_ab").alias("c_a"),
+        F.count("*").cast("long").alias("n1p_fw"),
+    )
+    cont = lm_ab.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n1p_bw")
+    )
+    nbig = lm_ab.agg(F.count("*").cast("long").alias("nb"))
+    p_kn = (
+        F.greatest(F.col("c_ab") - F.lit(KN_D), F.lit(0.0)) / F.col("c_a")
+        + (F.lit(KN_D) * F.col("n1p_fw") / F.col("c_a"))
+        * (F.col("n1p_bw") / F.col("nb"))
+    )
+    return (
+        dab.join(lm_ab, ["w1", "w2"])
+        .join(lm_a, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nbig))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dab").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("c_dab") * F.log(p_kn)) / F.sum("c_dab"), 6
+            ).alias("cross_entropy"),
+        )
+    )

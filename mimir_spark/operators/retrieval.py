@@ -11,7 +11,7 @@ vocabulary-sized join, every stage map-side combined.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mimir_spark.functions.text import tokens_col
@@ -480,3 +480,151 @@ def phrase_search_batch(
         .agg(F.count("*").cast("long").alias("n_matches"))
         .select("phrase_id", "doc_id", "n_matches")
     )
+
+
+# ---- reciprocal rank fusion (round 10) ---------------------------------
+
+RRF_C = 60  # the published constant (Cormack, Clarke, Büttcher SIGIR'09)
+
+
+def hybrid_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY,
+    k: int = HYBRID_K,
+    pool: int = HYBRID_POOL,
+    query_vec: int = HYBRID_QUERY_VEC,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical and vector retrievers
+    (Cormack, Clarke, Büttcher, "Reciprocal Rank Fusion outperforms
+    Condorcet and individual Rank Learning Methods", SIGIR 2009) — the
+    OTHER standard hybrid besides hybrid_retrieval's staged re-rank:
+    both retrievers produce independent top-`pool` lists and fuse by
+    rrf(d) = Σ_lists 1/(C + rank_list(d)), which needs no score
+    calibration between BM25 and cosine (ranks only) and rewards docs
+    both retrievers surface.
+
+    Scale shape: both first stages are the engine's existing bounded
+    plans (BM25 TakeOrdered; corpus-scan cosine TakeOrdered vs a 1-row
+    broadcast query). The fusion is a full-outer join of two ≤pool-row
+    lists and a ≤2·pool-row ranking window — all post-pool work is
+    pool-bounded, never corpus-bounded. Absent ranks print as 0 (NULL
+    would hash engine-dependently); the fixed two-term sum + 6dp round
+    keeps rrf engine-portable."""
+    from mimir_spark.functions.vectors import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(spark, sf_dir, terms=terms, k=pool).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    qv = emb.filter(F.col("vec_id") == query_vec).select(
+        F.col("embedding").alias("qe")
+    )
+    vec_top = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_sim("embedding", "qe"), 6).alias("cos"),
+        )
+        .filter(F.col("doc_id") != query_vec)
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(pool)
+    )
+    w_vec = Window.orderBy(F.col("cos").desc(), "doc_id")
+    vec = vec_top.withColumn(
+        "vec_rank", F.row_number().over(w_vec).cast("long")
+    ).select("doc_id", "vec_rank")
+
+    fused = lex.join(vec, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(RRF_C) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_C) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    w_out = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).cast("long").alias("bm25_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+            rrf.alias("rrf"),
+        )
+        .withColumn("rank", F.row_number().over(w_out).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---- persisted BM25 index (round 10) -----------------------------------
+
+N_TERM_SHARDS = 16
+
+
+def write_bm25_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Materialize the BM25 index — the text-retrieval member of the
+    build-once/query-many family (write_ivf_index / write_ivfpq_index /
+    the LSH shard index): the FULL postings table (w, doc_id, tf)
+    written PARTITIONED BY pmod(xxhash64(w), N_TERM_SHARDS), plus the
+    per-doc length table. A query's terms hash to a handful of shard
+    directories, so the scoring read touches |terms| shards of
+    postings (PartitionFilters, pinned) — the corpus text is never
+    re-tokenized at query time. At 100 TB the postings build is the
+    classic one-shuffle inverted index; shard count scales with the
+    vocabulary, and per-shard files stay uniform because term hash is
+    uncorrelated with document skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    postings = (
+        tok.groupBy("w", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("w"), F.lit(N_TERM_SHARDS))
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{index_dir}/postings"
+    )
+    dl.write.mode("overwrite").parquet(f"{index_dir}/doclens")
+
+
+def bm25_query_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Query the PERSISTED BM25 index: the terms' shard ids prune the
+    postings read to |terms| partition directories, the doc-length
+    table loads beside it, and scoring is the SAME
+    bm25_rank_from_parts code path as the batch operator — results
+    equal bm25_topk row-for-row (pytest-pinned, like every other
+    persisted index's probe-equivalence pin). `sf_dir` is unused at
+    query time (kept for the uniform operator signature): the index IS
+    the corpus here."""
+    shards = sorted(
+        {hash_val % N_TERM_SHARDS for hash_val in _term_shards(spark, terms)}
+    )
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("shard").isin(shards))
+        .filter(F.col("w").isin(*terms))
+        .select("doc_id", "w", "tf")
+    )
+    dl = spark.read.parquet(f"{index_dir}/doclens")
+    return bm25_rank_from_parts(postings, dl, k)
+
+
+def _term_shards(spark: SparkSession, terms: tuple[str, ...]) -> list:
+    """xxhash64 of each query term via a 1-row-per-term local plan —
+    the shard hash must be the ENGINE's xxhash64 (the write side's
+    partitioner), not a Python reimplementation."""
+    df = spark.createDataFrame([(t,) for t in terms], "w string")
+    return [
+        r.h
+        for r in df.select(
+            F.pmod(F.xxhash64("w"), F.lit(N_TERM_SHARDS)).alias("h")
+        ).collect()
+    ]

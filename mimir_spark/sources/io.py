@@ -68,6 +68,24 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def drop_bucketed_table(spark: SparkSession, table_name: str) -> None:
+    """Drop a managed bucketed table AND its warehouse directory. The
+    catalog is session-scoped while the warehouse directory persists,
+    so a table written by a dead session leaves an ORPHAN location
+    that makes the next saveAsTable fail with LOCATION_ALREADY_EXISTS
+    — DROP TABLE alone can't see it. Uses the public Hadoop FS API
+    (works on local / HDFS / object stores)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def compact_files(
     spark: SparkSession,
     in_path: str,

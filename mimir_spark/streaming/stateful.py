@@ -76,3 +76,74 @@ def stateful_user_totals(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---- streaming EMA (round 10) ------------------------------------------
+
+EMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_value", DoubleType()),
+        StructField("ema", DoubleType()),
+    ]
+)
+
+EMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("last", DoubleType()),
+        StructField("ema", DoubleType()),
+    ]
+)
+
+
+def _update_user_ema(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's rows (sorted by ts, event_id — the
+    batch operator's order) into the running EMA. α = 1/8 exactly as
+    in operators.features.ema_user_value, so over a time-split corpus
+    the final state is bit-identical to the batch fold."""
+    n, last, ema = state.get if state.exists else (0, 0.0, None)
+    rows = pd.concat(list(pdfs))
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            v = float(v)
+            ema = v if ema is None else 0.125 * v + 0.875 * ema
+            last = v
+        n += len(rows)
+    state.update((n, last, ema))
+    if ema is None:  # no data ever seen for this key — nothing to emit
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "last_value": [round(last, 6)],
+            "ema": [round(ema, 6)],
+        }
+    )
+
+
+def stateful_user_ema(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ema_user_value: per-user EMA state
+    (n, last, ema) carried across micro-batches — NO idle timeout
+    (an EMA must never restart from scratch; state is O(users), the
+    same bound as the batch collect). Correctness contract: the
+    source delivers event-time-ordered batches (a time-partitioned
+    ingest), the standard assumption for any sequential fold over a
+    stream; equality with the batch fold over a time-split corpus is
+    pytest-pinned."""
+    return (
+        events_stream.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_ema,
+            outputStructType=EMA_OUTPUT_SCHEMA,
+            stateStructType=EMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

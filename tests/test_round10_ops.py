@@ -344,6 +344,182 @@ def test_dsir_weights_rank_target_like_docs(spark, tmp_path):
     assert kept == set(range(1, 11))
 
 
+def test_stateful_ema_matches_batch(spark, sf_smoke, tmp_path):
+    """Streaming EMA twin: events split into two TIME-ORDERED files
+    (the sequential-fold ordering contract); after both micro-batches
+    the per-user state must equal the batch fold exactly."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators.features import ema_user_value
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.jobs import read_events_stream
+    from mimir_spark.streaming.stateful import stateful_user_ema
+
+    ev = load_table(spark, sf_smoke, "events")
+    cut = ev.agg(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)")
+    ).collect()[0][0]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, part in enumerate(
+        [
+            ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut),
+            ev.filter(F.col("ts").cast("timestamp").cast("double") > cut),
+        ]
+    ):
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        import glob as globmod
+
+        src = globmod.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/events{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (_time.time() + i, _time.time() + i))
+
+    stream = read_events_stream(spark, in_dir, glob="events*.parquet")
+    shutil.rmtree("/tmp/mimir_ckpt_sema", ignore_errors=True)
+    q = (
+        stateful_user_ema(stream)
+        .writeStream.format("memory")
+        .queryName("sema")
+        .outputMode("update")
+        .option("checkpointLocation", "/tmp/mimir_ckpt_sema")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_df = spark.sql(
+        """SELECT user_id, n_events, last_value, ema FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY n_events DESC) rn
+             FROM sema) WHERE rn = 1"""
+    )
+    got = {
+        r.user_id: (r.n_events, r.last_value, r.ema)
+        for r in got_df.collect()
+    }
+    expect = {
+        r.user_id: (r.n_events, r.last_value, r.ema)
+        for r in ema_user_value(spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_bm25_index_persist_and_query(spark, sf_correct, tmp_path):
+    """The persisted BM25 index (round 10): (a) the partition-pruned
+    probe returns exactly the batch bm25_topk ranking, (b) the
+    postings read carries PartitionFilters on shard (never a full
+    postings scan), (c) a different term set probes different
+    shards."""
+    from mimir_spark.operators.retrieval import (
+        bm25_query_indexed,
+        bm25_topk,
+        write_bm25_index,
+    )
+
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(spark, sf_correct, idx)
+    got_df = bm25_query_indexed(spark, sf_correct, idx)
+    got = [tuple(r) for r in got_df.collect()]
+    expect = [tuple(r) for r in bm25_topk(spark, sf_correct).collect()]
+    assert sorted(got) == sorted(expect) and got
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [shard" in plan, plan[:2000]
+
+    other = bm25_query_indexed(
+        spark, sf_correct, idx, terms=("data", "query")
+    )
+    assert other.count() > 0
+
+
+def test_ema_matches_python_fold(spark, sf_smoke):
+    """The distributed EMA equals a plain Python fold over each user's
+    time-ordered values — pinning the collect-order and the seed-by-
+    first-element contract independently of the DuckDB oracle."""
+    from mimir_spark.operators.features import ema_user_value
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    by_user = {}
+    for r in ev.collect():
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    got = {r.user_id: r for r in ema_user_value(spark, sf_smoke).collect()}
+    assert set(got) == set(by_user)
+    for uid, rows in list(by_user.items())[:200]:
+        rows.sort()
+        ema = rows[0][2]
+        for _, _, v in rows[1:]:
+            ema = 0.125 * v + 0.875 * ema
+        assert got[uid].ema == round(ema, 6), uid
+        assert got[uid].n_events == len(rows)
+
+
+def test_hybrid_rrf_fuses_both_retrievers(spark, sf_correct):
+    """RRF sanity: every fused row's score equals 1/(60+r_lex) +
+    1/(60+r_vec) over its recorded ranks (0 = absent), and the top
+    results actually draw from both lists."""
+    from mimir_spark.operators.retrieval import hybrid_rrf
+
+    rows = hybrid_rrf(spark, sf_correct).collect()
+    assert len(rows) == 10
+    for r in rows:
+        exp = (1.0 / (60 + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (60 + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert r.rrf == round(exp, 6), r
+    assert any(r.bm25_rank and r.vec_rank == 0 for r in rows) or any(
+        r.vec_rank and r.bm25_rank == 0 for r in rows
+    ) or all(r.bm25_rank and r.vec_rank for r in rows)
+
+
+def test_kneser_ney_vs_python(spark, sf_smoke):
+    """Kneser-Ney cross-entropy pinned against an independent pure-
+    Python implementation of the interpolated-KN formula on a sample
+    of docs."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mimir_spark.operators.quality import kneser_ney_logppl
+    from mimir_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    c_ab: Counter = Counter()
+    doc_bg = {}
+    for r in docs:
+        toks = r.text.split()
+        bgs = Counter(zip(toks, toks[1:]))
+        if bgs:
+            doc_bg[r.doc_id] = bgs
+            c_ab.update(bgs)
+    c_a: Counter = Counter()
+    n1p_fw: Counter = Counter()
+    n1p_bw: Counter = Counter()
+    for (a, b), c in c_ab.items():
+        c_a[a] += c
+        n1p_fw[a] += 1
+        n1p_bw[b] += 1
+    nb = len(c_ab)
+    got = {r.doc_id: r for r in kneser_ney_logppl(spark, sf_smoke).collect()}
+    assert set(got) == set(doc_bg)
+    for did in list(doc_bg)[:100]:
+        tot = sum(doc_bg[did].values())
+        s = 0.0
+        for (a, b), c in doc_bg[did].items():
+            p = max(c_ab[(a, b)] - 0.75, 0.0) / c_a[a] + (
+                0.75 * n1p_fw[a] / c_a[a]
+            ) * (n1p_bw[b] / nb)
+            s += c * math.log(p)
+        assert abs(got[did].cross_entropy - (-s / tot)) < 1e-4, did
+        assert got[did].n_bigrams == tot
+
+
 def test_anomaly_mad_zero_mad_group(spark, tmp_path):
     """One event type with 60% identical values (MAD = 0) and two
     extreme rows: the extremes must be flagged with the ±RZ_INF
