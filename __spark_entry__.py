@@ -68,6 +68,7 @@ _R10_WINDOW = [
     "dsir_select",
     "ema_user_value",
     "event_transitions",
+    "l_diversity_report",
     "hybrid_rrf",
     "kneser_ney_logppl",
     # contract / implementation changes this round
@@ -141,6 +142,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": quality.dsir_select,
         "ema_user_value": features.ema_user_value,
         "event_transitions": features.event_transitions,
+        "l_diversity_report": profiling.l_diversity_report,
         "hybrid_rrf": retrieval.hybrid_rrf,
         "kneser_ney_logppl": quality.kneser_ney_logppl,
         "multimodal_pixel_features": multimodal.multimodal_pixel_features,
@@ -2663,6 +2665,17 @@ def oracle_sql() -> dict[str, str]:
                    round(list_reduce(vals,
                          (acc, v) -> 0.125 * v + 0.875 * acc), 6) AS ema
             FROM seq
+        """,
+        "l_diversity_report": """
+            WITH cells AS (
+              SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+              FROM customer GROUP BY 1, 2)
+            SELECT c_nationkey,
+                   sum(n)::BIGINT AS class_size,
+                   count(*)::BIGINT AS n_sensitive_values,
+                   round(max(n) / sum(n), 6) AS dominant_share,
+                   (count(*) < 3)::BIGINT AS below_l
+            FROM cells GROUP BY c_nationkey
         """,
         "event_transitions": """
             WITH pairs AS (

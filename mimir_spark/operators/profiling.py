@@ -82,6 +82,51 @@ def k_anonymity_report(
     )
 
 
+L_DIVERSITY = 3
+SENSITIVE_COL = "c_mktsegment"
+L_QUASI = ("c_nationkey",)
+
+
+def l_diversity_report(
+    spark: SparkSession, sf_dir: str, l_min: int = L_DIVERSITY
+) -> DataFrame:
+    """The companion governance check to k_anonymity_report:
+    k-anonymity alone doesn't stop attribute disclosure — if every
+    member of a quasi-identifier class shares one SENSITIVE value, the
+    attacker learns it without re-identifying anyone (Machanavajjhala
+    et al., "l-Diversity", ICDE 2006). Per QI class (nation), report
+    the class size, the number of DISTINCT sensitive values (market
+    segment), the dominant value's share, and the below-l flag a
+    release gate thresholds on.
+
+    Shape: one (QI, sensitive) groupBy (map-side combined; output is
+    |nations|×|segments| bounded), then a class-level re-aggregate —
+    the fact table is scanned once at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(*L_QUASI, SENSITIVE_COL).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        cells.groupBy(*L_QUASI)
+        .agg(
+            F.sum("n").cast("long").alias("class_size"),
+            F.count("*").cast("long").alias("n_sensitive_values"),
+            F.max("n").cast("long").alias("dominant_count"),
+        )
+        .select(
+            *L_QUASI,
+            "class_size",
+            "n_sensitive_values",
+            F.round(F.col("dominant_count") / F.col("class_size"), 6).alias(
+                "dominant_share"
+            ),
+            (F.col("n_sensitive_values") < l_min)
+            .cast("long")
+            .alias("below_l"),
+        )
+    )
+
+
 def shuffle_skew_report(
     spark: SparkSession, sf_dir: str, table: str = "lineitem",
     key: str = "l_suppkey", sample_hash_bits: int | None = None,

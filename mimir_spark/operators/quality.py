@@ -341,10 +341,19 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-bigram-group summation + 6dp round + Spark log ↔ DuckDB
     ln contract as bigram_logppl, which the gate has hash-verified
     since r5."""
-    from mimir_spark.functions.text import portable_token_hash31
-
     docs = load_table(spark, sf_dir, "documents")
     dab, _ = bigram_parts(docs)
+    return dsir_weights_from_parts(dab)
+
+
+def dsir_weights_from_parts(dab: DataFrame) -> DataFrame:
+    """Score from the per-doc bigram-count state table — the only
+    scoring code path, shared by the batch operator and the streaming
+    finalizer (streaming/ngram_lm.finalize_dsir_weights): bucket
+    counts and totals are SUM monoids over disjoint doc batches, so
+    incremental and single-pass weights are bit-identical."""
+    from mimir_spark.functions.text import portable_token_hash31
+
     bucketed = dab.withColumn(
         "bucket",
         F.pmod(

@@ -72,3 +72,23 @@ def finalize_bigram_logppl(
     )
     words = words_raw.join(last, ["doc_id", "batch_id"]).select("doc_id", "w")
     return bigram_ppl_from_parts(dab, words)
+
+
+def finalize_dsir_weights(spark: SparkSession, dab_dir: str) -> DataFrame:
+    """DSIR importance weights from the SAME accumulated dab store the
+    bigram-LM builder writes (one ingest job feeds Laplace-bigram,
+    Kneser-Ney AND DSIR scoring): latest-batch resolve per doc, then
+    the shared quality.dsir_weights_from_parts code path — incremental
+    and batch weights are bit-identical (pytest-pinned), because every
+    DSIR input (bucket target/raw counts, totals) is a SUM monoid over
+    disjoint doc batches."""
+    from mimir_spark.operators.quality import dsir_weights_from_parts
+
+    dab_raw = spark.read.parquet(dab_dir)
+    last = dab_raw.groupBy("doc_id").agg(
+        F.max("batch_id").alias("batch_id")
+    )
+    dab = dab_raw.join(last, ["doc_id", "batch_id"]).select(
+        "doc_id", "w1", "w2", "c_dab"
+    )
+    return dsir_weights_from_parts(dab)

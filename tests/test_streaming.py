@@ -885,6 +885,57 @@ def test_streaming_bigram_logppl_matches_batch(spark, sf_smoke, tmp_path):
     assert got == expect and got
 
 
+def test_streaming_dsir_weights_match_batch(spark, sf_smoke, tmp_path):
+    """DSIR from the SAME accumulated dab store (round 10): the bucket
+    target/raw counts and totals are sum monoids over disjoint doc
+    batches, so the streaming finalizer must equal the batch
+    dsir_weights exactly — one ingest job now feeds Laplace-bigram,
+    Kneser-Ney and DSIR scoring."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.quality import dsir_weights
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.ngram_lm import (
+        finalize_dsir_weights,
+        streaming_bigram_build,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_bigram_build(
+        spark,
+        flat,
+        str(tmp_path / "dab"),
+        str(tmp_path / "words"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_id, r.n_grams, r.logw)
+        for r in finalize_dsir_weights(
+            spark, str(tmp_path / "dab")
+        ).collect()
+    }
+    expect = {
+        (r.doc_id, r.n_grams, r.logw)
+        for r in dsir_weights(spark, sf_smoke).collect()
+    }
+    assert got == expect and got
+
+
 def test_streaming_sketch_stores_resolve_redelivered_docs(
     spark, tmp_path
 ):
