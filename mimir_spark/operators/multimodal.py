@@ -802,14 +802,22 @@ def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
-    """Format-dispatching pixel decode (BMP / PNG) — the content
-    NORMALIZATION step: whatever container the bytes arrived in, the
-    output is (w, h, row-major RGB), so content comparisons are
-    format-independent."""
+    """Format-dispatching pixel decode (BMP / PNG / baseline JPEG) —
+    the content NORMALIZATION step: whatever container the bytes
+    arrived in, the output is (w, h, row-major RGB), so content
+    comparisons are format-independent. JPEG is lossy, so its pixels
+    equal another container's only where its math is exact (DC-only
+    blocks — pinned in test_jpeg.py: a block-constant JPEG digests
+    identically to a BMP of the same picture)."""
     if payload[:2] == b"BM":
         return _bmp_pixels(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _png_pixels(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from mimir_spark.operators.jpeg import decode_jpeg_pixels
+
+        w, h, rgb = decode_jpeg_pixels(payload)
+        return w, h, rgb.tobytes()
     raise ValueError("unrecognized image magic bytes")
 
 

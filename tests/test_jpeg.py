@@ -183,6 +183,48 @@ def test_jpeg_rejects_corruption():
         decode_jpeg(bytes(bad))
 
 
+def test_jpeg_joins_cross_format_pixel_normalization():
+    """decode_pixels dispatches JPEG into the same (w, h, RGB)
+    normalization as BMP/PNG: a block-constant picture stored as a
+    JPEG digests IDENTICALLY to the same picture packed as a BMP —
+    the exactness window where a lossy container can participate in
+    cross-format content dedup."""
+    import struct as _struct
+
+    from mimir_spark.operators.multimodal import (
+        BMP_HEADER_BYTES,
+        decode_pixels,
+        pixel_digest,
+    )
+
+    d = 13
+    jp = encode_jpeg_gray_blocks(d)
+    wj, hj, pxj = decode_pixels(jp)
+
+    # pack the same block-constant picture as a bottom-up 24-bit BMP
+    nbx, nby = (d % 4) + 1, (d % 2) + 1
+    w, h = nbx * 8, nby * 8
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            v = (d * 31 + 7 * ((y // 8) * nbx + (x // 8))) % 256
+            row += bytes([v, v, v])
+        rows.append(bytes(row))
+    # _bmp_pixels normalizes in FILE order (the BMP/PNG generation rule
+    # is defined that way), so write rows top-down; w%4==0 → no pad
+    body = b"".join(rows)
+    header = _struct.pack(
+        "<2sIHHI", b"BM", BMP_HEADER_BYTES + len(body), 0, 0,
+        BMP_HEADER_BYTES,
+    ) + _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    wb, hb, pxb = decode_pixels(header + body)
+    assert (wj, hj) == (wb, hb) == (w, h)
+    assert pixel_digest(wj, hj, pxj) == pixel_digest(wb, hb, pxb)
+
+
 def test_multimodal_decode_jpeg_operator(spark, sf_smoke):
     """The Spark operator end-to-end at sf0.001: every row matches the
     closed-form generation rule (the driver oracle's arithmetic)."""

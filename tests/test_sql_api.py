@@ -57,6 +57,9 @@ SQL_PORTABLE = [
     "k_core",
     "label_propagation",
     "rank_quantiles",
+    # round 10
+    "event_transitions",
+    "l_diversity_report",
 ]
 
 
