@@ -69,6 +69,7 @@ _R10_WINDOW = [
     "ema_user_value",
     "event_transitions",
     "l_diversity_report",
+    "unicode_nfc_scan",
     "hybrid_rrf",
     "kneser_ney_logppl",
     # contract / implementation changes this round
@@ -143,6 +144,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ema_user_value": features.ema_user_value,
         "event_transitions": features.event_transitions,
         "l_diversity_report": profiling.l_diversity_report,
+        "unicode_nfc_scan": textstats2.unicode_nfc_scan,
         "hybrid_rrf": retrieval.hybrid_rrf,
         "kneser_ney_logppl": quality.kneser_ney_logppl,
         "multimodal_pixel_features": multimodal.multimodal_pixel_features,
@@ -2665,6 +2667,22 @@ def oracle_sql() -> dict[str, str]:
                    round(list_reduce(vals,
                          (acc, v) -> 0.125 * v + 0.875 * acc), 6) AS ema
             FROM seq
+        """,
+        # Two independent Unicode implementations must agree:
+        # Python unicodedata (Spark kernel) vs utf8proc (DuckDB).
+        "unicode_nfc_scan": r"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   length(nfc_normalize(text))::BIGINT AS n_chars_nfc,
+                   (nfc_normalize(text) <> text)::BIGINT AS changed,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(
+                         regexp_extract_all(nfc_normalize(text), '[\s\S]'),
+                         c -> ascii(c)::BIGINT)),
+                     (acc, x) -> (acc * 131 + x) % 1000000007)
+                     AS nfc_fingerprint
+            FROM documents
         """,
         "l_diversity_report": """
             WITH cells AS (

@@ -5,6 +5,10 @@ JVM-side expressions, all oracle-checkable.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -119,4 +123,57 @@ def top_ngrams_per_lang(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("lang", "bigram", "cnt", "rank")
+    )
+
+
+def unicode_nfc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit (round 10) — the pass a corpus
+    build runs before ANY hashing/dedup, because visually identical
+    text in composed vs decomposed form ('é' vs 'e'+U+0301) hashes
+    differently and silently defeats exact dedup. Per doc: original
+    and NFC codepoint counts, a changed flag, and a portable Horner
+    fingerprint (×131 mod 1e9+7 over NFC codepoints — the
+    doc_fingerprint fold).
+
+    The kernel is an Arrow-batched mapInPandas over Python's
+    unicodedata (the reference UCD implementation); the ORACLE
+    recomputes through DuckDB's utf8proc nfc_normalize — two
+    INDEPENDENT Unicode libraries agreeing is the correctness
+    argument, the same move as the javax.imageio codec
+    cross-validation. This English corpus is NFC-invariant (changed =
+    0 everywhere — still hash-checked end-to-end); composed/decomposed
+    behaviour is pinned on crafted docs in pytest. Map-only: text
+    never shuffles."""
+    import unicodedata
+
+    from mimir_spark.functions.text import BASE, MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_chars, n_nfc, changed, fps = [], [], [], []
+            for t in pdf["text"]:
+                n = unicodedata.normalize("NFC", t)
+                acc = 0
+                for ch in n:
+                    acc = (acc * BASE + ord(ch)) % MOD
+                n_chars.append(len(t))
+                n_nfc.append(len(n))
+                changed.append(int(n != t))
+                fps.append(acc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": n_chars,
+                    "n_chars_nfc": n_nfc,
+                    "changed": changed,
+                    "nfc_fingerprint": fps,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _scan,
+        "doc_id long, n_chars long, n_chars_nfc long, changed long,"
+        " nfc_fingerprint long",
     )

@@ -239,3 +239,57 @@ def test_png_roundtrip_arbitrary_pixels(w, h, data):
     dw, dh, bpp, n, s = decode_png(encode_png_rgb(w, h, raw))
     assert (dw, dh, bpp, n) == (w, h, 24, w * h)
     assert s == sum(raw)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 40),  # width
+    st.integers(1, 24),  # height
+    st.integers(0, 2**31 - 1),  # content seed
+    st.booleans(),  # gray vs color
+)
+def test_jpeg_q1_roundtrip_bounded_error(w, h, seed, gray):
+    """Property pin for the baseline JPEG codec: at an all-ones quant
+    table, ANY image (arbitrary non-multiple-of-8 sizes, gray or
+    color) round-trips within the conforming-IDCT error budget —
+    ±1/pixel for gray (DCT+IDCT float rounding), ±2 for color (plus
+    YCbCr conversion rounding). Catches padding/edge-extension bugs a
+    fixed-size test can't."""
+    import numpy as np
+
+    from mimir_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.RandomState(seed % (2**31))
+    px = (
+        rng.randint(0, 256, (h, w)).astype(np.uint8)
+        if gray
+        else rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    )
+    ww, hh, rgb = decode_jpeg_pixels(encode_jpeg(px))
+    assert (ww, hh) == (w, h)
+    if gray:
+        err = np.abs(rgb[:, :, 0].astype(int) - px.astype(int)).max()
+        assert err <= 1, err
+    else:
+        err = np.abs(rgb.astype(int) - px.astype(int)).max()
+        assert err <= 2, err
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 6))
+def test_jpeg_dc_only_exact_any_geometry(seed, ri):
+    """Block-constant images decode EXACTLY at any block geometry and
+    any restart interval — the exactness contract the oracle-checked
+    key relies on, generalized beyond the generator's 8 sizes."""
+    import numpy as np
+
+    from mimir_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.RandomState(seed % (2**31))
+    nbx, nby = rng.randint(1, 6), rng.randint(1, 5)
+    px = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+    for by in range(nby):
+        for bx in range(nbx):
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rng.randint(0, 256)
+    _, _, rgb = decode_jpeg_pixels(encode_jpeg(px, restart_interval=ri))
+    assert np.array_equal(rgb[:, :, 0], px)

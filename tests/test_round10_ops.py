@@ -520,6 +520,48 @@ def test_kneser_ney_vs_python(spark, sf_smoke):
         assert got[did].n_bigrams == tot
 
 
+def test_unicode_nfc_scan_crafted(spark, tmp_path):
+    """Composed vs decomposed forms: 'é' (U+00E9) vs 'e'+U+0301 must
+    normalize to the SAME NFC fingerprint with changed flagged only on
+    the decomposed doc; ASCII stays untouched; Python unicodedata and
+    DuckDB utf8proc agree on the crafted table."""
+    import __spark_entry__ as entry
+    from mimir_spark.operators.textstats2 import unicode_nfc_scan
+
+    rows = [
+        (0, "plain ascii text"),
+        (1, "caf\u00e9 composed"),          # e-acute precomposed
+        (2, "cafe\u0301 composed"),         # e + combining acute
+        (3, "\u1e69 one"),                  # s-dot-below-dot-above precomposed
+        (4, "s\u0323\u0307 one"),          # s + dot below + dot above
+        (5, "\u00c5ngstr\u00f6m"),         # precomposed, NFC-invariant
+    ]
+    sf = _write_documents(str(tmp_path / "nfc"), rows)
+    got = {r.doc_id: r for r in unicode_nfc_scan(spark, sf).collect()}
+    assert got[0].changed == 0 and got[0].n_chars == got[0].n_chars_nfc
+    assert got[1].changed == 0 and got[2].changed == 1
+    assert got[1].nfc_fingerprint == got[2].nfc_fingerprint
+    assert got[2].n_chars == got[2].n_chars_nfc + 1
+    assert got[3].changed == 0 and got[4].changed == 1
+    assert got[3].nfc_fingerprint == got[4].nfc_fingerprint
+    assert got[5].changed == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    duck = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            entry.oracle_sql()["unicode_nfc_scan"]
+        ).fetchall()
+    }
+    assert {
+        k: (v.n_chars, v.n_chars_nfc, v.changed, v.nfc_fingerprint)
+        for k, v in got.items()
+    } == duck
+
+
 def test_anomaly_mad_zero_mad_group(spark, tmp_path):
     """One event type with 60% identical values (MAD = 0) and two
     extreme rows: the extremes must be flagged with the ±RZ_INF
