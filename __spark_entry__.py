@@ -70,6 +70,8 @@ _R10_WINDOW = [
     "event_transitions",
     "l_diversity_report",
     "unicode_nfc_scan",
+    "hypertable_gap_fill",
+    "time_weighted_avg",
     "hybrid_rrf",
     "kneser_ney_logppl",
     # contract / implementation changes this round
@@ -145,6 +147,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": features.event_transitions,
         "l_diversity_report": profiling.l_diversity_report,
         "unicode_nfc_scan": textstats2.unicode_nfc_scan,
+        "hypertable_gap_fill": relational.hypertable_gap_fill,
+        "time_weighted_avg": relational.time_weighted_avg,
         "hybrid_rrf": retrieval.hybrid_rrf,
         "kneser_ney_logppl": quality.kneser_ney_logppl,
         "multimodal_pixel_features": multimodal.multimodal_pixel_features,
@@ -2694,6 +2698,42 @@ def oracle_sql() -> dict[str, str]:
                    round(max(n) / sum(n), 6) AS dominant_share,
                    (count(*) < 3)::BIGINT AS below_l
             FROM cells GROUP BY c_nationkey
+        """,
+        "hypertable_gap_fill": """
+            WITH agg AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     count(*)::BIGINT AS n, round(sum(value), 4) AS vs
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+              FROM agg GROUP BY 1),
+            spine AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS bucket
+              FROM bounds)
+            SELECT s.event_type, s.bucket,
+                   coalesce(a.n, 0)::BIGINT AS n_events,
+                   (a.vs IS NULL)::BIGINT AS is_gap,
+                   last_value(a.vs IGNORE NULLS) OVER (
+                     PARTITION BY s.event_type ORDER BY s.bucket
+                     ROWS UNBOUNDED PRECEDING) AS value_locf
+            FROM spine s
+            LEFT JOIN agg a
+              ON a.event_type = s.event_type AND a.bucket = s.bucket
+        """,
+        "time_weighted_avg": """
+            WITH t AS (
+              SELECT user_id, value,
+                     date_diff('second', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS dt
+              FROM events)
+            SELECT user_id, count(*)::BIGINT AS n_intervals,
+                   sum(dt)::BIGINT AS total_seconds,
+                   round(sum(value * dt) / sum(dt), 6) AS twa
+            FROM t WHERE dt IS NOT NULL
+            GROUP BY user_id HAVING sum(dt) > 0
         """,
         "event_transitions": """
             WITH pairs AS (

@@ -297,3 +297,83 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = prune(bucketed, ["b"])
     return prune(local.withColumn("g", F.lit(1)), ["g"])
+
+
+def hypertable_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly continuous aggregate with LOCF (round 10) —
+    the time_bucket_gapfill + locf() pair every hypertable store
+    exposes next to the rollup: per event type, a COMPLETE hourly
+    spine from the type's first to last bucket (F.sequence over
+    timestamps — the spine is O(time-span) rows, constant in corpus
+    size), left-joined against the hourly aggregate; missing buckets
+    flag is_gap and carry the last observation forward
+    (F.last ignorenulls over the per-type bucket window — also
+    O(time-span), never corpus-sized). The spine starts at a bucket
+    that has data by construction, so the LOCF column is never NULL
+    (hash-safe). Sums are rounded BEFORE the carry so both engines
+    carry identical doubles."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("vs"),
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    j = spine.join(agg, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.col("vs").isNull().cast("long").alias("is_gap"),
+        F.last("vs", ignorenulls=True).over(w).alias("value_locf"),
+    )
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of event values (round 10) — the
+    other hypertable-store companion aggregate: with irregular
+    sampling, the plain mean over-weights bursts; weighting each value
+    by its holding interval (until the next observation) is the
+    standard estimator. Interval = lead(epoch) − epoch within the
+    per-user (ts, event_id) window (sessionize's exact epoch recipe —
+    floor-second diffs match date_diff('second') on both engines;
+    offsets cancel, so the session timezone never matters); the last
+    observation has no interval and drops out, users whose
+    observations all share one second have zero total weight and are
+    excluded. One user-keyed window + one aggregate."""
+    from pyspark.sql import Window
+
+    from mimir_spark.functions.time import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.lead(epoch_seconds("ts")).over(w) - epoch_seconds("ts")
+    return (
+        ev.select("user_id", "value", dt.alias("dt"))
+        .filter(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum("dt").cast("long").alias("total_seconds"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twa"),
+        )
+        .filter(F.col("total_seconds") > 0)
+    )

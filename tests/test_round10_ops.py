@@ -562,6 +562,73 @@ def test_unicode_nfc_scan_crafted(spark, tmp_path):
     } == duck
 
 
+def test_gap_fill_locf_semantics(spark, sf_smoke):
+    """Gap-fill invariants on the real corpus: the spine is contiguous
+    hourly per type, gap rows carry the most recent non-gap sum, and
+    non-gap rows carry their own sum."""
+    from collections import defaultdict
+
+    from mimir_spark.operators.relational import hypertable_gap_fill
+
+    rows = hypertable_gap_fill(spark, sf_smoke).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    assert by_type
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.bucket)
+        # contiguous hourly spine
+        for a, b in zip(rs, rs[1:]):
+            assert (b.bucket - a.bucket).total_seconds() == 3600, et
+        assert rs[0].is_gap == 0  # spine starts at a data bucket
+        carry = None
+        for r in rs:
+            if r.is_gap == 0:
+                assert r.n_events > 0
+                carry = r.value_locf
+            else:
+                assert r.n_events == 0
+                assert r.value_locf == carry, (et, r.bucket)
+
+
+def test_time_weighted_avg_matches_python(spark, sf_smoke):
+    """TWA pinned against a pure-Python fold over each user's
+    time-ordered events (floor-second intervals, the Spark recipe)."""
+    from collections import defaultdict
+
+    from mimir_spark.operators.relational import time_weighted_avg
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        es = int(r.ts.timestamp())
+        by_user[r.user_id].append((es, r.event_id, r.value))
+    got = {r.user_id: r for r in time_weighted_avg(spark, sf_smoke).collect()}
+    import math
+
+    checked = 0
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        num = den = 0.0
+        n_int = 0
+        for (e0, _, v), (e1, _, _) in zip(rows, rows[1:]):
+            num += v * (e1 - e0)
+            den += e1 - e0
+            n_int += 1
+        if den > 0:
+            assert uid in got
+            assert got[uid].n_intervals == n_int
+            assert math.isclose(got[uid].twa, round(num / den, 6),
+                                abs_tol=1e-6), uid
+            checked += 1
+        else:
+            assert uid not in got
+    # sf0.001 has ~150 users over ~300 events — only a handful have
+    # two observations more than a second apart
+    assert checked >= 10 and set(got) <= set(by_user)
+
+
 def test_anomaly_mad_zero_mad_group(spark, tmp_path):
     """One event type with 60% identical values (MAD = 0) and two
     extreme rows: the extremes must be flagged with the ±RZ_INF
