@@ -312,8 +312,6 @@ def hypertable_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     that has data by construction, so the LOCF column is never NULL
     (hash-safe). Sums are rounded BEFORE the carry so both engines
     carry identical doubles."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
@@ -321,6 +319,16 @@ def hypertable_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.round(F.sum("value"), 4).alias("vs"),
     )
+    return gap_fill_hourly(agg)
+
+
+def gap_fill_hourly(agg: DataFrame) -> DataFrame:
+    """Spine + LOCF over any (bucket, event_type, n, vs) hourly table —
+    the only gap-fill code path, shared by the batch operator and the
+    streaming finalizer (streaming/hypertable.finalize_gap_fill), so
+    incremental and single-pass gap-filled tables match."""
+    from pyspark.sql import Window
+
     bounds = agg.groupBy("event_type").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )

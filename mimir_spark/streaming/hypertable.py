@@ -69,3 +69,28 @@ def finalize_hypertable_rollup(
         .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
     )
     return rollup_cascade(minute)
+
+
+def finalize_gap_fill(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Gap-filled hourly continuous aggregate from the SAME minute
+    store (round 10): resolve the partials, fold minutes into hours
+    (counts/sums re-aggregate), round sums at emission, then the
+    shared spine+LOCF code path (operators.relational.gap_fill_hourly)
+    — the streaming twin of hypertable_gap_fill, pytest-pinned equal
+    over a split event stream."""
+    from mimir_spark.operators.relational import gap_fill_hourly
+
+    hourly = (
+        spark.read.parquet(store_dir)
+        .groupBy("bucket", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+        .groupBy(
+            F.date_trunc("hour", F.col("bucket")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(F.sum("v"), 4).alias("vs"),
+        )
+    )
+    return gap_fill_hourly(hourly)

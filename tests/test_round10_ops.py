@@ -562,6 +562,53 @@ def test_unicode_nfc_scan_crafted(spark, tmp_path):
     } == duck
 
 
+def test_streaming_gap_fill_matches_batch(spark, sf_smoke, tmp_path):
+    """Gap-filled continuous aggregate from the streaming minute store
+    equals the batch hypertable_gap_fill over the whole table — the
+    spine, gap flags and LOCF carries all come from the shared
+    gap_fill_hourly code path, and the hourly sums re-aggregate from
+    the accumulated partials."""
+    import glob as globmod
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators.relational import hypertable_gap_fill
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.hypertable import (
+        finalize_gap_fill,
+        streaming_hypertable_build,
+    )
+
+    in_dir = str(tmp_path / "ev_in")
+    ev = load_table(spark, sf_smoke, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        in_dir + "/b0", compression="none"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        in_dir + "/b1", compression="none"
+    )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_hypertable_build(
+        spark, flat, str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in finalize_gap_fill(spark, str(tmp_path / "store")).collect()
+    }
+    expect = {tuple(r) for r in hypertable_gap_fill(spark, sf_smoke).collect()}
+    assert got == expect and got
+
+
 def test_gap_fill_locf_semantics(spark, sf_smoke):
     """Gap-fill invariants on the real corpus: the spine is contiguous
     hourly per type, gap rows carry the most recent non-gap sum, and
