@@ -647,3 +647,37 @@ def test_no_unbounded_global_window_in_headline_plans(spark, sf_smoke):
             elif name not in ALLOWED_GLOBAL_WINDOW:
                 offenders.append((name, "new global window — pin it"))
     assert not offenders, offenders
+
+
+def test_round10_operators_prune_their_scans(spark, sf_smoke):
+    """Column pruning reaches the parquet scan for the round-10
+    operators: none of them may drag unused wide columns (text/props)
+    through its scan."""
+    from mimir_spark.operators.features import (
+        ema_user_value,
+        event_transitions,
+    )
+    from mimir_spark.operators.quality import dsir_weights
+    from mimir_spark.operators.relational import hypertable_gap_fill
+
+    for df, banned in [
+        (event_transitions(spark, sf_smoke), ("props", "value")),
+        (hypertable_gap_fill(spark, sf_smoke), ("props", "user_id")),
+        (ema_user_value(spark, sf_smoke), ("props", "event_type")),
+        (dsir_weights(spark, sf_smoke), ("source", "lang")),
+    ]:
+        plan = formatted_plan(df)
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read_schema, plan
+        for col in banned:
+            assert all(col not in l for l in read_schema), (col, read_schema)
+
+
+def test_hybrid_rrf_pools_are_take_ordered(spark, sf_smoke):
+    """Both RRF first stages must plan as distributed TakeOrdered
+    (per-partition k-heaps), never a global sort of the corpus."""
+    from mimir_spark.operators.retrieval import hybrid_rrf
+
+    plan = formatted_plan(hybrid_rrf(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [cos" not in plan.split("TakeOrderedAndProject")[0], plan
