@@ -56,89 +56,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks queries() in order and covers a
 # ~50-key window per round, so the first ~50 keys ARE the round's gate.
-# Round-10 lead: new keys, contract/implementation changes, then the
-# min_label_components consumers touched by the r9 refactor, then the
-# keys whose last driver row is oldest (r4, then r5) — per-key vintages
-# from the union of CORRECTNESS_r04..r09.
-_R10_WINDOW = [
+# Round-11 lead (EXACTLY 50 keys — r10's 60-key list proved only the
+# first 50 get checked): new keys, contract/implementation changes,
+# then every key whose latest driver row is r5-vintage (the full list
+# from the union of CORRECTNESS_r04..r10 — the round-10 verdict's #1
+# item), then r6-vintage fill.
+_R11_WINDOW = [
     # new this round
-    "multimodal_decode_jpeg",
-    "token_count_cjk",
-    "dsir_weights",
-    "dsir_select",
-    "ema_user_value",
-    "event_transitions",
-    "l_diversity_report",
-    "unicode_nfc_scan",
-    "hypertable_gap_fill",
-    "time_weighted_avg",
-    "hybrid_rrf",
-    "kneser_ney_logppl",
-    # contract / implementation changes this round
+    "multimodal_dedup_images_near",
+    "kneser_ney3_logppl",
+    "dedup_survivors_capped",
+    # contract / implementation changes this round (tie-robust within
+    # flag; JPEG marker-walk fixes; in-plan history guard)
     "approx_quantiles",
-    "anomaly_mad",
-    "dedup_edit_distance",
-    "dedup_edit_clusters",
-    "dedup_edit_survivors",
-    "sequence_pack",
-    "dataset_mixture_plan",
-    # min-label finisher consumers (helper refactored in r9)
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "dedup_clusters_star",
-    # oldest driver rows: the r4 block
-    "bm25_topk",
-    "ccnet_ppl_buckets",
-    "clustering_coefficient",
-    "dataset_card",
-    "dedup_containment",
-    "dedup_containment_prefix",
-    "dedup_jaccard_prefix",
-    "dedup_ngram_jaccard",
-    "hybrid_retrieval",
-    "lsh_tuning_curve",
-    "rfm_segmentation",
-    "sample_reservoir",
-    "table_profile",
-    "train_val_test_split",
-    # r5 vintage fill (shared-helper-heavy first)
-    "dedup_minhash_lsh",
-    "dedup_survivors_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "semdedup",
-    "dedup_method_agreement",
-    "embedding_clusters",
-    "dedup_icws",
-    "icws_recall",
-    "dedup_weighted_jaccard",
-    "dedup_weighted_containment",
-    "dedup_weighted_containment_lsh",
-    "weighted_containment_lsh_recall",
-    "minhash_containment",
-    "minhash_dedup_recall",
-    "dedup_lsh_query_indexed",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_lsh_topk",
+    "multimodal_decode_jpeg",
+    "ema_user_value",
+    # all 31 keys whose latest driver row is r5
+    "pagerank",
     "kmeans_embeddings",
     "k_core",
     "label_propagation",
     "degree_distribution",
-    "pagerank",
+    "bpe_train",
+    "bpe_encode",
     "max_dup_span",
+    "heavy_hitters_cms",
+    "hll_distinct",
+    "rank_quantiles",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_lsh_topk",
+    "dedup_lsh_query_indexed",
+    "minhash_dedup_recall",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "chunk_documents",
+    "bigram_logppl",
+    "retrieval_hard_negatives",
+    "corpus_snapshot_diff",
+    "k_anonymity_report",
+    "shuffle_skew_report",
+    "window_funnel",
+    "cross_source_duplication",
+    "decontaminate_corpus",
+    "multimodal_decode_bmp",
+    "multimodal_resize_digest",
+    # r6-vintage fill (oldest remaining evidence)
+    "dedup_exact",
+    "dedup_prefix",
+    "dedup_survivors",
+    "dedup_span_removal",
+    "dup_span_fraction",
+    "dup_span_islands",
+    "ann_bruteforce_topk",
+    "ann_range_search",
+    "knn_graph",
+    "anomaly_zscore",
+    "cohort_retention",
+    "cooccurrence_pmi",
+    "sessionize",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    out = {k: base[k] for k in _R10_WINDOW}
+    out = {k: base[k] for k in _R11_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
 
 def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "multimodal_dedup_images_near": multimodal.multimodal_dedup_images_near,
+        "kneser_ney3_logppl": quality.kneser_ney3_logppl,
+        "dedup_survivors_capped": dedup.dedup_survivors_capped,
         "multimodal_decode_jpeg": multimodal.multimodal_decode_jpeg,
         "token_count_cjk": textstats.token_count_cjk,
         "dsir_weights": quality.dsir_weights,
@@ -2149,6 +2142,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
+        # Per-source survivor caps: keep-list = docs minus LSH-cluster
+        # losers (the corpus_keep_list loser shape), then at most 10
+        # kept docs per source ranked by n_chars DESC with the portable
+        # multiplicative-hash tie-break (sample_reservoir's constants).
+        "dedup_survivors_capped": f"""
+            WITH RECURSIVE {_lsh_ctes()},
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs),
+            reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+            comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+                     FROM reach GROUP BY a),
+            surv AS (
+              SELECT survivor_doc_id FROM (
+                SELECT c.cluster_id, d.doc_id AS survivor_doc_id,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                         ORDER BY d.n_chars DESC, d.doc_id) AS rn
+                FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+              WHERE rn = 1),
+            losers AS (
+              SELECT doc_id FROM comp
+              WHERE doc_id NOT IN (SELECT survivor_doc_id FROM surv)),
+            kept AS (
+              SELECT d.doc_id, d.source, d.n_chars FROM documents d
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)),
+            ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC,
+                                (doc_id * 2654435761) % 4294967296,
+                                doc_id) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n_src
+              FROM kept)
+            SELECT doc_id, source, rk::BIGINT AS rk,
+                   n_src::BIGINT AS n_source_survivors
+            FROM ranked WHERE rk <= 10
+        """,
         "dedup_survivors_lsh": f"""
             WITH RECURSIVE {_lsh_ctes()},
             edges AS (
@@ -2509,6 +2543,72 @@ def oracle_sql() -> dict[str, str]:
         # side reaches the same bytes through a REAL BMP or PNG parse
         # depending on doc_id parity, so format-specific decode bugs
         # split a cross-format group and hash-mismatch.
+        # Perceptual near-dup image pairs: the oracle recomputes each
+        # doc's 63-bit dHash from the generation rule — the 9x8
+        # nearest-neighbor grid samples base pixel (gx*w0//9, gy*h0//8)
+        # for EVERY variant (2x NN upscale preserves the sampled
+        # coordinates exactly: floor(floor(2a)/2) == floor(a)) — plus
+        # the exact pixel digest per variant (upscaled/brightness-
+        # shifted pixel lists built closed-form). The Spark side
+        # reaches the same bits through REAL BMP/PNG parses, so a
+        # decode, grayscale, sampling, or bit-packing bug
+        # hash-mismatches. 500-doc oracle affords the all-pairs
+        # hamming join; the Spark side uses the pigeonhole bucket join
+        # (complete for hamming <= 3 by construction).
+        "multimodal_dedup_images_near": """
+            WITH nd AS (
+              SELECT doc_id, doc_id // 4 AS s, doc_id % 4 AS v,
+                     ((doc_id // 4) % 12) + 5 AS w0,
+                     ((doc_id // 4) % 6) + 5 AS h0
+              FROM documents),
+            grays AS (
+              SELECT doc_id, v, w0, h0, s,
+                list_transform(range(0, 72), q ->
+                  list_sum(list_transform(
+                    list_transform(range(0, 3), c ->
+                      ((((q // 9) * h0) // 8) * w0
+                       + (((q % 9) * w0) // 9)) * 3 + c),
+                    jb -> CASE WHEN v = 3
+                          THEN ((s*97 + jb*jb*13 + jb*29) % 256 + 2) % 256
+                          ELSE (s*97 + jb*jb*13 + jb*29) % 256 END)) // 3
+                ) AS g
+              FROM nd),
+            fps AS (
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 63), k ->
+                  CASE WHEN g[(k // 8) * 9 + (k % 8) + 2]
+                            > g[(k // 8) * 9 + (k % 8) + 1]
+                       THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS fp
+              FROM grays),
+            digs AS (
+              SELECT doc_id,
+                list_reduce(
+                  [0::BIGINT,
+                   (CASE WHEN v >= 2 THEN 2 * w0 ELSE w0 END)::BIGINT,
+                   (CASE WHEN v >= 2 THEN 2 * h0 ELSE h0 END)::BIGINT]
+                  || CASE WHEN v < 2
+                     THEN list_transform(range(0, w0 * h0 * 3),
+                            j -> (s*97 + j*j*13 + j*29) % 256)
+                     ELSE list_transform(
+                            list_transform(range(0, 12 * w0 * h0), j ->
+                              (((j // (6 * w0)) // 2) * w0
+                               + (((j // 3) % (2 * w0)) // 2)) * 3
+                              + (j % 3)),
+                            jb -> CASE WHEN v = 3
+                                  THEN ((s*97 + jb*jb*13 + jb*29) % 256
+                                        + 2) % 256
+                                  ELSE (s*97 + jb*jb*13 + jb*29) % 256 END)
+                     END,
+                  (acc, b) -> (acc * 131 + b) % 1000000007) AS digest
+              FROM nd)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.fp, b.fp))::BIGINT AS hamming,
+                   (da.digest = db.digest)::BIGINT AS same_content
+            FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+            JOIN digs da ON da.doc_id = a.doc_id
+            JOIN digs db ON db.doc_id = b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        """,
         "multimodal_dedup_images": """
             WITH dig AS (
               SELECT doc_id,
@@ -2870,6 +2970,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN lm_a USING (w1)
             JOIN cont USING (w2)
             CROSS JOIN nbig
+            GROUP BY doc_id
+        """,
+        # Trigram interpolated KN: the full KenLM-style adjusted-count
+        # chain (top trigram counts, mid/low CONTINUATION type counts)
+        # folded from one trigram table — identical parenthesization to
+        # the Spark expression so the 6dp round is stable.
+        "kneser_ney3_logppl": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            tg AS (
+              SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 3)),
+            dabc AS (
+              SELECT doc_id, w1, w2, w3, count(*) AS c_dabc
+              FROM tg GROUP BY 1, 2, 3, 4),
+            lm_abc AS (
+              SELECT w1, w2, w3, sum(c_dabc)::BIGINT AS c_abc
+              FROM dabc GROUP BY 1, 2, 3),
+            ctx_ab AS (
+              SELECT w1, w2, sum(c_abc)::BIGINT AS c_ab,
+                     count(*)::BIGINT AS n1p_fw
+              FROM lm_abc GROUP BY 1, 2),
+            adj2 AS (
+              SELECT w2, w3, count(*)::BIGINT AS a_bc
+              FROM lm_abc GROUP BY 1, 2),
+            ctx_b AS (
+              SELECT w2, sum(a_bc)::BIGINT AS a_b,
+                     count(*)::BIGINT AS n1p_fw2
+              FROM adj2 GROUP BY 1),
+            adj1 AS (
+              SELECT w3, count(*)::BIGINT AS a_c FROM adj2 GROUP BY 1),
+            nb2 AS (SELECT count(*)::BIGINT AS nb FROM adj2)
+            SELECT doc_id, sum(c_dabc)::BIGINT AS n_trigrams,
+                   round(-sum(c_dabc * ln(
+                     greatest(c_abc - 0.75, 0.0) / c_ab
+                     + (0.75 * n1p_fw / c_ab) * (
+                         greatest(a_bc - 0.75, 0.0) / a_b
+                         + (0.75 * n1p_fw2 / a_b) * (a_c / nb))
+                   )) / sum(c_dabc), 6) AS cross_entropy
+            FROM dabc
+            JOIN lm_abc USING (w1, w2, w3)
+            JOIN ctx_ab USING (w1, w2)
+            JOIN adj2 USING (w2, w3)
+            JOIN ctx_b USING (w2)
+            JOIN adj1 USING (w3)
+            CROSS JOIN nb2
             GROUP BY doc_id
         """,
         "bigram_logppl": r"""

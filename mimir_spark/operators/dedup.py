@@ -572,6 +572,59 @@ def dedup_survivors(
     )
 
 
+def dedup_survivors_capped(
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = 10,
+    pair_source: str = "lsh",
+) -> DataFrame:
+    """Per-SOURCE survivor caps — the domain-cap stage web pipelines
+    (C4/RefinedWeb-style) run AFTER near-dup removal: a boilerplate
+    farm that survives dedup with 10^6 distinct-enough pages must not
+    dominate the mixture, so each source keeps at most `cap` docs.
+
+    Keep-list = documents ∖ near-dup losers (cluster members minus
+    their cluster's survivor — corpus_keep_list's loser shape), then
+    per source keep the `cap` best by n_chars DESC with a
+    deterministic multiplicative-hash tie-break (equal-length docs are
+    capped reproducibly across runs/engines — never input-order).
+
+    Scale shape: the loser set is two doc_id-keyed anti joins over the
+    bounded LSH chain; the cap is a row_number over (source) that
+    Spark executes as WindowGroupLimit (per-partition cap-sized heaps
+    BEFORE the exchange, same as sample_reservoir) — the shuffle
+    carries ≤ cap·partitions rows per source, never the source.
+    Output one row per KEPT doc: (doc_id, source, rk,
+    n_source_survivors) with n_source_survivors the source's PRE-cap
+    survivor count (how hard the cap bit)."""
+    from mimir_spark.operators.pipeline import _HASH_MOD, _HASH_MULT
+
+    clustered = dedup_clusters(spark, sf_dir, pair_source=pair_source).select(
+        "doc_id"
+    )
+    survivors = dedup_survivors(spark, sf_dir, pair_source=pair_source).select(
+        F.col("survivor_doc_id").alias("doc_id")
+    )
+    losers = clustered.join(survivors, "doc_id", "left_anti")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = docs.join(losers, "doc_id", "left_anti")
+    u = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), u.alias("u"), "doc_id"
+    )
+    return (
+        kept.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n_source_survivors",
+            F.count("*").over(Window.partitionBy("source")).cast("long"),
+        )
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "source", "rk", "n_source_survivors")
+    )
+
+
 # ---- SimHash -----------------------------------------------------------
 
 
@@ -623,14 +676,18 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_chunks(fp: DataFrame) -> DataFrame:
+def simhash_chunks(fp: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Explode a (doc_id, fp) table into 4 pigeonhole bucket rows
     (doc_id, fp, chunk, key): hamming ≤ 3 over 64 bits ⇒ at least one
     of the four 16-bit chunks is identical, so candidate generation is
-    an equi-join on (chunk, key) — bounded buckets, never all-pairs."""
+    an equi-join on (chunk, key) — bounded buckets, never all-pairs.
+    `carry` names extra columns to keep on the bucket rows (e.g. the
+    pixel digest in multimodal_dedup_images_near) so pair consumers
+    avoid a second join back to the fingerprint table."""
     return fp.select(
         "doc_id",
         "fp",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -642,7 +699,7 @@ def simhash_chunks(fp: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "fp", "cc.chunk", "cc.key")
+    ).select("doc_id", "fp", *carry, "cc.chunk", "cc.key")
 
 
 def dedup_simhash(

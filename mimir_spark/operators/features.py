@@ -378,7 +378,9 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMA_ALPHA_NUM, EMA_ALPHA_DEN = 1, 8  # α = 0.125 — exact in binary
 
 
-def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ema_user_value(
+    spark: SparkSession, sf_dir: str, max_history: int = 10_000_000
+) -> DataFrame:
     """Per-user exponential moving average of event values — the
     classic time-series smoother (TimescaleDB/Influx parity) that SQL
     windows cannot express (EMA_n = α·v_n + (1−α)·EMA_{n−1} is a
@@ -393,9 +395,13 @@ def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one groupBy(user_id) collect — per-user state is that
     user's event history, the SAME state any per-entity sequential
-    model needs (cf. applyInPandasWithState's running totals); users
-    with pathological histories would stream through the stateful
-    twin instead. Output (user_id, n_events, last_value, ema)."""
+    model needs (cf. applyInPandasWithState's running totals). The
+    collect is GUARDED in-plan (no extra job): any user whose history
+    exceeds max_history fails the task with a raise_error directing
+    the caller to the streaming twin (streaming.stateful.
+    stateful_user_ema — O(1) state per user, bit-equal fold), instead
+    of silently OOMing one executor on a 10^8-event key.
+    Output (user_id, n_events, last_value, ema)."""
     ev = load_table(spark, sf_dir, "events")
     alpha = EMA_ALPHA_NUM / EMA_ALPHA_DEN
     seq = ev.groupBy("user_id").agg(
@@ -409,9 +415,25 @@ def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vals, 1),
         lambda acc, v: F.lit(alpha) * v + F.lit(1 - alpha) * acc,
     )
+    n = F.size("s").cast("long")
+    n_guarded = F.when(n <= F.lit(max_history), n).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ema_user_value: user "),
+                F.col("user_id").cast("string"),
+                F.lit(" has "),
+                n.cast("string"),
+                F.lit(
+                    f" events (> max_history={max_history}); route this"
+                    " corpus through streaming.stateful.stateful_user_ema"
+                    " (O(1) state per user) instead of the batch collect."
+                ),
+            )
+        ).cast("long")
+    )
     return seq.select(
         "user_id",
-        F.size("s").cast("long").alias("n_events"),
+        n_guarded.alias("n_events"),
         F.round(F.element_at(vals, -1), 6).alias("last_value"),
         F.round(ema, 6).alias("ema"),
     )

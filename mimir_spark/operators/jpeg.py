@@ -387,10 +387,19 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("truncated JPEG (no SOS)")
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # the marker id — skip them all.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG (no SOS)")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:
             raise ValueError("EOI before scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (length-less) markers.
+            continue
         if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise UnsupportedJpeg(
@@ -435,6 +444,15 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
             (dri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if ns != len(comps):
+                # Baseline-sequential files MAY split components over
+                # several scans (non-interleaved); this decoder handles
+                # a single interleaved scan only — route to fallback
+                # instead of silently returning zeroed chroma planes.
+                raise UnsupportedJpeg(
+                    f"non-interleaved multi-scan baseline "
+                    f"(SOS covers {ns} of {len(comps)} components)"
+                )
             order = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]

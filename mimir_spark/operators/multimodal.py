@@ -215,14 +215,20 @@ def encode_bmp(doc_id: int) -> bytes:
     height=(id%8)+1, pixel byte j = (id*31 + j) % 256 (row-padded to
     4-byte boundaries per the BMP spec)."""
     w, h = (doc_id % 16) + 1, (doc_id % 8) + 1
+    raw = [(doc_id * 31 + j) % 256 for j in range(h * w * 3)]
+    return encode_bmp_rgb(w, h, raw)
+
+
+def encode_bmp_rgb(w: int, h: int, raw: list) -> bytes:
+    """Spec-valid 24-bit BMP from arbitrary row-major pixel bytes —
+    the BMP sibling of encode_png_rgb (rows stored in the same
+    row-major order `_bmp_pixels` reads them back, padded to 4-byte
+    boundaries)."""
     row_bytes = w * 3
     pad = (4 - row_bytes % 4) % 4
     body = bytearray()
-    j = 0
-    for _ in range(h):
-        for _ in range(row_bytes):
-            body.append((doc_id * 31 + j) % 256)
-            j += 1
+    for r in range(h):
+        body.extend(raw[r * row_bytes : (r + 1) * row_bytes])
         body.extend(b"\x00" * pad)
     header = struct.pack(
         "<2sIHHI", b"BM", BMP_HEADER_BYTES + len(body), 0, 0, BMP_HEADER_BYTES
@@ -1336,3 +1342,169 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     resize). Map-only; the only bytes that cross stages are the
     12-byte output row, never the payload."""
     return resize_pixels_transform(load_table(spark, sf_dir, "documents"))
+
+
+# ---- Perceptual near-duplicate image dedup (round 11) -------------------
+# multimodal_dedup_images groups EXACT decoded-pixel digests, which a
+# resized or re-encoded copy provably escapes (different dims => a
+# different digest). The perceptual path hashes image STRUCTURE: a
+# 64-level dHash (difference hash) over a 9x8 nearest-neighbor
+# grayscale sample grid is invariant to container format, integer
+# upscaling, and uniform brightness shifts, so near-copies land within
+# a small hamming distance and the existing SimHash pigeonhole
+# machinery (dedup.simhash_chunks) finds the pairs with a bounded
+# bucket join — never all-pairs.
+
+DHASH_GRID_W, DHASH_GRID_H = 9, 8  # 9x8 samples -> 8 comparisons/row
+
+
+def dhash63(w: int, h: int, px: bytes) -> int:
+    """63-bit difference hash over decoded RGB pixels: sample a 9x8
+    grayscale grid with nearest-neighbor coordinates sx = gx*w//9,
+    sy = gy*h//8, then bit k = gy*8+gx is 1 iff grid[gy][gx+1] >
+    grid[gy][gx] (k = 0..62; the 64th comparison is dropped so the
+    value stays non-negative in a signed 64-bit column on both
+    engines). NN sampling makes the hash EXACTLY invariant under 2x
+    nearest-neighbor upscaling: floor(floor(2a)/2) == floor(a), so an
+    upscaled copy samples the identical source pixels."""
+    g = [[0] * DHASH_GRID_W for _ in range(DHASH_GRID_H)]
+    for gy in range(DHASH_GRID_H):
+        sy = gy * h // DHASH_GRID_H
+        for gx in range(DHASH_GRID_W):
+            sx = gx * w // DHASH_GRID_W
+            o = (sy * w + sx) * 3
+            g[gy][gx] = (px[o] + px[o + 1] + px[o + 2]) // 3
+    fp = 0
+    for gy in range(DHASH_GRID_H):
+        for gx in range(DHASH_GRID_W - 1):
+            k = gy * 8 + gx
+            if k > 62:
+                break
+            if g[gy][gx + 1] > g[gy][gx]:
+                fp |= 1 << k
+    return fp
+
+
+def _near_dup_base_byte(seed: int, j: int) -> int:
+    """Base pixel byte j for content seed `seed` — quadratic in j so
+    the pattern is scattered, not a monotone ramp (a linear ramp makes
+    every image's dHash near-constant and collapses all docs into one
+    near-dup clique)."""
+    return (seed * 97 + j * j * 13 + j * 29) % 256
+
+
+def encode_near_dup_image(doc_id: int) -> bytes:
+    """Near-dup image generator: docs in groups of 4 share one content
+    seed s = doc_id // 4; variant v = doc_id % 4 is
+      v=0 the original BMP (w0=(s%12)+5, h0=(s%6)+5),
+      v=1 the SAME pixels re-encoded as PNG (exact content dup),
+      v=2 a 2x nearest-neighbor UPSCALE as PNG (resized copy — the
+          exact pixel digest provably differs, dHash is identical),
+      v=3 a 2x upscale +2 uniform brightness (mod 256) as BMP
+          (re-processed copy — small dHash hamming where bytes wrap).
+    """
+    s, v = doc_id // 4, doc_id % 4
+    w0, h0 = (s % 12) + 5, (s % 6) + 5
+    base = [_near_dup_base_byte(s, j) for j in range(w0 * h0 * 3)]
+    if v == 0:
+        return encode_bmp_rgb(w0, h0, base)
+    if v == 1:
+        return encode_png_rgb(w0, h0, base)
+    up = []
+    for y in range(2 * h0):
+        for x in range(2 * w0):
+            o = ((y // 2) * w0 + (x // 2)) * 3
+            up.extend(base[o : o + 3])
+    if v == 2:
+        return encode_png_rgb(2 * w0, 2 * h0, up)
+    return encode_bmp_rgb(2 * w0, 2 * h0, [(b + 2) % 256 for b in up])
+
+
+def with_near_dup_image_payload(docs: DataFrame) -> DataFrame:
+    """Attach the near-dup binary image column (Arrow-batched)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_near_dup_image(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, "doc_id long, payload binary")
+
+
+def multimodal_dedup_images_near(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """PERCEPTUAL near-duplicate image pairs — the LAION-scale
+    complement to multimodal_dedup_images' exact-digest groups: decode
+    every payload (real BMP/PNG parse), compute the 63-bit dHash and
+    the exact pixel digest in ONE kernel pass, then find hamming <= 3
+    pairs via the 4x16-bit pigeonhole bucket join shared with
+    dedup_simhash (dedup.simhash_chunks carrying the digest column).
+
+    Output one row per near-dup pair: (doc_a, doc_b, hamming,
+    same_content) — same_content = 1 iff the exact pixel digests also
+    match, so same_content = 0 rows are precisely the copies the exact
+    path at multimodal_dedup_images MISSES (resized / re-processed).
+
+    Scale shape: decode is map-only (payload bytes never shuffle; only
+    the 16-byte (fp, digest) row leaves the kernel); candidates come
+    from a bounded (chunk, key) bucket equi-join, never an all-pairs
+    product; hamming verification is one bit_count per candidate."""
+    from mimir_spark.operators.dedup import simhash_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps, digs = [], []
+            for p in pdf["payload"]:
+                w, h, px = decode_pixels(p)
+                fps.append(dhash63(w, h, px))
+                digs.append(pixel_digest(w, h, px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fp": fps, "digest": digs}
+            )
+
+    fp = with_near_dup_image_payload(docs).mapInPandas(
+        _fp, "doc_id long, fp long, digest long"
+    )
+    chunks = simhash_chunks(fp, carry=("digest",))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+            F.col("a.digest").alias("dig_a"),
+            F.col("b.digest").alias("dig_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            (F.col("dig_a") == F.col("dig_b")).cast("long").alias(
+                "same_content"
+            ),
+        )
+    )

@@ -472,3 +472,110 @@ def kneser_ney_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+# ---- trigram interpolated Kneser-Ney (round 11) --------------------------
+
+
+def trigram_parts(docs: DataFrame) -> DataFrame:
+    """Per-doc TRIGRAM counts (doc_id, w1, w2, w3, c_dabc) — the single
+    SUM-monoid state table the trigram KN chain folds from (the
+    trigram generalization of bigram_parts; per-doc partials merge
+    across disjoint batches into exactly the single-pass table, so a
+    streaming incremental builder shares it unchanged)."""
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    tg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), (i + 1).cast("int")).alias("w2"),
+                    F.element_at(F.col("t"), (i + 2).cast("int")).alias("w3"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    return tg.groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("c_dabc")
+    )
+
+
+def kneser_ney3_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TRIGRAM cross-entropy under interpolated Kneser-Ney —
+    the order-3 step up from kneser_ney_logppl that actually catches
+    recombined-bigram word salad: a doc stitched from frequent bigrams
+    ("x a" + "a z" where "x a z" never occurs) scores fluent under any
+    bigram LM but earns c(w1w2w3)=1 against a large c(w1w2) here.
+
+    The full KenLM-style ADJUSTED-COUNT chain (Chen & Goodman 1998,
+    §4.1.6), every table folded from ONE trigram_parts state — no
+    second or third corpus scan:
+
+      top:  p3(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2)
+                          + D·N1+(w1w2·)/c(w1w2) · p2(w3|w2)
+      mid:  p2(w3|w2)   = max(a(w2w3)−D,0)/a(w2·)
+                          + D·N1+(w2·*)/a(w2·) · p1(w3)
+      low:  p1(w3)      = a(·w3)/a(··)
+
+    where a(w2w3) = N1+(·w2w3) (distinct left-extensions — the
+    'adjusted' count that makes lower orders CONTINUATION
+    distributions: 'Francisco' is frequent but follows only 'San', so
+    a(·francisco) is tiny), a(w2·) = Σ_w3 a(w2w3), N1+(w2·*) = number
+    of distinct w3 with a(w2w3)>0, a(·w3) = distinct w2 preceding w3
+    among adjusted bigrams, a(··) = total adjusted bigram types.
+    Scored docs' trigrams all occur in the LM (trained on the same
+    corpus), so every interpolation level is positive — no
+    unseen-mass term. Same distinct-group summation + 6dp + identical
+    parenthesization on both engines as kneser_ney_logppl.
+
+    Shape: token scan → per-doc trigram counts (shuffle on (doc, w1,
+    w2, w3), map-side combined) → four type-count tables folded from
+    lm_abc (vocabulary-sized shuffles) → joins back on (w1,w2,w3) /
+    (w1,w2) / (w2,w3) / w2 / w3 keys (AQE broadcasts at test scale,
+    hash joins at a 100 TB vocabulary) → one doc_id shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    dabc = trigram_parts(docs)
+    lm_abc = dabc.groupBy("w1", "w2", "w3").agg(
+        F.sum("c_dabc").alias("c_abc")
+    )
+    ctx_ab = lm_abc.groupBy("w1", "w2").agg(
+        F.sum("c_abc").alias("c_ab"),
+        F.count("*").cast("long").alias("n1p_fw"),
+    )
+    adj2 = lm_abc.groupBy("w2", "w3").agg(
+        F.count("*").cast("long").alias("a_bc")
+    )
+    ctx_b = adj2.groupBy("w2").agg(
+        F.sum("a_bc").alias("a_b"),
+        F.count("*").cast("long").alias("n1p_fw2"),
+    )
+    adj1 = adj2.groupBy("w3").agg(F.count("*").cast("long").alias("a_c"))
+    nb2 = adj2.agg(F.count("*").cast("long").alias("nb"))
+    p_uni = F.col("a_c") / F.col("nb")
+    p_mid = (
+        F.greatest(F.col("a_bc") - F.lit(KN_D), F.lit(0.0)) / F.col("a_b")
+        + (F.lit(KN_D) * F.col("n1p_fw2") / F.col("a_b")) * p_uni
+    )
+    p_tri = (
+        F.greatest(F.col("c_abc") - F.lit(KN_D), F.lit(0.0)) / F.col("c_ab")
+        + (F.lit(KN_D) * F.col("n1p_fw") / F.col("c_ab")) * p_mid
+    )
+    return (
+        dabc.join(lm_abc, ["w1", "w2", "w3"])
+        .join(ctx_ab, ["w1", "w2"])
+        .join(adj2, ["w2", "w3"])
+        .join(ctx_b, "w2")
+        .join(adj1, "w3")
+        .crossJoin(F.broadcast(nb2))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dabc").cast("long").alias("n_trigrams"),
+            F.round(
+                -F.sum(F.col("c_dabc") * F.log(p_tri)) / F.sum("c_dabc"), 6
+            ).alias("cross_entropy"),
+        )
+    )

@@ -182,7 +182,13 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction at ANY group size — unlike the previous VALUE band
     [percentile(p−δ), percentile(p+δ)], which collapses below one
     inter-value gap for groups under ~1/δ rows and could
-    deterministically fail on small groups."""
+    deterministically fail on small groups.
+
+    Tie robustness: a duplicated value occupies a RANK INTERVAL
+    [count(< est)/n, count(<= est)/n]; flagging on count(<= est)
+    alone charges the sketch for the whole tied mass and can zero the
+    flag on a correct estimate. The flag is therefore 1 iff that
+    interval intersects [p − eps, p + eps]."""
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.groupBy("o_orderpriority").agg(
         F.approx_percentile("o_totalprice", 0.5, 10000).alias("p50a"),
@@ -202,19 +208,29 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("o_totalprice") <= F.col("p90a")).cast("long")
             ).alias("rk90"),
+            F.sum(
+                (F.col("o_totalprice") < F.col("p50a")).cast("long")
+            ).alias("rk50_lt"),
+            F.sum(
+                (F.col("o_totalprice") < F.col("p90a")).cast("long")
+            ).alias("rk90_lt"),
         )
     )
     eps = F.lit(0.005) + F.lit(1.0) / F.col("n")
+
+    def _within(lt: str, le: str, p: float):
+        lo = F.col(lt) / F.col("n")
+        hi = F.col(le) / F.col("n")
+        return (
+            (lo <= F.lit(p) + eps) & (hi >= F.lit(p) - eps)
+        ).cast("long")
+
     return ranks.select(
         "o_orderpriority",
         F.round("p50_mid", 4).alias("p50"),
         F.round("p90_mid", 4).alias("p90"),
-        (F.abs(F.col("rk50") / F.col("n") - F.lit(0.5)) <= eps)
-        .cast("long")
-        .alias("p50_within"),
-        (F.abs(F.col("rk90") / F.col("n") - F.lit(0.9)) <= eps)
-        .cast("long")
-        .alias("p90_within"),
+        _within("rk50_lt", "rk50", 0.5).alias("p50_within"),
+        _within("rk90_lt", "rk90", 0.9).alias("p90_within"),
     )
 
 

@@ -617,14 +617,22 @@ def bm25_query_indexed(
     return bm25_rank_from_parts(postings, dl, k)
 
 
+_TERM_SHARD_MEMO: dict[str, int] = {}
+
+
 def _term_shards(spark: SparkSession, terms: tuple[str, ...]) -> list:
     """xxhash64 of each query term via a 1-row-per-term local plan —
     the shard hash must be the ENGINE's xxhash64 (the write side's
-    partitioner), not a Python reimplementation."""
-    df = spark.createDataFrame([(t,) for t in terms], "w string")
-    return [
-        r.h
+    partitioner), not a Python reimplementation. Memoized per term
+    (xxhash64 with the default seed is a fixed pure function of the
+    UTF-8 bytes — stable across sessions), so repeated probe batches
+    reuse cached shard ids instead of running a driver job each time;
+    only never-seen terms hit the engine."""
+    missing = [t for t in terms if t not in _TERM_SHARD_MEMO]
+    if missing:
+        df = spark.createDataFrame([(t,) for t in missing], "w string")
         for r in df.select(
-            F.pmod(F.xxhash64("w"), F.lit(N_TERM_SHARDS)).alias("h")
-        ).collect()
-    ]
+            "w", F.pmod(F.xxhash64("w"), F.lit(N_TERM_SHARDS)).alias("h")
+        ).collect():
+            _TERM_SHARD_MEMO[r.w] = r.h
+    return [_TERM_SHARD_MEMO[t] for t in terms]

@@ -74,13 +74,34 @@ def drop_bucketed_table(spark: SparkSession, table_name: str) -> None:
     so a table written by a dead session leaves an ORPHAN location
     that makes the next saveAsTable fail with LOCATION_ALREADY_EXISTS
     — DROP TABLE alone can't see it. Uses the public Hadoop FS API
-    (works on local / HDFS / object stores)."""
+    (works on local / HDFS / object stores).
+
+    Location resolution: if the table is live in the catalog, its REAL
+    location is read from DESCRIBE EXTENDED before the drop (covers
+    external paths and non-default warehouses). The orphan-dir fallback
+    mirrors saveAsTable's layout rules: identifiers are lowercased on
+    disk, and a qualified `db.tbl` lives under `<wh>/<db>.db/<tbl>`."""
+    location = None
+    try:
+        rows = spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
+        for r in rows:
+            if r[0] == "Location":
+                location = r[1].removeprefix("file:")
+                break
+    except Exception:
+        pass  # not in this session's catalog — orphan-dir case
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     wh = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
+    if location is None:
+        parts = [s.strip("`").lower() for s in table_name.split(".")]
+        if len(parts) == 2 and parts[0] != "default":
+            location = f"{wh}/{parts[0]}.db/{parts[1]}"
+        else:
+            location = f"{wh}/{parts[-1]}"
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name}")
+    p = jvm.org.apache.hadoop.fs.Path(location)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(p):
         fs.delete(p, True)

@@ -9,6 +9,7 @@ emitted and evicted — bounded state at any throughput.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any, Iterable, Iterator
 
 import pandas as pd
@@ -80,6 +81,19 @@ def stateful_user_totals(events_stream: DataFrame) -> DataFrame:
 
 # ---- streaming EMA (round 10) ------------------------------------------
 
+
+def _spark_round6(x: float) -> float:
+    """Replicate Spark's F.round(col, 6) on doubles: shortest-repr
+    decimal conversion (BigDecimal.valueOf == Python repr) then
+    HALF_UP at scale 6. Python's built-in round() is half-EVEN on the
+    binary value and can differ on 6dp halfway points, breaking the
+    pinned streaming/batch output equality."""
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
 EMA_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -121,8 +135,8 @@ def _update_user_ema(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "last_value": [round(last, 6)],
-            "ema": [round(ema, 6)],
+            "last_value": [_spark_round6(last)],
+            "ema": [_spark_round6(ema)],
         }
     )
 

@@ -1,0 +1,391 @@
+"""Round-11 operators and fixes.
+
+- multimodal_dedup_images_near: perceptual dHash dedup catches the
+  resized / re-encoded copies the exact pixel digest provably misses.
+- kneser_ney3_logppl: trigram KN separates recombined-bigram word
+  salad that the bigram LM scores as fluent.
+- dedup_survivors_capped: a boilerplate-heavy source gets capped.
+- ema_user_value: in-plan history guard routes pathological users to
+  the streaming twin instead of OOMing a task.
+- JPEG marker-walk fixes: fill bytes + TEM markers accepted,
+  non-interleaved multi-scan baseline rejected as UnsupportedJpeg.
+- approx_quantiles: tie-robust within flag on all-duplicate groups.
+- drop_bucketed_table: qualified and mixed-case table names.
+- streaming EMA: Spark-HALF_UP rounding parity on halfway values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+# ---- perceptual near-dup image dedup ------------------------------------
+
+
+def test_dhash_catches_resized_copy_exact_digest_misses():
+    """The headline claim: a 2x nearest-neighbor upscaled re-encode
+    (variant v=2, a PNG) of the original BMP (v=0) has a DIFFERENT
+    exact pixel digest — multimodal_dedup_images at multimodal.py:859
+    groups by that digest, so it provably misses the pair — while the
+    dHash is IDENTICAL (hamming 0)."""
+    from mimir_spark.operators.multimodal import (
+        decode_pixels,
+        dhash63,
+        encode_near_dup_image,
+        pixel_digest,
+    )
+
+    for s in (0, 7, 42):
+        orig = decode_pixels(encode_near_dup_image(4 * s))
+        resized = decode_pixels(encode_near_dup_image(4 * s + 2))
+        assert orig[:2] != resized[:2]  # genuinely different dims
+        assert pixel_digest(*orig) != pixel_digest(*resized)  # exact misses
+        assert dhash63(*orig) == dhash63(*resized)  # perceptual catches
+
+
+def test_dhash_brightness_shift_small_hamming():
+    """Variant v=3 (2x upscale +2 brightness mod 256) stays within a
+    small hamming distance of the original: comparisons between
+    uniformly shifted grays only flip where a byte wraps."""
+    from mimir_spark.operators.multimodal import (
+        decode_pixels,
+        dhash63,
+        encode_near_dup_image,
+    )
+
+    hams = []
+    for s in range(30):
+        a = dhash63(*decode_pixels(encode_near_dup_image(4 * s)))
+        b = dhash63(*decode_pixels(encode_near_dup_image(4 * s + 3)))
+        hams.append(bin(a ^ b).count("1"))
+    assert max(hams) <= 6 and sum(h <= 3 for h in hams) >= 20
+
+
+def test_near_dup_pairs_spark(spark):
+    """End-to-end on sf0.001: every (v=0, v=2) resized pair is found
+    with hamming 0 and same_content = 0, and the pair set is exactly
+    the brute-force hamming<=3 truth (pigeonhole completeness)."""
+    import itertools
+
+    from mimir_spark.operators.multimodal import (
+        decode_pixels,
+        dhash63,
+        encode_near_dup_image,
+        multimodal_dedup_images_near,
+        pixel_digest,
+    )
+
+    rows = multimodal_dedup_images_near(spark, SF_SMOKE).collect()
+    got = {(r.doc_a, r.doc_b): (r.hamming, r.same_content) for r in rows}
+    n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    fps = {}
+    for d in range(n):
+        w, h, px = decode_pixels(encode_near_dup_image(d))
+        fps[d] = (dhash63(w, h, px), pixel_digest(w, h, px))
+    truth = {}
+    for a, b in itertools.combinations(range(n), 2):
+        hd = bin(fps[a][0] ^ fps[b][0]).count("1")
+        if hd <= 3:
+            truth[(a, b)] = (hd, int(fps[a][1] == fps[b][1]))
+    assert got == truth
+    for s in range(n // 4):
+        assert got[(4 * s, 4 * s + 2)] == (0, 0)  # resized: caught, not exact
+
+
+def test_near_dup_plan_no_cartesian(spark):
+    from mimir_spark.operators.multimodal import multimodal_dedup_images_near
+
+    plan = multimodal_dedup_images_near(spark, SF_SMOKE)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- trigram Kneser-Ney ---------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_trigram_kn_separates_recombined_bigram_salad(spark, tmp_path):
+    """A doc stitched from frequent BIGRAMS ('x a' + 'a z') whose
+    trigram 'x a z' never occurs elsewhere: the bigram KN scores it
+    like the fluent docs (all its bigrams are corpus-frequent), the
+    trigram KN must rank it clearly worse than every fluent doc."""
+    from mimir_spark.operators.quality import (
+        kneser_ney3_logppl,
+        kneser_ney_logppl,
+    )
+
+    fluent_a = ("x a y b " * 8).strip()
+    fluent_b = ("y a z b " * 8).strip()
+    salad = ("x a z b " * 8).strip()
+    sf = _write_docs(
+        spark, tmp_path, [fluent_a] * 6 + [fluent_b] * 6 + [salad]
+    )
+    tri = {r.doc_id: r.cross_entropy for r in kneser_ney3_logppl(spark, sf).collect()}
+    bi = {r.doc_id: r.cross_entropy for r in kneser_ney_logppl(spark, sf).collect()}
+    salad_id = 12
+    fluent_ids = range(12)
+    # bigram LM: salad is NOT separable (it scores BETTER than the
+    # fluent docs — every one of its bigrams is corpus-frequent)
+    assert bi[salad_id] <= max(bi[i] for i in fluent_ids)
+    # trigram LM: salad is clearly worse than every fluent doc
+    assert tri[salad_id] > max(tri[i] for i in fluent_ids) * 5
+
+
+def test_trigram_parts_merge_across_splits(spark, tmp_path):
+    """trigram_parts is a SUM monoid over disjoint doc batches: the
+    union of per-split tables equals the single-pass table (the
+    streaming-incremental contract, same as bigram_parts)."""
+    from mimir_spark.operators.quality import trigram_parts
+
+    texts = ["a b c d e", "b c b c b", "x y z x y z"]
+    sf = _write_docs(spark, tmp_path, texts)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    whole = set(map(tuple, trigram_parts(docs).collect()))
+    part1 = trigram_parts(docs.filter("doc_id < 2"))
+    part2 = trigram_parts(docs.filter("doc_id >= 2"))
+    merged = set(map(tuple, part1.unionByName(part2).collect()))
+    assert whole == merged
+
+
+# ---- per-source survivor caps --------------------------------------------
+
+
+def test_survivors_capped_bites(spark):
+    from mimir_spark.operators.dedup import dedup_survivors_capped
+
+    rows = dedup_survivors_capped(spark, SF_CORRECT, cap=10).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    # every source capped at 10; survivors pre-cap exceed the cap
+    assert all(len(v) == 10 for v in per_src.values())
+    assert all(v[0].n_source_survivors > 10 for v in per_src.values())
+    # kept docs are the n_chars-descending head of each source
+    for v in per_src.values():
+        ranks = sorted(r.rk for r in v)
+        assert ranks == list(range(1, 11))
+
+
+def test_survivors_capped_excludes_losers(spark):
+    """No capped-keep row may be a near-dup loser (cluster member that
+    is not its cluster's survivor)."""
+    from mimir_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_survivors,
+        dedup_survivors_capped,
+    )
+
+    kept = {
+        r.doc_id
+        for r in dedup_survivors_capped(spark, SF_SMOKE, cap=5).collect()
+    }
+    clustered = {
+        r.doc_id
+        for r in dedup_clusters(spark, SF_SMOKE, pair_source="lsh").collect()
+    }
+    surv = {
+        r.survivor_doc_id
+        for r in dedup_survivors(spark, SF_SMOKE, pair_source="lsh").collect()
+    }
+    losers = clustered - surv
+    assert not (kept & losers)
+
+
+def test_survivors_capped_window_group_limit(spark):
+    """The per-source cap must execute as WindowGroupLimit (cap-sized
+    per-partition heaps BEFORE the exchange), not a full per-source
+    sort — sample_reservoir's pinned shape."""
+    from mimir_spark.operators.dedup import dedup_survivors_capped
+
+    plan = dedup_survivors_capped(spark, SF_SMOKE)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+# ---- ema_user_value history guard ----------------------------------------
+
+
+def test_ema_guard_trips_on_long_history(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mimir_spark.operators.features import ema_user_value
+
+    with pytest.raises(SparkRuntimeException, match="max_history"):
+        ema_user_value(spark, SF_SMOKE, max_history=3).collect()
+
+
+def test_ema_guard_passes_within_bound(spark):
+    from mimir_spark.operators.features import ema_user_value
+
+    assert ema_user_value(spark, SF_SMOKE, max_history=10_000).count() > 0
+
+
+# ---- JPEG marker-walk fixes ----------------------------------------------
+
+
+def _rgb_jpeg() -> bytes:
+    from mimir_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(7)
+    px = (rng.randint(0, 2, (16, 16, 3)) * 128 + 64).astype(np.uint8)
+    return encode_jpeg(px)
+
+
+def test_jpeg_fill_bytes_and_tem_marker_accepted():
+    """T.81 B.1.1.2 fill bytes (0xFF padding before a marker id) and
+    the standalone TEM marker must not break the header walk."""
+    from mimir_spark.operators.jpeg import decode_jpeg_pixels
+
+    payload = _rgb_jpeg()
+    w0, h0, px0 = decode_jpeg_pixels(payload)
+    i = payload.index(b"\xff\xdb")  # first DQT segment boundary
+    padded = payload[:i] + b"\xff\xff" + b"\xff\x01" + payload[i:]
+    w1, h1, px1 = decode_jpeg_pixels(padded)
+    assert (w0, h0) == (w1, h1) and np.array_equal(px0, px1)
+
+
+def test_jpeg_multi_scan_baseline_raises_unsupported():
+    """A baseline file whose SOS covers fewer components than the SOF
+    declares (non-interleaved multi-scan) must raise UnsupportedJpeg —
+    NOT silently decode the Y scan with zeroed chroma."""
+    import struct
+
+    from mimir_spark.operators.jpeg import UnsupportedJpeg, decode_jpeg_pixels
+
+    payload = _rgb_jpeg()
+    i = payload.index(b"\xff\xda")
+    # replace the 3-component SOS with a 1-component (Y-only) SOS
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    hacked = (
+        payload[:i]
+        + b"\xff\xda"
+        + struct.pack(">H", len(sos) + 2)
+        + sos
+        + payload[i + 14 :]
+    )
+    with pytest.raises(UnsupportedJpeg, match="non-interleaved"):
+        decode_jpeg_pixels(hacked)
+
+
+# ---- approx_quantiles tie robustness --------------------------------------
+
+
+def test_approx_quantiles_all_duplicates_flag_one(spark, tmp_path):
+    """All-duplicate group: count(<= estimate) is the WHOLE group, so
+    the old point-rank flag was deterministically 0; the rank-interval
+    flag must be 1 (interval [0, 1] covers any p)."""
+    from mimir_spark.operators.relational2 import approx_quantiles
+
+    import datetime
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, 1, "O", 100.0, d0, "1-URGENT") for i in range(50)] + [
+        (100 + i, 1, "O", float(100 + (i % 3)), d0, "2-HIGH")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    out = str(tmp_path / "orders_dup")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
+    )
+    res = {r.o_orderpriority: r for r in approx_quantiles(spark, out).collect()}
+    assert res["1-URGENT"].p50_within == 1
+    assert res["1-URGENT"].p90_within == 1
+    assert res["2-HIGH"].p50_within == 1
+    assert res["2-HIGH"].p90_within == 1
+
+
+# ---- drop_bucketed_table: qualified / mixed-case names --------------------
+
+
+def test_drop_bucketed_table_mixed_case(spark, sf_smoke):
+    import os
+
+    from mimir_spark.sources.io import drop_bucketed_table, write_bucketed
+
+    df = spark.read.parquet(f"{sf_smoke}/region.parquet")
+    drop_bucketed_table(spark, "CapsTable")
+    write_bucketed(df, "CapsTable", ["r_regionkey"], 2)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert os.path.isdir(f"{wh}/capstable")  # saveAsTable lowercases
+    drop_bucketed_table(spark, "CapsTable")
+    assert not os.path.exists(f"{wh}/capstable")
+    # the re-write after a drop must not hit LOCATION_ALREADY_EXISTS
+    write_bucketed(df, "CapsTable", ["r_regionkey"], 2)
+    drop_bucketed_table(spark, "CapsTable")
+
+
+def test_drop_bucketed_table_qualified_name(spark, sf_smoke):
+    import os
+
+    from mimir_spark.sources.io import drop_bucketed_table, write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS capdb")
+    df = spark.read.parquet(f"{sf_smoke}/region.parquet")
+    drop_bucketed_table(spark, "capdb.tbl")
+    write_bucketed(df, "capdb.tbl", ["r_regionkey"], 2)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert os.path.isdir(f"{wh}/capdb.db/tbl")
+    drop_bucketed_table(spark, "capdb.tbl")
+    assert not os.path.exists(f"{wh}/capdb.db/tbl")
+
+
+# ---- streaming EMA rounding parity ----------------------------------------
+
+
+def test_spark_round6_half_up_matches_engine(spark):
+    """Python round() is half-even (2.5e-6 -> 2e-6); Spark F.round is
+    HALF_UP on the shortest decimal repr (2.5e-6 -> 3e-6). The
+    streaming kernel must match the engine."""
+    from mimir_spark.streaming.stateful import _spark_round6
+
+    # 0.0078125 = 1/128 is binary-EXACT and ends in 5 at the 7th
+    # decimal: a true tie, where half-even (builtin round) and the
+    # engine's HALF_UP disagree.
+    vals = [0.0078125, 2.5e-6, 1.5e-6, 0.1234565, 7.0000005, -0.0078125]
+    engine = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 6))
+        .collect()
+    ]
+    assert [_spark_round6(v) for v in vals] == engine
+    # and the true-tie case genuinely differs from builtin round()
+    assert _spark_round6(0.0078125) != round(0.0078125, 6)
+
+
+# ---- _term_shards memo -----------------------------------------------------
+
+
+def test_term_shards_memoized(spark):
+    """After the first resolution a repeat probe must not touch the
+    engine at all (passing spark=None proves no job is run)."""
+    from mimir_spark.operators import retrieval
+
+    retrieval._TERM_SHARD_MEMO.clear()
+    first = retrieval._term_shards(spark, ("alpha", "beta"))
+    again = retrieval._term_shards(None, ("alpha", "beta"))
+    assert first == again
+    mixed = retrieval._term_shards(spark, ("beta", "gamma"))
+    assert mixed[0] == first[1]
