@@ -91,6 +91,12 @@ HEADLINE = [
     # mapInPandas-bound entry in the headline).
     "dsir_weights",
     "multimodal_decode_jpeg",
+    # round-11 additions: perceptual image near-dup (decode + dHash +
+    # pigeonhole bucket join — the image analogue of dedup_simhash) and
+    # the trigram KN fold (the heaviest LM-state shape: 4-key joins over
+    # trigram type tables).
+    "multimodal_dedup_images_near",
+    "kneser_ney3_logppl",
 ]
 
 # localCheckpoint-heavy / iterative entries materialize intermediate
@@ -151,10 +157,65 @@ def main() -> None:
             F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
         ).collect()[0]
 
+    # ---- structural telemetry (round 11) --------------------------------
+    # Wall-clock on this shared box swings ±35% (documented box noise);
+    # shuffle bytes / task / stage counts are DETERMINISTIC per plan, so
+    # recording them beside the timing lets a regression be adjudicated
+    # structurally: same structure + slower clock = co-tenant noise,
+    # changed structure = a real plan change. Source: the engine's
+    # AppStatusStore stage table (the same data the UI/REST API serves).
+    # Per-query attribution via stage-id watermarks (sum only stages
+    # whose id is above the pre-run high-water mark), which is immune
+    # to retained-stage eviction of older entries.
+    _gw = spark.sparkContext._gateway
+    _store = spark._jsc.sc().statusStore()
+
+    def _stages_snapshot():
+        sl = _store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            _gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        out = []
+        it = sl.iterator()
+        while it.hasNext():
+            s = it.next()
+            out.append(
+                (
+                    s.stageId(),
+                    s.numCompleteTasks(),
+                    s.shuffleWriteBytes(),
+                    s.shuffleReadBytes(),
+                )
+            )
+        return out
+
+    def _max_stage_id():
+        snap = _stages_snapshot()
+        return max((sid for sid, *_ in snap), default=-1)
+
+    def _metrics_since(watermark):
+        tasks = sw = sr = stages = 0
+        for sid, n, w, r in _stages_snapshot():
+            if sid > watermark:
+                stages += 1
+                tasks += n
+                sw += w
+                sr += r
+        return {
+            "stages": stages,
+            "tasks": tasks,
+            "shuffle_write_bytes": sw,
+            "shuffle_read_bytes": sr,
+        }
+
     warmup_dir = os.environ.get(
         "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"
     )
     timings: dict[str, float] = {}
+    stage_metrics: dict[str, dict] = {}
     for name in HEADLINE:
         fn = queries[name]
         # Per-query codegen warmup: the SAME plan at sf0.001 (1000×
@@ -177,19 +238,28 @@ def main() -> None:
         # bench artifact: record the failure (-1 sentinel, excluded
         # from the total) and keep timing the rest.
         try:
-            best, n_rows = None, 0
+            best, n_rows, best_metrics = None, 0, None
             for _ in range(3 if name in BEST_OF_3 else 2):
+                wm = _max_stage_id()
                 t0 = time.perf_counter()
                 row = _run(fn, sf_dir)
                 dt = time.perf_counter() - t0
+                metrics = _metrics_since(wm)
                 if best is None or dt < best:
-                    best, n_rows = dt, row["n"]
+                    best, n_rows, best_metrics = dt, row["n"], metrics
         except Exception as exc:  # pragma: no cover - diagnostics only
             print(f"# {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
             continue
         timings[name] = round(best, 3)
-        print(f"# {name}: {n_rows} rows in {timings[name]}s", file=sys.stderr)
+        stage_metrics[name] = best_metrics
+        print(
+            f"# {name}: {n_rows} rows in {timings[name]}s"
+            f" [{best_metrics['stages']} stages,"
+            f" {best_metrics['tasks']} tasks,"
+            f" {best_metrics['shuffle_write_bytes']} shuffle bytes]",
+            file=sys.stderr,
+        )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -199,6 +269,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stage_metrics": stage_metrics,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

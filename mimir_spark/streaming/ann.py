@@ -217,7 +217,10 @@ def streaming_ivfpq_encode_store(
 
 
 def export_ivfpq_index_from_stream(
-    spark: SparkSession, sf_dir: str, store_dir: str, index_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str | list[str],
+    index_dir: str,
 ) -> None:
     """Publish the ACCUMULATED streaming code store as the persisted
     cell_id-partitioned IVF-PQ index (write_ivfpq_index's exact
@@ -225,8 +228,11 @@ def export_ivfpq_index_from_stream(
     streaming mirror of export_lsh_index_from_stream: quantizer
     metadata is the frozen trainers' bounded output, and the publish
     pass is one store-sized repartition into partition directories.
-    ann_ivfpq_query_indexed runs against the result unchanged
-    (probe-equivalence pytest-pinned)."""
+    `store_dir` may be a LIST of store generations (a compacted base
+    plus the live generation — see compact_ann_store's generation
+    contract); all generations share the frozen quantizers, so their
+    union is one consistent code space. ann_ivfpq_query_indexed runs
+    against the result unchanged (probe-equivalence pytest-pinned)."""
     from mimir_spark.operators.ivfpq import (
         _residual_codebooks,
         write_ivfpq_metadata,
@@ -239,7 +245,8 @@ def export_ivfpq_index_from_stream(
         _residual_codebooks(spark, sf_dir),
         index_dir,
     )
-    spark.read.parquet(store_dir).write.mode("overwrite").partitionBy(
+    dirs = [store_dir] if isinstance(store_dir, str) else list(store_dir)
+    spark.read.parquet(*dirs).write.mode("overwrite").partitionBy(
         "cell_id"
     ).parquet(f"{index_dir}/codes")
 
@@ -260,3 +267,118 @@ def streaming_pq_encode(emb_stream: DataFrame, books) -> DataFrame:
         "vec_id", F.transform(e, lambda x: x / norm).alias("e")
     )
     return pq_encode(pts, books)
+
+
+# ---- ANN store maintenance (round 11) ------------------------------------
+# The ingest half (streaming_ivfpq_encode_store) uses the exactly-once
+# parquet FILE SINK: correct, but over a long run its _spark_metadata
+# commit log grows unbounded and the store accumulates one small file
+# per micro-batch — the classic slow death of a long-lived index. The
+# two maintenance passes below mirror compact_stream_store for the
+# file-sink shape (generation-based, because a file sink's commit log
+# references the pre-compaction files and cannot survive them):
+#
+#   generation contract: STOP the ingest stream → compact_ann_store
+#   (rewrites the committed rows as a plain compacted parquet base,
+#   retiring both the commit log and the checkpoint) → resume ingest
+#   into a FRESH sibling store dir + fresh checkpoint over NEW
+#   arrivals only → export_ivfpq_index_from_stream over [base, gen2].
+#
+# Re-keying under distribution drift is a separate, heavier pass:
+# retrain_ann_store — new quantizers re-key EVERY stored code (PQ
+# codes are lossy, so re-encoding needs the raw vectors, not the
+# codes), deterministically equal to what the stream would have
+# emitted had it always run with the new quantizers (pytest-pinned).
+
+
+def compact_ann_store(
+    spark: SparkSession,
+    store_dir: str,
+    checkpoint_dir: str | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    key: str = "neighbor_id",
+) -> int:
+    """Compact the streaming IVF-PQ code store: read the COMMITTED
+    rows (spark.read on a file-sink dir resolves through
+    _spark_metadata, so orphan files from aborted batches are
+    excluded), drop replayed duplicates per `key` (the code store names the
+    vector id neighbor_id, pq_encode's output column; the encode is a
+    stateless deterministic map, so any duplicate row is bit-identical
+    — arbitrary-winner dedup is exact), and rewrite into ~target-size
+    files, replacing the store with a PLAIN parquet base (commit log
+    retired; safety order: the compacted copy is fully written to a
+    sibling tmp dir before the old store is removed — same recipe as
+    compact_stream_store). If `checkpoint_dir` is given the stream's
+    checkpoint is retired with it, closing the generation: the next
+    ingest generation MUST use a fresh checkpoint and a fresh sibling
+    store dir (a resumed file sink would otherwise start a new commit
+    log that hides the compacted base from readers). Returns the
+    output file count."""
+    rows = spark.read.parquet(store_dir).dropDuplicates([key])
+
+    jvm = spark._jvm  # public Hadoop FS API, same pattern as compact_files
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = hpath.getFileSystem(hconf)
+    size, it = 0, fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        parent = status.getPath().getParent().getName()
+        if not (
+            name.startswith("_")
+            or name.startswith(".")
+            or parent == "_spark_metadata"
+        ):
+            size += status.getLen()
+    n_files = max(1, -(-size // target_bytes))
+
+    tmp = store_dir.rstrip("/") + "__compact_tmp"
+    rows.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    if checkpoint_dir is not None:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(checkpoint_dir), True)
+    return n_files
+
+
+def retrain_ann_store(
+    spark: SparkSession,
+    train_sf_dir: str,
+    corpus_dirs: list[str],
+    store_dir: str,
+    glob: str = "*.parquet",
+) -> None:
+    """RE-KEY the code store under new quantizers (the drift answer):
+    train coarse centroids + residual sub-codebooks on `train_sf_dir`
+    (the memoized deterministic trainers — same corpus in, bit-same
+    quantizers out), batch re-ENCODE every raw corpus vector from
+    `corpus_dirs` (codes are lossy; re-keying reads the vectors, never
+    the old codes), and atomically replace the store. The encode is
+    the SAME expression tree the stream runs (streaming_ivfpq_encode
+    on a batch frame), so the replacement store is bit-identical to
+    what a stream that had always run with the new quantizers would
+    have accumulated — mid-stream retraining without this full re-key
+    would silently mix two incompatible code spaces (the reason
+    streaming_ivfpq_encode_store freezes its quantizers).
+
+    One corpus scan, map-only encode, one store-sized write; the
+    export/publish pass afterwards is unchanged."""
+    from mimir_spark.operators.ivfpq import _residual_codebooks
+    from mimir_spark.operators.similarity import _ivf_centroids
+
+    cent_rows = _ivf_centroids(spark, train_sf_dir).collect()
+    books = _residual_codebooks(spark, train_sf_dir)
+    corpus = spark.read.schema(SCHEMAS["embeddings"]).option(
+        "pathGlobFilter", glob
+    ).parquet(*corpus_dirs)
+    codes = streaming_ivfpq_encode(corpus, cent_rows, books)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = hpath.getFileSystem(hconf)
+    tmp = store_dir.rstrip("/") + "__rekey_tmp"
+    codes.write.mode("overwrite").parquet(tmp)
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)

@@ -389,3 +389,150 @@ def test_term_shards_memoized(spark):
     assert first == again
     mixed = retrieval._term_shards(spark, ("beta", "gamma"))
     assert mixed[0] == first[1]
+
+
+# ---- ANN store maintenance (compaction + re-key) ---------------------------
+
+
+def test_ann_store_compact_then_next_generation_probe_equivalence(
+    spark, sf_smoke, tmp_path
+):
+    """The generation contract end-to-end: ingest 2 files → stop →
+    compact_ann_store (commit log + checkpoint retired, duplicates
+    dropped, file count reduced) → next generation streams file 3 into
+    a FRESH sibling store → export over [base, gen2] → the published
+    index answers probes exactly like the all-batch operator."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.ivfpq import (
+        ann_ivfpq_query_indexed,
+        ann_ivfpq_topk,
+    )
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.ann import (
+        compact_ann_store,
+        export_ivfpq_index_from_stream,
+        streaming_ivfpq_encode_store,
+    )
+
+    stage = str(tmp_path / "stage")
+    load_table(spark, sf_smoke, "embeddings").repartition(3).write.parquet(
+        stage
+    )
+    files = sorted(globmod.glob(f"{stage}/part-*.parquet"))
+    assert len(files) == 3
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    os.makedirs(in1), os.makedirs(in2)
+    shutil.copy(files[0], f"{in1}/f0.parquet")
+    shutil.copy(files[1], f"{in1}/f1.parquet")
+    shutil.copy(files[2], f"{in2}/f2.parquet")
+
+    store1, ckpt1 = str(tmp_path / "store1"), str(tmp_path / "ckpt1")
+    q = streaming_ivfpq_encode_store(spark, in1, sf_smoke, store1, ckpt1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    n_before = len(globmod.glob(f"{store1}/part-*.parquet"))
+    committed = spark.read.parquet(store1).count()
+    n_files = compact_ann_store(spark, store1, ckpt1)
+    assert n_files == 1
+    assert not os.path.exists(f"{store1}/_spark_metadata")
+    assert not os.path.exists(ckpt1)
+    assert len(globmod.glob(f"{store1}/part-*.parquet")) == 1 <= n_before
+    assert spark.read.parquet(store1).count() == committed
+
+    store2, ckpt2 = str(tmp_path / "store2"), str(tmp_path / "ckpt2")
+    q2 = streaming_ivfpq_encode_store(spark, in2, sf_smoke, store2, ckpt2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    idx = str(tmp_path / "idx")
+    export_ivfpq_index_from_stream(spark, sf_smoke, [store1, store2], idx)
+    got = {
+        tuple(r) for r in ann_ivfpq_query_indexed(spark, sf_smoke, idx).collect()
+    }
+    expect = {tuple(r) for r in ann_ivfpq_topk(spark, sf_smoke).collect()}
+    assert got == expect and got
+
+
+def test_ann_store_compact_drops_replay_duplicates(spark, sf_smoke, tmp_path):
+    """Overlapping generations replay-duplicate vec_ids; the encode is
+    deterministic so duplicates are bit-identical and compaction's
+    per-vec_id dedup is exact."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators.ivfpq import _residual_codebooks
+    from mimir_spark.operators.similarity import _ivf_centroids
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.ann import (
+        compact_ann_store,
+        streaming_ivfpq_encode,
+    )
+
+    cent_rows = _ivf_centroids(spark, sf_smoke).collect()
+    books = _residual_codebooks(spark, sf_smoke)
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    codes = streaming_ivfpq_encode(emb, cent_rows, books)
+    store = str(tmp_path / "dupstore")
+    codes.write.parquet(store)
+    codes.write.mode("append").parquet(store)  # the replayed generation
+    assert spark.read.parquet(store).count() == 2 * emb.count()
+    compact_ann_store(spark, store)
+    deduped = spark.read.parquet(store)
+    assert deduped.count() == emb.count()
+    assert (
+        deduped.groupBy("neighbor_id").count().filter("count > 1").count()
+        == 0
+    )
+
+
+def test_retrain_ann_store_rekeys_to_new_quantizers(
+    spark, sf_smoke, tmp_path
+):
+    """Re-key under drift: retrain on a DIFFERENT training corpus →
+    the replaced store is bit-identical to what the stream would have
+    emitted had it always run with the new quantizers."""
+    from mimir_spark.operators.ivfpq import _residual_codebooks
+    from mimir_spark.operators.similarity import _ivf_centroids
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.ann import (
+        retrain_ann_store,
+        streaming_ivfpq_encode,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    load_table(spark, sf_smoke, "embeddings").write.parquet(corpus_dir)
+
+    store = str(tmp_path / "store")
+    # old generation encoded with sf_smoke quantizers
+    old = streaming_ivfpq_encode(
+        spark.read.parquet(corpus_dir),
+        _ivf_centroids(spark, sf_smoke).collect(),
+        _residual_codebooks(spark, sf_smoke),
+    )
+    old.write.parquet(store)
+
+    train = "/root/testdata/sf0.01"  # the drift-adapted training corpus
+    retrain_ann_store(spark, train, [corpus_dir], store)
+
+    expect = {
+        tuple(r)
+        for r in streaming_ivfpq_encode(
+            spark.read.parquet(corpus_dir),
+            _ivf_centroids(spark, train).collect(),
+            _residual_codebooks(spark, train),
+        ).collect()
+    }
+    got = {tuple(r) for r in spark.read.parquet(store).collect()}
+    assert got == expect and got
+    # and the re-key genuinely changed the code space
+    old_set = {tuple(r) for r in old.collect()}
+    assert got != old_set
