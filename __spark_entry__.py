@@ -64,6 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R11_WINDOW = [
     # new this round
     "multimodal_dedup_images_near",
+    "multimodal_near_dup_survivors",
     "kneser_ney3_logppl",
     "dedup_survivors_capped",
     # contract / implementation changes this round (tie-robust within
@@ -116,7 +117,6 @@ _R11_WINDOW = [
     "anomaly_zscore",
     "cohort_retention",
     "cooccurrence_pmi",
-    "sessionize",
 ]
 
 
@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_dedup_images_near": multimodal.multimodal_dedup_images_near,
+        "multimodal_near_dup_survivors": multimodal.multimodal_near_dup_survivors,
         "kneser_ney3_logppl": quality.kneser_ney3_logppl,
         "dedup_survivors_capped": dedup.dedup_survivors_capped,
         "multimodal_decode_jpeg": multimodal.multimodal_decode_jpeg,
@@ -504,6 +505,59 @@ def _lsh_ctes(threshold: float = 0.5, include_base: bool = True) -> str:
                     JOIN hsh sb ON sb.doc_id = c.doc_b)
               WHERE round(n_common / (na + nb - n_common), 6)
                     >= {threshold})"""
+
+
+def _neardup_ctes() -> str:
+    """CTE chain for the perceptual image near-dup family, ending at
+    `fps`(doc_id, fp), `digs`(doc_id, digest) and `ndx`(doc_id, v, w0,
+    h0, s): the 63-bit dHash and exact pixel digest recomputed
+    closed-form from encode_near_dup_image's generation rule (see the
+    multimodal_dedup_images_near oracle comment)."""
+    return """ndx AS (
+              SELECT doc_id, doc_id // 4 AS s, doc_id % 4 AS v,
+                     ((doc_id // 4) % 12) + 5 AS w0,
+                     ((doc_id // 4) % 6) + 5 AS h0
+              FROM documents),
+            grays AS (
+              SELECT doc_id, v, w0, h0, s,
+                list_transform(range(0, 72), q ->
+                  list_sum(list_transform(
+                    list_transform(range(0, 3), c ->
+                      ((((q // 9) * h0) // 8) * w0
+                       + (((q % 9) * w0) // 9)) * 3 + c),
+                    jb -> CASE WHEN v = 3
+                          THEN ((s*97 + jb*jb*13 + jb*29) % 256 + 2) % 256
+                          ELSE (s*97 + jb*jb*13 + jb*29) % 256 END)) // 3
+                ) AS g
+              FROM ndx),
+            fps AS (
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 63), k ->
+                  CASE WHEN g[(k // 8) * 9 + (k % 8) + 2]
+                            > g[(k // 8) * 9 + (k % 8) + 1]
+                       THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS fp
+              FROM grays),
+            digs AS (
+              SELECT doc_id,
+                list_reduce(
+                  [0::BIGINT,
+                   (CASE WHEN v >= 2 THEN 2 * w0 ELSE w0 END)::BIGINT,
+                   (CASE WHEN v >= 2 THEN 2 * h0 ELSE h0 END)::BIGINT]
+                  || CASE WHEN v < 2
+                     THEN list_transform(range(0, w0 * h0 * 3),
+                            j -> (s*97 + j*j*13 + j*29) % 256)
+                     ELSE list_transform(
+                            list_transform(range(0, 12 * w0 * h0), j ->
+                              (((j // (6 * w0)) // 2) * w0
+                               + (((j // 3) % (2 * w0)) // 2)) * 3
+                              + (j % 3)),
+                            jb -> CASE WHEN v = 3
+                                  THEN ((s*97 + jb*jb*13 + jb*29) % 256
+                                        + 2) % 256
+                                  ELSE (s*97 + jb*jb*13 + jb*29) % 256 END)
+                     END,
+                  (acc, b) -> (acc * 131 + b) % 1000000007) AS digest
+              FROM ndx)"""
 
 
 def _simhash_ctes(max_hamming: int = 3, include_base: bool = True) -> str:
@@ -2555,52 +2609,8 @@ def oracle_sql() -> dict[str, str]:
         # hash-mismatches. 500-doc oracle affords the all-pairs
         # hamming join; the Spark side uses the pigeonhole bucket join
         # (complete for hamming <= 3 by construction).
-        "multimodal_dedup_images_near": """
-            WITH nd AS (
-              SELECT doc_id, doc_id // 4 AS s, doc_id % 4 AS v,
-                     ((doc_id // 4) % 12) + 5 AS w0,
-                     ((doc_id // 4) % 6) + 5 AS h0
-              FROM documents),
-            grays AS (
-              SELECT doc_id, v, w0, h0, s,
-                list_transform(range(0, 72), q ->
-                  list_sum(list_transform(
-                    list_transform(range(0, 3), c ->
-                      ((((q // 9) * h0) // 8) * w0
-                       + (((q % 9) * w0) // 9)) * 3 + c),
-                    jb -> CASE WHEN v = 3
-                          THEN ((s*97 + jb*jb*13 + jb*29) % 256 + 2) % 256
-                          ELSE (s*97 + jb*jb*13 + jb*29) % 256 END)) // 3
-                ) AS g
-              FROM nd),
-            fps AS (
-              SELECT doc_id,
-                list_sum(list_transform(range(0, 63), k ->
-                  CASE WHEN g[(k // 8) * 9 + (k % 8) + 2]
-                            > g[(k // 8) * 9 + (k % 8) + 1]
-                       THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS fp
-              FROM grays),
-            digs AS (
-              SELECT doc_id,
-                list_reduce(
-                  [0::BIGINT,
-                   (CASE WHEN v >= 2 THEN 2 * w0 ELSE w0 END)::BIGINT,
-                   (CASE WHEN v >= 2 THEN 2 * h0 ELSE h0 END)::BIGINT]
-                  || CASE WHEN v < 2
-                     THEN list_transform(range(0, w0 * h0 * 3),
-                            j -> (s*97 + j*j*13 + j*29) % 256)
-                     ELSE list_transform(
-                            list_transform(range(0, 12 * w0 * h0), j ->
-                              (((j // (6 * w0)) // 2) * w0
-                               + (((j // 3) % (2 * w0)) // 2)) * 3
-                              + (j % 3)),
-                            jb -> CASE WHEN v = 3
-                                  THEN ((s*97 + jb*jb*13 + jb*29) % 256
-                                        + 2) % 256
-                                  ELSE (s*97 + jb*jb*13 + jb*29) % 256 END)
-                     END,
-                  (acc, b) -> (acc * 131 + b) % 1000000007) AS digest
-              FROM nd)
+        "multimodal_dedup_images_near": f"""
+            WITH {_neardup_ctes()}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    bit_count(xor(a.fp, b.fp))::BIGINT AS hamming,
                    (da.digest = db.digest)::BIGINT AS same_content
@@ -2608,6 +2618,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN digs da ON da.doc_id = a.doc_id
             JOIN digs db ON db.doc_id = b.doc_id
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        """,
+        # Near-dup image clusters + survivors: connected components of
+        # the hamming<=3 pair graph (recursive CTE, same shape as the
+        # dedup_survivors oracles), keeping the HIGHEST-RESOLUTION copy
+        # per cluster (n_pixels closed-form from the generation rule:
+        # upscaled variants have 4x the base pixels).
+        "multimodal_near_dup_survivors": f"""
+            WITH RECURSIVE {_neardup_ctes()},
+            nd_pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM nd_pairs),
+            reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+            comp AS (SELECT a AS doc_id, min(b) AS cluster_id
+                     FROM reach GROUP BY a),
+            npx AS (
+              SELECT doc_id,
+                     ((CASE WHEN v >= 2 THEN 4 ELSE 1 END)
+                      * w0 * h0)::BIGINT AS npix
+              FROM ndx)
+            SELECT cluster_id, survivor_doc_id, n_members,
+                   survivor_pixels FROM (
+              SELECT c.cluster_id, n.doc_id AS survivor_doc_id,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY n.npix DESC, n.doc_id) AS rn,
+                     count(*) OVER (PARTITION BY c.cluster_id)::BIGINT
+                       AS n_members,
+                     n.npix AS survivor_pixels
+              FROM comp c JOIN npx n ON n.doc_id = c.doc_id)
+            WHERE rn = 1
         """,
         "multimodal_dedup_images": """
             WITH dig AS (

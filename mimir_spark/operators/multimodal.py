@@ -1508,3 +1508,65 @@ def multimodal_dedup_images_near(
             ),
         )
     )
+
+
+def multimodal_near_dup_survivors(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup image CLUSTERS + survivors — the keep-list completion
+    of multimodal_dedup_images_near (pairs alone don't dedup a corpus):
+    connected components over the hamming <= 3 dHash pair graph via the
+    shared min-label finisher (dedup.min_label_components — the same
+    finisher every text dedup family uses), keeping per cluster the
+    HIGHEST-RESOLUTION copy (max pixel count, ties -> lowest doc_id) —
+    the image survivor rule a LAION-scale pipeline wants (the 2x
+    upscale beats its original; a text pipeline keeps the longest doc
+    for the same reason).
+
+    Output one row per cluster: (cluster_id, survivor_doc_id,
+    n_members, survivor_pixels). Scale shape: pairs come from the
+    bounded pigeonhole join (min_label_components materializes them
+    once via its eager localCheckpoint); the member-metadata join
+    decodes dimensions in one extra map-only pass — at production
+    scale the fingerprint table (doc_id, fp, digest, w*h) is persisted
+    once and every consumer reads it instead."""
+    from mimir_spark.operators.dedup import min_label_components
+
+    pairs = multimodal_dedup_images_near(spark, sf_dir, max_hamming).select(
+        "doc_a", "doc_b"
+    )
+    clusters = min_label_components(pairs)
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _npix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            npix = []
+            for p in pdf["payload"]:
+                w, h, _ = decode_pixels(p)
+                npix.append(w * h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "npix": npix})
+
+    meta = with_near_dup_image_payload(docs).mapInPandas(
+        _npix, "doc_id long, npix long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("npix").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(meta, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count("*").over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "n_members",
+            F.col("npix").alias("survivor_pixels"),
+        )
+    )

@@ -538,7 +538,14 @@ def kneser_ney3_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (w1,w2) / (w2,w3) / w2 / w3 keys (AQE broadcasts at test scale,
     hash joins at a 100 TB vocabulary) → one doc_id shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    dabc = trigram_parts(docs)
+    return kneser_ney3_from_parts(trigram_parts(docs))
+
+
+def kneser_ney3_from_parts(dabc: DataFrame) -> DataFrame:
+    """Score from the trigram state table — the only scoring code
+    path, so the streaming incremental builder's finalize is
+    bit-identical to the single-pass operator (every LM table folds
+    FROM the per-doc partials; see kneser_ney3_logppl for the model)."""
     lm_abc = dabc.groupBy("w1", "w2", "w3").agg(
         F.sum("c_dabc").alias("c_abc")
     )

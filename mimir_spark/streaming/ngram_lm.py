@@ -92,3 +92,55 @@ def finalize_dsir_weights(spark: SparkSession, dab_dir: str) -> DataFrame:
         "doc_id", "w1", "w2", "c_dab"
     )
     return dsir_weights_from_parts(dab)
+
+
+# ---- trigram Kneser-Ney (round 11) ---------------------------------------
+
+
+def streaming_trigram_build(
+    spark: SparkSession,
+    input_dir: str,
+    dabc_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.parquet",
+) -> StreamingQuery:
+    """Incremental trigram-LM state builder: per-doc trigram counts
+    (quality.trigram_parts — a SUM monoid over disjoint doc batches)
+    written per batch under ``batch_id=N`` (idempotent foreachBatch
+    retries, same recipe as the bigram builder above)."""
+    from mimir_spark.operators.quality import trigram_parts
+
+    docs_stream = read_documents_stream(spark, input_dir, glob=glob)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        dabc = trigram_parts(batch.localCheckpoint(eager=True))
+        dabc.write.mode("overwrite").parquet(f"{dabc_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def finalize_kneser_ney3_logppl(
+    spark: SparkSession, dabc_dir: str
+) -> DataFrame:
+    """Merge the accumulated trigram state and score through the SAME
+    code path as the batch operator (quality.kneser_ney3_from_parts) —
+    incremental and single-pass cross-entropies are bit-identical
+    (pytest-pinned). Latest-batch resolve per doc guards
+    at-least-once redelivery (trigram counts are monoids over DISJOINT
+    doc sets; a re-delivered doc would otherwise double-count).
+    Docs with <3 tokens have no state rows and are absent from the
+    output, exactly like the batch operator's size filter."""
+    from mimir_spark.operators.quality import kneser_ney3_from_parts
+
+    raw = spark.read.parquet(dabc_dir)
+    last = raw.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+    dabc = raw.join(last, ["doc_id", "batch_id"]).select(
+        "doc_id", "w1", "w2", "w3", "c_dabc"
+    )
+    return kneser_ney3_from_parts(dabc)

@@ -536,3 +536,65 @@ def test_retrain_ann_store_rekeys_to_new_quantizers(
     # and the re-key genuinely changed the code space
     old_set = {tuple(r) for r in old.collect()}
     assert got != old_set
+
+
+# ---- near-dup image survivors + streaming trigram LM -----------------------
+
+
+def test_near_dup_survivors_keep_highest_resolution(spark):
+    """Every content group's survivor must be an UPSCALED variant
+    (v=2 or v=3 — 4x the base pixels): the image keep-rule prefers
+    resolution, unlike the text families' keep-longest."""
+    from mimir_spark.operators.multimodal import (
+        multimodal_near_dup_survivors,
+    )
+
+    rows = multimodal_near_dup_survivors(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        s = r.cluster_id // 4
+        w0, h0 = (s % 12) + 5, (s % 6) + 5
+        assert r.survivor_doc_id % 4 in (2, 3)
+        assert r.survivor_pixels == 4 * w0 * h0
+        assert r.n_members >= 2
+
+
+def test_streaming_trigram_finalize_matches_batch(spark, sf_smoke, tmp_path):
+    """Incremental trigram-KN over a 2-file split == the single-pass
+    batch operator, bit-for-bit (the trigram_parts SUM monoid +
+    shared kneser_ney3_from_parts scorer)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.quality import kneser_ney3_logppl
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.ngram_lm import (
+        finalize_kneser_ney3_logppl,
+        streaming_trigram_build,
+    )
+
+    stage = str(tmp_path / "stage")
+    load_table(spark, sf_smoke, "documents").repartition(2).write.parquet(
+        stage
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, f in enumerate(sorted(globmod.glob(f"{stage}/part-*.parquet"))):
+        shutil.copy(f, f"{in_dir}/f{i}.parquet")
+
+    dabc_dir = str(tmp_path / "dabc")
+    q = streaming_trigram_build(
+        spark, in_dir, dabc_dir, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in finalize_kneser_ney3_logppl(spark, dabc_dir).collect()
+    }
+    expect = {tuple(r) for r in kneser_ney3_logppl(spark, sf_smoke).collect()}
+    assert got == expect and got
