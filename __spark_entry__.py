@@ -67,6 +67,8 @@ _R11_WINDOW = [
     "multimodal_near_dup_survivors",
     "kneser_ney3_logppl",
     "dedup_survivors_capped",
+    "t_closeness_report",
+    "feature_drift_psi",
     # contract / implementation changes this round (tie-robust within
     # flag; JPEG marker-walk fixes; in-plan history guard)
     "approx_quantiles",
@@ -115,8 +117,6 @@ _R11_WINDOW = [
     "ann_range_search",
     "knn_graph",
     "anomaly_zscore",
-    "cohort_retention",
-    "cooccurrence_pmi",
 ]
 
 
@@ -140,6 +140,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ema_user_value": features.ema_user_value,
         "event_transitions": features.event_transitions,
         "l_diversity_report": profiling.l_diversity_report,
+        "t_closeness_report": profiling.t_closeness_report,
+        "feature_drift_psi": features.feature_drift_psi,
         "unicode_nfc_scan": textstats2.unicode_nfc_scan,
         "hypertable_gap_fill": relational.hypertable_gap_fill,
         "time_weighted_avg": relational.time_weighted_avg,
@@ -2845,6 +2847,91 @@ def oracle_sql() -> dict[str, str]:
                    round(max(n) / sum(n), 6) AS dominant_share,
                    (count(*) < 3)::BIGINT AS below_l
             FROM cells GROUP BY c_nationkey
+        """,
+        "t_closeness_report": """
+            WITH cells AS (
+              SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_cs
+              FROM customer GROUP BY 1, 2),
+            classes AS (
+              SELECT c_nationkey, sum(n_cs)::BIGINT AS class_size
+              FROM cells GROUP BY 1),
+            gdist AS (
+              SELECT c_mktsegment, sum(n_cs)::BIGINT AS g_s
+              FROM cells GROUP BY 1),
+            total AS (SELECT sum(g_s)::BIGINT AS n_total FROM gdist),
+            grid AS (
+              SELECT cl.c_nationkey, cl.class_size, t.n_total,
+                     abs(coalesce(ce.n_cs, 0) * t.n_total
+                         - g.g_s * cl.class_size)::BIGINT AS abs_num
+              FROM classes cl CROSS JOIN gdist g CROSS JOIN total t
+              LEFT JOIN cells ce
+                ON ce.c_nationkey = cl.c_nationkey
+               AND ce.c_mktsegment = g.c_mktsegment)
+            SELECT c_nationkey,
+                   max(class_size)::BIGINT AS class_size,
+                   round(sum(abs_num)
+                         / (2.0 * max(class_size) * max(n_total)), 6)
+                     AS emd,
+                   (sum(abs_num)
+                    / (2.0 * max(class_size) * max(n_total)) > 0.2)::BIGINT
+                     AS above_t
+            FROM grid GROUP BY c_nationkey
+        """,
+        "feature_drift_psi": """
+            WITH ref AS (
+              SELECT event_type, value FROM events WHERE user_id % 2 = 0),
+            cur AS (
+              SELECT event_type,
+                     CASE WHEN event_type = 'purchase' THEN value + 25.0
+                          ELSE value END AS value
+              FROM events WHERE user_id % 2 = 1),
+            stats AS (
+              SELECT event_type, min(value) AS vmin, max(value) AS vmax
+              FROM ref GROUP BY 1),
+            tagged AS (
+              SELECT event_type, value, 0 AS side FROM ref
+              UNION ALL
+              SELECT event_type, value, 1 AS side FROM cur),
+            binned AS (
+              SELECT t.event_type, t.side,
+                     (CASE WHEN s.vmax = s.vmin THEN 0
+                           ELSE least(greatest(floor(
+                                  ((t.value - s.vmin) / (s.vmax - s.vmin))
+                                  * 10), 0), 9)
+                      END)::BIGINT AS bin
+              FROM tagged t JOIN stats s USING (event_type)),
+            cells AS (
+              SELECT event_type, bin,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS nr,
+                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS nc
+              FROM binned GROUP BY 1, 2),
+            spine AS (
+              SELECT event_type,
+                     unnest(generate_series(0, 9))::BIGINT AS bin
+              FROM stats),
+            filled AS (
+              SELECT sp.event_type, sp.bin,
+                     coalesce(c.nr, 0)::BIGINT AS nr,
+                     coalesce(c.nc, 0)::BIGINT AS nc
+              FROM spine sp LEFT JOIN cells c
+                ON c.event_type = sp.event_type AND c.bin = sp.bin),
+            totals AS (
+              SELECT event_type, sum(nr)::BIGINT AS n_ref,
+                     sum(nc)::BIGINT AS n_cur
+              FROM filled GROUP BY 1),
+            terms AS (
+              SELECT f.event_type, t.n_ref, t.n_cur,
+                     ((f.nr + 1.0) / (t.n_ref + 10.0)
+                      - (f.nc + 1.0) / (t.n_cur + 10.0))
+                     * ln(((f.nr + 1.0) / (t.n_ref + 10.0))
+                          / ((f.nc + 1.0) / (t.n_cur + 10.0))) AS term
+              FROM filled f JOIN totals t USING (event_type))
+            SELECT event_type,
+                   max(n_ref)::BIGINT AS n_ref,
+                   max(n_cur)::BIGINT AS n_cur,
+                   round(sum(term), 6) AS psi,
+                   (sum(term) > 0.2)::BIGINT AS drifted
+            FROM terms GROUP BY event_type
         """,
         "hypertable_gap_fill": """
             WITH agg AS (

@@ -439,6 +439,122 @@ def ema_user_value(
     )
 
 
+PSI_BINS = 10
+PSI_THRESHOLD = 0.2  # the conventional "significant shift" cut
+
+
+def drift_psi(ref: DataFrame, cur: DataFrame, n_bins: int = PSI_BINS) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of (event_type, value) rows — the standard
+    feature-drift gate a training pipeline runs before refreshing a
+    model on new data: psi = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur),
+    with the folk thresholds 0.1 (watch) / 0.2 (significant shift).
+
+    Binning: n_bins equal-width bins from the REFERENCE min/max per
+    type (current rows outside the reference range clamp into the
+    edge bins — exactly the "new mass outside the training range"
+    signal PSI exists to catch). Laplace-smoothed proportions
+    (n+1)/(N+n_bins) keep empty bins finite; the full type×bin spine
+    is materialized (bounded: |types|·n_bins rows) because smoothing
+    under unequal totals gives even empty-both bins a nonzero term.
+
+    Scale shape: each snapshot is scanned once into a map-side-
+    combined (type, bin) count — everything after is bounded by
+    |types|·n_bins. The per-type float sum follows the
+    bigram_logppl summation contract (round 6 at emission).
+
+    Portability: bin = floor(((v−vmin)/(vmax−vmin))·n) with this
+    exact parenthesization on both engines; min/max are raw data
+    values, so every input to floor/ln is bit-identical."""
+    tagged = ref.select(
+        "event_type", "value", F.lit(0).alias("side")
+    ).unionByName(cur.select("event_type", "value", F.lit(1).alias("side")))
+    stats = ref.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = tagged.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "side",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (
+                            (F.col("value") - F.col("vmin"))
+                            / (F.col("vmax") - F.col("vmin"))
+                        )
+                        * n_bins
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nr"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+    )
+    spine = stats.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_b"),
+    ).select("event_type", F.col("_b").cast("long").alias("bin"))
+    full = spine.join(cells, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("nr", F.lit(0)).cast("long").alias("nr"),
+        F.coalesce("nc", F.lit(0)).cast("long").alias("nc"),
+    )
+    totals = full.groupBy("event_type").agg(
+        F.sum("nr").cast("long").alias("n_ref"),
+        F.sum("nc").cast("long").alias("n_cur"),
+    )
+    pr = (F.col("nr") + 1.0) / (F.col("n_ref") + F.lit(float(n_bins)))
+    pc = (F.col("nc") + 1.0) / (F.col("n_cur") + F.lit(float(n_bins)))
+    return (
+        full.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            ((pr - pc) * F.log(pr / pc)).alias("term"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(F.sum("term"), 6).alias("psi"),
+            (F.sum("term") > PSI_THRESHOLD).cast("long").alias("drifted"),
+        )
+    )
+
+
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() wrapper for drift_psi: the reference snapshot is the
+    even-user half of events; the current snapshot is the odd-user
+    half with a deterministic +25-unit shift injected into the
+    'purchase' type — a hermetic stand-in for two feature-store
+    snapshots (the corpus_snapshot_diff move); `drift_psi` itself
+    takes any two (event_type, value) frames. The unshifted types pin
+    psi ≈ 0 (same generator), purchase pins the drifted flag."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("user_id") % 2 == 0)
+    cur = ev.filter(F.col("user_id") % 2 == 1).withColumn(
+        "value",
+        F.when(
+            F.col("event_type") == "purchase", F.col("value") + F.lit(25.0)
+        ).otherwise(F.col("value")),
+    )
+    return drift_psi(ref, cur)
+
+
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix (the product-analytics
     'path analysis' / Markov-chain step): per user, consecutive events

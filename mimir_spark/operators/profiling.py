@@ -127,6 +127,88 @@ def l_diversity_report(
     )
 
 
+T_CLOSENESS = 0.2
+
+
+def t_closeness_report(
+    spark: SparkSession, sf_dir: str, t_max: float = T_CLOSENESS
+) -> DataFrame:
+    """The third rung of the release-gate ladder (after
+    k_anonymity_report and l_diversity_report): l-diversity still
+    leaks when a class's sensitive values are DISTINCT but skewed —
+    "3 distinct segments" hides that 98% of the class is one of them.
+    t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) bounds the
+    distance between each quasi-identifier class's sensitive-value
+    distribution and the GLOBAL distribution; for a categorical
+    sensitive attribute under the equal-ground-distance metric, the
+    Earth Mover's Distance reduces to total variation:
+    EMD = ½ · Σ_s |p_class(s) − p_global(s)|.
+
+    Per QI class (nation): class size, the EMD against the global
+    market-segment distribution, and the above-t flag.
+
+    Engine portability: the per-segment term p_c − p_g =
+    n_cs/N_c − g_s/N is computed as the INTEGER numerator
+    n_cs·N − g_s·N_c over the common denominator N_c·N, so the
+    per-class sum is exact integer arithmetic; one float division +
+    round(6) happens at emission only — no float-sum ordering hazard.
+
+    Shape: one (QI, sensitive) groupBy (map-side combined, output
+    bounded by |nations|×|segments|), a broadcast of the
+    |segments|-row global distribution onto the class×segment grid
+    (built from the bounded class table, so classes MISSING a segment
+    still contribute that segment's full global mass), then a
+    class-keyed re-aggregate — the fact table is scanned once."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(*L_QUASI, SENSITIVE_COL).agg(
+        F.count("*").cast("long").alias("n_cs")
+    )
+    classes = cells.groupBy(*L_QUASI).agg(
+        F.sum("n_cs").cast("long").alias("class_size")
+    )
+    glob = cells.groupBy(SENSITIVE_COL).agg(
+        F.sum("n_cs").cast("long").alias("g_s")
+    )
+    total = glob.agg(F.sum("g_s").cast("long").alias("n_total"))
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(total))
+        .join(cells, [*L_QUASI, SENSITIVE_COL], "left")
+        .select(
+            *L_QUASI,
+            "class_size",
+            "n_total",
+            F.abs(
+                F.coalesce(F.col("n_cs"), F.lit(0)) * F.col("n_total")
+                - F.col("g_s") * F.col("class_size")
+            )
+            .cast("long")
+            .alias("abs_num"),
+        )
+    )
+    return (
+        grid.groupBy(*L_QUASI)
+        .agg(
+            F.max("class_size").cast("long").alias("class_size"),
+            F.sum("abs_num").cast("long").alias("_num"),
+            F.max("n_total").alias("_n"),
+        )
+        .select(
+            *L_QUASI,
+            "class_size",
+            F.round(
+                F.col("_num") / (2.0 * F.col("class_size") * F.col("_n")), 6
+            ).alias("emd"),
+            (
+                F.col("_num") / (2.0 * F.col("class_size") * F.col("_n"))
+                > t_max
+            )
+            .cast("long")
+            .alias("above_t"),
+        )
+    )
+
+
 def shuffle_skew_report(
     spark: SparkSession, sf_dir: str, table: str = "lineitem",
     key: str = "l_suppkey", sample_hash_bits: int | None = None,

@@ -598,3 +598,128 @@ def test_streaming_trigram_finalize_matches_batch(spark, sf_smoke, tmp_path):
     }
     expect = {tuple(r) for r in kneser_ney3_logppl(spark, sf_smoke).collect()}
     assert got == expect and got
+
+
+# ---- t-closeness ---------------------------------------------------------
+
+
+def test_t_closeness_matches_python_recompute(spark):
+    """EMD per nation recomputed in plain Python (pandas) from the
+    same parquet — total variation between class and global
+    market-segment distributions."""
+    import pandas as pd
+
+    from mimir_spark.operators.profiling import t_closeness_report
+
+    got = {
+        r["c_nationkey"]: (r["class_size"], r["emd"], r["above_t"])
+        for r in t_closeness_report(spark, SF_SMOKE).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[
+        ["c_nationkey", "c_mktsegment"]
+    ]
+    glob = pdf["c_mktsegment"].value_counts()
+    n_total = len(pdf)
+    assert set(got) == set(pdf["c_nationkey"].unique())
+    for nk, grp in pdf.groupby("c_nationkey"):
+        cls = grp["c_mktsegment"].value_counts()
+        n_c = len(grp)
+        emd = 0.5 * sum(
+            abs(cls.get(s, 0) / n_c - glob[s] / n_total) for s in glob.index
+        )
+        size, got_emd, above = got[nk]
+        assert size == n_c
+        assert abs(got_emd - emd) < 1e-6
+        assert above == (1 if emd > 0.2 else 0)
+
+
+def test_t_closeness_emd_bounds(spark):
+    """EMD is a total-variation distance: every class lands in
+    [0, 1], and the flag agrees with the reported value."""
+    from mimir_spark.operators.profiling import t_closeness_report
+
+    rows = t_closeness_report(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["emd"] <= 1.0
+        if r["emd"] > 0.200001:
+            assert r["above_t"] == 1
+        if r["emd"] < 0.199999:
+            assert r["above_t"] == 0
+
+
+# ---- PSI feature drift ---------------------------------------------------
+
+
+def test_psi_identical_snapshots_zero(spark):
+    """drift_psi(ref, ref) is exactly 0 for every type: identical
+    counts make every Laplace term pr == pc."""
+    from mimir_spark.operators.features import drift_psi
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = drift_psi(ev, ev).collect()
+    assert rows
+    for r in rows:
+        assert r["psi"] == 0.0
+        assert r["drifted"] == 0
+        assert r["n_ref"] == r["n_cur"]
+
+
+def test_psi_flags_injected_shift_only(spark):
+    """The wrapper's +25 purchase shift is the one drifted type; the
+    unshifted types (same generator, split by user parity) stay under
+    the 0.1 'watch' threshold."""
+    from mimir_spark.operators.features import feature_drift_psi
+
+    got = {
+        r["event_type"]: (r["psi"], r["drifted"])
+        for r in feature_drift_psi(spark, SF_CORRECT).collect()
+    }
+    assert got["purchase"][1] == 1
+    for t, (psi, flag) in got.items():
+        if t != "purchase":
+            assert flag == 0
+            assert psi < 0.1
+
+
+def test_psi_matches_python_recompute(spark):
+    """PSI for every type recomputed in plain Python from the same
+    parquet (same binning + Laplace smoothing)."""
+    import math
+
+    import pandas as pd
+
+    from mimir_spark.operators.features import feature_drift_psi
+
+    got = {
+        r["event_type"]: r["psi"]
+        for r in feature_drift_psi(spark, SF_SMOKE).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_type", "value"]
+    ]
+    ref = pdf[pdf.user_id % 2 == 0]
+    cur = pdf[pdf.user_id % 2 == 1].copy()
+    cur.loc[cur.event_type == "purchase", "value"] += 25.0
+    for t in sorted(pdf.event_type.unique()):
+        rv = ref[ref.event_type == t]["value"].to_numpy()
+        cv = cur[cur.event_type == t]["value"].to_numpy()
+        vmin, vmax = rv.min(), rv.max()
+
+        def bins(v):
+            import numpy as np
+
+            if vmax == vmin:
+                return np.zeros(len(v), dtype=int)
+            b = np.floor(((v - vmin) / (vmax - vmin)) * 10).astype(int)
+            return np.clip(b, 0, 9)
+
+        nr = pd.Series(bins(rv)).value_counts()
+        nc = pd.Series(bins(cv)).value_counts()
+        psi = 0.0
+        for b in range(10):
+            pr = (nr.get(b, 0) + 1.0) / (len(rv) + 10.0)
+            pc = (nc.get(b, 0) + 1.0) / (len(cv) + 10.0)
+            psi += (pr - pc) * math.log(pr / pc)
+        assert abs(got[t] - psi) < 1e-6, t
