@@ -69,6 +69,7 @@ _R11_WINDOW = [
     "dedup_survivors_capped",
     "t_closeness_report",
     "feature_drift_psi",
+    "gopher_repetition_filter",
     # contract / implementation changes this round (tie-robust within
     # flag; JPEG marker-walk fixes; in-plan history guard)
     "approx_quantiles",
@@ -116,7 +117,6 @@ _R11_WINDOW = [
     "ann_bruteforce_topk",
     "ann_range_search",
     "knn_graph",
-    "anomaly_zscore",
 ]
 
 
@@ -142,6 +142,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_report": profiling.l_diversity_report,
         "t_closeness_report": profiling.t_closeness_report,
         "feature_drift_psi": features.feature_drift_psi,
+        "gopher_repetition_filter": quality.gopher_repetition_filter,
         "unicode_nfc_scan": textstats2.unicode_nfc_scan,
         "hypertable_gap_fill": relational.hypertable_gap_fill,
         "time_weighted_avg": relational.time_weighted_avg,
@@ -2876,6 +2877,92 @@ def oracle_sql() -> dict[str, str]:
                     / (2.0 * max(class_size) * max(n_total)) > 0.2)::BIGINT
                      AS above_t
             FROM grid GROUP BY c_nationkey
+        """,
+        "gopher_repetition_filter": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents),
+            base AS (
+              SELECT doc_id, tk, len(tk) AS ntok,
+                     list_transform(tk, t -> length(t)) AS lens,
+                     coalesce(list_sum(
+                       list_transform(tk, t -> length(t))), 0)::BIGINT
+                       AS total
+              FROM toks),
+            pos AS (
+              SELECT doc_id, tk, lens, ntok, total,
+                     unnest(generate_series(1, ntok)) AS i
+              FROM base),
+            grams AS (
+              SELECT p.doc_id, v.n, p.i, p.total,
+                     list_sum(p.lens[p.i : p.i + v.n - 1])::BIGINT
+                       AS gchars,
+                     array_to_string(p.tk[p.i : p.i + v.n - 1], chr(1))
+                       AS gram
+              FROM pos p CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),
+                                            (9),(10)) v(n)
+              WHERE p.i + v.n - 1 <= p.ntok),
+            gcnt AS (
+              SELECT doc_id, n, gram, count(*)::BIGINT AS c,
+                     max(gchars)::BIGINT AS gch
+              FROM grams WHERE n <= 4 GROUP BY 1, 2, 3),
+            topw AS (
+              SELECT doc_id, n, c, gch,
+                     max(c) OVER (PARTITION BY doc_id, n) AS cmax
+              FROM gcnt),
+            topf AS (
+              SELECT doc_id, n, max(cmax)::BIGINT AS c,
+                     max(CASE WHEN c = cmax THEN gch END)::BIGINT AS h
+              FROM topw GROUP BY 1, 2),
+            dupg AS (
+              SELECT doc_id, n, gram FROM grams WHERE n >= 5
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+            covpos AS (
+              SELECT DISTINCT doc_id, n, j FROM (
+                SELECT g.doc_id, g.n,
+                       unnest(generate_series(g.i, g.i + g.n - 1)) AS j
+                FROM grams g JOIN dupg d USING (doc_id, n, gram))),
+            covsum AS (
+              SELECT c.doc_id, c.n, sum(b.lens[c.j])::BIGINT AS cch
+              FROM covpos c JOIN base b USING (doc_id) GROUP BY 1, 2),
+            assembled AS (
+              SELECT b.doc_id,
+                coalesce(max(CASE WHEN b.total > 0 AND t.n = 2
+                             THEN (t.c * t.h) / b.total END), 0) AS f2,
+                coalesce(max(CASE WHEN b.total > 0 AND t.n = 3
+                             THEN (t.c * t.h) / b.total END), 0) AS f3,
+                coalesce(max(CASE WHEN b.total > 0 AND t.n = 4
+                             THEN (t.c * t.h) / b.total END), 0) AS f4,
+                coalesce(max(CASE WHEN b.total > 0 AND c.n = 5
+                             THEN c.cch / b.total END), 0) AS d5,
+                coalesce(max(CASE WHEN b.total > 0 AND c.n = 6
+                             THEN c.cch / b.total END), 0) AS d6,
+                coalesce(max(CASE WHEN b.total > 0 AND c.n = 7
+                             THEN c.cch / b.total END), 0) AS d7,
+                coalesce(max(CASE WHEN b.total > 0 AND c.n = 8
+                             THEN c.cch / b.total END), 0) AS d8,
+                coalesce(max(CASE WHEN b.total > 0 AND c.n = 9
+                             THEN c.cch / b.total END), 0) AS d9,
+                coalesce(max(CASE WHEN b.total > 0 AND c.n = 10
+                             THEN c.cch / b.total END), 0) AS d10
+              FROM base b
+              LEFT JOIN topf t USING (doc_id)
+              LEFT JOIN covsum c USING (doc_id)
+              GROUP BY b.doc_id)
+            SELECT doc_id,
+                   round(f2, 6) AS top2_frac, round(f3, 6) AS top3_frac,
+                   round(f4, 6) AS top4_frac, round(d5, 6) AS dup5_frac,
+                   round(d6, 6) AS dup6_frac, round(d7, 6) AS dup7_frac,
+                   round(d8, 6) AS dup8_frac, round(d9, 6) AS dup9_frac,
+                   round(d10, 6) AS dup10_frac,
+                   (round(f2, 6) <= 0.20 AND round(f3, 6) <= 0.18
+                    AND round(f4, 6) <= 0.16 AND round(d5, 6) <= 0.15
+                    AND round(d6, 6) <= 0.14 AND round(d7, 6) <= 0.13
+                    AND round(d8, 6) <= 0.12 AND round(d9, 6) <= 0.11
+                    AND round(d10, 6) <= 0.10)::BIGINT AS pass
+            FROM assembled
         """,
         "feature_drift_psi": """
             WITH ref AS (

@@ -586,3 +586,141 @@ def kneser_ney3_from_parts(dabc: DataFrame) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+# ---- Gopher repetition rules (round 11) -----------------------------------
+
+# (fraction column, threshold) — Rae et al. 2021, Table A1; a doc is
+# filtered when a fraction EXCEEDS its threshold. The line/paragraph
+# rules need line structure this corpus doesn't have (single-space
+# token streams); the n-gram rules are the complete remaining family.
+REPETITION_THRESHOLDS = (
+    ("top2_frac", 0.20),
+    ("top3_frac", 0.18),
+    ("top4_frac", 0.16),
+    ("dup5_frac", 0.15),
+    ("dup6_frac", 0.14),
+    ("dup7_frac", 0.13),
+    ("dup8_frac", 0.12),
+    ("dup9_frac", 0.11),
+    ("dup10_frac", 0.10),
+)
+
+
+def repetition_stats(text: str) -> dict:
+    """Per-doc n-gram repetition fractions (pure function — the unit
+    the Arrow kernel maps over and tests exercise with crafted text):
+    top-n-gram char fraction for n=2..4, duplicate-n-gram coverage
+    char fraction for n=5..10. See gopher_repetition_filter."""
+    from mimir_spark.functions.pykernels import JAVA_WS
+
+    toks = [t for t in JAVA_WS.split(text) if t] if text else []
+    lens = [len(t) for t in toks]
+    total = sum(lens)
+    nt = len(toks)
+    out = {}
+    for n in (2, 3, 4):
+        frac = 0.0
+        if total and nt >= n:
+            cnt: dict = {}
+            csum: dict = {}
+            w = sum(lens[:n])
+            for i in range(nt - n + 1):
+                if i:
+                    w += lens[i + n - 1] - lens[i - 1]
+                g = "\x00".join(toks[i : i + n])
+                c = cnt.get(g)
+                if c is None:
+                    cnt[g] = 1
+                    csum[g] = w
+                else:
+                    cnt[g] = c + 1
+            cmax = max(cnt.values())
+            h = max(csum[g] for g, c in cnt.items() if c == cmax)
+            frac = (cmax * h) / total
+        out[f"top{n}_frac"] = frac
+    for n in range(5, 11):
+        frac = 0.0
+        if total and nt >= n:
+            cnt = {}
+            grams = []
+            for i in range(nt - n + 1):
+                g = "\x00".join(toks[i : i + n])
+                grams.append(g)
+                cnt[g] = cnt.get(g, 0) + 1
+            covered = bytearray(nt)
+            for i, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered[i : i + n] = b"\x01" * n
+            if any(covered):
+                frac = (
+                    sum(l for l, c in zip(lens, covered) if c) / total
+                )
+        out[f"dup{n}_frac"] = frac
+    return out
+
+
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of the published Gopher/MassiveText gate (the
+    word-level rules live in gopher_quality_filter): per-doc n-gram
+    REPETITION fractions —
+
+    - top-n-gram character fraction (n = 2, 3, 4): characters claimed
+      by the most frequent n-gram = C·H / total_chars, where C is the
+      max occurrence count and H the char length (sum of token
+      lengths) of the longest n-gram attaining C — the (count, chars)
+      pair determines the fraction, so no lexicographic tie-break is
+      needed;
+    - duplicate-n-gram character fraction (n = 5..10): characters at
+      token positions covered by ANY occurrence of an n-gram that
+      appears ≥2 times in the doc (positions counted once — the
+      paper's "without double-counting" coverage semantics);
+
+    plus the combined pass flag under the published thresholds.
+
+    Scale shape: every statistic is doc-local, so the whole operator
+    is ONE map-only Arrow pass — no shuffle at any corpus size (the
+    per-doc dict state is bounded by that doc's token count). The
+    JVM-expression alternative (explode 9 n-gram tables + doc-keyed
+    groupBy) shuffles ~9× the corpus tokens for the same answer.
+
+    Portability: fractions are single IEEE divisions of exact
+    integers (C·H, covered chars, total chars < 2^53), bit-equal in
+    any engine; flags compare 6dp-rounded values on both sides.
+    Tokenization is the Java \\s class shared with the sketch family
+    (functions/pykernels.JAVA_WS)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    out_schema = (
+        "doc_id long, top2_frac double, top3_frac double, top4_frac double, "
+        "dup5_frac double, dup6_frac double, dup7_frac double, "
+        "dup8_frac double, dup9_frac double, dup10_frac double"
+    )
+
+    def _rep_kernel(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+            }
+            cols = {name: [] for name, _ in REPETITION_THRESHOLDS}
+            for text in pdf["text"]:
+                stats = repetition_stats(text)
+                for name, _ in REPETITION_THRESHOLDS:
+                    cols[name].append(stats[name])
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    raw = docs.select("doc_id", "text").mapInPandas(_rep_kernel, out_schema)
+    rounded = raw.select(
+        "doc_id",
+        *[
+            F.round(F.col(name), 6).alias(name)
+            for name, _ in REPETITION_THRESHOLDS
+        ],
+    )
+    passed = F.lit(True)
+    for name, thr in REPETITION_THRESHOLDS:
+        passed = passed & (F.col(name) <= F.lit(thr))
+    return rounded.withColumn("pass", passed.cast("long"))

@@ -681,3 +681,14 @@ def test_hybrid_rrf_pools_are_take_ordered(spark, sf_smoke):
     plan = formatted_plan(hybrid_rrf(spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort [cos" not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_gopher_repetition_filter_is_map_only(spark, sf_smoke):
+    """Every repetition statistic is doc-local, so the plan must be a
+    single Arrow map pass over the scan — ZERO exchanges (the
+    explode-and-groupBy alternative shuffles ~9x the corpus tokens)."""
+    from mimir_spark.operators.quality import gopher_repetition_filter
+
+    plan = formatted_plan(gopher_repetition_filter(spark, sf_smoke))
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema" in plan and "text" in plan

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from mimir_spark.operators import corpus, dedup, features, quality, similarity
 from mimir_spark.plans.checks import assert_no_cartesian, formatted_plan
 from mimir_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
 
 
 def test_gopher_flags_consistent(spark, sf_smoke):
@@ -228,3 +229,106 @@ def test_dedup_span_removal_semantics(spark, sf_smoke):
             load_table(spark, sf_smoke, "documents").collect()}
     clean = next(r for r in out.values() if r.n_removed == 0)
     assert clean.cleaned_text == " ".join(docs[clean.doc_id].split())
+
+
+# ---- Gopher repetition rules (round 11) -----------------------------------
+
+
+def test_repetition_stats_hand_computed():
+    from mimir_spark.operators.quality import repetition_stats
+
+    # "a b" occurs 3x out of 5 bigrams; chars = 2, total = 6
+    s = repetition_stats("a b a b a b")
+    assert s["top2_frac"] == (3 * 2) / 6
+    # the repeated 5-gram covers 10 of 11 positions
+    t = "one two three four five x one two three four five"
+    s = repetition_stats(t)
+    total = sum(len(w) for w in t.split())
+    covered = total - 1  # only 'x' uncovered
+    assert s["dup5_frac"] == covered / total
+    # no 6-gram repeats in that text
+    assert s["dup6_frac"] == 0.0
+    # empty / short docs: all zero
+    assert all(v == 0.0 for v in repetition_stats("").values())
+    assert all(v == 0.0 for v in repetition_stats("solo").values())
+
+
+def test_repetition_top_tie_takes_longest():
+    """Two bigrams tie at count 2: the fraction uses the LONGER one's
+    chars (the (count, chars) maximum, no lexicographic dependence)."""
+    from mimir_spark.operators.quality import repetition_stats
+
+    s = repetition_stats("aa bbbb aa bbbb x y")
+    total = 2 + 4 + 2 + 4 + 1 + 1
+    # 'aa bbbb' count 2 chars 6; 'bbbb aa' count 1 — top = 2*6
+    assert s["top2_frac"] == (2 * 6) / total
+
+
+def test_repetition_oracle_sql_matches_kernel_on_crafted_docs():
+    """The DuckDB oracle's coverage path (dup5..10 > 0) agrees with
+    the Python kernel on crafted repetitive docs — the real corpus has
+    zero dup5+ mass, so this is the only exercise of that SQL path."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from mimir_spark.operators.quality import (
+        REPETITION_THRESHOLDS,
+        repetition_stats,
+    )
+
+    docs = [
+        (1, "a b a b a b"),
+        (2, "one two three four five x one two three four five"),
+        (3, "p q r s t u v p q r s t u v p q r s t u v"),  # 7-gram x3
+        (4, "unique words only here never repeating anything at all"),
+        (5, ""),
+        (6, "w " * 30),  # one token repeated: every n covers all
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in docs)
+        + ") AS v(doc_id, text)"
+    )
+    sql = entrymod.oracle_sql()["gopher_repetition_filter"]
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(
+            "SELECT * FROM (" + sql + ") ORDER BY doc_id"
+        ).fetchall()
+    }
+    for doc_id, text in docs:
+        stats = repetition_stats(text)
+        expect = [round(stats[name], 6) for name, _ in REPETITION_THRESHOLDS]
+        expect_pass = int(
+            all(
+                round(stats[name], 6) <= thr
+                for name, thr in REPETITION_THRESHOLDS
+            )
+        )
+        assert list(got[doc_id])[:-1] == expect, (doc_id, got[doc_id])
+        assert got[doc_id][-1] == expect_pass
+
+
+def test_repetition_filter_matches_per_doc_recompute(spark):
+    from mimir_spark.operators.quality import (
+        REPETITION_THRESHOLDS,
+        gopher_repetition_filter,
+        repetition_stats,
+    )
+
+    import pandas as pd
+
+    got = {
+        r["doc_id"]: r
+        for r in gopher_repetition_filter(spark, SF_SMOKE).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    assert len(got) == len(pdf)
+    n_fail = 0
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        stats = repetition_stats(text)
+        for name, thr in REPETITION_THRESHOLDS:
+            assert got[doc_id][name] == round(stats[name], 6)
+        n_fail += 1 - got[doc_id]["pass"]
+    assert n_fail > 0  # the gate actually fires on this corpus
