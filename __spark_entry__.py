@@ -70,6 +70,8 @@ _R11_WINDOW = [
     "t_closeness_report",
     "feature_drift_psi",
     "gopher_repetition_filter",
+    "ann_sq_topk",
+    "ann_sq_recall",
     # contract / implementation changes this round (tie-robust within
     # flag; JPEG marker-walk fixes; in-plan history guard)
     "approx_quantiles",
@@ -115,8 +117,6 @@ _R11_WINDOW = [
     "dup_span_fraction",
     "dup_span_islands",
     "ann_bruteforce_topk",
-    "ann_range_search",
-    "knn_graph",
 ]
 
 
@@ -155,6 +155,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": clustering.embedding_gram,
         # (new round-9 keys are inserted here as they land)
         "corpus_keep_list": pipeline.corpus_keep_list,
+        "ann_sq_topk": pq.ann_sq_topk,
+        "ann_sq_recall": pq.ann_sq_recall,
         "ann_pq_topk": pq.ann_pq_topk,
         "ann_pq_rerank_topk": pq.ann_pq_rerank_topk,
         "ann_pq_recall": pq.ann_pq_recall,
@@ -1384,6 +1386,87 @@ def _pq_rerank_sql(topk: int = 5, shortlist: int = 64) -> str:
     )
 
 
+def _sq_chain(levels: int = 256, dim: int = 64, topk: int = 5) -> str:
+    """CTE chain reproducing the SQ8 pipeline (operators.pq
+    ann_sq_topk): same normalization as _pq_chain, per-dim min/max
+    bounds, clamp-floor encode, midpoint decode, fixed-order dot fold
+    rounded to 6dp. Ends at CTE `sqtop`."""
+    return f"""WITH pts AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> y::DOUBLE * y::DOUBLE)))) AS e
+          FROM embeddings),
+        dmm AS (
+          SELECT d, min(e[d]) AS mn, max(e[d]) AS mx
+          FROM pts CROSS JOIN
+               (SELECT unnest(generate_series(1, {dim})) AS d) ds
+          GROUP BY d),
+        bounds AS MATERIALIZED (
+          SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+          FROM dmm),
+        codes AS MATERIALIZED (
+          SELECT p.vec_id AS neighbor_id,
+                 list_transform(generate_series(1, {dim}), j ->
+                   (CASE WHEN b.mxs[j] = b.mns[j] THEN 0
+                         ELSE least(greatest(floor(((p.e[j] - b.mns[j])
+                              / (b.mxs[j] - b.mns[j])) * {levels}), 0),
+                              {levels - 1}) END)::BIGINT) AS code
+          FROM pts p CROSS JOIN bounds b),
+        sqscored AS (
+          SELECT q.vec_id AS query_id, c.neighbor_id,
+                 round(list_sum(list_transform(generate_series(1, {dim}),
+                   j -> q.e[j] * (b.mns[j]
+                        + ((c.code[j] + 0.5) / {levels}.0)
+                        * (b.mxs[j] - b.mns[j])))), 6) AS sqdot
+          FROM codes c CROSS JOIN bounds b
+          JOIN pts q ON q.vec_id < 10 AND q.vec_id <> c.neighbor_id),
+        sqtop AS (
+          SELECT query_id, neighbor_id, sqdot,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sqdot DESC, neighbor_id)::BIGINT AS rank
+          FROM sqscored)"""
+
+
+def _sq_topk_sql(topk: int = 5) -> str:
+    return (
+        _sq_chain()
+        + f"""
+        SELECT query_id, neighbor_id, sqdot, rank FROM sqtop
+        WHERE rank <= {topk}"""
+    )
+
+
+def _sq_recall_sql(topk: int = 5) -> str:
+    cos_tb = _raw_cos("a.ce", "b.ce")
+    return (
+        _sq_chain()
+        + f"""
+        , corpus AS MATERIALIZED (
+          SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS ce
+          FROM embeddings)
+        , truth AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT a.neighbor_id AS query_id, b.neighbor_id,
+                   row_number() OVER (PARTITION BY a.neighbor_id
+                      ORDER BY round({cos_tb}, 6) DESC, b.neighbor_id)
+                     AS rank
+            FROM corpus a JOIN corpus b
+              ON a.neighbor_id <> b.neighbor_id
+            WHERE a.neighbor_id < 10) t WHERE rank <= {topk})
+        SELECT t.query_id,
+               sum(CASE WHEN p.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+               round(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / {topk}e0, 6) AS recall
+        FROM truth t LEFT JOIN (
+          SELECT query_id, neighbor_id FROM sqtop WHERE rank <= {topk}) p
+          ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id"""
+    )
+
+
 def _pq_recall_sql(topk: int = 5) -> str:
     cos_tb = _raw_cos("a.ce", "b.ce")
     return (
@@ -2163,6 +2246,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
+        "ann_sq_topk": _sq_topk_sql(),
+        "ann_sq_recall": _sq_recall_sql(),
         "ann_pq_topk": _pq_topk_sql(),
         "ann_pq_rerank_topk": _pq_rerank_sql(),
         "ann_pq_recall": _pq_recall_sql(),

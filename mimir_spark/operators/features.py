@@ -466,15 +466,28 @@ def drift_psi(ref: DataFrame, cur: DataFrame, n_bins: int = PSI_BINS) -> DataFra
     Portability: bin = floor(((v−vmin)/(vmax−vmin))·n) with this
     exact parenthesization on both engines; min/max are raw data
     values, so every input to floor/ln is bit-identical."""
-    tagged = ref.select(
-        "event_type", "value", F.lit(0).alias("side")
-    ).unionByName(cur.select("event_type", "value", F.lit(1).alias("side")))
-    stats = ref.groupBy("event_type").agg(
+    stats = psi_ref_stats(ref)
+    ref_cells = psi_binned_counts(ref, stats, n_bins)
+    cur_cells = psi_binned_counts(cur, stats, n_bins)
+    return psi_from_counts(ref_cells, cur_cells, stats, n_bins)
+
+
+def psi_ref_stats(ref: DataFrame) -> DataFrame:
+    """Per-type (vmin, vmax) of the reference snapshot — the frozen
+    bin-edge metadata every PSI consumer (batch or streaming) shares."""
+    return ref.groupBy("event_type").agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
-    binned = tagged.join(F.broadcast(stats), "event_type").select(
+
+
+def psi_binned_counts(
+    df: DataFrame, stats: DataFrame, n_bins: int = PSI_BINS
+) -> DataFrame:
+    """(event_type, bin, cnt) under the reference bin edges — the
+    sum-monoid partial both the batch op and the streaming twin fold
+    (counts over disjoint batches simply add)."""
+    binned = df.join(F.broadcast(stats), "event_type").select(
         "event_type",
-        "side",
         F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
         .otherwise(
             F.least(
@@ -494,23 +507,41 @@ def drift_psi(ref: DataFrame, cur: DataFrame, n_bins: int = PSI_BINS) -> DataFra
         .cast("long")
         .alias("bin"),
     )
-    cells = binned.groupBy("event_type", "bin").agg(
-        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("nr"),
-        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("nc"),
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("cnt")
     )
+
+
+def psi_from_counts(
+    ref_cells: DataFrame,
+    cur_cells: DataFrame,
+    stats: DataFrame,
+    n_bins: int = PSI_BINS,
+) -> DataFrame:
+    """PSI per type from the two (event_type, bin, cnt) partials —
+    the shared finalizer (streaming merges its store into cur_cells
+    and lands here)."""
     spine = stats.select(
         "event_type",
         F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_b"),
     ).select("event_type", F.col("_b").cast("long").alias("bin"))
-    full = spine.join(cells, ["event_type", "bin"], "left").select(
-        "event_type",
-        "bin",
-        F.coalesce("nr", F.lit(0)).cast("long").alias("nr"),
-        F.coalesce("nc", F.lit(0)).cast("long").alias("nc"),
+    full = (
+        spine.join(
+            ref_cells.withColumnRenamed("cnt", "nr"),
+            ["event_type", "bin"],
+            "left",
+        )
+        .join(
+            cur_cells.withColumnRenamed("cnt", "nc"),
+            ["event_type", "bin"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("nr", F.lit(0)).cast("long").alias("nr"),
+            F.coalesce("nc", F.lit(0)).cast("long").alias("nc"),
+        )
     )
     totals = full.groupBy("event_type").agg(
         F.sum("nr").cast("long").alias("n_ref"),

@@ -723,3 +723,66 @@ def test_psi_matches_python_recompute(spark):
             pc = (nc.get(b, 0) + 1.0) / (len(cv) + 10.0)
             psi += (pr - pc) * math.log(pr / pc)
         assert abs(got[t] - psi) < 1e-6, t
+
+
+# ---- SQ8 scalar quantization ---------------------------------------------
+
+
+def test_sq_codes_in_range_and_deterministic(spark):
+    """Every code is an int in [0, 255]; encoding is a pure function
+    of the data (two runs identical)."""
+    from mimir_spark.operators.pq import _normalized_pts, sq_bounds, sq_encode
+
+    pts = _normalized_pts(spark, SF_SMOKE)
+    codes = sq_encode(pts, sq_bounds(pts))
+    rows = {r["neighbor_id"]: list(r["code"]) for r in codes.collect()}
+    assert rows
+    for code in rows.values():
+        assert len(code) == 64
+        assert all(0 <= c <= 255 for c in code)
+    again = {
+        r["neighbor_id"]: list(r["code"])
+        for r in sq_encode(pts, sq_bounds(pts)).collect()
+    }
+    assert rows == again
+
+
+def test_sq_recall_floor_beats_pq(spark):
+    """SQ8 keeps per-dim resolution this corpus's neighbor signal
+    needs: recall@5 >= 0.9 on average, strictly above flat PQ on the
+    same corpus (the quantization-grain story ann_pq_recall pins)."""
+    from mimir_spark.operators.pq import ann_pq_recall, ann_sq_recall
+
+    sq = {
+        r["query_id"]: r["recall"]
+        for r in ann_sq_recall(spark, SF_CORRECT).collect()
+    }
+    pq = {
+        r["query_id"]: r["recall"]
+        for r in ann_pq_recall(spark, SF_CORRECT).collect()
+    }
+    assert sum(sq.values()) / len(sq) >= 0.9
+    assert sum(sq.values()) > sum(pq.values())
+
+
+def test_sq_reconstruction_error_bounded(spark):
+    """Midpoint decode puts every reconstructed coordinate within
+    half a quantization step of the original: |e_d − x̂_d| ≤
+    (mx_d − mn_d)/512 (+ float slack)."""
+    import numpy as np
+
+    from mimir_spark.operators.pq import _normalized_pts, sq_bounds, sq_encode
+
+    pts = _normalized_pts(spark, SF_SMOKE)
+    bounds_row = sq_bounds(pts).collect()[0]
+    mns = np.array([bounds_row[f"mn{d}"] for d in range(64)])
+    mxs = np.array([bounds_row[f"mx{d}"] for d in range(64)])
+    raw = {r["vec_id"]: np.array(r["e"]) for r in pts.collect()}
+    codes = {
+        r["neighbor_id"]: np.array(r["code"])
+        for r in sq_encode(pts, sq_bounds(pts)).collect()
+    }
+    span = mxs - mns
+    for vid, e in raw.items():
+        decoded = mns + ((codes[vid] + 0.5) / 256.0) * span
+        assert np.all(np.abs(e - decoded) <= span / 512.0 + 1e-12)

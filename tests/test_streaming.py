@@ -1098,3 +1098,57 @@ def test_streaming_phrase_search_matches_batch(spark, sf_smoke, tmp_path):
         for r in phrase_search(spark, sf_smoke).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_psi_matches_batch(spark, sf_smoke, tmp_path):
+    """Current-side bin counts folded across micro-batches under the
+    FROZEN reference edges equal the single-pass counts cell-for-cell,
+    so the finalized PSI is bit-identical to batch drift_psi over the
+    same (ref, cur) pair — including the injected purchase drift."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.features import drift_psi
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.drift import (
+        finalize_streaming_psi,
+        streaming_psi_build,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    ref = ev.filter(F.col("user_id") % 2 == 0)
+    cur = ev.filter(F.col("user_id") % 2 == 1).withColumn(
+        "value",
+        F.when(
+            F.col("event_type") == "purchase", F.col("value") + F.lit(25.0)
+        ).otherwise(F.col("value")),
+    )
+
+    in_dir = str(tmp_path / "cur_in")
+    for m in range(3):
+        cur.filter(F.col("event_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_psi_build(
+        spark, flat, str(tmp_path / "store"), str(tmp_path / "ckpt"), ref
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in finalize_streaming_psi(
+            spark, str(tmp_path / "store"), ref
+        ).collect()
+    }
+    expect = {tuple(r) for r in drift_psi(ref, cur).collect()}
+    assert got and got == expect
+    assert any(r[-1] == 1 for r in got)  # the drifted flag survives
