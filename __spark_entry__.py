@@ -25,6 +25,7 @@ from mimir_spark.operators import (
     graph,
     ivfpq,
     lsh_index,
+    mltrain,
     multimodal,
     octree,
     packing,
@@ -72,6 +73,8 @@ _R11_WINDOW = [
     "gopher_repetition_filter",
     "ann_sq_topk",
     "ann_sq_recall",
+    "logreg_train_quality",
+    "logreg_score_quality",
     # contract / implementation changes this round (tie-robust within
     # flag; JPEG marker-walk fixes; in-plan history guard)
     "approx_quantiles",
@@ -115,8 +118,6 @@ _R11_WINDOW = [
     "dedup_survivors",
     "dedup_span_removal",
     "dup_span_fraction",
-    "dup_span_islands",
-    "ann_bruteforce_topk",
 ]
 
 
@@ -155,6 +156,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": clustering.embedding_gram,
         # (new round-9 keys are inserted here as they land)
         "corpus_keep_list": pipeline.corpus_keep_list,
+        "logreg_train_quality": mltrain.logreg_train_quality,
+        "logreg_score_quality": mltrain.logreg_score_quality,
         "ann_sq_topk": pq.ann_sq_topk,
         "ann_sq_recall": pq.ann_sq_recall,
         "ann_pq_topk": pq.ann_pq_topk,
@@ -1386,6 +1389,90 @@ def _pq_rerank_sql(topk: int = 5, shortlist: int = 64) -> str:
     )
 
 
+def _logreg_ctes(iters: int = 30, lr: float = 5.0) -> str:
+    """CTE chain reproducing the GD logistic-regression trainer
+    (operators.mltrain): gopher-statistic features, then one
+    MATERIALIZED round CTE per GD step — z as the identical
+    left-assoc w·x chain, sigmoid 1/(1+exp(−z)), update
+    w − lr·Σgrad/n rounded to the shared 6dp grid. Ends at CTEs
+    `feat`, `nn`, `r{iters}`."""
+    base = r"""WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS toks,
+                 length(regexp_replace(text, '\s+', '', 'g')) AS swl
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(toks)::BIGINT AS n_words,
+                 round(swl / len(toks), 6) AS mean_word_len,
+                 round(len(list_filter(toks,
+                     x -> contains(x, '#') OR contains(x, '...')))
+                     / len(toks), 6) AS symbol_ratio,
+                 round(len(list_filter(toks,
+                     x -> regexp_matches(x, '[A-Za-z]')))
+                     / len(toks), 6) AS alpha_word_ratio,
+                 len(list_filter(toks, x -> x IN
+                     ('the','be','to','of','and','that','have','with')
+                     ))::BIGINT AS n_stopwords
+          FROM t),
+        feat AS MATERIALIZED (
+          SELECT doc_id, 1.0 AS x0,
+                 (n_words - 100.0) / 100.0 AS x1,
+                 mean_word_len - 4.5 AS x2,
+                 (n_stopwords - 2.0) / 2.0 AS x3,
+                 ((n_words BETWEEN 50 AND 100000)
+                  AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                  AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+                  AND n_stopwords >= 2)::BIGINT::DOUBLE AS y
+          FROM m),
+        nn AS (SELECT count(*)::BIGINT AS n FROM feat)"""
+    parts = [base]
+    xs = ["x0", "x1", "x2", "x3"]
+    for t in range(1, iters + 1):
+        if t == 1:
+            z = " + ".join(f"0.0*{x}" for x in xs)
+            w_prev = ["0.0"] * len(xs)
+            src = "FROM feat, nn"
+        else:
+            z = " + ".join(f"p.w{j}*{xs[j]}" for j in range(len(xs)))
+            w_prev = [f"max(p.w{j})" for j in range(len(xs))]
+            src = f"FROM feat, nn, r{t - 1} p"
+        cols = ",\n                 ".join(
+            f"round({w_prev[j]} - {lr!r} * sum((1.0/(1.0+exp(-({z})))"
+            f" - y) * {xs[j]}) / max(nn.n), 6) AS w{j}"
+            for j in range(len(xs))
+        )
+        parts.append(
+            f""", r{t} AS MATERIALIZED (
+          SELECT {cols}
+          {src})"""
+        )
+    return "".join(parts)
+
+
+def _logreg_train_sql(iters: int = 30, lr: float = 5.0) -> str:
+    rounds = "\n            UNION ALL ".join(
+        f"SELECT {t}::BIGINT AS step, w0, w1, w2, w3 FROM r{t}"
+        for t in range(1, iters + 1)
+    )
+    return _logreg_ctes(iters, lr) + "\n            " + rounds
+
+
+def _logreg_score_sql(iters: int = 30, lr: float = 5.0) -> str:
+    z = " + ".join(f"w.w{j}*x{j}" for j in range(4))
+    return (
+        _logreg_ctes(iters, lr)
+        + f"""
+        SELECT doc_id, prob, (prob >= 0.5)::BIGINT AS pred, label,
+               ((prob >= 0.5)::BIGINT = label)::BIGINT AS correct
+        FROM (SELECT doc_id,
+                     round(1.0/(1.0+exp(-({z}))), 6) AS prob,
+                     y::BIGINT AS label
+              FROM feat, r{iters} w)"""
+    )
+
+
 def _sq_chain(levels: int = 256, dim: int = 64, topk: int = 5) -> str:
     """CTE chain reproducing the SQ8 pipeline (operators.pq
     ann_sq_topk): same normalization as _pq_chain, per-dim min/max
@@ -2246,6 +2333,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
+        "logreg_train_quality": _logreg_train_sql(),
+        "logreg_score_quality": _logreg_score_sql(),
         "ann_sq_topk": _sq_topk_sql(),
         "ann_sq_recall": _sq_recall_sql(),
         "ann_pq_topk": _pq_topk_sql(),

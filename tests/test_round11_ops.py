@@ -786,3 +786,71 @@ def test_sq_reconstruction_error_bounded(spark):
     for vid, e in raw.items():
         decoded = mns + ((codes[vid] + 0.5) / 256.0) * span
         assert np.all(np.abs(e - decoded) <= span / 512.0 + 1e-12)
+
+
+# ---- distributed logistic regression -------------------------------------
+
+
+def test_logreg_distills_gopher_gate(spark):
+    """The trained linear scorer reproduces the rule verdict on >=90%
+    of docs at sf0.01 — the distillation actually works."""
+    from mimir_spark.operators.mltrain import logreg_score_quality
+
+    rows = logreg_score_quality(spark, SF_CORRECT).collect()
+    acc = sum(r["correct"] for r in rows) / len(rows)
+    assert acc >= 0.90
+    # both classes are actually predicted (not a constant classifier)
+    preds = {r["pred"] for r in rows}
+    assert preds == {0, 1}
+
+
+def test_logreg_matches_numpy_reference(spark):
+    """Full-batch GD recomputed in NumPy from the same features: every
+    round's weights agree on the 6dp grid (engine-sum ULP noise is
+    absorbed by the per-round rounding, the kmeans contract)."""
+    import numpy as np
+
+    from mimir_spark.operators.mltrain import (
+        LOGREG_ITERS,
+        LOGREG_LR,
+        logreg_train_quality,
+        quality_features,
+    )
+
+    got = {
+        r["step"]: (r["w0"], r["w1"], r["w2"], r["w3"])
+        for r in logreg_train_quality(spark, SF_SMOKE).collect()
+    }
+    rows = quality_features(spark, SF_SMOKE).collect()
+    X = np.array([[r["x0"], r["x1"], r["x2"], r["x3"]] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    n = len(y)
+    w = np.zeros(4)
+    for t in range(LOGREG_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = np.round(w - LOGREG_LR * (X.T @ (p - y) / n), 6)
+        assert np.allclose(np.array(got[t + 1]), w, atol=2e-6), t
+
+
+def test_logreg_loss_decreases(spark):
+    """Log-loss under the trajectory's first weights exceeds the loss
+    under the final weights — GD is actually descending."""
+    import numpy as np
+
+    from mimir_spark.operators.mltrain import (
+        logreg_train_quality,
+        quality_features,
+    )
+
+    rows = quality_features(spark, SF_CORRECT).collect()
+    X = np.array([[r["x0"], r["x1"], r["x2"], r["x3"]] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    traj = logreg_train_quality(spark, SF_CORRECT).collect()
+    w1 = np.array([traj[0][f"w{j}"] for j in range(4)])
+    wT = np.array([traj[-1][f"w{j}"] for j in range(4)])
+
+    def loss(w):
+        p = np.clip(1.0 / (1.0 + np.exp(-(X @ w))), 1e-12, 1 - 1e-12)
+        return -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+
+    assert loss(wT) < loss(w1)
