@@ -75,6 +75,8 @@ _R11_WINDOW = [
     "ann_sq_recall",
     "logreg_train_quality",
     "logreg_score_quality",
+    "minhash_bbit_jaccard",
+    "sample_weighted_k",
     # contract / implementation changes this round (tie-robust within
     # flag; JPEG marker-walk fixes; in-plan history guard)
     "approx_quantiles",
@@ -116,8 +118,6 @@ _R11_WINDOW = [
     "dedup_exact",
     "dedup_prefix",
     "dedup_survivors",
-    "dedup_span_removal",
-    "dup_span_fraction",
 ]
 
 
@@ -156,6 +156,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": clustering.embedding_gram,
         # (new round-9 keys are inserted here as they land)
         "corpus_keep_list": pipeline.corpus_keep_list,
+        "minhash_bbit_jaccard": dedup.minhash_bbit_jaccard,
+        "sample_weighted_k": pipeline.sample_weighted_k,
         "logreg_train_quality": mltrain.logreg_train_quality,
         "logreg_score_quality": mltrain.logreg_score_quality,
         "ann_sq_topk": pq.ann_sq_topk,
@@ -1389,6 +1391,38 @@ def _pq_rerank_sql(topk: int = 5, shortlist: int = 64) -> str:
     )
 
 
+def _bbit_sql(threshold: float = 0.5) -> str:
+    """b-bit minwise estimates over the verified LSH pair set — the
+    128 signature columns h0..h127 compared per position (full value
+    and low bit), all integer counts, replicating
+    dedup.minhash_bbit_jaccard literally."""
+    from mimir_spark.operators import dedup as _dd
+
+    n = _dd.N_HASHES
+    # list_sum over a literal list: a 128-term "+" chain exceeds the
+    # binder's expression-depth limit; integer counts are order-free.
+    n_match = "list_sum([" + ", ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(n)
+    ) + "])"
+    n_bit = "list_sum([" + ", ".join(
+        f"CASE WHEN a.h{i} % 2 = b.h{i} % 2 THEN 1 ELSE 0 END"
+        for i in range(n)
+    ) + "])"
+    return f"""WITH {_lsh_ctes(threshold)}
+        SELECT doc_a, doc_b, j_exact,
+               round(n_match / {n}.0, 6) AS j_sig,
+               round(2.0 * (n_bit / {n}.0) - 1.0, 6) AS j_bbit,
+               (abs(2.0 * (n_bit / {n}.0) - 1.0 - j_exact)
+                <= 0.353553)::BIGINT AS within_4sd
+        FROM (
+          SELECT p.doc_a, p.doc_b, p.jaccard AS j_exact,
+                 ({n_match})::BIGINT AS n_match,
+                 ({n_bit})::BIGINT AS n_bit
+          FROM lsh_pairs p
+          JOIN sig a ON a.doc_id = p.doc_a
+          JOIN sig b ON b.doc_id = p.doc_b)"""
+
+
 def _logreg_ctes(iters: int = 30, lr: float = 5.0) -> str:
     """CTE chain reproducing the GD logistic-regression trainer
     (operators.mltrain): gopher-statistic features, then one
@@ -2333,6 +2367,22 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
+        "minhash_bbit_jaccard": _bbit_sql(),
+        "sample_weighted_k": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     round(least(1.0, n_chars / 400.0), 6) AS weight,
+                     round(ln(((doc_id * 2654435761) % 4294967296 + 1.0)
+                              / 4294967296.0)
+                           / least(1.0, n_chars / 400.0), 9) AS key
+              FROM documents)
+            SELECT doc_id, lang, weight, rk FROM (
+              SELECT doc_id, lang, weight,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY key DESC, doc_id)::BIGINT AS rk
+              FROM t)
+            WHERE rk <= 16
+        """,
         "logreg_train_quality": _logreg_train_sql(),
         "logreg_score_quality": _logreg_score_sql(),
         "ann_sq_topk": _sq_topk_sql(),

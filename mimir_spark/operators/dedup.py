@@ -1252,3 +1252,74 @@ def dedup_clusters_star(
     return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+def minhash_bbit_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """b-bit minwise hashing (Li & König, WWW 2010), b = 1: keep only
+    the LOWEST BIT of each of the 128 permutation minima — the
+    signature shrinks from 1 KB to 16 BYTES per document, the
+    storage-optimal near-dup sketch at 10^10 docs (a 100 TB corpus's
+    b=1 sketch table is ~160 GB — broadcastable history for streaming
+    dedup). The price is variance, not bias: with C ≈ ½ the chance
+    two independent minima share a low bit, E[agreement] = J +
+    (1−J)/2, so Ĵ_b = 2·A − 1 is (approximately) unbiased with
+    sd ≈ 2·√(¼/128) ≈ 0.088 vs the full signature's √(J(1−J)/128).
+
+    Output: every verified LSH pair with its exact Jaccard, the
+    128-value signature estimate, the 1-bit estimate, and a flag
+    pinning |Ĵ_b − J| ≤ 4σ — the calibration artifact for choosing b.
+    All three estimates are ratios of exact integer counts: fully
+    engine-portable, no float-sum hazard.
+
+    Scale shape: identical to dedup_minhash_lsh (one Arrow kernel
+    pass, bounded bucket join) plus two candidate-sized signature
+    joins; the 128-position agreement counts are JVM zip_with folds
+    over candidate rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tbl = _minhash_doc_table(docs).localCheckpoint(eager=True)
+    cand = lsh_candidates(tbl.select("doc_id", "sig"))
+
+    sets = tbl.select("doc_id", "sh_set", "sig")
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    j_exact = F.round(
+        n_common / (F.size("sh_a") + F.size("sh_b") - n_common), 6
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    n_bit = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x % 2 == y % 2),
+            lambda v: v,
+        )
+    )
+    j_bbit_raw = F.lit(2.0) * (n_bit / F.lit(float(N_HASHES))) - F.lit(1.0)
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            j_exact.alias("j_exact"),
+            F.round(n_match / F.lit(float(N_HASHES)), 6).alias("j_sig"),
+            F.round(j_bbit_raw, 6).alias("j_bbit"),
+            (F.abs(j_bbit_raw - j_exact) <= F.lit(0.353553))
+            .cast("long")
+            .alias("within_4sd"),
+        )
+    )
+    return out.filter(F.col("j_exact") >= threshold)

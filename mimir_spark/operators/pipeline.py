@@ -258,3 +258,47 @@ def sample_quality_temperature(
         .join(docs, "doc_id")
         .select("doc_id", "lang", "source", "keep_p")
     )
+
+
+WEIGHTED_K = 16
+
+
+def sample_weighted_k(
+    spark: SparkSession, sf_dir: str, k: int = WEIGHTED_K
+) -> DataFrame:
+    """Exact-k WEIGHTED sampling without replacement per language
+    (round 11; Efraimidis & Spirakis, IPL 2006 "A-ES"): each doc draws
+    key = u^(1/w) with u the portable multiplicative hash normalized
+    to (0,1) and w = min(1, n_chars/400) (sample_weighted's length
+    weight); the k LARGEST keys per stratum are exactly a weighted
+    sample without replacement. Completes the sampling family:
+    fixed-rate (sample_stratified), fixed-size uniform
+    (sample_reservoir), weighted Bernoulli (sample_weighted,
+    drifting output size), temperature resampling — this is the
+    fixed-SIZE weighted contract.
+
+    Ranking uses ln(u)/w (monotone in u^(1/w) since both engines
+    compute the same ln inputs; the 9dp grid + doc_id tie-break pins
+    the order — the ICWS ln-portability precedent), so no pow() is
+    evaluated at all. Same WindowGroupLimit shape as sample_reservoir:
+    per-partition k-heaps before the exchange, shuffle carries
+    ≤ k·partitions rows per language at any corpus size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    u = (
+        (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD) + 1.0
+    ) / F.lit(float(_HASH_MOD))
+    wgt = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    key = F.round(F.log(u) / wgt, 9)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("key").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("key", key)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "lang", F.round(wgt, 6).alias("weight"), "rk")
+    )

@@ -854,3 +854,102 @@ def test_logreg_loss_decreases(spark):
         return -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
 
     assert loss(wT) < loss(w1)
+
+
+# ---- b-bit minwise hashing -------------------------------------------------
+
+
+def test_bbit_estimates_track_exact(spark):
+    """On the verified pair set: the full-signature estimate stays
+    within 4·sd(J) of exact, the 1-bit estimate within its (wider)
+    4·0.088 envelope (flag pinned 1), and b=1 is genuinely noisier."""
+    import math
+
+    from mimir_spark.operators.dedup import minhash_bbit_jaccard
+
+    rows = minhash_bbit_jaccard(spark, SF_CORRECT).collect()
+    assert rows
+    err_sig = err_bit = 0.0
+    for r in rows:
+        assert r["within_4sd"] == 1
+        sd_sig = math.sqrt(r["j_exact"] * (1 - r["j_exact"]) / 128) or 0.05
+        assert abs(r["j_sig"] - r["j_exact"]) <= 4.5 * sd_sig
+        err_sig += abs(r["j_sig"] - r["j_exact"])
+        err_bit += abs(r["j_bbit"] - r["j_exact"])
+    assert err_bit >= err_sig  # the storage saving costs variance
+
+
+def test_bbit_identical_texts_estimate_one(spark):
+    """Signatures are a pure function of the shingle set: two docs
+    with identical text get identical signatures, so both the full
+    and the 1-bit estimates are exactly 1.0 on a crafted pair."""
+    from mimir_spark.operators.dedup import _minhash_doc_table
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: list(r["sig"]) for r in _minhash_doc_table(docs).collect()}
+    assert rows[1] == rows[2]
+
+
+# ---- exact-k weighted sampling --------------------------------------------
+
+
+def test_weighted_k_sample_shape_and_bias(spark):
+    """Exactly k rows per language (stratum >= k here), and the
+    selection is genuinely length-BIASED: the sampled docs' mean
+    weight exceeds the stratum mean weight overall (A-ES keys favor
+    high-w docs)."""
+    from mimir_spark.operators.pipeline import WEIGHTED_K, sample_weighted_k
+    from mimir_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    got = sample_weighted_k(spark, SF_CORRECT).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        assert len(rows) == WEIGHTED_K
+        assert sorted(r["rk"] for r in rows) == list(
+            range(1, WEIGHTED_K + 1)
+        )
+    docs = load_table(spark, SF_CORRECT, "documents")
+    pop_mean = docs.agg(
+        F.avg(F.least(F.lit(1.0), F.col("n_chars") / 400.0))
+    ).collect()[0][0]
+    samp_mean = sum(r["weight"] for r in got) / len(got)
+    assert samp_mean > pop_mean
+
+
+def test_weighted_k_matches_python_aes(spark):
+    """The kept set per language equals a plain-Python A-ES recompute
+    (k largest ln(u)/w keys) from the same parquet."""
+    import math
+
+    import pandas as pd
+
+    from mimir_spark.operators.pipeline import (
+        _HASH_MOD,
+        _HASH_MULT,
+        WEIGHTED_K,
+        sample_weighted_k,
+    )
+
+    got = {}
+    for r in sample_weighted_k(spark, SF_SMOKE).collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "lang", "n_chars"]
+    ]
+    for lang, grp in pdf.groupby("lang"):
+        keys = []
+        for doc_id, n_chars in zip(grp["doc_id"], grp["n_chars"]):
+            u = ((doc_id * _HASH_MULT) % _HASH_MOD + 1.0) / float(_HASH_MOD)
+            w = min(1.0, n_chars / 400.0)
+            keys.append((round(math.log(u) / w, 9), -doc_id, doc_id))
+        keep = {
+            d for _, _, d in sorted(keys, reverse=True)[:WEIGHTED_K]
+        }
+        assert got[lang] == keep, lang
