@@ -33,6 +33,7 @@ from mimir_spark.operators import (
     pq,
     profiling,
     sketches,
+    stats,
     substr,
     quality,
     relational,
@@ -77,6 +78,7 @@ _R11_WINDOW = [
     "logreg_score_quality",
     "minhash_bbit_jaccard",
     "sample_weighted_k",
+    "bootstrap_ci_poisson",
     # contract / implementation changes this round (tie-robust within
     # flag; JPEG marker-walk fixes; in-plan history guard)
     "approx_quantiles",
@@ -117,7 +119,6 @@ _R11_WINDOW = [
     # r6-vintage fill (oldest remaining evidence)
     "dedup_exact",
     "dedup_prefix",
-    "dedup_survivors",
 ]
 
 
@@ -157,6 +158,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (new round-9 keys are inserted here as they land)
         "corpus_keep_list": pipeline.corpus_keep_list,
         "minhash_bbit_jaccard": dedup.minhash_bbit_jaccard,
+        "bootstrap_ci_poisson": stats.bootstrap_ci_poisson,
         "sample_weighted_k": pipeline.sample_weighted_k,
         "logreg_train_quality": mltrain.logreg_train_quality,
         "logreg_score_quality": mltrain.logreg_score_quality,
@@ -1391,6 +1393,58 @@ def _pq_rerank_sql(topk: int = 5, shortlist: int = 64) -> str:
     )
 
 
+def _bootstrap_sql(n_boot: int = 100) -> str:
+    """Poisson-bootstrap CI chain replicating operators.stats
+    bootstrap_ci_poisson: identical hash uniforms, identical
+    Poisson(1) inverse-CDF thresholds (repr-exact literals), 2·B
+    aggregates in one scan, unnest to replicate means, exact order-
+    statistic picks."""
+    from mimir_spark.operators.stats import _POIS1_CDF, BOOT_M31
+
+    def w_expr(b: int) -> str:
+        u = (
+            f"((cast(concat('0x', substring(md5(event_id::VARCHAR"
+            f" || ':{b}'), 1, 8)) as bigint) & {BOOT_M31})"
+            f" / {float(BOOT_M31 + 1)!r})"
+        )
+        branches = " ".join(
+            f"WHEN {u} < {t!r} THEN {k}"
+            for k, t in enumerate(_POIS1_CDF)
+        )
+        return f"(CASE {branches} ELSE {len(_POIS1_CDF)} END)"
+
+    aggs = ",\n                   ".join(
+        f"sum({w_expr(b)} * value) AS s{b},"
+        f" sum({w_expr(b)})::BIGINT AS c{b}"
+        for b in range(n_boot)
+    )
+    means = ", ".join(f"round(s{b} / c{b}, 6)" for b in range(n_boot))
+    lo = max(1, int(n_boot * 0.025))
+    hi = int(n_boot * 0.975)
+    return f"""WITH wide AS MATERIALIZED (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     round(avg(value), 6) AS mean_value,
+                   {aggs}
+              FROM events GROUP BY event_type),
+            narrow AS (
+              SELECT event_type, n, mean_value,
+                     unnest([{means}]) AS m
+              FROM wide),
+            ranked AS (
+              SELECT event_type, n, mean_value, m,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY m) AS rk
+              FROM narrow)
+            SELECT event_type, max(n)::BIGINT AS n,
+                   max(mean_value) AS mean_value,
+                   max(CASE WHEN rk = {lo} THEN m END) AS ci_lo,
+                   max(CASE WHEN rk = {hi} THEN m END) AS ci_hi,
+                   round(max(CASE WHEN rk = {hi} THEN m END)
+                         - max(CASE WHEN rk = {lo} THEN m END), 6)
+                     AS ci_width
+            FROM ranked GROUP BY event_type"""
+
+
 def _bbit_sql(threshold: float = 0.5) -> str:
     """b-bit minwise estimates over the verified LSH pair set — the
     128 signature columns h0..h127 compared per position (full value
@@ -2368,6 +2422,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
         "minhash_bbit_jaccard": _bbit_sql(),
+        "bootstrap_ci_poisson": _bootstrap_sql(),
         "sample_weighted_k": """
             WITH t AS (
               SELECT doc_id, lang,

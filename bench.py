@@ -97,6 +97,12 @@ HEADLINE = [
     # trigram type tables).
     "multimodal_dedup_images_near",
     "kneser_ney3_logppl",
+    # late round-11 additions: the Gopher n-gram repetition gate (the
+    # heaviest doc-local Arrow kernel — 9 n-gram passes per doc, zero
+    # shuffle) and the SQ8 asymmetric scan (a 64-term decode+dot fold
+    # over every code row — JVM expression-width throughput).
+    "gopher_repetition_filter",
+    "ann_sq_topk",
 ]
 
 # localCheckpoint-heavy / iterative entries materialize intermediate

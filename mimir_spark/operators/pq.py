@@ -317,42 +317,79 @@ DIM = 64
 
 def sq_bounds(pts: DataFrame) -> DataFrame:
     """1-row per-dim (min, max) over the normalized corpus — the
-    entire SQ8 'training' state (128 doubles), derived in-plan (one
-    map-side-combined aggregate) and broadcast; never collected."""
+    entire SQ8 'training' state (128 doubles). Per-batch partial
+    min/max via a NumPy Arrow kernel (a 128-aggregate JVM expression
+    over element_at of the HOF-normalized array re-evaluates the
+    normalization per aggregate — the CollapseProject trap), then a
+    64-row re-aggregate; min/max are exact whatever the
+    partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    def _partial(batches):
+        for pdf in batches:
+            E = np.array(list(pdf["e"]), dtype=np.float64)
+            if len(E) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "d": np.arange(DIM, dtype=np.int64),
+                    "mn": E.min(axis=0),
+                    "mx": E.max(axis=0),
+                }
+            )
+
+    narrow = (
+        pts.select("e")
+        .mapInPandas(_partial, "d long, mn double, mx double")
+        .groupBy("d")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+    )
     aggs = []
     for d in range(DIM):
-        e_d = F.element_at(F.col("e"), d + 1)
-        aggs.append(F.min(e_d).alias(f"mn{d}"))
-        aggs.append(F.max(e_d).alias(f"mx{d}"))
-    return pts.agg(*aggs)
+        aggs.append(
+            F.min(F.when(F.col("d") == d, F.col("mn"))).alias(f"mn{d}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("d") == d, F.col("mx"))).alias(f"mx{d}")
+        )
+    return narrow.agg(*aggs)
 
 
 def sq_encode(pts: DataFrame, bounds: DataFrame) -> DataFrame:
     """Map-only SQ8 encode: code_d = clamp(floor(((e_d − mn_d) /
     (mx_d − mn_d)) · 256), 0, 255) — one byte per dimension (stored
     as array<long> here; a production sink packs to binary). A
-    constant dimension (mx == mn) encodes 0."""
-    enc = pts.crossJoin(F.broadcast(bounds))
-    code_exprs = []
-    for d in range(DIM):
-        e_d = F.element_at(F.col("e"), d + 1)
-        mn, mx = F.col(f"mn{d}"), F.col(f"mx{d}")
-        code_exprs.append(
-            F.when(mx == mn, F.lit(0))
-            .otherwise(
-                F.least(
-                    F.greatest(
-                        F.floor(((e_d - mn) / (mx - mn)) * SQ_LEVELS),
-                        F.lit(0),
-                    ),
-                    F.lit(SQ_LEVELS - 1),
-                )
+    constant dimension (mx == mn) encodes 0. Vectorized NumPy kernel
+    per Arrow batch, elementwise-identical IEEE ops to the oracle's
+    expression (the normalized e arrives via Arrow bit-exact)."""
+    import numpy as np
+    import pandas as pd
+
+    b_row = bounds.collect()[0]  # bounded metadata: 128 doubles
+    mns = np.array([b_row[f"mn{d}"] for d in range(DIM)])
+    mxs = np.array([b_row[f"mx{d}"] for d in range(DIM)])
+    spans = mxs - mns
+    safe = np.where(spans == 0.0, 1.0, spans)
+
+    def _encode(batches):
+        for pdf in batches:
+            E = np.array(list(pdf["e"]), dtype=np.float64)
+            if len(E) == 0:
+                continue
+            C = np.clip(
+                np.floor(((E - mns) / safe) * SQ_LEVELS), 0, SQ_LEVELS - 1
+            ).astype(np.int64)
+            C[:, spans == 0.0] = 0
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["vec_id"].to_numpy(np.int64),
+                    "code": list(C),
+                }
             )
-            .cast("long")
-        )
-    return enc.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.array(*code_exprs).alias("code"),
+
+    return pts.select("vec_id", "e").mapInPandas(
+        _encode, "neighbor_id long, code array<long>"
     )
 
 
@@ -377,32 +414,70 @@ def ann_sq_topk(
     ranking window — the only shuffle.
 
     Citation (architecture): FAISS ScalarQuantizer QT_8bit; Jégou et
-    al. TPAMI'11 §II situates SQ vs PQ on the same code-budget axis."""
-    from mimir_spark.functions.vectors import dot
+    al. TPAMI'11 §II situates SQ vs PQ on the same code-budget axis.
 
-    pts = _normalized_pts(spark, sf_dir)
+    Scoring runs as a vectorized NumPy kernel per Arrow batch
+    (decode matrix + one GEMM against the broadcast query matrix)
+    with LOSSLESS batch-local top-k pruning — ann_bruteforce_topk's
+    exact shape, ~10× the per-row zip_with fold (higher-order-function
+    lambdas run interpreted, outside codegen); 6dp rounding collapses
+    the GEMM-vs-sequential summation ULPs (the bruteforce precedent)."""
+    import numpy as np
+    import pandas as pd
+
+    pts = _normalized_pts(spark, sf_dir).localCheckpoint(eager=True)
     bounds = sq_bounds(pts)
-    codes = sq_encode(pts, bounds)
-    q = pts.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    # bounded metadata: 128 doubles + N_QUERIES vectors
+    b_row = bounds.collect()[0]
+    mns = np.array([b_row[f"mn{d}"] for d in range(DIM)])
+    mxs = np.array([b_row[f"mx{d}"] for d in range(DIM)])
+    spans = mxs - mns
+    safe = np.where(spans == 0.0, 1.0, spans)
+    q_rows = (
+        pts.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "e")
+        .collect()
     )
-    decode_exprs = []
-    for d in range(DIM):
-        c_d = F.element_at(F.col("code"), d + 1)
-        mn, mx = F.col(f"mn{d}"), F.col(f"mx{d}")
-        decode_exprs.append(
-            mn + ((c_d + F.lit(0.5)) / F.lit(float(SQ_LEVELS))) * (mx - mn)
-        )
-    scored = (
-        codes.crossJoin(F.broadcast(bounds))
-        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("qe"), F.array(*decode_exprs)), 6
-            ).alias("sqdot"),
-        )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["e"] for r in q_rows], dtype=np.float64)
+
+    # encode + decode + score fused into ONE Arrow pass over the
+    # vectors (sq_encode stays the standalone encode API; the search
+    # path never materializes the code table separately)
+    def _batch_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            E = np.array(list(pdf["e"]), dtype=np.float64)
+            if len(E) == 0:
+                continue
+            C = np.clip(
+                np.floor(((E - mns) / safe) * SQ_LEVELS), 0, SQ_LEVELS - 1
+            )
+            C[:, spans == 0.0] = 0
+            D = mns + ((C + 0.5) / float(SQ_LEVELS)) * spans
+            S = np.round(D @ Q.T, 6)
+            parts = []
+            for j, qid in enumerate(q_ids):
+                s = S[:, j]
+                cand = np.flatnonzero(ids != qid)
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((ids[cand], -s[cand]))[: max(1, k)]
+                keep = cand[order]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[keep],
+                            "sqdot": s[keep],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = pts.select("vec_id", "e").mapInPandas(
+        _batch_topk, "query_id long, neighbor_id long, sqdot double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sqdot").desc(), F.col("neighbor_id")

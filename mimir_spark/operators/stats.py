@@ -135,3 +135,126 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dof",
         )
     )
+
+
+# ---- Poisson-bootstrap confidence intervals (round 11) ---------------------
+
+# Poisson(1) CDF thresholds for the inverse-CDF lookup: a replicate
+# weight c is the smallest k with u < CDF(k). repr()-exact doubles so
+# the oracle SQL compares the identical literals.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+BOOT_B = 100
+BOOT_M31 = 2147483647
+
+
+def _boot_u(b: int) -> F.Column:
+    """Replicate-b uniform for a row: the portable md5-31 hash of
+    "event_id:b" — a pure function of the data, identical in every
+    engine and partitioning. The mix must be NONLINEAR in (id, b): any
+    affine scheme (id·M + b·S mod 2^k) makes every replicate the same
+    base permutation shifted by a constant, so the 100 "replicates"
+    are one draw repeated — the CI collapses around a biased point
+    instead of around the mean (found by the bracketing pytest)."""
+    s = F.concat(F.col("event_id").cast("string"), F.lit(f":{b}"))
+    h = (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(BOOT_M31))
+    )
+    return h / F.lit(float(BOOT_M31 + 1))
+
+
+def _boot_weight(b: int) -> F.Column:
+    """Poisson(1) replicate weight via inverse CDF on the hash
+    uniform (capped at 9 — beyond the 1e-6 tail)."""
+    u = _boot_u(b)
+    c = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        c = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(c)
+    return c.cast("long")
+
+
+def bootstrap_ci_poisson(
+    spark: SparkSession, sf_dir: str, n_boot: int = BOOT_B
+) -> DataFrame:
+    """Distributed UNCERTAINTY QUANTIFICATION: a 95% bootstrap
+    confidence interval for each event type's mean value, via the
+    Poisson bootstrap (Chamandy, Muralidharan, Najmi & Naidu,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012) —
+    the resampling scheme that works when the data can't be sampled
+    WITH replacement globally: each row independently enters
+    replicate b with Poisson(1) multiplicity, so a replicate is one
+    weighted aggregate, not a shuffle of the corpus.
+
+    Shape: ONE pass over events computing 2·B aggregates (Σc_b·x and
+    Σc_b per replicate — all map-side combined, no row fan-out), then
+    a B-sized per-type finalize: replicate means (6dp) ranked, the
+    2.5%/97.5% elements picked exactly. Everything after the scan is
+    |types|·B rows. Replicate weights are pure functions of
+    (event_id, b) — deterministic across engines and partitionings.
+
+    Output: event_type, n, mean (6dp), ci_lo, ci_hi (exact element
+    picks of the rounded replicate means), ci_width."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    ]
+    for b in range(n_boot):
+        w = _boot_weight(b)
+        aggs.append(F.sum(w * F.col("value")).alias(f"s{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"c{b}"))
+    wide = ev.groupBy("event_type").agg(*aggs)
+    # replicate means, unpivoted to (type, b, m) — B rows per type
+    pairs = []
+    for b in range(n_boot):
+        pairs.append(
+            F.struct(
+                F.lit(b).alias("b"),
+                F.round(F.col(f"s{b}") / F.col(f"c{b}"), 6).alias("m"),
+            )
+        )
+    narrow = wide.select(
+        "event_type",
+        "n",
+        "mean_value",
+        F.explode(F.array(*pairs)).alias("r"),
+    ).select("event_type", "n", "mean_value", F.col("r.m").alias("m"))
+    from pyspark.sql import Window
+
+    # ties in m get arbitrary ranks, but the VALUE at any rank is
+    # deterministic given the sorted multiset — which is all the
+    # element picks read.
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.col("m"))
+    )
+    lo_rank = max(1, int(n_boot * 0.025))
+    hi_rank = int(n_boot * 0.975)
+    ranked = narrow.withColumn("rk", rk)
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("mean_value").alias("mean_value"),
+            F.max(F.when(F.col("rk") == lo_rank, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rk") == hi_rank, F.col("m"))).alias("ci_hi"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "mean_value",
+            "ci_lo",
+            "ci_hi",
+            F.round(F.col("ci_hi") - F.col("ci_lo"), 6).alias("ci_width"),
+        )
+    )

@@ -252,9 +252,12 @@ def test_jpeg_q1_roundtrip_bounded_error(w, h, seed, gray):
     """Property pin for the baseline JPEG codec: at an all-ones quant
     table, ANY image (arbitrary non-multiple-of-8 sizes, gray or
     color) round-trips within the conforming-IDCT error budget —
-    ±1/pixel for gray (DCT+IDCT float rounding), ±2 for color (plus
-    YCbCr conversion rounding). Catches padding/edge-extension bugs a
-    fixed-size test can't."""
+    ±1/pixel for gray (DCT+IDCT float rounding), ±3 for color: the
+    forward YCbCr quantization's ±0.5 comes back through the
+    1.772/1.402 reconstruction coefficients as up to ±0.9, which can
+    stack with the IDCT's ±1 and the final pixel rounding (hypothesis
+    found a genuine 3 at h=7; a 200-image sweep maxes at 3). Catches
+    padding/edge-extension bugs a fixed-size test can't."""
     import numpy as np
 
     from mimir_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
@@ -272,7 +275,7 @@ def test_jpeg_q1_roundtrip_bounded_error(w, h, seed, gray):
         assert err <= 1, err
     else:
         err = np.abs(rgb.astype(int) - px.astype(int)).max()
-        assert err <= 2, err
+        assert err <= 3, err
 
 
 @settings(max_examples=20, deadline=None)

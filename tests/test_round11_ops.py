@@ -953,3 +953,75 @@ def test_weighted_k_matches_python_aes(spark):
             d for _, _, d in sorted(keys, reverse=True)[:WEIGHTED_K]
         }
         assert got[lang] == keep, lang
+
+
+# ---- Poisson bootstrap CI --------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_mean_and_shrinks(spark):
+    """Every type's 95% CI contains its point mean, has positive
+    width, and the interval shrinks roughly like 1/sqrt(n): the
+    sf0.01 widths must be materially narrower than sf0.001's."""
+    from mimir_spark.operators.stats import bootstrap_ci_poisson
+
+    small = {
+        r["event_type"]: r for r in bootstrap_ci_poisson(spark, SF_SMOKE).collect()
+    }
+    big = {
+        r["event_type"]: r
+        for r in bootstrap_ci_poisson(spark, SF_CORRECT).collect()
+    }
+    for t, r in big.items():
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], t
+        assert r["ci_width"] > 0
+        # ~10x the data → ~1/sqrt(10) ≈ 0.32x the width; allow slack
+        assert r["ci_width"] < small[t]["ci_width"] * 0.7, t
+
+
+def test_bootstrap_ci_matches_numpy_replicates(spark):
+    """Replicate means recomputed in NumPy from the same parquet with
+    the same hash draws give the same CI element picks."""
+    import numpy as np
+    import pandas as pd
+
+    from mimir_spark.operators.stats import (
+        _POIS1_CDF,
+        BOOT_B,
+        BOOT_M31,
+        bootstrap_ci_poisson,
+    )
+
+    got = {
+        r["event_type"]: (r["ci_lo"], r["ci_hi"])
+        for r in bootstrap_ci_poisson(spark, SF_SMOKE).collect()
+    }
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["event_id", "event_type", "value"]
+    ]
+    ts = np.array(_POIS1_CDF)
+    for t, grp in pdf.groupby("event_type"):
+        ids = grp["event_id"].to_numpy(np.int64)
+        vals = grp["value"].to_numpy(np.float64)
+        import hashlib
+
+        ms = []
+        for b in range(BOOT_B):
+            u = np.array(
+                [
+                    (
+                        int.from_bytes(
+                            hashlib.md5(f"{i}:{b}".encode()).digest()[:4],
+                            "big",
+                        )
+                        & BOOT_M31
+                    )
+                    / float(BOOT_M31 + 1)
+                    for i in ids
+                ]
+            )
+            w = np.searchsorted(ts, u, side="right")
+            ms.append(round((w * vals).sum() / w.sum(), 6))
+        ms.sort()
+        lo = ms[max(1, int(BOOT_B * 0.025)) - 1]
+        hi = ms[int(BOOT_B * 0.975) - 1]
+        assert abs(got[t][0] - lo) < 2e-6 and abs(got[t][1] - hi) < 2e-6, t
