@@ -56,6 +56,10 @@ PROBES = [
     # joins over bounded-shuffle stage chains; the one headline
     # integration query, so its growth must track the corpus too
     "corpus_keep_list",
+    # round-11: the doc-local repetition kernel (map-only — time must
+    # track tokens) and the SQ8 encode+score pass (vector-linear)
+    "gopher_repetition_filter",
+    "ann_sq_topk",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -76,6 +80,8 @@ INPUT_TABLES = {
     "dedup_edit_distance": "documents",
     "ann_ivfpq_topk": "embeddings",
     "corpus_keep_list": "documents",
+    "gopher_repetition_filter": "documents",
+    "ann_sq_topk": "embeddings",
 }
 
 
