@@ -516,3 +516,88 @@ def ann_sq_recall(
         F.sum("hit").cast("long").alias("n_hit"),
         F.round(F.sum("hit") / F.lit(float(k)), 6).alias("recall"),
     )
+
+
+def write_sq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the SQ8 index: the 1-row bounds table to
+    `<dir>/bounds` and the code table to `<dir>/codes`. There is no
+    cell structure to prune by (that's IVF's job) — the index's value
+    is BYTE WIDTH: a query scans 8-bit codes instead of raw vectors
+    (16× less IO at float32; a production sink packs the array<long>
+    to binary for the full saving), with the 128-double bounds row as
+    the only metadata. The 'build once, query many' layout for the
+    flat-compression tier."""
+    pts = _normalized_pts(spark, sf_dir)
+    bounds = sq_bounds(pts)
+    bounds.write.mode("overwrite").parquet(f"{index_dir}/bounds")
+    sq_encode(pts, bounds).write.mode("overwrite").parquet(
+        f"{index_dir}/codes"
+    )
+
+
+def ann_sq_query_indexed(
+    spark: SparkSession, sf_dir: str, index_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Query the PERSISTED SQ8 index: decode+score the stored codes
+    against the stored bounds — matches `ann_sq_topk` row-for-row
+    (pytest-pinned) without touching the raw corpus vectors (queries
+    still read their own exact vectors; that lookup is
+    queries-bounded)."""
+    import numpy as np
+    import pandas as pd
+
+    b_row = spark.read.parquet(f"{index_dir}/bounds").collect()[0]
+    mns = np.array([b_row[f"mn{d}"] for d in range(DIM)])
+    mxs = np.array([b_row[f"mx{d}"] for d in range(DIM)])
+    spans = mxs - mns
+    pts = _normalized_pts(spark, sf_dir)
+    q_rows = (
+        pts.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "e")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["e"] for r in q_rows], dtype=np.float64)
+
+    def _batch_topk(batches):
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy(np.int64)
+            C = np.array(list(pdf["code"]), dtype=np.float64)
+            if len(C) == 0:
+                continue
+            D = mns + ((C + 0.5) / float(SQ_LEVELS)) * spans
+            S = np.round(D @ Q.T, 6)
+            parts = []
+            for j, qid in enumerate(q_ids):
+                s = S[:, j]
+                cand = np.flatnonzero(ids != qid)
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((ids[cand], -s[cand]))[: max(1, k)]
+                keep = cand[order]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[keep],
+                            "sqdot": s[keep],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .mapInPandas(
+            _batch_topk, "query_id long, neighbor_id long, sqdot double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sqdot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sqdot", "rank")
+    )

@@ -382,3 +382,51 @@ def retrain_ann_store(
     codes.write.mode("overwrite").parquet(tmp)
     fs.delete(hpath, True)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+
+
+def streaming_sq_encode(emb_stream: DataFrame, bounds_row) -> DataFrame:
+    """Streaming twin of the SQ8 encode (operators.pq.sq_encode): the
+    per-dim (min, max) bounds are FROZEN index metadata — derived once
+    from the static base corpus, like the PQ codebooks above
+    (per-batch re-derived bounds would re-key every previously
+    encoded vector AND depend on arrival order) — so encoding is a
+    stateless map: normalize, clamp-floor against the frozen edges.
+    Arriving vectors outside the base range clamp into the edge codes
+    (code 0 / 255), exactly what the batch encode would assign them.
+    Append mode, no watermark, no state.
+
+    ``bounds_row`` is one Row/dict with mn0..mx63 (sq_bounds output,
+    collected once — 128 doubles of metadata)."""
+    import numpy as np
+    import pandas as pd
+
+    from mimir_spark.operators.pq import DIM, SQ_LEVELS
+
+    mns = np.array([bounds_row[f"mn{d}"] for d in range(DIM)])
+    mxs = np.array([bounds_row[f"mx{d}"] for d in range(DIM)])
+    spans = mxs - mns
+    safe = np.where(spans == 0.0, 1.0, spans)
+
+    e = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+    pts = emb_stream.select(
+        "vec_id", F.transform(e, lambda x: x / norm).alias("e")
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            E = np.array(list(pdf["e"]), dtype=np.float64)
+            if len(E) == 0:
+                continue
+            C = np.clip(
+                np.floor(((E - mns) / safe) * SQ_LEVELS), 0, SQ_LEVELS - 1
+            ).astype(np.int64)
+            C[:, spans == 0.0] = 0
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["vec_id"].to_numpy(np.int64),
+                    "code": list(C),
+                }
+            )
+
+    return pts.mapInPandas(_encode, "neighbor_id long, code array<long>")

@@ -1025,3 +1025,22 @@ def test_bootstrap_ci_matches_numpy_replicates(spark):
         lo = ms[max(1, int(BOOT_B * 0.025)) - 1]
         hi = ms[int(BOOT_B * 0.975) - 1]
         assert abs(got[t][0] - lo) < 2e-6 and abs(got[t][1] - hi) < 2e-6, t
+
+
+def test_sq_index_roundtrip_matches_in_memory(spark, tmp_path):
+    """write_sq_index → ann_sq_query_indexed equals ann_sq_topk
+    row-for-row: the persisted codes + bounds carry the whole search
+    state."""
+    from mimir_spark.operators.pq import (
+        ann_sq_query_indexed,
+        ann_sq_topk,
+        write_sq_index,
+    )
+
+    idx = str(tmp_path / "sq_idx")
+    write_sq_index(spark, SF_SMOKE, idx)
+    got = {
+        tuple(r) for r in ann_sq_query_indexed(spark, SF_SMOKE, idx).collect()
+    }
+    expect = {tuple(r) for r in ann_sq_topk(spark, SF_SMOKE).collect()}
+    assert got == expect and got

@@ -1152,3 +1152,55 @@ def test_streaming_psi_matches_batch(spark, sf_smoke, tmp_path):
     expect = {tuple(r) for r in drift_psi(ref, cur).collect()}
     assert got and got == expect
     assert any(r[-1] == 1 for r in got)  # the drifted flag survives
+
+
+def test_streaming_sq_encode_matches_batch(spark, sf_smoke, tmp_path):
+    """SQ8 codes assigned to arriving vectors under the FROZEN base
+    bounds equal the batch encode row-for-row over a split stream."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.pq import _normalized_pts, sq_bounds, sq_encode
+    from mimir_spark.sources.tables import SCHEMAS, load_table
+    from mimir_spark.streaming.ann import streaming_sq_encode
+
+    stage = str(tmp_path / "stage")
+    load_table(spark, sf_smoke, "embeddings").repartition(2).write.parquet(
+        stage
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, f in enumerate(sorted(globmod.glob(f"{stage}/part-*.parquet"))):
+        shutil.copy(f, f"{in_dir}/f{i}.parquet")
+
+    pts = _normalized_pts(spark, sf_smoke)
+    bounds_row = sq_bounds(pts).collect()[0]
+
+    emb_stream = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = []
+    q = (
+        streaming_sq_encode(emb_stream, bounds_row)
+        .writeStream.format("memory")
+        .queryName("sq_codes_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["neighbor_id"], tuple(r["code"]))
+            for r in spark.sql("select * from sq_codes_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    expect = {
+        (r["neighbor_id"], tuple(r["code"]))
+        for r in sq_encode(pts, sq_bounds(pts)).collect()
+    }
+    assert got == expect and got
