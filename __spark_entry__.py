@@ -79,6 +79,8 @@ _R11_WINDOW = [
     "minhash_bbit_jaccard",
     "sample_weighted_k",
     "bootstrap_ci_poisson",
+    "ann_ivfsq_topk",
+    "ann_ivfsq_recall",
     # contract / implementation changes this round (tie-robust within
     # flag; JPEG marker-walk fixes; in-plan history guard)
     "approx_quantiles",
@@ -108,14 +110,12 @@ _R11_WINDOW = [
     "chunk_documents",
     "bigram_logppl",
     "retrieval_hard_negatives",
-    "corpus_snapshot_diff",
     "k_anonymity_report",
     "shuffle_skew_report",
     "window_funnel",
     "cross_source_duplication",
     "decontaminate_corpus",
     "multimodal_decode_bmp",
-    "multimodal_resize_digest",
     # r6-vintage fill (oldest remaining evidence)
     "dedup_exact",
     "dedup_prefix",
@@ -164,6 +164,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_score_quality": mltrain.logreg_score_quality,
         "ann_sq_topk": pq.ann_sq_topk,
         "ann_sq_recall": pq.ann_sq_recall,
+        "ann_ivfsq_topk": ivfpq.ann_ivfsq_topk,
+        "ann_ivfsq_recall": ivfpq.ann_ivfsq_recall,
         "ann_pq_topk": pq.ann_pq_topk,
         "ann_pq_rerank_topk": pq.ann_pq_rerank_topk,
         "ann_pq_recall": pq.ann_pq_recall,
@@ -1393,6 +1395,112 @@ def _pq_rerank_sql(topk: int = 5, shortlist: int = 64) -> str:
     )
 
 
+def _ivfsq_chain(nprobe: int = 8, dim: int = 64, levels: int = 256) -> str:
+    """CTE chain reproducing IVF-SQ (operators.ivfpq ann_ivfsq_topk):
+    _ivf_chain's trained coarse quantizer, cell assignment +
+    residuals (the _ivfpq_chain prefix), then GLOBAL per-dim residual
+    bounds, clamp-floor SQ8 codes, and per-probe exact L2² against
+    the midpoint-decoded residuals. Ends at CTE `isq`."""
+    cos_pc = _raw_cos("p.e", "s.c", dim)
+    decode = (
+        f"(b.mns[j] + ((x.code[j] + 0.5) / {levels}.0)"
+        f" * (b.mxs[j] - b.mns[j]))"
+    )
+    return (
+        _ivf_chain()
+        + f""", nasg AS MATERIALIZED (
+          SELECT vec_id, cell_id FROM (
+            SELECT p.vec_id, s.cell_id,
+                   row_number() OVER (PARTITION BY p.vec_id
+                      ORDER BY {cos_pc} DESC, s.cell_id) AS rk
+            FROM pts p CROSS JOIN cents s) q WHERE rk = 1)
+        , nres AS MATERIALIZED (
+          SELECT p.vec_id, a.cell_id,
+                 list_transform(generate_series(1, {dim}),
+                                j -> p.e[j] - s.c[j]) AS r
+          FROM pts p JOIN nasg a USING (vec_id)
+          JOIN cents s ON s.cell_id = a.cell_id)
+        , rb AS MATERIALIZED (
+          SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+          FROM (
+            SELECT d, min(r[d]) AS mn, max(r[d]) AS mx
+            FROM nres CROSS JOIN
+                 (SELECT unnest(generate_series(1, {dim})) AS d) ds
+            GROUP BY d))
+        , rcodes AS MATERIALIZED (
+          SELECT n.vec_id AS neighbor_id, n.cell_id,
+                 list_transform(generate_series(1, {dim}), j ->
+                   (CASE WHEN b.mxs[j] = b.mns[j] THEN 0
+                         ELSE least(greatest(floor(((n.r[j] - b.mns[j])
+                              / (b.mxs[j] - b.mns[j])) * {levels}), 0),
+                              {levels - 1}) END)::BIGINT) AS code
+          FROM nres n CROSS JOIN rb b)
+        , qprobe AS MATERIALIZED (
+          SELECT query_id, cell_id, qr FROM (
+            SELECT p.vec_id AS query_id, s.cell_id,
+                   list_transform(generate_series(1, {dim}),
+                                  j -> p.e[j] - s.c[j]) AS qr,
+                   row_number() OVER (PARTITION BY p.vec_id
+                      ORDER BY {cos_pc} DESC, s.cell_id) AS rk
+            FROM pts p CROSS JOIN cents s
+            WHERE p.vec_id < 10) z WHERE rk <= {nprobe})
+        , isq AS MATERIALIZED (
+          SELECT query_id, neighbor_id, dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist, neighbor_id)::BIGINT
+                   AS rank
+          FROM (
+            SELECT q.query_id, x.neighbor_id,
+                   round(list_sum(list_transform(
+                     generate_series(1, {dim}), j ->
+                       (q.qr[j] - {decode}) * (q.qr[j] - {decode}))), 6)
+                     AS dist
+            FROM qprobe q JOIN rcodes x
+              ON x.cell_id = q.cell_id
+             AND x.neighbor_id <> q.query_id
+            CROSS JOIN rb b) z)"""
+    )
+
+
+def _ivfsq_topk_sql(topk: int = 5) -> str:
+    return (
+        _ivfsq_chain()
+        + f"""
+        SELECT query_id, neighbor_id, dist, rank FROM isq
+        WHERE rank <= {topk}"""
+    )
+
+
+def _ivfsq_recall_sql(topk: int = 5) -> str:
+    cos_tb = _raw_cos("a.ce", "b.ce")
+    return (
+        _ivfsq_chain()
+        + f"""
+        , sqcorp AS MATERIALIZED (
+          SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS ce
+          FROM embeddings)
+        , sqtruth AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT a.neighbor_id AS query_id, b.neighbor_id,
+                   row_number() OVER (PARTITION BY a.neighbor_id
+                      ORDER BY round({cos_tb}, 6) DESC, b.neighbor_id)
+                     AS rank
+            FROM sqcorp a JOIN sqcorp b
+              ON a.neighbor_id <> b.neighbor_id
+            WHERE a.neighbor_id < 10) t WHERE rank <= {topk})
+        SELECT t.query_id,
+               sum(CASE WHEN p.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+               round(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / {topk}e0, 6) AS recall
+        FROM sqtruth t LEFT JOIN (
+          SELECT query_id, neighbor_id FROM isq WHERE rank <= {topk}) p
+          ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id"""
+    )
+
+
 def _bootstrap_sql(n_boot: int = 100) -> str:
     """Poisson-bootstrap CI chain replicating operators.stats
     bootstrap_ci_poisson: identical hash uniforms, identical
@@ -2442,6 +2550,8 @@ def oracle_sql() -> dict[str, str]:
         "logreg_score_quality": _logreg_score_sql(),
         "ann_sq_topk": _sq_topk_sql(),
         "ann_sq_recall": _sq_recall_sql(),
+        "ann_ivfsq_topk": _ivfsq_topk_sql(),
+        "ann_ivfsq_recall": _ivfsq_recall_sql(),
         "ann_pq_topk": _pq_topk_sql(),
         "ann_pq_rerank_topk": _pq_rerank_sql(),
         "ann_pq_recall": _pq_recall_sql(),

@@ -318,3 +318,192 @@ def ann_ivfpq_query_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+# ---- IVF-SQ (round 11) -----------------------------------------------------
+
+
+def _residual_sq_bounds(spark: SparkSession, sf_dir: str):
+    """Global per-dim (min, max) over the cell residuals — the SQ8
+    'training' state for the IVF-SQ tier (FAISS IVFScalarQuantizer:
+    one scalar quantizer over residuals, not one per cell). Returns
+    two 64-float lists (bounded metadata)."""
+    import numpy as np
+    import pandas as pd
+
+    from mimir_spark.operators.pq import DIM
+
+    res = _cell_residuals(spark, sf_dir).select(F.col("res").alias("e"))
+
+    def _partial(batches):
+        for pdf in batches:
+            E = np.array(list(pdf["e"]), dtype=np.float64)
+            if len(E) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "d": np.arange(DIM, dtype=np.int64),
+                    "mn": E.min(axis=0),
+                    "mx": E.max(axis=0),
+                }
+            )
+
+    rows = (
+        res.mapInPandas(_partial, "d long, mn double, mx double")
+        .groupBy("d")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .collect()
+    )
+    mns = [0.0] * DIM
+    mxs = [0.0] * DIM
+    for r in rows:
+        mns[r["d"]] = float(r["mn"])
+        mxs[r["d"]] = float(r["mx"])
+    return mns, mxs
+
+
+def ann_ivfsq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-SQ top-k (FAISS `IVFScalarQuantizer` shape): the trained
+    coarse quantizer prunes WHICH vectors are scored (nprobe Voronoi
+    cells per query — identical probe rule to IVF-PQ), and SQ8 of the
+    CELL RESIDUALS compresses what is scored — 64 bytes/vector where
+    IVF-PQ spends 4 and the flat index 256. The middle point of the
+    quantization matrix (IVF × {flat, PQ, SQ}): take it when PQ's
+    code grain costs too much recall and raw vectors cost too much IO
+    (on this corpus: 0.96 recall@5 vs IVF-PQ's 0.34 raw, see
+    ann_ivfsq_recall).
+
+    Scoring: per probed (query, cell), exact L2² between the QUERY
+    residual and the midpoint-decoded residual — within a shared
+    cell, ‖q−x̂‖² = ‖qres−reŝ‖², so ranking matches the IVF-PQ ADC
+    contract (dist asc, id tie-break, 6dp).
+
+    Scale shape: residual bounds = one kernel pass (128 doubles);
+    encode = map-only; each query's scan touches only its probed
+    cells' code rows (cell_id-partitioned on disk via
+    write_ivf_index's layout); the probe table (queries × nprobe,
+    with 64-double query residuals) is broadcast metadata; the only
+    shuffle is the k·queries ranking window."""
+    import numpy as np
+    import pandas as pd
+
+    from mimir_spark.operators.pq import DIM, SQ_LEVELS
+
+    res = _cell_residuals(spark, sf_dir)
+    mns_l, mxs_l = _residual_sq_bounds(spark, sf_dir)
+    mns = np.array(mns_l)
+    mxs = np.array(mxs_l)
+    spans = mxs - mns
+    safe = np.where(spans == 0.0, 1.0, spans)
+
+    cents = _ivf_centroids(spark, sf_dir)
+    pts = _normalized_pts(spark, sf_dir)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cell_id")
+    )
+    probe_rows = (
+        pts.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        .join(F.broadcast(cents))
+        .withColumn("sim", cosine_sim("qe", "cent"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select(
+            "query_id",
+            "cell_id",
+            F.zip_with("qe", "cent", lambda x, y: x - y).alias("qres"),
+        )
+        .collect()
+    )  # bounded metadata: queries × nprobe rows
+    by_cell: dict[int, list] = {}
+    for r in probe_rows:
+        by_cell.setdefault(r["cell_id"], []).append(
+            (r["query_id"], np.array(r["qres"], dtype=np.float64))
+        )
+
+    def _batch_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            cells = pdf["cell_id"].to_numpy(np.int64)
+            R = np.array(list(pdf["res"]), dtype=np.float64)
+            if len(R) == 0:
+                continue
+            C = np.clip(
+                np.floor(((R - mns) / safe) * SQ_LEVELS), 0, SQ_LEVELS - 1
+            )
+            C[:, spans == 0.0] = 0
+            D = mns + ((C + 0.5) / float(SQ_LEVELS)) * spans
+            parts = []
+            for cell in np.unique(cells):
+                probes = by_cell.get(int(cell))
+                if not probes:
+                    continue
+                mask = cells == cell
+                cell_ids = ids[mask]
+                Dc = D[mask]
+                for qid, qres in probes:
+                    dist = np.round(((qres - Dc) ** 2).sum(axis=1), 6)
+                    cand = np.flatnonzero(cell_ids != qid)
+                    if cand.size == 0:
+                        continue
+                    order = np.lexsort(
+                        (cell_ids[cand], dist[cand])
+                    )[: max(1, k)]
+                    keep = cand[order]
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": cell_ids[keep],
+                                "dist": dist[keep],
+                            }
+                        )
+                    )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = res.mapInPandas(
+        _batch_topk, "query_id long, neighbor_id long, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
+def ann_ivfsq_recall(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Recall@k of IVF-SQ vs brute-force truth — the third column of
+    the quantization-matrix recall table (IVF probe misses + per-dim
+    8-bit grain; cf. ann_ivfpq_recall's 4-bit-code grain)."""
+    from mimir_spark.operators.similarity import ann_bruteforce_topk
+
+    truth = ann_bruteforce_topk(spark, sf_dir, k).select(
+        "query_id", "neighbor_id"
+    )
+    got = ann_ivfsq_topk(spark, sf_dir, k).select(
+        "query_id", F.col("neighbor_id").alias("sq_neighbor")
+    )
+    hits = truth.join(
+        got,
+        (truth.query_id == got.query_id)
+        & (truth.neighbor_id == got.sq_neighbor),
+        "left",
+    ).select(
+        truth.query_id,
+        F.when(F.col("sq_neighbor").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("n_hit"),
+        F.round(F.sum("hit") / F.lit(float(k)), 6).alias("recall"),
+    )

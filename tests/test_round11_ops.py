@@ -1044,3 +1044,62 @@ def test_sq_index_roundtrip_matches_in_memory(spark, tmp_path):
     }
     expect = {tuple(r) for r in ann_sq_topk(spark, SF_SMOKE).collect()}
     assert got == expect and got
+
+
+def test_ivfsq_recall_beats_ivfpq(spark):
+    """The quantization-matrix claim: at 64 B/vector the SQ residual
+    codes keep >= 0.9 recall@5 where the 4 B PQ codes sit far lower on
+    this corpus (0.96 vs 0.34 measured at sf0.01)."""
+    from mimir_spark.operators.ivfpq import ann_ivfpq_recall, ann_ivfsq_recall
+
+    sq = {
+        r["query_id"]: r["recall"]
+        for r in ann_ivfsq_recall(spark, SF_CORRECT).collect()
+    }
+    pq = {
+        r["query_id"]: r["recall"]
+        for r in ann_ivfpq_recall(spark, SF_CORRECT).collect()
+    }
+    assert sum(sq.values()) / len(sq) >= 0.9
+    assert sum(sq.values()) > sum(pq.values())
+
+
+def test_ivfsq_matches_exact_within_probed_cells(spark):
+    """Determinism + semantics: for every reported neighbor the
+    distance equals the exact L2^2 between the query residual and the
+    decoded code residual recomputed in NumPy."""
+    import numpy as np
+
+    from mimir_spark.operators.ivfpq import (
+        _cell_residuals,
+        _residual_sq_bounds,
+        ann_ivfsq_topk,
+    )
+    from mimir_spark.operators.pq import SQ_LEVELS, _normalized_pts
+    from mimir_spark.operators.similarity import _ivf_centroids
+
+    got = ann_ivfsq_topk(spark, SF_SMOKE).collect()
+    res = {
+        r["vec_id"]: (r["cell_id"], np.array(r["res"]))
+        for r in _cell_residuals(spark, SF_SMOKE).collect()
+    }
+    mns_l, mxs_l = _residual_sq_bounds(spark, SF_SMOKE)
+    mns, mxs = np.array(mns_l), np.array(mxs_l)
+    spans = mxs - mns
+    safe = np.where(spans == 0.0, 1.0, spans)
+    cents = {
+        r["cell_id"]: np.array(r["cent"])
+        for r in _ivf_centroids(spark, SF_SMOKE).collect()
+    }
+    pts = {
+        r["vec_id"]: np.array(r["e"])
+        for r in _normalized_pts(spark, SF_SMOKE).collect()
+    }
+    for r in got:
+        cell, nres = res[r["neighbor_id"]]
+        qres = pts[r["query_id"]] - cents[cell]
+        C = np.clip(np.floor(((nres - mns) / safe) * SQ_LEVELS), 0, 255)
+        C[spans == 0.0] = 0
+        dec = mns + ((C + 0.5) / float(SQ_LEVELS)) * spans
+        dist = round(float(((qres - dec) ** 2).sum()), 6)
+        assert abs(dist - r["dist"]) < 2e-6, r
