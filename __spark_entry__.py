@@ -65,6 +65,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "corr_matrix",
+    "linreg_by_group",
+    "chi2_lang_source",
     "multimodal_dedup_images_near",
     "multimodal_near_dup_survivors",
     "kneser_ney3_logppl",
@@ -159,6 +162,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_keep_list": pipeline.corpus_keep_list,
         "minhash_bbit_jaccard": dedup.minhash_bbit_jaccard,
         "bootstrap_ci_poisson": stats.bootstrap_ci_poisson,
+        "corr_matrix": stats.corr_matrix,
+        "linreg_by_group": stats.linreg_by_group,
+        "chi2_lang_source": stats.chi2_lang_source,
         "sample_weighted_k": pipeline.sample_weighted_k,
         "logreg_train_quality": mltrain.logreg_train_quality,
         "logreg_score_quality": mltrain.logreg_score_quality,
@@ -2531,6 +2537,67 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": _ivf_recall_sql(),
         "minhash_bbit_jaccard": _bbit_sql(),
         "bootstrap_ci_poisson": _bootstrap_sql(),
+        # Pearson correlation is scale-invariant, so the co-moment
+        # normalization cancels between engines; 6dp round absorbs
+        # summation-order ulps (same contract as linreg/chi2 below).
+        "corr_matrix": """
+            WITH a AS (
+              SELECT
+        """
+        + ",\n              ".join(
+            f"round(corr(l_{x}, l_{y}), 6) AS c_{x}_{y}"
+            for i, x in enumerate(("quantity", "extendedprice", "discount", "tax"))
+            for y in ("quantity", "extendedprice", "discount", "tax")[i + 1 :]
+        )
+        + """,
+              count(*)::BIGINT AS n
+              FROM lineitem)
+        """
+        + "\n            UNION ALL\n".join(
+            f"            SELECT 'l_{x}' AS x, 'l_{y}' AS y,"
+            f" c_{x}_{y} AS corr, n FROM a"
+            for i, x in enumerate(("quantity", "extendedprice", "discount", "tax"))
+            for y in ("quantity", "extendedprice", "discount", "tax")[i + 1 :]
+        ),
+        "linreg_by_group": """
+            SELECT l_returnflag, l_linestatus,
+                   round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                     AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY 1, 2
+        """,
+        # chi² total is summed from the ROUNDED 6dp contributions in
+        # both engines (a few dozen addends — order noise < 1e-9,
+        # collapsed by the final 4dp round); marginals come from the
+        # aggregated cells, never a corpus re-scan.
+        "chi2_lang_source": """
+            WITH cells AS (
+              SELECT lang, source, count(*)::BIGINT AS obs
+              FROM documents GROUP BY 1, 2),
+            tot AS (
+              SELECT sum(obs) AS grand,
+                     count(DISTINCT lang) AS n_lang,
+                     count(DISTINCT source) AS n_src
+              FROM cells),
+            rt AS (SELECT lang, sum(obs) AS row_total FROM cells GROUP BY 1),
+            ct AS (SELECT source, sum(obs) AS col_total FROM cells GROUP BY 1),
+            e AS (
+              SELECT c.lang, c.source, c.obs,
+                     round(rt.row_total * ct.col_total / tot.grand, 6)
+                       AS expected,
+                     round(pow(c.obs - rt.row_total * ct.col_total / tot.grand,
+                               2)
+                           / (rt.row_total * ct.col_total / tot.grand), 6)
+                       AS contribution,
+                     ((tot.n_lang - 1) * (tot.n_src - 1))::BIGINT AS dof
+              FROM cells c
+              JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot)
+            SELECT lang, source, obs, expected, contribution,
+                   round(sum(contribution) OVER (), 4) AS chi2, dof
+            FROM e
+        """,
         "sample_weighted_k": """
             WITH t AS (
               SELECT doc_id, lang,

@@ -1103,3 +1103,82 @@ def test_ivfsq_matches_exact_within_probed_cells(spark):
         dec = mns + ((C + 0.5) / float(SQ_LEVELS)) * spans
         dist = round(float(((qres - dec) ** 2).sum()), 6)
         assert abs(dist - r["dist"]) < 2e-6, r
+
+
+# ---- descriptive-stats surface (corr / regr / chi2) ----------------------
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """Spark's corr agg vs numpy.corrcoef on the same sf0.001 rows —
+    two independent co-moment implementations, 6dp contract."""
+    from mimir_spark.operators.stats import corr_matrix
+    from mimir_spark.sources.tables import load_table
+
+    got = {(r["x"], r["y"]): r["corr"] for r in corr_matrix(spark, SF_SMOKE).collect()}
+    pdf = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .toPandas()
+    )
+    for (x, y), c in got.items():
+        expect = float(np.corrcoef(pdf[x], pdf[y])[0, 1])
+        assert abs(c - expect) < 1e-5, (x, y, c, expect)
+
+
+def test_linreg_by_group_matches_polyfit(spark):
+    """Per-group regr_slope/intercept vs numpy.polyfit, r² vs the
+    squared Pearson correlation."""
+    from mimir_spark.operators.stats import linreg_by_group
+    from mimir_spark.sources.tables import load_table
+
+    rows = linreg_by_group(spark, SF_SMOKE).collect()
+    pdf = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    assert rows
+    for r in rows:
+        g = pdf[
+            (pdf.l_returnflag == r["l_returnflag"])
+            & (pdf.l_linestatus == r["l_linestatus"])
+        ]
+        assert len(g) == r["n"]
+        slope, intercept = np.polyfit(g.l_quantity, g.l_extendedprice, 1)
+        r2 = float(np.corrcoef(g.l_quantity, g.l_extendedprice)[0, 1]) ** 2
+        assert abs(r["slope"] - slope) < 1e-4 * max(1.0, abs(slope))
+        assert abs(r["intercept"] - intercept) < 1e-3 * max(1.0, abs(intercept))
+        assert abs(r["r2"] - r2) < 1e-5
+
+
+def test_chi2_matches_hand_rolled(spark):
+    """Observed/expected/chi² recomputed with pandas crosstab — the
+    window-over-aggregate plan must equal the textbook formula, and
+    the corpus must be scanned exactly once (single Exchange source)."""
+    from mimir_spark.operators.stats import chi2_lang_source
+    from mimir_spark.sources.tables import load_table
+
+    df = chi2_lang_source(spark, SF_SMOKE)
+    # single corpus scan: the (pre-AQE-execution) plan reads
+    # `documents` exactly once — marginals come from the aggregate
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1, plan
+    rows = df.collect()
+    pdf = load_table(spark, SF_SMOKE, "documents").select("lang", "source").toPandas()
+    ct = pdf.groupby(["lang", "source"]).size()
+    grand = float(len(pdf))
+    row_t = pdf.groupby("lang").size()
+    col_t = pdf.groupby("source").size()
+    chi2 = 0.0
+    for (lang, src), obs in ct.items():
+        e = row_t[lang] * col_t[src] / grand
+        chi2 += round((obs - e) ** 2 / e, 6)
+    by_cell = {(r["lang"], r["source"]): r for r in rows}
+    assert len(by_cell) == len(ct)
+    for (lang, src), obs in ct.items():
+        r = by_cell[(lang, src)]
+        e = row_t[lang] * col_t[src] / grand
+        assert r["obs"] == obs
+        assert abs(r["expected"] - e) < 1e-5
+        assert abs(r["chi2"] - round(chi2, 4)) < 1e-9
+        assert r["dof"] == (pdf.lang.nunique() - 1) * (pdf.source.nunique() - 1)
