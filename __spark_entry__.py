@@ -65,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "kmv_source_setops",
     "corr_matrix",
     "linreg_by_group",
     "chi2_lang_source",
@@ -163,6 +164,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bbit_jaccard": dedup.minhash_bbit_jaccard,
         "bootstrap_ci_poisson": stats.bootstrap_ci_poisson,
         "corr_matrix": stats.corr_matrix,
+        "kmv_source_setops": sketches.kmv_source_setops,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
         "sample_weighted_k": pipeline.sample_weighted_k,
@@ -2537,6 +2539,74 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": _ivf_recall_sql(),
         "minhash_bbit_jaccard": _bbit_sql(),
         "bootstrap_ci_poisson": _bootstrap_sql(),
+        # KMV/theta sketch set ops: the whole chain is exact integer
+        # arithmetic (md5-31 token hash, x131 shingle fold, bottom-k,
+        # set sizes) until the estimator divisions — which divide the
+        # SAME exact-integer literals on both engines. Estimator
+        # products/differences are computed from the already-ROUNDED
+        # columns so the engines combine identical doubles.
+        "kmv_source_setops": r"""
+            WITH th AS (
+              SELECT source, list_transform(
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''),
+                       tok -> cast(concat('0x', substring(md5(tok), 1, 8))
+                                   as bigint) & 2147483647) AS th
+              FROM documents),
+            hs AS (
+              SELECT DISTINCT source,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(th) - 2, 1)),
+                       q -> (((th[q] * 131 + coalesce(th[q+1], 0))
+                              % 2147483647) * 131
+                             + coalesce(th[q+2], 0)) % 2147483647))) AS h
+              FROM th WHERE len(th) > 0),
+            rk AS (
+              SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS r
+              FROM hs),
+            sk AS (
+              SELECT source, list_sort(list(h)) AS arr
+              FROM rk WHERE r <= 256 GROUP BY source),
+            p AS (
+              SELECT a.source AS source_a, a.arr AS arr_a,
+                     b.source AS source_b, b.arr AS arr_b,
+                     list_sort(list_distinct(list_concat(a.arr, b.arr)))
+                       AS merged
+              FROM sk a, sk b WHERE a.source < b.source),
+            e AS (
+              SELECT source_a, source_b, arr_a, arr_b, merged,
+                     merged[1:256] AS union_k,
+                     least(256, len(merged))::INT AS k_used,
+                     round(CASE WHEN len(arr_a) < 256
+                                THEN len(arr_a)::DOUBLE
+                                ELSE 547608329985.0 / arr_a[256]::DOUBLE
+                           END, 4) AS est_a,
+                     round(CASE WHEN len(arr_b) < 256
+                                THEN len(arr_b)::DOUBLE
+                                ELSE 547608329985.0 / arr_b[256]::DOUBLE
+                           END, 4) AS est_b,
+                     round(CASE WHEN len(merged) < 256
+                                THEN len(merged)::DOUBLE
+                                ELSE 547608329985.0 / merged[256]::DOUBLE
+                           END, 4) AS union_est
+              FROM p),
+            j AS (
+              SELECT *,
+                     len(list_intersect(list_intersect(union_k, arr_a),
+                                        arr_b))::DOUBLE
+                       / k_used::DOUBLE AS j_raw,
+                     CASE WHEN len(merged) < 256 THEN len(merged)::DOUBLE
+                          ELSE 547608329985.0 / merged[256]::DOUBLE
+                     END AS union_raw
+              FROM e)
+            SELECT source_a, source_b, k_used, est_a, est_b, union_est,
+                   round(j_raw, 6) AS jaccard_est,
+                   round(j_raw * union_raw, 4) AS inter_est,
+                   round(greatest(union_est - est_b, 0.0), 4) AS diff_ab_est,
+                   round(greatest(union_est - est_a, 0.0), 4) AS diff_ba_est
+            FROM j
+        """,
         # Pearson correlation is scale-invariant, so the co-moment
         # normalization cancels between engines; 6dp round absorbs
         # summation-order ulps (same contract as linreg/chi2 below).

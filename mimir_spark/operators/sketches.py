@@ -679,3 +679,122 @@ def tdigest_quantiles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_band(
         spark, sf_dir, tdigest_quantiles(spark, sf_dir), 0.03, 0.0, 0.0
     )
+
+
+# ---- KMV (k-minimum-values / theta-sketch) set operations ------------------
+
+KMV_K = 256
+# word_shingle_hashes values are uniform on [0, M31): mod-2147483647
+# arithmetic. (K-1)*M precomputed as ONE exact double literal so both
+# engines evaluate the identical division.
+KMV_KM = float((KMV_K - 1) * 2_147_483_647)
+
+
+def kmv_source_setops(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """Cross-source distinct-set algebra WITHOUT the cross-source
+    distinct: per-source KMV (bottom-k / theta) sketches over hashed
+    3-word shingles, then pairwise union / intersection / difference
+    cardinality ESTIMATES from sketch combination alone (Beyer et al.
+    SIGMOD'07; the DataSketches theta-sketch set-op story).
+
+    Why this matters at 100 TB: the exact twin
+    (cross_source_duplication) joins distinct shingle sets ACROSS
+    sources — a corpus-sized shuffle per pair. Here the only
+    corpus-sized stage is one explode → distinct(source, h) with
+    map-side partial dedup; the per-source bottom-k runs as
+    WindowGroupLimit per-partition heaps (rank ≤ k never materializes
+    a full sort), and everything downstream touches |sources|·k rows.
+    Sketches are mergeable monoids: bottom-k(A ∪ B) is computable from
+    bottom-k(A) ∪ bottom-k(B), so the pair stage never re-reads data.
+
+    Estimators (all exact-integer ratios → identical IEEE doubles in
+    both engines, hence value-hashable): |S| ≈ (k−1)·M / h_(k);
+    J(A,B) ≈ |union-sketch ∩ A-sketch ∩ B-sketch| / k;
+    |A∩B| ≈ J · |A∪B|; |A∖B| ≈ max(|A∪B| − |B|, 0). A sketch smaller
+    than k IS its set — estimates collapse to exact counts.
+    """
+    from mimir_spark.functions.text import word_shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        docs.select(
+            "source", F.explode(word_shingle_hashes("text")).alias("h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("arr"))
+    )
+    a = sk.select(F.col("source").alias("source_a"), F.col("arr").alias("arr_a"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("arr").alias("arr_b"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+
+    km = float((k - 1) * 2_147_483_647)  # == KMV_KM at the default k
+
+    def est(arr: F.Column) -> F.Column:
+        # kth smallest of a sorted ascending array; exhausted → exact.
+        return F.when(
+            F.size(arr) < k, F.size(arr).cast("double")
+        ).otherwise(F.lit(km) / F.element_at(arr, k).cast("double"))
+
+    merged = F.array_sort(F.array_union("arr_a", "arr_b"))
+    out = (
+        pairs.withColumn("merged", merged)
+        .withColumn("union_k", F.slice("merged", 1, k))
+        .withColumn("k_used", F.least(F.lit(k), F.size("merged")).cast("int"))
+        .withColumn("est_a", F.round(est(F.col("arr_a")), 4))
+        .withColumn("est_b", F.round(est(F.col("arr_b")), 4))
+        .withColumn("union_est", F.round(est(F.col("merged")), 4))
+        .withColumn(
+            "shared",
+            F.size(
+                F.array_intersect(
+                    F.array_intersect("union_k", "arr_a"), "arr_b"
+                )
+            ),
+        )
+        .withColumn(
+            "j_raw",
+            F.col("shared").cast("double") / F.col("k_used").cast("double"),
+        )
+        .withColumn("jaccard_est", F.round("j_raw", 6))
+        # inter_est multiplies the RAW (unrounded) jaccard and union:
+        # a product of two rounded decimals is often an EXACT .xxxx5
+        # half, where Spark's shortest-decimal HALF_UP and DuckDB's
+        # exact-binary round deterministically disagree; the raw
+        # quotient product is never a representable half.
+        .withColumn(
+            "inter_est",
+            F.round(F.col("j_raw") * est(F.col("merged")), 4),
+        )
+        .withColumn(
+            "diff_ab_est",
+            F.round(
+                F.greatest(F.col("union_est") - F.col("est_b"), F.lit(0.0)), 4
+            ),
+        )
+        .withColumn(
+            "diff_ba_est",
+            F.round(
+                F.greatest(F.col("union_est") - F.col("est_a"), F.lit(0.0)), 4
+            ),
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "k_used",
+        "est_a",
+        "est_b",
+        "union_est",
+        "jaccard_est",
+        "inter_est",
+        "diff_ab_est",
+        "diff_ba_est",
+    )

@@ -1182,3 +1182,77 @@ def test_chi2_matches_hand_rolled(spark):
         assert abs(r["expected"] - e) < 1e-5
         assert abs(r["chi2"] - round(chi2, 4)) < 1e-9
         assert r["dof"] == (pdf.lang.nunique() - 1) * (pdf.source.nunique() - 1)
+
+
+# ---- KMV / theta-sketch set operations -----------------------------------
+
+
+def _exact_shingle_sets(spark):
+    from mimir_spark.functions.text import word_shingle_hashes
+    from mimir_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rows = (
+        docs.select("source", F.explode(word_shingle_hashes("text")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    sets: dict[str, set] = {}
+    for r in rows:
+        sets.setdefault(r["source"], set()).add(r["h"])
+    return sets
+
+
+def test_kmv_estimates_track_exact(spark):
+    """Every pairwise estimate must sit inside the KMV error envelope
+    around the exact set algebra: ~3/sqrt(K) relative for the
+    cardinalities, 3·sqrt(J(1-J)/K) absolute for the Jaccard."""
+    from mimir_spark.operators.sketches import KMV_K, kmv_source_setops
+
+    sets = _exact_shingle_sets(spark)
+    got = kmv_source_setops(spark, SF_CORRECT).collect()
+    assert len(got) == len(sets) * (len(sets) - 1) // 2
+    rel = 3.0 / (KMV_K ** 0.5)
+    for r in got:
+        A, B = sets[r["source_a"]], sets[r["source_b"]]
+        assert abs(r["est_a"] - len(A)) <= rel * len(A), r
+        assert abs(r["est_b"] - len(B)) <= rel * len(B), r
+        u = len(A | B)
+        assert abs(r["union_est"] - u) <= rel * u, r
+        j = len(A & B) / u
+        sd = max((j * (1 - j) / KMV_K) ** 0.5, 1.0 / KMV_K)
+        assert abs(r["jaccard_est"] - j) <= 3 * sd + rel * j, r
+        assert abs(r["inter_est"] - len(A & B)) <= (3 * sd + rel * j) * u + rel * len(A & B) + 1, r
+
+
+def test_kmv_exhausted_sketch_is_exact(spark):
+    """With k above every source's distinct-shingle count the sketch
+    IS the set: every estimate collapses to the exact cardinality."""
+    from mimir_spark.operators.sketches import kmv_source_setops
+
+    sets = _exact_shingle_sets(spark)
+    got = kmv_source_setops(spark, SF_CORRECT, k=1 << 20).collect()
+    for r in got:
+        A, B = sets[r["source_a"]], sets[r["source_b"]]
+        assert r["est_a"] == float(len(A))
+        assert r["est_b"] == float(len(B))
+        assert r["union_est"] == float(len(A | B))
+        assert r["inter_est"] == round(
+            len(A & B) / len(A | B) * len(A | B), 4
+        )
+
+
+def test_kmv_bottomk_is_mergeable(spark):
+    """bottom-k(A ∪ B) computed from bottom-k(A) ∪ bottom-k(B) equals
+    bottom-k over the full union — the mergeability claim the pair
+    stage relies on."""
+    from mimir_spark.operators.sketches import KMV_K
+
+    sets = _exact_shingle_sets(spark)
+    srcs = sorted(sets)[:4]
+    for a, b in [(srcs[0], srcs[1]), (srcs[2], srcs[3])]:
+        ska = sorted(sets[a])[:KMV_K]
+        skb = sorted(sets[b])[:KMV_K]
+        merged = sorted(set(ska) | set(skb))[:KMV_K]
+        full = sorted(sets[a] | sets[b])[:KMV_K]
+        assert merged == full
