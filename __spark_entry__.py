@@ -65,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "kcenter_greedy",
     "kmv_source_setops",
     "corr_matrix",
     "linreg_by_group",
@@ -165,6 +166,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci_poisson": stats.bootstrap_ci_poisson,
         "corr_matrix": stats.corr_matrix,
         "kmv_source_setops": sketches.kmv_source_setops,
+        "kcenter_greedy": clustering.kcenter_greedy,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
         "sample_weighted_k": pipeline.sample_weighted_k,
@@ -1995,6 +1997,56 @@ def _sssp_sql(rounds: int = 12) -> str:
     return "\n".join(parts)
 
 
+def _kcenter_sql(k: int = 8, dim: int = 64) -> str:
+    """Unrolled Gonzalez greedy k-center (DuckDB dialect). Equality
+    with the Spark operator needs NO distance rounding: squared-L2 is
+    a sequential fold over j=1..dim in both engines (F.aggregate ≡
+    list_sum), Spark's array_min over all centers equals the iterative
+    least() chain exactly, and argmax ties break to the lowest vec_id
+    on both sides. Only the REPORTED radii are rounded (6dp)."""
+
+    def dist(s: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" j -> (p.e[j] - {s}.e[j]) * (p.e[j] - {s}.e[j])))"
+        )
+
+    parts = [
+        f"""WITH pts AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          FROM embeddings),
+        s1 AS MATERIALIZED (
+          SELECT vec_id, e FROM pts ORDER BY vec_id LIMIT 1),
+        d1 AS MATERIALIZED (
+          SELECT p.vec_id, p.e, {dist('s')} AS dmin
+          FROM pts p CROSS JOIN s1 s)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", s{i} AS MATERIALIZED (
+              SELECT vec_id, e, dmin FROM d{i - 1}
+              ORDER BY dmin DESC, vec_id LIMIT 1)
+            , d{i} AS MATERIALIZED (
+              SELECT p.vec_id, p.e, least(p.dmin, {dist('s')}) AS dmin
+              FROM d{i - 1} p CROSS JOIN s{i} s)"""
+        )
+    parts.append(
+        f""", cov AS (SELECT round(max(dmin), 6) AS cover_radius
+                      FROM d{k})
+        SELECT 1::INT AS rank, s1.vec_id, 0.0::DOUBLE AS sel_radius,
+               cov.cover_radius
+        FROM s1 CROSS JOIN cov"""
+    )
+    for i in range(2, k + 1):
+        parts.append(
+            f"""UNION ALL
+            SELECT {i}::INT AS rank, s{i}.vec_id,
+                   round(s{i}.dmin, 6) AS sel_radius, cov.cover_radius
+            FROM s{i} CROSS JOIN cov"""
+        )
+    return "\n".join(parts)
+
+
 def _kmeans_sql(k: int = 8, dim: int = 64, iters: int = 5) -> str:
     """Unrolled Lloyd k-means (DuckDB dialect — list arithmetic and
     AS MATERIALIZED, which pins each round's centroid table to ONE
@@ -2535,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
             FROM day
         """,
         "kmeans_embeddings": _kmeans_sql(),
+        "kcenter_greedy": _kcenter_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
         "minhash_bbit_jaccard": _bbit_sql(),

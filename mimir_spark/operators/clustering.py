@@ -235,3 +235,66 @@ def embedding_pca(spark: SparkSession, sf_dir: str, top: int = 5) -> DataFrame:
         ],
         "component long, eigenvalue double, explained_variance double",
     )
+
+
+# ---- Gonzalez greedy k-center (diverse coreset selection) -------------------
+
+
+def kcenter_greedy(
+    spark: SparkSession, sf_dir: str, k: int = K
+) -> DataFrame:
+    """Gonzalez farthest-point k-center selection over the embeddings
+    — the deterministic coreset/diversity-sampling primitive (a
+    2-approximation of the k-center objective; the greedy step behind
+    facility-location data selection and k-means++'s argmax variant).
+
+    Round r picks the point MAXIMIZING its distance to the nearest
+    already-chosen center (ties → lowest vec_id); the first center is
+    the lowest vec_id. Per round: centers are a broadcast LITERAL
+    (k·dim doubles), so the assignment is a zero-shuffle map + one
+    max_by reduce — the corpus never moves, driver traffic is one row
+    per round (the kmeans/BFS precedent). At 100 TB each round is one
+    scan; k scans total for k centers — the known lower bound for
+    exact greedy k-center without sampling.
+
+    Value-hash portability: squared L2 distances are SEQUENTIAL folds
+    over j=1..dim, evaluated in the identical order by Spark
+    F.aggregate and DuckDB list_sum, so the unrolled oracle selects
+    the identical argmax chain with NO distance rounding; only the
+    REPORTED radii are rounded (6dp).
+
+    Output: (rank, vec_id, sel_radius, cover_radius) — sel_radius is
+    the selected point's min-distance at selection time (the k-center
+    radius trace, non-increasing), cover_radius the final objective
+    max_p min_c d(p, c) after all k centers.
+    """
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    first = pts.orderBy("vec_id").select("vec_id", "e").first()
+    centers = [[float(x) for x in first["e"]]]
+    trace = [(1, int(first["vec_id"]), 0.0)]
+
+    def dmin_col() -> F.Column:
+        carr = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in centers]
+        )
+        return F.array_min(F.transform(carr, lambda ce: _sq_dist_to(ce)))
+
+    for r in range(2, k + 1):
+        row = (
+            pts.select("vec_id", "e", dmin_col().alias("dmin"))
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .first()
+        )
+        trace.append((r, int(row["vec_id"]), round(float(row["dmin"]), 6)))
+        centers.append([float(x) for x in row["e"]])
+    cover = round(
+        float(pts.select(F.max(dmin_col()).alias("m")).first()["m"]), 6
+    )
+    return spark.createDataFrame(
+        [(rk, v, s, cover) for rk, v, s in trace],
+        "rank int, vec_id long, sel_radius double, cover_radius double",
+    )

@@ -1256,3 +1256,44 @@ def test_kmv_bottomk_is_mergeable(spark):
         merged = sorted(set(ska) | set(skb))[:KMV_K]
         full = sorted(sets[a] | sets[b])[:KMV_K]
         assert merged == full
+
+
+# ---- Gonzalez greedy k-center ---------------------------------------------
+
+
+def test_kcenter_matches_numpy_greedy(spark):
+    """The full selection trace vs an independent numpy
+    implementation of farthest-point greedy on the same vectors."""
+    from mimir_spark.operators.clustering import kcenter_greedy
+    from mimir_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    sel = [0]
+    dmin = ((X - X[0]) ** 2).sum(axis=1)
+    expect = [(1, int(ids[0]), 0.0)]
+    for r in range(2, 9):
+        nxt = int(np.argmax(dmin))  # argmax returns FIRST max = lowest id
+        expect.append((r, int(ids[nxt]), round(float(dmin[nxt]), 6)))
+        sel.append(nxt)
+        dmin = np.minimum(dmin, ((X - X[nxt]) ** 2).sum(axis=1))
+    cover = round(float(dmin.max()), 6)
+
+    got = sorted(
+        kcenter_greedy(spark, SF_SMOKE).collect(), key=lambda r: r["rank"]
+    )
+    for g, (rk, vid, rad) in zip(got, expect):
+        assert g["rank"] == rk and g["vec_id"] == vid
+        assert abs(g["sel_radius"] - rad) < 1e-6, (g, rad)
+        assert abs(g["cover_radius"] - cover) < 1e-6
+    # the selection radius trace is non-increasing and bounds coverage
+    radii = [g["sel_radius"] for g in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert got[0]["cover_radius"] <= radii[-1] + 1e-9
