@@ -65,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "holt_linear_user",
     "kcenter_greedy",
     "kmv_source_setops",
     "corr_matrix",
@@ -167,6 +168,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": stats.corr_matrix,
         "kmv_source_setops": sketches.kmv_source_setops,
         "kcenter_greedy": clustering.kcenter_greedy,
+        "holt_linear_user": features.holt_linear_user,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
         "sample_weighted_k": pipeline.sample_weighted_k,
@@ -3390,6 +3392,33 @@ def oracle_sql() -> dict[str, str]:
         # EMA: a strictly sequential fold on both engines
         # (F.aggregate seeded by the first element == list_reduce);
         # alpha = 1/8 is exact in binary, so the folds are bit-equal.
+        # Holt double exponential smoothing: the same sequential-fold
+        # recipe as ema_user_value, but with a 2-component state. The
+        # accumulator is a LIST, not a struct — DuckDB's list_reduce
+        # mis-evaluates the second field of struct-valued lambdas
+        # (b diverges from the hand recurrence at step 3), while
+        # list-valued accumulators replicate the fold bit-for-bit.
+        "holt_linear_user": """
+            WITH seq AS (
+              SELECT user_id,
+                     array_agg(value ORDER BY ts, event_id) AS vals
+              FROM events GROUP BY user_id),
+            st AS (
+              SELECT user_id, len(vals)::BIGINT AS n_events,
+                     list_reduce(
+                       list_transform(vals, v -> [v, 0.0::DOUBLE]),
+                       (acc, x) -> [
+                         0.25::DOUBLE * x[1]
+                           + 0.75::DOUBLE * (acc[1] + acc[2]),
+                         0.125::DOUBLE * ((0.25::DOUBLE * x[1]
+                             + 0.75::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                           + 0.875::DOUBLE * acc[2]]) AS h
+              FROM seq)
+            SELECT user_id, n_events, round(h[1], 6) AS level,
+                   round(h[2], 6) AS trend,
+                   round(h[1] + 3.0 * h[2], 6) AS forecast_3
+            FROM st
+        """,
         "ema_user_value": """
             WITH seq AS (
               SELECT user_id,

@@ -619,3 +619,80 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
         )
     )
+
+
+HOLT_ALPHA = 0.25  # 1/4 — exact in binary, like the EMA's 1/8
+HOLT_BETA = 0.125
+
+
+def holt_linear_user(
+    spark: SparkSession, sf_dir: str, max_history: int = 10_000_000
+) -> DataFrame:
+    """Per-user HOLT LINEAR-TREND double exponential smoothing (Holt
+    1957; the level+trend extension of ema_user_value):
+
+        l_t = α·v_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    seeded l_1 = v_1, b_1 = 0, values in (ts, event_id) order — a
+    2-component sequential fold no SQL window expresses. Both α = 1/4
+    and β = 1/8 are exact binary fractions and the fold is strictly
+    left-to-right with the identical parenthesization on both engines,
+    so the state is bit-replicable by the DuckDB oracle. The oracle's
+    accumulator is a 2-element LIST, not a struct: DuckDB's
+    list_reduce over struct states mis-evaluates the second field
+    (observed: the 'b' field of a 3-step fold diverges from the
+    hand-rolled recurrence), while list-valued accumulators reproduce
+    the fold bit-for-bit.
+
+    Same scale shape + in-plan history guard as ema_user_value (one
+    groupBy(user_id) collect; > max_history raises toward the
+    streaming twin). Output: (user_id, n_events, level, trend,
+    forecast_3) with forecast_3 = l + 3·b, all 6dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda x: x["value"])
+
+    def l_new(acc, v):
+        return F.lit(a) * v + F.lit(1 - a) * (acc["l"] + acc["b"])
+
+    state = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        lambda acc, v: F.struct(
+            l_new(acc, v).alias("l"),
+            (
+                F.lit(b_) * (l_new(acc, v) - acc["l"])
+                + F.lit(1 - b_) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    n = F.size("s").cast("long")
+    n_guarded = F.when(n <= F.lit(max_history), n).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("holt_linear_user: user "),
+                F.col("user_id").cast("string"),
+                F.lit(
+                    f" exceeds max_history={max_history}; use the"
+                    " streaming stateful twin instead of the batch"
+                    " collect."
+                ),
+            )
+        ).cast("long")
+    )
+    return seq.select(
+        "user_id",
+        n_guarded.alias("n_events"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["b"], 6).alias("trend"),
+        F.round(state["l"] + F.lit(3.0) * state["b"], 6).alias("forecast_3"),
+    )

@@ -1297,3 +1297,70 @@ def test_kcenter_matches_numpy_greedy(spark):
     radii = [g["sel_radius"] for g in got[1:]]
     assert radii == sorted(radii, reverse=True)
     assert got[0]["cover_radius"] <= radii[-1] + 1e-9
+
+
+# ---- Holt linear-trend smoothing -------------------------------------------
+
+
+def test_holt_matches_hand_recurrence(spark):
+    """Level/trend/forecast vs an independent Python recurrence over
+    the same (ts, event_id)-ordered values."""
+    from mimir_spark.operators.features import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        holt_linear_user,
+    )
+    from mimir_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    hist: dict = {}
+    for r in ev:
+        hist.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    got = {r["user_id"]: r for r in holt_linear_user(spark, SF_SMOKE).collect()}
+    assert set(got) == set(hist)
+    for uid, rows in hist.items():
+        vals = [v for _, _, v in sorted(rows)]
+        l, b = vals[0], 0.0
+        for v in vals[1:]:
+            ln = HOLT_ALPHA * v + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (ln - l) + (1 - HOLT_BETA) * b
+            l = ln
+        g = got[uid]
+        assert g["n_events"] == len(vals)
+        assert abs(g["level"] - l) < 1e-6, (uid, g["level"], l)
+        assert abs(g["trend"] - b) < 1e-6
+        assert abs(g["forecast_3"] - (l + 3 * b)) < 1e-5
+
+
+def test_holt_tracks_linear_ramp(spark, tmp_path):
+    """On a clean linear ramp v_t = 5t the trend must converge near
+    the true slope and the 3-step forecast must lead the last level —
+    the behavior that separates Holt from the flat EMA."""
+    import pandas as pd
+
+    from mimir_spark.operators.features import holt_linear_user
+
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array(range(n), dtype="int64"),
+            "ts": pd.to_datetime(range(n), unit="s"),
+            "user_id": pd.array([1] * n, dtype="int64"),
+            "event_type": ["view"] * n,
+            "value": [5.0 * t for t in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    out = str(tmp_path / "ramp")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+    r = holt_linear_user(spark, out).collect()[0]
+    assert abs(r["trend"] - 5.0) < 0.5
+    assert r["forecast_3"] > r["level"] + 10
