@@ -65,6 +65,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "benford_digit_test",
+    "dp_count_laplace",
     "holt_linear_user",
     "kcenter_greedy",
     "kmv_source_setops",
@@ -169,6 +171,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_source_setops": sketches.kmv_source_setops,
         "kcenter_greedy": clustering.kcenter_greedy,
         "holt_linear_user": features.holt_linear_user,
+        "benford_digit_test": profiling.benford_digit_test,
+        "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
         "sample_weighted_k": pipeline.sample_weighted_k,
@@ -3392,6 +3396,56 @@ def oracle_sql() -> dict[str, str]:
         # EMA: a strictly sequential fold on both engines
         # (F.aggregate seeded by the first element == list_reduce);
         # alpha = 1/8 is exact in binary, so the folds are bit-equal.
+        # Benford: first digit via exact integer arithmetic (never
+        # log10 of the value); chi2 summed from rounded contributions.
+        "benford_digit_test": """
+            WITH cents AS (
+              SELECT round(o_totalprice * 100, 0)::BIGINT AS c FROM orders),
+            digits AS (
+              SELECT floor(c / pow(10.0, length(c::VARCHAR) - 1))::INT
+                       AS digit
+              FROM cents),
+            obs AS (
+              SELECT digit, count(*)::BIGINT AS obs FROM digits GROUP BY 1),
+            spine AS (SELECT unnest(generate_series(1, 9))::INT AS digit),
+            cells AS (
+              SELECT s.digit, coalesce(o.obs, 0)::BIGINT AS obs
+              FROM spine s LEFT JOIN obs o USING (digit)),
+            tot AS (SELECT sum(obs) AS total FROM cells),
+            scored AS (
+              SELECT c.digit, c.obs, t.total::BIGINT AS total,
+                     round(c.obs / t.total, 6) AS p_obs,
+                     round(log10(1.0 + 1.0 / c.digit::DOUBLE), 6)
+                       AS p_benford,
+                     round(pow(c.obs - t.total
+                                 * log10(1.0 + 1.0 / c.digit::DOUBLE), 2)
+                           / (t.total
+                              * log10(1.0 + 1.0 / c.digit::DOUBLE)), 6)
+                       AS contribution
+              FROM cells c CROSS JOIN tot t)
+            SELECT digit, obs, total, p_obs, p_benford, contribution,
+                   round(sum(contribution) OVER (), 4) AS chi2,
+                   8::BIGINT AS dof
+            FROM scored
+        """,
+        # Laplace mechanism with counter-based md5-31 noise — the
+        # identical inverse-CDF expression on both engines.
+        "dp_count_laplace": """
+            WITH cells AS (
+              SELECT lang, source, count(*)::BIGINT AS n
+              FROM documents GROUP BY 1, 2),
+            d AS (
+              SELECT lang, source, n,
+                     ((cast(concat('0x', substring(
+                          md5(lang || ':' || source || ':dp'), 1, 8))
+                        AS BIGINT) & 2147483647)::DOUBLE + 0.5)
+                       / 2147483648.0 AS u
+              FROM cells)
+            SELECT lang, source, 1.0::DOUBLE AS epsilon,
+                   round(n + (-1.0) * sign(u - 0.5)
+                             * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noised_n
+            FROM d
+        """,
         # Holt double exponential smoothing: the same sequential-fold
         # recipe as ema_user_value, but with a 2-component state. The
         # accumulator is a LIST, not a struct — DuckDB's list_reduce

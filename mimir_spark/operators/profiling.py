@@ -14,7 +14,7 @@ checkable choice at test SF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mimir_spark.sources.tables import load_table
@@ -373,3 +373,116 @@ def constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules[1:] + [dup, orphans]:
         out = out.unionByName(r)
     return out
+
+
+# ---- Benford first-digit conformance ---------------------------------------
+
+
+def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit conformance scan of
+    orders.o_totalprice — the classic anomaly/fabrication screen for
+    positive, scale-spanning amounts (Nigrini's audit test): observed
+    digit shares vs p(d) = log10(1 + 1/d), plus the chi-square
+    statistic.
+
+    Portability: the first digit is taken via exact INTEGER
+    arithmetic — cents = round(price·100) :: bigint, digit =
+    floor(cents / 10^(len(str(cents)) − 1)) — never via log10 of the
+    value (whose floor can straddle an engine ulp at powers of ten).
+    One scan → 9-row aggregate; the digit spine 1..9 is materialized
+    so missing digits still contribute their expected mass. chi² is
+    summed from ROUNDED 6dp contributions (the chi2_lang_source
+    contract).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digit = F.floor(
+        cents
+        / F.pow(F.lit(10.0), (F.length(cents.cast("string")) - 1).cast("double"))
+    ).cast("int")
+    obs = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    cells = spine.join(obs, "digit", "left").select(
+        "digit", F.coalesce("obs", F.lit(0)).cast("long").alias("obs")
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("obs").over(w_all)
+    p_benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    scored = (
+        cells.withColumn("total", total.cast("long"))
+        .withColumn("p_obs", F.round(F.col("obs") / F.col("total"), 6))
+        .withColumn("p_benford", F.round(p_benford, 6))
+        .withColumn(
+            "contribution",
+            F.round(
+                (F.col("obs") - F.col("total") * p_benford) ** 2
+                / (F.col("total") * p_benford),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.withColumn(
+            "chi2", F.round(F.sum("contribution").over(w_all), 4)
+        )
+        .withColumn("dof", F.lit(8).cast("long"))
+        .select(
+            "digit", "obs", "total", "p_obs", "p_benford",
+            "contribution", "chi2", "dof",
+        )
+    )
+
+
+# ---- differentially-private counts (Laplace mechanism) ---------------------
+
+DP_EPSILON = 1.0
+
+
+def dp_count_laplace(
+    spark: SparkSession, sf_dir: str, epsilon: float = DP_EPSILON
+) -> DataFrame:
+    """ε-differentially-private (lang, source) document counts via the
+    Laplace mechanism — the release step after the k-anonymity /
+    l-diversity / t-closeness DIAGNOSTICS: count + Lap(Δf/ε) noise
+    with sensitivity Δf = 1 (one document moves one cell count by 1).
+
+    The noise draw is COUNTER-BASED and deterministic: u = (md5-31
+    hash of 'lang:source:dp' + 0.5) / 2^31 ∈ (0,1), then the inverse
+    Laplace CDF −(1/ε)·sign(u−½)·ln(1−2|u−½|). A pure function of the
+    cell key — reproducible across engines, partitionings and reruns
+    (the bootstrap_ci_poisson randomness contract; production swaps a
+    per-release salt into the hash input to re-randomize). Everything
+    after the one map-side-combined groupBy is |cells|-sized.
+
+    NOTE: deterministic noise keyed only by the cell is NOT a real DP
+    release (re-running leaks the same draw; a salt per release
+    restores it) — this op pins the MECHANISM arithmetic the release
+    pipeline runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    seed = F.concat(F.col("lang"), F.lit(":"), F.col("source"), F.lit(":dp"))
+    h = (
+        F.conv(F.substring(F.md5(seed), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(2_147_483_647))
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(2147483648.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return cells.select(
+        "lang",
+        "source",
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.round(F.col("n") + noise, 4).alias("noised_n"),
+    )

@@ -1364,3 +1364,76 @@ def test_holt_tracks_linear_ramp(spark, tmp_path):
     r = holt_linear_user(spark, out).collect()[0]
     assert abs(r["trend"] - 5.0) < 0.5
     assert r["forecast_3"] > r["level"] + 10
+
+
+# ---- Benford + Laplace-mechanism release ----------------------------------
+
+
+def test_benford_matches_hand_rolled(spark):
+    import math
+
+    from mimir_spark.operators.profiling import benford_digit_test
+    from mimir_spark.sources.tables import load_table
+
+    prices = [
+        r["o_totalprice"]
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    ]
+    obs = {d: 0 for d in range(1, 10)}
+    for p in prices:
+        obs[int(str(int(round(p * 100)))[0])] += 1
+    total = sum(obs.values())
+    chi2 = sum(
+        round(
+            (obs[d] - total * math.log10(1 + 1 / d)) ** 2
+            / (total * math.log10(1 + 1 / d)),
+            6,
+        )
+        for d in range(1, 10)
+    )
+    rows = {r["digit"]: r for r in benford_digit_test(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(1, 10))
+    for d in range(1, 10):
+        r = rows[d]
+        assert r["obs"] == obs[d], (d, r["obs"], obs[d])
+        assert r["total"] == total
+        assert abs(r["p_benford"] - math.log10(1 + 1 / d)) < 1e-6
+        assert abs(r["chi2"] - round(chi2, 4)) < 1e-9
+
+
+def test_dp_noise_is_laplace_shaped(spark):
+    """Deviation from the true counts must look like Lap(1/eps):
+    zero-mean-ish, mean |noise| near 1/eps, and eps=10 noise is
+    ~10x smaller than eps=1 noise for the same cells."""
+    from mimir_spark.operators.profiling import dp_count_laplace
+    from mimir_spark.sources.tables import load_table
+
+    true = {
+        (r["lang"], r["source"]): r["n"]
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .groupBy("lang", "source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    got1 = {
+        (r["lang"], r["source"]): r["noised_n"] - true[(r["lang"], r["source"])]
+        for r in dp_count_laplace(spark, SF_CORRECT).collect()
+    }
+    noises = np.array(list(got1.values()))
+    assert len(noises) == len(true) and len(noises) > 50
+    # Lap(1) has mean |x| = 1 and mean 0; loose 4-sigma-ish bands
+    assert abs(noises.mean()) < 0.8
+    assert 0.5 < np.abs(noises).mean() < 2.0
+    got10 = {
+        k: r
+        for k, r in (
+            (
+                (r["lang"], r["source"]),
+                r["noised_n"] - true[(r["lang"], r["source"])],
+            )
+            for r in dp_count_laplace(spark, SF_CORRECT, epsilon=10.0).collect()
+        )
+    }
+    for k, n1 in got1.items():
+        assert abs(got10[k] - n1 / 10.0) < 5e-4, (k, n1, got10[k])
