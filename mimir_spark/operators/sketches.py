@@ -715,9 +715,18 @@ def kmv_source_setops(
     |A∩B| ≈ J · |A∪B|; |A∖B| ≈ max(|A∪B| − |B|, 0). A sketch smaller
     than k IS its set — estimates collapse to exact counts.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    return kmv_pairwise(kmv_sketch(docs, k), k)
+
+
+def kmv_sketch(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-source bottom-k distinct shingle hashes as (source, h) rows
+    — the mergeable KMV state: bottom-k over ANY union of partial
+    bottom-k tables equals bottom-k over the union of the raw sets
+    (every global bottom-k member survives its own partial's cut),
+    which is what lets the streaming twin merge per-batch partials."""
     from mimir_spark.functions.text import word_shingle_hashes
 
-    docs = load_table(spark, sf_dir, "documents")
     hs = (
         docs.select(
             "source", F.explode(word_shingle_hashes("text")).alias("h")
@@ -725,11 +734,19 @@ def kmv_source_setops(
         .distinct()
     )
     w = Window.partitionBy("source").orderBy("h")
-    sk = (
+    return (
         hs.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= k)
-        .groupBy("source")
-        .agg(F.sort_array(F.collect_list("h")).alias("arr"))
+        .select("source", "h")
+    )
+
+
+def kmv_pairwise(sk_rows: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise set-operation estimates from a (source, h) sketch-row
+    table — the |sources|·k-sized tail of kmv_source_setops, shared
+    with the streaming finalizer."""
+    sk = sk_rows.groupBy("source").agg(
+        F.sort_array(F.collect_list("h")).alias("arr")
     )
     a = sk.select(F.col("source").alias("source_a"), F.col("arr").alias("arr_a"))
     b = sk.select(F.col("source").alias("source_b"), F.col("arr").alias("arr_b"))

@@ -1204,3 +1204,42 @@ def test_streaming_sq_encode_matches_batch(spark, sf_smoke, tmp_path):
         for r in sq_encode(pts, sq_bounds(pts)).collect()
     }
     assert got == expect and got
+
+
+def test_streaming_kmv_matches_batch(spark, sf_smoke, tmp_path):
+    """Per-batch bottom-k partials merged by the finalizer must give
+    the identical pairwise set-op report as the single-pass batch
+    operator (bottom-k mergeability)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.sketches import kmv_source_setops
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.kmv import (
+        finalize_kmv_setops,
+        streaming_kmv_build,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_kmv_build(
+        spark, flat, str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r) for r in finalize_kmv_setops(spark, str(tmp_path / "sketch")).collect()
+    }
+    want = {tuple(r) for r in kmv_source_setops(spark, sf_smoke).collect()}
+    assert got == want and len(got) > 0
