@@ -65,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "wordpiece_train",
     "benford_digit_test",
     "dp_count_laplace",
     "holt_linear_user",
@@ -172,6 +173,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_greedy": clustering.kcenter_greedy,
         "holt_linear_user": features.holt_linear_user,
         "benford_digit_test": profiling.benford_digit_test,
+        "wordpiece_train": tokenizer.wordpiece_train,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
@@ -1118,6 +1120,63 @@ def _bpe_ctes(n_merges: int = 10, with_word: bool = False) -> str:
       FROM v{k - 1} CROSS JOIN w{k})"""
             )
     return ",\n".join(parts)
+
+
+def _wordpiece_sql(n_merges: int = 8) -> str:
+    """Unrolled sequential WordPiece chain: like _bpe_ctes, but each
+    round also folds the symbol UNIGRAM counts (u{k}) and the winner
+    argmaxes the likelihood score cnt/(ul·ur) — one division of exact
+    integers, the identical double on both engines — with (score desc,
+    l, r) ties."""
+    parts = [
+        r"""WITH v0 AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS wc,
+             array_to_string(list_filter(string_split(word, ''),
+                                         c -> c <> ''), ' ') AS s
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY word)"""
+    ]
+    apply_tpl = """list_reduce(string_split(v{p}.s, ' '),
+        (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = w{k}.l
+                          AND x = w{k}.r
+                    THEN regexp_replace(acc, '[^ ]+$', w{k}.l || w{k}.r)
+                    ELSE acc || ' ' || x END)"""
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""", p{k} AS (
+      SELECT ps[i] AS l, ps[i+1] AS r, sum(wc)::BIGINT AS cnt
+      FROM (SELECT wc, string_split(s, ' ') AS ps,
+                   unnest(range(1, len(string_split(s, ' ')))) AS i
+            FROM v{k - 1})
+      GROUP BY 1, 2)
+    , u{k} AS (
+      SELECT sym, sum(wc)::BIGINT AS uc
+      FROM (SELECT wc, unnest(string_split(s, ' ')) AS sym
+            FROM v{k - 1})
+      GROUP BY 1)
+    , w{k} AS MATERIALIZED (
+      SELECT p.l, p.r, p.cnt, p.cnt / (ul.uc * ur.uc) AS score
+      FROM p{k} p
+      JOIN u{k} ul ON ul.sym = p.l
+      JOIN u{k} ur ON ur.sym = p.r
+      WHERE p.cnt >= 2
+      ORDER BY score DESC, p.l, p.r LIMIT 1)"""
+        )
+        if k < n_merges:
+            parts.append(
+                f""", v{k} AS MATERIALIZED (
+      SELECT v{k - 1}.wc, {apply_tpl.format(p=k - 1, k=k)} AS s
+      FROM v{k - 1} CROSS JOIN w{k})"""
+            )
+    fin = "\nUNION ALL\n".join(
+        f'SELECT {k - 1}::BIGINT AS step, l AS "left", r AS "right",'
+        f" l || r AS merged, cnt AS pair_count,"
+        f" round(score, 9) AS score FROM w{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "\n".join(parts) + "\n" + fin
 
 
 def _bpe_train_sql(n_merges: int = 10) -> str:
@@ -3127,6 +3186,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM ranked CROSS JOIN t)
         """,
         "bpe_train": _bpe_train_sql(),
+        "wordpiece_train": _wordpiece_sql(),
         "bpe_encode": _bpe_encode_sql(),
         # Constraint-validation gate; every rule is one aggregate or
         # anti-join, trivially expressed in ANSI SQL.

@@ -197,3 +197,98 @@ def bpe_encode(
             "chars_per_symbol"
         ),
     )
+
+
+def wordpiece_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """Learn `n_merges` WORDPIECE merges (Schuster & Nakajima 2012;
+    the BERT tokenizer's trainer): unlike BPE's raw pair-frequency
+    argmax, each round merges the pair maximizing the LIKELIHOOD ratio
+    score count(l,r) / (count(l)·count(r)) — pairs that co-occur far
+    more than their parts' popularity predicts, which prefers
+    morpheme-like units over frequent-but-uninformative pairs.
+
+    Same distributed shape as bpe_train: the corpus is scanned once
+    into the (word, count) vocabulary; every round is two vocab-sized
+    partial-aggregated counts (adjacent pairs + symbol unigrams), one
+    1-row argmax to the driver, and the shared JVM-side fold
+    (_apply_merge) — no Python UDFs, plan depth capped by periodic
+    localCheckpoint. Rounds are strictly sequential (the BPE
+    _safe_merge_prefix batching guard doesn't transfer: a ratio can
+    GROW when an accepted merge shrinks a unigram count, so no prefix
+    is provably order-safe).
+
+    Portability: the score is one division of exact integers —
+    identical doubles in Spark and DuckDB — and ties break (score
+    desc, l, r) on both sides; the unrolled-CTE oracle replays the
+    identical argmax chain. Output: (step, left, right, merged,
+    pair_count, score 9dp) in learning order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = tokens(docs).groupBy("word").agg(
+        F.count("*").cast("long").alias("wc")
+    )
+    symbols = vocab.select(
+        "wc", F.filter(F.split("word", ""), lambda c: c != "").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int, float]] = []
+    since_ckpt = 0
+    while len(merges) < n_merges:
+        pair = F.zip_with(
+            F.col("syms"),
+            F.slice(F.col("syms"), 2, 1 << 30),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        pairs = (
+            symbols.select("wc", F.explode(pair).alias("p"))
+            .filter(F.col("p.r").isNotNull())
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+        )
+        uni = (
+            symbols.select("wc", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("wc").cast("long").alias("uc"))
+        )
+        top = (
+            pairs.join(
+                uni.select(F.col("sym").alias("l"), F.col("uc").alias("ul")),
+                "l",
+            )
+            .join(
+                uni.select(F.col("sym").alias("r"), F.col("uc").alias("ur")),
+                "r",
+            )
+            .filter(F.col("cnt") >= 2)
+            .withColumn("score", F.col("cnt") / (F.col("ul") * F.col("ur")))
+            .orderBy(F.col("score").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        w = top[0]
+        merges.append(
+            (
+                len(merges),
+                w["l"],
+                w["r"],
+                w["l"] + w["r"],
+                int(w["cnt"]),
+                round(float(w["score"]), 9),
+            )
+        )
+        symbols = symbols.withColumn(
+            "syms", _apply_merge(F.col("syms"), w["l"], w["r"])
+        )
+        since_ckpt += 1
+        if since_ckpt >= 4:
+            symbols = symbols.localCheckpoint(eager=True)
+            since_ckpt = 0
+    return spark.createDataFrame(
+        merges,
+        "step long, left string, right string, merged string,"
+        " pair_count long, score double",
+    )
