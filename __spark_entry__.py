@@ -65,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "scd2_user_state",
     "wordpiece_train",
     "benford_digit_test",
     "dp_count_laplace",
@@ -174,6 +175,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_linear_user": features.holt_linear_user,
         "benford_digit_test": profiling.benford_digit_test,
         "wordpiece_train": tokenizer.wordpiece_train,
+        "scd2_user_state": features.scd2_user_state,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
@@ -3505,6 +3507,35 @@ def oracle_sql() -> dict[str, str]:
                    round(n + (-1.0) * sign(u - 0.5)
                              * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noised_n
             FROM d
+        """,
+        # SCD2 history build: runs of equal per-user states ->
+        # validity intervals; epoch-second bigints end to end.
+        "scd2_user_state": """
+            WITH seq AS (
+              SELECT user_id, event_type, event_id, ts,
+                     floor(epoch(ts))::BIGINT AS sec,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            seg AS (
+              SELECT user_id, event_type, sec,
+                     sum(chg) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS version
+              FROM seq),
+            runs AS (
+              SELECT user_id, version::BIGINT AS version,
+                     min(event_type) AS state,
+                     min(sec)::BIGINT AS valid_from,
+                     count(*)::BIGINT AS n_events
+              FROM seg GROUP BY user_id, version)
+            SELECT user_id, version, state, valid_from,
+                   lead(valid_from) OVER w2 AS valid_to, n_events,
+                   (lead(valid_from) OVER w2 IS NULL)::BIGINT AS is_current
+            FROM runs
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
         """,
         # Holt double exponential smoothing: the same sequential-fold
         # recipe as ema_user_value, but with a 2-component state. The

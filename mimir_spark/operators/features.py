@@ -696,3 +696,49 @@ def holt_linear_user(
         F.round(state["b"], 6).alias("trend"),
         F.round(state["l"] + F.lit(3.0) * state["b"], 6).alias("forecast_3"),
     )
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-2 SLOWLY-CHANGING-DIMENSION history build (Kimball's SCD2
+    — the warehouse pattern every CDC/ELT stack materializes): treat
+    each user's event stream as attribute changes and emit one
+    validity-interval row per RUN of equal states — (user_id, version,
+    state, valid_from, valid_to, n_events, is_current), half-open
+    intervals, valid_to NULL on the current row.
+
+    Plan shape: ONE shuffle on user_id serves the whole chain — the
+    change-point lag, the run-id cumsum, the per-run aggregate and the
+    valid_to lead all share the same partitioning, so Catalyst plans a
+    single Exchange (per-user state is bounded by that user's rows,
+    the sessionize contract). Times are epoch seconds (bigint) via the
+    repo's TIMESTAMP(NANOS)-safe helper.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.lag("event_type", 1).over(w).isNull()
+        | (F.lag("event_type", 1).over(w) != F.col("event_type"))
+    ).cast("int")
+    seg = ev.withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = seg.groupBy("user_id", "version").agg(
+        F.first("event_type").alias("state"),
+        F.min(epoch_seconds("ts")).cast("long").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from", 1).over(w2).cast("long").alias("valid_to"),
+        "n_events",
+        F.lead("valid_from", 1).over(w2).isNull().cast("long").alias(
+            "is_current"
+        ),
+    )

@@ -1437,3 +1437,48 @@ def test_dp_noise_is_laplace_shaped(spark):
     }
     for k, n1 in got1.items():
         assert abs(got10[k] - n1 / 10.0) < 5e-4, (k, n1, got10[k])
+
+
+# ---- SCD2 history build ----------------------------------------------------
+
+
+def test_scd2_intervals_tile_and_runs_alternate(spark):
+    from mimir_spark.operators.features import scd2_user_state
+    from mimir_spark.sources.tables import load_table
+
+    rows = scd2_user_state(spark, SF_SMOKE).collect()
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_user) == set(ev_counts)
+    for uid, rs in per_user.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        # half-open intervals tile: valid_to == next valid_from
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["state"] != b["state"]  # runs are maximal
+            assert a["is_current"] == 0
+        assert rs[-1]["valid_to"] is None and rs[-1]["is_current"] == 1
+        assert sum(r["n_events"] for r in rs) == ev_counts[uid]
+
+
+def test_scd2_single_exchange(spark):
+    """The lag, cumsum, per-run agg and lead all share the user_id
+    partitioning: exactly one shuffle in the plan."""
+    from mimir_spark.operators.features import scd2_user_state
+
+    plan = (
+        scd2_user_state(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
