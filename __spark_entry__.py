@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mimir_spark.operators import winnow
 from mimir_spark.operators import (
     advanced,
     clustering,
@@ -65,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "winnowing_matches",
     "scd2_user_state",
     "wordpiece_train",
     "benford_digit_test",
@@ -176,6 +178,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digit_test": profiling.benford_digit_test,
         "wordpiece_train": tokenizer.wordpiece_train,
         "scd2_user_state": features.scd2_user_state,
+        "winnowing_matches": winnow.winnowing_matches,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
@@ -3507,6 +3510,41 @@ def oracle_sql() -> dict[str, str]:
                    round(n + (-1.0) * sign(u - 0.5)
                              * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noised_n
             FROM d
+        """,
+        # Winnowing (MOSS): md5-31 k-gram hashes, window minima,
+        # hot-fp cap before the pair join — all exact integers.
+        "winnowing_matches": """
+            WITH kh AS (
+              SELECT doc_id, list_transform(
+                       generate_series(1, length(text) - 7),
+                       i -> cast(concat('0x', substring(
+                              md5(substring(text, i, 8)), 1, 8)) as bigint)
+                            & 2147483647) AS kh
+              FROM documents WHERE length(text) >= 15),
+            fps AS MATERIALIZED (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(kh) - 7),
+                       s -> list_min(kh[s:s+7])))) AS fp
+              FROM kh),
+            dftbl AS (SELECT fp, count(*) AS dfreq FROM fps GROUP BY 1),
+            cold AS (
+              SELECT f.doc_id, f.fp
+              FROM fps f JOIN dftbl USING (fp) WHERE dftbl.dfreq <= 16),
+            per_doc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_fp FROM fps GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*)::BIGINT AS n_shared
+              FROM cold a JOIN cold b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT p.doc_a, p.doc_b, p.n_shared,
+                   pa.n_fp AS n_a, pb.n_fp AS n_b,
+                   round(p.n_shared / least(pa.n_fp, pb.n_fp), 6) AS score
+            FROM pairs p
+            JOIN per_doc pa ON pa.doc_id = p.doc_a
+            JOIN per_doc pb ON pb.doc_id = p.doc_b
+            WHERE p.n_shared >= 4
         """,
         # SCD2 history build: runs of equal per-user states ->
         # validity intervals; epoch-second bigints end to end.

@@ -1,0 +1,114 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+SIGMOD'03 — the MOSS local fingerprinting algorithm).
+
+Where `doc_fingerprint` hashes the WHOLE text (any edit changes it)
+and the MinHash family estimates whole-document similarity, winnowing
+guarantees LOCAL detection: selecting the minimum k-gram hash in every
+window of w consecutive k-grams ensures that ANY substring match of
+length ≥ w + k − 1 shares at least one selected fingerprint — the
+property plagiarism/code-clone detectors rely on, and a useful
+contamination primitive beside the span-level exact ops.
+
+Scale shape: fingerprint extraction is MAP-ONLY (per-doc list
+arithmetic, no shuffle); the document-frequency table is
+fingerprint-sized; hot fingerprints (df > maxdf) are dropped BEFORE
+the pair join, bounding per-key fanout at maxdf² (the containment-LSH
+class-restriction move — boilerplate-heavy 8-grams would otherwise
+quadratically dominate); the pair aggregation is one exchange on
+(doc_a, doc_b).
+
+Portability: k-gram hashes are the repo's md5-31 form over raw
+8-char substrings, window minima are exact integer array_min — the
+DuckDB oracle replicates every step literally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimir_spark.sources.tables import load_table
+
+WIN_K = 8  # k-gram length (chars)
+WIN_W = 8  # window: min over W consecutive k-gram hashes
+WIN_MAXDF = 16  # drop fingerprints shared by more docs than this
+WIN_MIN_SHARED = 4  # report pairs with at least this many shared fps
+# any common substring of length >= WIN_GUARANTEE shares a fingerprint
+WIN_GUARANTEE = WIN_K + WIN_W - 1
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WIN_K, w: int = WIN_W
+) -> DataFrame:
+    """(doc_id, fp): the distinct winnowing fingerprints of each doc —
+    min k-gram hash per w-window. Map-only."""
+    kh = (
+        f"transform(sequence(1, length(text) - {k - 1}),"
+        f" i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 8),"
+        f" 16, 10) AS bigint) & 2147483647)"
+    )
+    wins = (
+        f"array_distinct(transform(sequence(1, size(kh) - {w - 1}),"
+        f" s -> array_min(slice(kh, s, {w}))))"
+    )
+    return (
+        docs.filter(F.length("text") >= k + w - 1)
+        .selectExpr("doc_id", f"{kh} AS kh")
+        .selectExpr("doc_id", f"explode({wins}) AS fp")
+    )
+
+
+def winnowing_matches(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = WIN_K,
+    w: int = WIN_W,
+    maxdf: int = WIN_MAXDF,
+    min_shared: int = WIN_MIN_SHARED,
+) -> DataFrame:
+    """Cross-document winnowing match report: pairs sharing ≥
+    min_shared selected fingerprints (hot fps with df > maxdf
+    excluded), with per-doc fingerprint counts and the containment-
+    style score shared / min(n_a, n_b)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k, w).localCheckpoint(eager=True)
+    df_tbl = fps.groupBy("fp").agg(F.count("*").alias("dfreq"))
+    cold = fps.join(
+        F.broadcast(df_tbl.filter(F.col("dfreq") <= maxdf)), "fp"
+    ).select("doc_id", "fp")
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fp")
+    )
+    a = cold.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 6
+            ).alias("score"),
+        )
+    )

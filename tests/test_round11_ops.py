@@ -1482,3 +1482,70 @@ def test_scd2_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---- winnowing fingerprints ------------------------------------------------
+
+
+def _winnow_py(text, k=8, w=8):
+    import hashlib
+
+    kh = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+        & 0x7FFFFFFF
+        for i in range(len(text) - k + 1)
+    ]
+    return {min(kh[s : s + w]) for s in range(len(kh) - w + 1)}
+
+
+def test_winnowing_guarantee_shared_substring(spark, tmp_path):
+    """The winnowing guarantee: ANY common substring of length >=
+    k + w - 1 (15) forces at least one shared fingerprint — pinned on
+    crafted docs embedding the same 20-char run in different
+    surroundings; near-noise docs with no long common run produce no
+    qualifying pair."""
+    import random
+
+    from mimir_spark.operators.winnow import (
+        WIN_GUARANTEE,
+        winnowing_matches,
+    )
+    from tests.test_round11_ops import _write_docs
+
+    rng = random.Random(7)
+
+    def noise(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+    shared_run = "the-exact-same-20-chr"
+    assert len(shared_run) >= WIN_GUARANTEE
+    texts = [
+        noise(80) + shared_run + noise(80),
+        noise(80) + shared_run + noise(80),
+        noise(200),
+        noise(200),
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = winnowing_matches(spark, sf, min_shared=1, maxdf=100).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (0, 1) in got
+    # independent python recompute of the shared-fp count for (0, 1)
+    shared = len(_winnow_py(texts[0]) & _winnow_py(texts[1]))
+    r01 = next(r for r in rows if (r["doc_a"], r["doc_b"]) == (0, 1))
+    assert r01["n_shared"] == shared >= 1
+    assert (2, 3) not in got  # pure noise: no long common run
+
+
+def test_winnowing_fp_sets_match_python(spark):
+    """Per-doc fingerprint SETS vs the independent python winnower on
+    the real corpus sample."""
+    from mimir_spark.operators.winnow import winnow_fingerprints
+    from mimir_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    got: dict = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for r in docs.select("doc_id", "text").collect():
+        if len(r["text"]) >= 15:
+            assert got[r["doc_id"]] == _winnow_py(r["text"]), r["doc_id"]
