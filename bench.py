@@ -103,6 +103,12 @@ HEADLINE = [
     # over every code row — JVM expression-width throughput).
     "gopher_repetition_filter",
     "ann_sq_topk",
+    # late round-11 batch 2: KMV set algebra (the sketch-sized answer
+    # to cross-source dedup — a WindowGroupLimit bottom-k over one
+    # distinct shuffle) and winnowing fingerprint matching (map-only
+    # list extraction + df-capped pair join — the MOSS workload).
+    "kmv_source_setops",
+    "winnowing_matches",
 ]
 
 # localCheckpoint-heavy / iterative entries materialize intermediate

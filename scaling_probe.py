@@ -60,6 +60,12 @@ PROBES = [
     # track tokens) and the SQ8 encode+score pass (vector-linear)
     "gopher_repetition_filter",
     "ann_sq_topk",
+    # late round-11: KMV set algebra (one distinct shuffle + bottom-k
+    # heaps; everything after is |sources|*k — time must track the
+    # token scan) and winnowing matches (map-only extraction +
+    # df-capped pair join — time must track the corpus, never pairs)
+    "kmv_source_setops",
+    "winnowing_matches",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -82,6 +88,8 @@ INPUT_TABLES = {
     "corpus_keep_list": "documents",
     "gopher_repetition_filter": "documents",
     "ann_sq_topk": "embeddings",
+    "kmv_source_setops": "documents",
+    "winnowing_matches": "documents",
 }
 
 
