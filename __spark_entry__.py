@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "knn_graph_descent",
     "winnowing_matches",
     "scd2_user_state",
     "wordpiece_train",
@@ -179,6 +180,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_train": tokenizer.wordpiece_train,
         "scd2_user_state": features.scd2_user_state,
         "winnowing_matches": winnow.winnowing_matches,
+        "knn_graph_descent": similarity.knn_graph_descent,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
@@ -2067,6 +2069,69 @@ def _sssp_sql(rounds: int = 12) -> str:
     return "\n".join(parts)
 
 
+def _nnd_sql(
+    k: int = 3, kp: int = 10, rounds: int = 6, dim: int = 64
+) -> str:
+    """Unrolled NN-descent (DuckDB dialect): ring seed graph, per
+    round the neighbors-of-neighbors candidate join over the
+    undirected edge set, 6dp-rounded cosine scoring (the identical
+    dot/(‖a‖·‖b‖) sequential folds), (cos desc, v) top-k."""
+    dot_ab = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> a.e[i] * b.e[i]))"
+    )
+    parts = [
+        f"""WITH pts AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS e,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+          FROM embeddings),
+        nn0 AS (SELECT count(*) AS n FROM pts),
+        g0 AS (
+          SELECT vec_id AS u,
+                 unnest(list_transform(generate_series(1, {kp}),
+                        i -> (vec_id + i) % n)) AS v
+          FROM pts CROSS JOIN nn0)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", b{r} AS (
+          SELECT u, v FROM g{r - 1}
+          UNION ALL SELECT v AS u, u AS v FROM g{r - 1})
+        , c{r} AS (
+          SELECT DISTINCT u, v FROM (
+            SELECT e2.u AS u, e1.v AS v
+            FROM b{r} e1 JOIN b{r} e2 ON e1.u = e2.v
+            WHERE e2.u <> e1.v
+            UNION ALL SELECT u, v FROM g{r - 1}) q)
+        , g{r} AS MATERIALIZED (
+          SELECT u, v FROM (
+            SELECT c.u, c.v,
+                   row_number() OVER (
+                     PARTITION BY c.u
+                     ORDER BY round({dot_ab} / (a.nrm * b.nrm), 6) DESC,
+                              c.v) AS rk
+            FROM c{r} c
+            JOIN pts a ON a.vec_id = c.u
+            JOIN pts b ON b.vec_id = c.v) q
+          WHERE rk <= {kp})"""
+        )
+    parts.append(
+        f"""SELECT vec_id, neighbor_id, cos, rank FROM (
+          SELECT u AS vec_id, v AS neighbor_id, cos,
+                 row_number() OVER (PARTITION BY u
+                                    ORDER BY cos DESC, v)::BIGINT AS rank
+          FROM (
+            SELECT g.u, g.v, round({dot_ab} / (a.nrm * b.nrm), 6) AS cos
+            FROM g{rounds} g
+            JOIN pts a ON a.vec_id = g.u
+            JOIN pts b ON b.vec_id = g.v) q) r
+        WHERE rank <= {k}"""
+    )
+    return "\n".join(parts)
+
+
 def _kcenter_sql(k: int = 8, dim: int = 64) -> str:
     """Unrolled Gonzalez greedy k-center (DuckDB dialect). Equality
     with the Spark operator needs NO distance rounding: squared-L2 is
@@ -2658,6 +2723,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _kmeans_sql(),
         "kcenter_greedy": _kcenter_sql(),
+        "knn_graph_descent": _nnd_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
         "minhash_bbit_jaccard": _bbit_sql(),

@@ -534,3 +534,112 @@ def ann_ivf_query_indexed(
         .select("query_id", "neighbor_id", "cos")
     )
     return _rank_topk(scored, k)
+
+
+NND_K = 3  # output k — same as knn_graph, so recall is comparable
+NND_INTERNAL_K = 10  # search width: the graph carried between rounds
+NND_ROUNDS = 6
+
+
+def knn_graph_descent(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NND_K,
+    n_rounds: int = NND_ROUNDS,
+    internal_k: int = NND_INTERNAL_K,
+) -> DataFrame:
+    """APPROXIMATE kNN graph by NN-DESCENT (Dong, Moses & Li, WWW'11):
+    start from a deterministic seed graph and repeatedly propose each
+    node's NEIGHBORS-OF-NEIGHBORS as candidates, keeping the best k —
+    "a neighbor of a neighbor is likely a neighbor".
+
+    The scale story vs the exact GEMM-tiled knn_graph: exact all-pairs
+    is O(n²) FLOPs however you tile it; one NN-descent round is a
+    self-join of the CURRENT width-k' graph — O(n·(2k')²) candidate
+    pairs, each scored once — so r rounds cost O(r·n·k'²) with every
+    stage a bounded shuffle on vec_id (k' = internal_k: the paper's
+    K≈10-20 search width; the output keeps only the top k of the
+    final graph). At 10⁹ vectors that is the difference
+    between 10¹⁸ and ~10¹¹ operations; the price is approximation,
+    and HOW GOOD the approximation is depends on the data's intrinsic
+    dimensionality (Dong et al. §5.3): on low-intrinsic-dimension
+    data the neighbors-of-neighbors hypothesis holds and recall
+    converges fast (pytest pins ≥ 0.95 at the default 6 rounds /
+    width 10 on a smooth-manifold dataset; hard gradient-free planted
+    clusters stay discovery-limited ~0.88), while on the UNIFORM synthetic
+    embeddings table — measured: within-label cosine 0.002, true
+    top-3 sharing a label at the 10% random-chance rate — NO graph
+    method beats candidate-volume luck and recall stays near the
+    seed's (also pinned, as documented expected behavior; the kept-k
+    set still monotonically improves under the (cos desc, id) order).
+
+    Determinism & portability: seed neighbors are (vec_id + i) mod n;
+    scores are the _raw_cos expression (dot / (‖a‖·‖b‖), sequential
+    folds) rounded 6dp; top-k ties break on neighbor_id — the unrolled
+    DuckDB oracle replays identical rounds. Output matches knn_graph:
+    (vec_id, neighbor_id, cos, rank).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    pts = emb.select(
+        "vec_id", e.alias("e"), F.sqrt(dot(e, e)).alias("nrm")
+    ).localCheckpoint(eager=True)
+    n = pts.count()
+
+    seed = pts.select("vec_id").selectExpr(
+        "vec_id AS u",
+        f"explode(transform(sequence(1, {internal_k}),"
+        f" i -> (vec_id + i) % {n})) AS v",
+    )
+
+    def scored_topk(cand: DataFrame, kk: int) -> DataFrame:
+        a = pts.select(
+            F.col("vec_id").alias("u"),
+            F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = pts.select(
+            F.col("vec_id").alias("v"),
+            F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        s = (
+            cand.join(a, "u")
+            .join(b, "v")
+            .select(
+                "u",
+                "v",
+                F.round(
+                    dot("ea", "eb") / (F.col("na") * F.col("nb")), 6
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("u").orderBy(F.col("cos").desc(), "v")
+        return (
+            s.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= kk)
+        )
+
+    g = seed
+    for _ in range(n_rounds):
+        und = g.select("u", "v").union(
+            g.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nn = (
+            und.select(F.col("u").alias("x"), F.col("v").alias("w"))
+            .join(und.select("u", F.col("v").alias("x")), "x")
+            .filter(F.col("u") != F.col("w"))
+            .select("u", F.col("w").alias("v"))
+        )
+        cand = nn.union(g.select("u", "v")).distinct()
+        g = (
+            scored_topk(cand, internal_k)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return scored_topk(g.select("u", "v"), k).select(
+        F.col("u").alias("vec_id"),
+        F.col("v").alias("neighbor_id"),
+        "cos",
+        "rank",
+    )

@@ -1549,3 +1549,77 @@ def test_winnowing_fp_sets_match_python(spark):
     for r in docs.select("doc_id", "text").collect():
         if len(r["text"]) >= 15:
             assert got[r["doc_id"]] == _winnow_py(r["text"]), r["doc_id"]
+
+
+# ---- NN-descent kNN graph --------------------------------------------------
+
+
+def _write_embeddings(spark, tmp_path, X, name="emb"):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(X), dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in X],
+            "label": np.zeros(len(X), dtype=np.int32),
+        }
+    )
+    out = str(tmp_path / name)
+    spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def test_nn_descent_converges_on_manifold_data(spark, tmp_path):
+    """Low-intrinsic-dimension data (the regime the neighbors-of-
+    neighbors hypothesis targets): a smooth 1-D trajectory in 64-d,
+    rows shuffled so the ring seed is structure-blind — similarity
+    decays smoothly along the curve, giving descent a gradient, and 6
+    rounds at search width 10 must recover >= 0.95 of the exact kNN
+    edges. (Planted HARD clusters — mates at cos 0.9, strangers at 0,
+    no gradient between — are the known worst case: same settings
+    reach only ~0.88 there, the discovery-limited regime the docstring
+    cites.)"""
+    import numpy.random as npr
+
+    from mimir_spark.operators.similarity import knn_graph_descent
+
+    rng = npr.default_rng(11)
+    steps = rng.normal(size=(400, 64)) * 0.12
+    X = np.cumsum(steps, axis=0) + rng.normal(size=64)
+    X = X[rng.permutation(400)]
+    sf = _write_embeddings(spark, tmp_path, X)
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -np.inf)
+    exact = {(i, j) for i in range(400) for j in np.argsort(-S[i])[:3]}
+
+    got = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in knn_graph_descent(spark, sf).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, recall
+
+
+def test_nn_descent_degrades_on_structureless_data(spark):
+    """Documented expected behavior on the uniform synthetic corpus
+    (within-label cosine ~0.002): recall stays low BUT each round
+    still monotonically improves the kept-k under (cos desc, id)."""
+    from mimir_spark.operators.similarity import knn_graph, knn_graph_descent
+
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in knn_graph(spark, SF_SMOKE).collect()
+    }
+    recalls = []
+    sums = []
+    for rounds in (1, 2, 3):
+        rows = knn_graph_descent(spark, SF_SMOKE, n_rounds=rounds).collect()
+        got = {(r["vec_id"], r["neighbor_id"]) for r in rows}
+        recalls.append(len(got & exact) / len(exact))
+        sums.append(sum(r["cos"] for r in rows))
+    assert recalls[0] <= recalls[-1] < 0.5  # low on random data — expected
+    assert sums[0] < sums[1] < sums[2]  # but strictly improving
