@@ -72,6 +72,18 @@ def winnowing_matches(
     style score shared / min(n_a, n_b)."""
     docs = load_table(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, k, w).localCheckpoint(eager=True)
+    return winnow_match_report(fps, maxdf, min_shared)
+
+
+def winnow_match_report(
+    fps: DataFrame,
+    maxdf: int = WIN_MAXDF,
+    min_shared: int = WIN_MIN_SHARED,
+) -> DataFrame:
+    """The matching tail over a (doc_id, fp) fingerprint table —
+    shared with the streaming finalizer (fingerprints are a pure
+    function of each doc, so per-batch extraction merges by plain
+    union)."""
     df_tbl = fps.groupBy("fp").agg(F.count("*").alias("dfreq"))
     cold = fps.join(
         F.broadcast(df_tbl.filter(F.col("dfreq") <= maxdf)), "fp"

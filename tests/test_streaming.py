@@ -1243,3 +1243,49 @@ def test_streaming_kmv_matches_batch(spark, sf_smoke, tmp_path):
     }
     want = {tuple(r) for r in kmv_source_setops(spark, sf_smoke).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_winnow_matches_batch(spark, sf_smoke, tmp_path):
+    """Per-batch fingerprint partials + the shared matching tail must
+    equal the single-pass batch report."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.winnow import winnowing_matches
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.winnow import (
+        finalize_winnow_matches,
+        streaming_winnow_build,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_winnow_build(
+        spark, flat, str(tmp_path / "fps"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in finalize_winnow_matches(
+            spark, str(tmp_path / "fps"), maxdf=100, min_shared=1
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in winnowing_matches(
+            spark, sf_smoke, maxdf=100, min_shared=1
+        ).collect()
+    }
+    assert got == want and len(got) > 0
