@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "cusum_changepoints",
     "knn_graph_descent",
     "winnowing_matches",
     "scd2_user_state",
@@ -181,6 +182,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": features.scd2_user_state,
         "winnowing_matches": winnow.winnowing_matches,
         "knn_graph_descent": similarity.knn_graph_descent,
+        "cusum_changepoints": stats.cusum_changepoints,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
@@ -3611,6 +3613,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # CUSUM via the closed prefix form: running sum + running min
+        # windows accumulate in the identical order on both engines;
+        # hourly means / mu / sd rounded 6dp before the recursion.
+        "cusum_changepoints": """
+            WITH hourly AS (
+              SELECT event_type,
+                     floor(epoch(ts) / 3600)::BIGINT AS hour,
+                     round(avg(value), 6) AS x
+              FROM events GROUP BY 1, 2),
+            st AS (
+              SELECT event_type, round(avg(x), 6) AS mu,
+                     round(stddev_samp(x), 6) AS sd
+              FROM hourly GROUP BY 1),
+            i7 AS (
+              SELECT h.event_type, h.hour, h.x,
+                     round(h.x * 1e7, 0)::BIGINT AS x7,
+                     round(s.mu * 1e7, 0)::BIGINT AS mu7,
+                     round(s.sd * 1e7, 0)::BIGINT AS sd7
+              FROM hourly h JOIN st s USING (event_type)),
+            c AS (
+              SELECT event_type, hour, x, sd7,
+                     sum(10 * x7 - 10 * mu7 - 5 * sd7) OVER w AS c_pos,
+                     sum(10 * mu7 - 10 * x7 - 5 * sd7) OVER w AS c_neg
+              FROM i7
+              WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                           ROWS UNBOUNDED PRECEDING)),
+            sc AS (
+              SELECT event_type, hour, x, sd7,
+                     (c_pos - least(0, min(c_pos) OVER w))::BIGINT AS sp,
+                     (c_neg - least(0, min(c_neg) OVER w))::BIGINT AS sn
+              FROM c
+              WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                           ROWS UNBOUNDED PRECEDING))
+            SELECT event_type, hour, x,
+                   sp / 1e8 AS s_pos,
+                   sn / 1e8 AS s_neg,
+                   (sp > 40 * sd7)::BIGINT AS alarm_up,
+                   (sn > 40 * sd7)::BIGINT AS alarm_down
+            FROM sc
         """,
         # SCD2 history build: runs of equal per-user states ->
         # validity intervals; epoch-second bigints end to end.

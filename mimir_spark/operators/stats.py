@@ -258,3 +258,94 @@ def bootstrap_ci_poisson(
             F.round(F.col("ci_hi") - F.col("ci_lo"), 6).alias("ci_width"),
         )
     )
+
+
+# ---- CUSUM changepoint detection (round 11) --------------------------------
+
+CUSUM_SLACK_SD = 0.5  # slack k, in per-type sd units
+CUSUM_THRESHOLD_SD = 4.0  # alarm threshold h, in sd units
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM drift detection (Page 1954) over each event
+    type's HOURLY mean-value series — the classic changepoint monitor
+    a data pipeline runs on ingest metrics: S⁺_t = max(0, S⁺_{t−1} +
+    (x_t − μ − k)), alarming when either side exceeds h = 4σ.
+
+    The recursion LOOKS like a sequential fold, but has the closed
+    prefix form S⁺_t = c_t − min(0, min_{j≤t} c_j) with c the running
+    sum of (x_t − μ − k) — so the whole detector is TWO window
+    functions per side over the (tiny) hourly aggregate, no fold, no
+    UDF; the heavy table is scanned once into the hourly rollup and
+    every window runs over |types|·hours rows. Running sums accumulate
+    in the identical per-partition order on both engines.
+
+    Portability: hourly means, per-type μ and σ are order-dependent
+    double aggregates, so each is ROUNDED 6dp before entering the
+    recursion (the anomaly_zscore broadcast-threshold contract); the
+    window arithmetic downstream is then identical decimals. Output:
+    one row per (event_type, hour) with the statistic trace and alarm
+    flags.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.round(F.avg("x"), 6).alias("mu"),
+        F.round(F.stddev_samp("x"), 6).alias("sd"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    # The running sums must be ORDER-INDEPENDENT to hash-match: DuckDB
+    # evaluates window aggregates with segment trees (pairwise order),
+    # Spark sequentially — float cumsums differ in final ulps. So the
+    # recursion runs in EXACT 1e-8 integer units (the HLL integer-Z
+    # move): d = 10·x7 − 10·mu7 − 5·sd7 with x7 = round(x·1e7), every
+    # cumsum/min/compare an exact BIGINT op (|d| ≤ 1e11, 10³ steps —
+    # far inside int64), floats re-enter only at emission.
+    as7 = lambda c: F.round(F.col(c) * 1e7, 0).cast("long")  # noqa: E731
+    ji = j.select(
+        "event_type",
+        "hour",
+        "x",
+        as7("x").alias("x7"),
+        as7("mu").alias("mu7"),
+        as7("sd").alias("sd7"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    d_pos = 10 * F.col("x7") - 10 * F.col("mu7") - 5 * F.col("sd7")
+    d_neg = 10 * F.col("mu7") - 10 * F.col("x7") - 5 * F.col("sd7")
+    with_c = ji.select(
+        "event_type",
+        "hour",
+        "x",
+        "sd7",
+        F.sum(d_pos).over(run).alias("c_pos"),
+        F.sum(d_neg).over(run).alias("c_neg"),
+    )
+    s_pos = F.col("c_pos") - F.least(
+        F.lit(0).cast("long"), F.min("c_pos").over(run)
+    )
+    s_neg = F.col("c_neg") - F.least(
+        F.lit(0).cast("long"), F.min("c_neg").over(run)
+    )
+    h_int = 40 * F.col("sd7")  # 4σ in 1e-8 units — exact comparison
+    return with_c.select(
+        "event_type",
+        F.col("hour").cast("long").alias("hour"),
+        "x",
+        # NO rounding: sp/sn are identical exact integers on both
+        # engines, so the division yields the identical double —
+        # while a 6dp round would sit exactly on the .5 grid whenever
+        # the 5·sd7 term makes the sum a multiple of 50 (half-up vs
+        # exact-binary rounding then diverge systematically).
+        (s_pos / F.lit(1e8)).alias("s_pos"),
+        (s_neg / F.lit(1e8)).alias("s_neg"),
+        (s_pos > h_int).cast("long").alias("alarm_up"),
+        (s_neg > h_int).cast("long").alias("alarm_down"),
+    )

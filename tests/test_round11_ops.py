@@ -1623,3 +1623,79 @@ def test_nn_descent_degrades_on_structureless_data(spark):
         sums.append(sum(r["cos"] for r in rows))
     assert recalls[0] <= recalls[-1] < 0.5  # low on random data — expected
     assert sums[0] < sums[1] < sums[2]  # but strictly improving
+
+
+# ---- CUSUM changepoints ------------------------------------------------
+
+
+def test_cusum_matches_hand_recurrence(spark):
+    """The window-based closed form must equal the textbook recursion
+    S+_t = max(0, S+_{t-1} + (x_t - mu - 0.5 sd)) computed in Python
+    over the same hourly series."""
+    from mimir_spark.operators.stats import cusum_changepoints
+    from mimir_spark.sources.tables import load_table
+
+    rows = cusum_changepoints(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    series: dict = {}
+    for r in ev:
+        key = (r["event_type"], int(r["ts"].timestamp() // 3600))
+        series.setdefault(key, []).append(r["value"])
+    hourly: dict = {}
+    for (t, h), vals in series.items():
+        hourly.setdefault(t, {})[h] = round(sum(vals) / len(vals), 6)
+    got = {(r["event_type"], r["hour"]): r for r in rows}
+    for t, hs in hourly.items():
+        xs = [hs[h] for h in sorted(hs)]
+        mu = round(sum(xs) / len(xs), 6)
+        m = sum(xs) / len(xs)
+        sd = round(
+            (sum((v - m) ** 2 for v in xs) / (len(xs) - 1)) ** 0.5, 6
+        )
+        x7 = [round(x * 1e7) for x in xs]
+        mu7, sd7 = round(mu * 1e7), round(sd * 1e7)
+        sp = sn = 0
+        for h, xi in zip(sorted(hs), x7):
+            sp = max(0, sp + 10 * xi - 10 * mu7 - 5 * sd7)
+            sn = max(0, sn + 10 * mu7 - 10 * xi - 5 * sd7)
+            g = got[(t, h)]
+            assert abs(g["s_pos"] - sp / 1e8) < 1e-9, (t, h)
+            assert abs(g["s_neg"] - sn / 1e8) < 1e-9
+            assert g["alarm_up"] == int(sp > 40 * sd7)
+            assert g["alarm_down"] == int(sn > 40 * sd7)
+
+
+def test_cusum_detects_planted_shift(spark, tmp_path):
+    """A level shift of +3 injected at hour 48 of a 96-hour unit-
+    variance series must raise alarm_up after (and only after) the
+    shift."""
+    import pandas as pd
+
+    from mimir_spark.operators.stats import cusum_changepoints
+
+    rng = np.random.default_rng(5)
+    n_h, per_h = 96, 20
+    recs = []
+    eid = 0
+    for h in range(n_h):
+        for _ in range(per_h):
+            v = float(rng.normal(10.0, 1.0)) + (3.0 if h >= 48 else 0.0)
+            recs.append((eid, pd.Timestamp(h * 3600, unit="s"), 1, "view", v, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        recs,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    out = str(tmp_path / "shift")
+    spark.createDataFrame(
+        pdf,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    rows = sorted(
+        cusum_changepoints(spark, out).collect(), key=lambda r: r["hour"]
+    )
+    first_alarm = next(i for i, r in enumerate(rows) if r["alarm_up"] == 1)
+    assert 48 <= first_alarm <= 55  # fires just after the shift
+    assert all(r["alarm_up"] == 0 for r in rows[:48])
+    assert all(r["alarm_up"] == 1 for r in rows[60:])  # and stays up
