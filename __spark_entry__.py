@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "theil_sen_hourly",
     "cusum_changepoints",
     "knn_graph_descent",
     "winnowing_matches",
@@ -183,6 +184,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_matches": winnow.winnowing_matches,
         "knn_graph_descent": similarity.knn_graph_descent,
         "cusum_changepoints": stats.cusum_changepoints,
+        "theil_sen_hourly": stats.theil_sen_hourly,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
@@ -3613,6 +3615,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # Theil-Sen: pairwise slopes of the 6dp hourly series divided
+        # by exact integer gaps; LOWER-median order-statistic picks.
+        "theil_sen_hourly": """
+            WITH hourly AS (
+              SELECT event_type,
+                     floor(epoch(ts) / 3600)::BIGINT AS hour,
+                     round(avg(value), 6) AS x
+              FROM events GROUP BY 1, 2),
+            slopes AS (
+              SELECT a.event_type,
+                     (b.x - a.x) / (b.hour - a.hour)::DOUBLE AS slope
+              FROM hourly a JOIN hourly b
+                ON a.event_type = b.event_type AND b.hour > a.hour),
+            ms AS (
+              SELECT event_type, slope, n_pairs FROM (
+                SELECT event_type, slope,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY slope) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS n_pairs
+                FROM slopes) q
+              WHERE rk = (n_pairs + 1) // 2),
+            resid AS (
+              SELECT h.event_type, m.slope, m.n_pairs,
+                     h.x - m.slope * h.hour::DOUBLE AS r
+              FROM hourly h JOIN ms m USING (event_type))
+            SELECT event_type, n_points::BIGINT AS n_points,
+                   n_pairs::BIGINT AS n_pairs,
+                   round(slope, 6) AS slope,
+                   round(r, 6) AS intercept
+            FROM (
+              SELECT event_type, slope, n_pairs, r,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY r) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS n_points
+              FROM resid) q
+            WHERE rk = (n_points + 1) // 2
         """,
         # CUSUM via the closed prefix form: running sum + running min
         # windows accumulate in the identical order on both engines;

@@ -349,3 +349,81 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s_pos > h_int).cast("long").alias("alarm_up"),
         (s_neg > h_int).cast("long").alias("alarm_down"),
     )
+
+
+# ---- Theil-Sen robust trend (round 11) --------------------------------------
+
+
+def theil_sen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend per event type: the median of all
+    pairwise slopes of the hourly mean-value series (29.3% breakdown
+    point — one corrupted ingest day cannot flip the trend the way it
+    flips the OLS fit in linreg_by_group), plus the standard
+    median-residual intercept.
+
+    Scale shape: the O(n²) pair join runs over the HOURLY ROLLUP
+    (|types|·hours rows, bounded by the time span), never the raw
+    events — the corpus is scanned once into the rollup and the pair
+    space is (hours choose 2) per type regardless of event volume.
+
+    Portability: hourly means are rounded 6dp; each slope is one
+    division of those exact decimals by an exact integer hour gap —
+    identical doubles in both engines — and the median is the LOWER
+    median, an exact order-statistic pick ((n+1)÷2 under ORDER BY
+    value) rather than an averaged midpoint, so no new float op is
+    introduced. Output: (event_type, n_points, n_pairs, slope,
+    intercept), 6dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    a = hourly.select(
+        "event_type", F.col("hour").alias("h1"), F.col("x").alias("x1")
+    )
+    b = hourly.select(
+        "event_type", F.col("hour").alias("h2"), F.col("x").alias("x2")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("h2") > F.col("h1"))
+    slopes = pairs.select(
+        "event_type",
+        (
+            (F.col("x2") - F.col("x1"))
+            / (F.col("h2") - F.col("h1")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    med_slope = (
+        slopes.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_pairs", F.count("*").over(Window.partitionBy("event_type")))
+        .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("event_type", "slope", "n_pairs")
+    )
+    resid = hourly.join(F.broadcast(med_slope), "event_type").select(
+        "event_type",
+        "slope",
+        "n_pairs",
+        (F.col("x") - F.col("slope") * F.col("hour").cast("double")).alias(
+            "r"
+        ),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("r")
+    out = (
+        resid.withColumn("rk", F.row_number().over(w2))
+        .withColumn(
+            "n_points", F.count("*").over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("rk") == F.floor((F.col("n_points") + 1) / 2))
+    )
+    return out.select(
+        "event_type",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("slope", 6).alias("slope"),
+        F.round("r", 6).alias("intercept"),
+    )

@@ -1699,3 +1699,71 @@ def test_cusum_detects_planted_shift(spark, tmp_path):
     assert 48 <= first_alarm <= 55  # fires just after the shift
     assert all(r["alarm_up"] == 0 for r in rows[:48])
     assert all(r["alarm_up"] == 1 for r in rows[60:])  # and stays up
+
+
+# ---- Theil-Sen robust trend --------------------------------------------
+
+
+def test_theil_sen_matches_scipy_style_recompute(spark):
+    """Slope/intercept vs an independent Python recompute (lower
+    median of pairwise slopes, lower median of residuals)."""
+    from mimir_spark.operators.stats import theil_sen_hourly
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    series: dict = {}
+    for r in ev:
+        key = (r["event_type"], int(r["ts"].timestamp() // 3600))
+        series.setdefault(key, []).append(r["value"])
+    hourly: dict = {}
+    for (t, h), vals in series.items():
+        hourly.setdefault(t, {})[h] = round(sum(vals) / len(vals), 6)
+    got = {r["event_type"]: r for r in theil_sen_hourly(spark, SF_SMOKE).collect()}
+    for t, hs in hourly.items():
+        pts = sorted(hs.items())
+        slopes = sorted(
+            (x2 - x1) / (h2 - h1)
+            for i, (h1, x1) in enumerate(pts)
+            for h2, x2 in pts[i + 1 :]
+        )
+        slope = slopes[(len(slopes) + 1) // 2 - 1]
+        resid = sorted(x - slope * h for h, x in pts)
+        inter = resid[(len(resid) + 1) // 2 - 1]
+        g = got[t]
+        assert g["n_points"] == len(pts) and g["n_pairs"] == len(slopes)
+        assert abs(g["slope"] - slope) < 1e-6
+        assert abs(g["intercept"] - inter) < 1e-6
+
+
+def test_theil_sen_resists_outlier_day_ols_does_not(spark, tmp_path):
+    """A corrupted 10x-value day in an otherwise flat series: OLS
+    slope moves materially, the Theil-Sen slope stays ~0."""
+    import pandas as pd
+
+    from mimir_spark.operators.stats import theil_sen_hourly
+
+    rng = np.random.default_rng(3)
+    recs, eid = [], 0
+    for h in range(96):
+        bad = 40 <= h < 64  # one corrupted day
+        for _ in range(10):
+            v = float(rng.normal(10, 0.5)) * (10.0 if bad else 1.0)
+            recs.append((eid, pd.Timestamp(h * 3600, unit="s"), 1, "view", v, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        recs, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = str(tmp_path / "corrupt")
+    spark.createDataFrame(
+        pdf,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    ts = theil_sen_hourly(spark, out).collect()[0]
+    hours = np.arange(96)
+    xs = np.array(
+        [10.0 * (10 if 40 <= h < 64 else 1) for h in hours]
+    )  # idealized means
+    ols = np.polyfit(hours, xs, 1)[0]
+    assert abs(ts["slope"]) < 0.05  # robust: flat
+    assert abs(ols) > 0.1  # OLS on the same shape: dragged by the day
