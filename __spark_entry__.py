@@ -66,6 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "quantile_binning",
+    "top_session_paths",
     "theil_sen_hourly",
     "cusum_changepoints",
     "knn_graph_descent",
@@ -185,6 +187,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_descent": similarity.knn_graph_descent,
         "cusum_changepoints": stats.cusum_changepoints,
         "theil_sen_hourly": stats.theil_sen_hourly,
+        "quantile_binning": features.quantile_binning,
+        "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
         "chi2_lang_source": stats.chi2_lang_source,
@@ -3615,6 +3619,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # ntile is ANSI-identical in both engines once the ORDER BY is
+        # made unique with the event_id tie-break.
+        "quantile_binning": """
+            SELECT event_type, bin::BIGINT AS bin,
+                   count(*)::BIGINT AS n,
+                   round(min(value), 6) AS lo,
+                   round(max(value), 6) AS hi
+            FROM (
+              SELECT event_type, value,
+                     ntile(8) OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS bin
+              FROM events) q
+            GROUP BY 1, 2
+        """,
+        # Session paths: the sessionize lag/cumsum chain, an ordered
+        # per-session type list, consecutive-dedup as a string fold.
+        "top_session_paths": """
+            WITH seq AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(floor(epoch(ts))) OVER w IS NULL THEN 0
+                          WHEN floor(epoch(ts))
+                               - lag(floor(epoch(ts))) OVER w > 1800 THEN 1
+                          ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, event_type, ts, event_id,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                       AS session_id
+              FROM seq),
+            paths AS (
+              SELECT list_reduce(
+                       array_agg(event_type ORDER BY ts, event_id),
+                       (acc, t) -> CASE
+                         WHEN regexp_extract(acc, '[^>]+$', 0) = t THEN acc
+                         ELSE acc || '>' || t END) AS path
+              FROM sess GROUP BY user_id, session_id),
+            counted AS (
+              SELECT path, count(*)::BIGINT AS n_sessions
+              FROM paths GROUP BY 1)
+            SELECT path, n_sessions,
+                   row_number() OVER (ORDER BY n_sessions DESC, path)::BIGINT
+                     AS rank
+            FROM counted
+            ORDER BY n_sessions DESC, path LIMIT 25
         """,
         # Theil-Sen: pairwise slopes of the 6dp hourly series divided
         # by exact integer gaps; LOWER-median order-statistic picks.

@@ -742,3 +742,88 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
     )
+
+
+QB_BINS = 8
+
+
+def quantile_binning(
+    spark: SparkSession, sf_dir: str, n_bins: int = QB_BINS
+) -> DataFrame:
+    """EQUAL-FREQUENCY feature discretization (quantile binning) of
+    event values per type — the feature-engineering primitive behind
+    GBDT-style histogram features and monotone target encoders: ntile
+    assigns each row a bin with counts equal to ±1, and the report
+    carries each bin's value range so the edges can be frozen and
+    replayed on serving data.
+
+    Plan: one shuffle on event_type for the ntile window (ties broken
+    by event_id so the assignment is deterministic and engine-
+    portable — ntile over a non-unique ORDER BY is implementation-
+    defined), then a map-side-combined per-(type, bin) aggregate.
+    Output: (event_type, bin, n, lo, hi) — |types|·n_bins rows.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = ev.withColumn("bin", F.ntile(n_bins).over(w))
+    return binned.groupBy("event_type", F.col("bin").cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+def top_session_paths(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, top_n: int = 25
+) -> DataFrame:
+    """PATH MINING over sessionized events: the most common ordered
+    event-type sequences per session (consecutive duplicates
+    collapsed) — the product-analytics "top user journeys" query, and
+    the n-th-order generalization of event_transitions' first-order
+    matrix.
+
+    Plan: the sessionize lag/cumsum chain (one user_id shuffle), an
+    ordered per-session collect (bounded by that session's rows), the
+    consecutive-dedup as a JVM-side fold, then one count shuffle on
+    the path string and a top-n window. Output: (path, n_sessions,
+    rank)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(epoch_seconds("ts"), 1).over(w)
+    gap_s = gap_minutes * 60
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev_ts.isNull(), F.lit(0)).otherwise(
+            (epoch_seconds("ts") - prev_ts > F.lit(gap_s)).cast("int")
+        ),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seq = flagged.groupBy("user_id", "session_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("s")
+    )
+    types = F.transform(F.col("s"), lambda x: x["event_type"])
+    collapsed = F.aggregate(
+        types,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            F.try_element_at(acc, F.lit(-1)) == t, acc
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+    paths = seq.select(F.array_join(collapsed, ">").alias("path"))
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    w2 = Window.partitionBy().orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        counted.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("path", "n_sessions", "rank")
+    )

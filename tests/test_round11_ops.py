@@ -1767,3 +1767,63 @@ def test_theil_sen_resists_outlier_day_ols_does_not(spark, tmp_path):
     ols = np.polyfit(hours, xs, 1)[0]
     assert abs(ts["slope"]) < 0.05  # robust: flat
     assert abs(ols) > 0.1  # OLS on the same shape: dragged by the day
+
+
+# ---- quantile binning + session paths ---------------------------------
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from mimir_spark.operators.features import quantile_binning
+
+    rows = quantile_binning(spark, SF_CORRECT).collect()
+    per_type: dict = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in per_type.items():
+        rs.sort(key=lambda r: r["bin"])
+        assert [r["bin"] for r in rs] == list(range(1, 9))
+        ns = [r["n"] for r in rs]
+        assert max(ns) - min(ns) <= 1  # equal frequency +-1
+        # bins are value-ordered: ranges never invert
+        for a, b in zip(rs, rs[1:]):
+            assert a["hi"] <= b["lo"] or abs(a["hi"] - b["lo"]) < 1e-9
+            assert a["lo"] <= a["hi"]
+
+
+def test_top_session_paths_match_hand_rolled(spark):
+    from mimir_spark.operators.features import top_session_paths
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    hist: dict = {}
+    for r in ev:
+        hist.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for uid, rows in hist.items():
+        rows.sort()
+        sess: list = []
+        prev = None
+        for ts, eid, t in rows:
+            sec = int(ts.timestamp())
+            if prev is not None and sec - prev > 1800:
+                counts[">".join(sess)] += 1  # close the session
+                sess = []
+            if not sess or sess[-1] != t:  # collapse consecutive dups
+                sess.append(t)
+            prev = sec
+        if sess:
+            counts[">".join(sess)] += 1
+    counts.pop("", None)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [
+        (r["path"], r["n_sessions"])
+        for r in sorted(
+            top_session_paths(spark, SF_SMOKE).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert got == want
