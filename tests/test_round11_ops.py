@@ -1827,3 +1827,58 @@ def test_top_session_paths_match_hand_rolled(spark):
         )
     ]
     assert got == want
+
+
+# ---- partition invariance for the round-11 batch-2 ops ---------------------
+
+
+def test_round11_batch2_partition_invariance(spark):
+    """Every batch-2 operator's output must be a pure function of the
+    data SET: a sibling session with a prime, tiny shuffle partition
+    count produces identical rows."""
+    from mimir_spark.operators.clustering import kcenter_greedy
+    from mimir_spark.operators.features import (
+        holt_linear_user,
+        quantile_binning,
+        scd2_user_state,
+        top_session_paths,
+    )
+    from mimir_spark.operators.profiling import (
+        benford_digit_test,
+        dp_count_laplace,
+    )
+    from mimir_spark.operators.similarity import knn_graph_descent
+    from mimir_spark.operators.sketches import kmv_source_setops
+    from mimir_spark.operators.stats import (
+        chi2_lang_source,
+        corr_matrix,
+        cusum_changepoints,
+        linreg_by_group,
+        theil_sen_hourly,
+    )
+    from mimir_spark.operators.tokenizer import wordpiece_train
+    from mimir_spark.operators.winnow import winnowing_matches
+
+    odd = spark.newSession()
+    odd.conf.set("spark.sql.shuffle.partitions", "7")
+    for fn in (
+        corr_matrix,
+        linreg_by_group,
+        chi2_lang_source,
+        kmv_source_setops,
+        kcenter_greedy,
+        holt_linear_user,
+        benford_digit_test,
+        dp_count_laplace,
+        wordpiece_train,
+        scd2_user_state,
+        winnowing_matches,
+        knn_graph_descent,
+        cusum_changepoints,
+        theil_sen_hourly,
+        quantile_binning,
+        top_session_paths,
+    ):
+        base = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+        alt = {tuple(r) for r in fn(odd, SF_SMOKE).collect()}
+        assert base == alt, fn.__name__
