@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "feature_hashing",
     "quantile_binning",
     "top_session_paths",
     "theil_sen_hourly",
@@ -188,6 +189,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": stats.cusum_changepoints,
         "theil_sen_hourly": stats.theil_sen_hourly,
         "quantile_binning": features.quantile_binning,
+        "feature_hashing": features.feature_hashing,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3619,6 +3621,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # Hashing trick: md5-31 bucket + the next bit up as the sign,
+        # exact integers end to end; zero-sum cells dropped.
+        "feature_hashing": """
+            WITH occ AS (
+              SELECT doc_id,
+                     cast(concat('0x', substring(md5(word), 1, 8)) as bigint)
+                       & 2147483647 AS h
+              FROM (SELECT doc_id,
+                           unnest(list_filter(
+                             string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS word
+                    FROM documents))
+            SELECT doc_id, (h % 64)::BIGINT AS bucket,
+                   sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+                     ::BIGINT AS val
+            FROM occ GROUP BY 1, 2
+            HAVING sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
         """,
         # ntile is ANSI-identical in both engines once the ORDER BY is
         # made unique with the event_id tie-break.

@@ -827,3 +827,44 @@ def top_session_paths(
         .filter(F.col("rank") <= top_n)
         .select("path", "n_sessions", "rank")
     )
+
+
+FH_BUCKETS = 64
+
+
+def feature_hashing(
+    spark: SparkSession, sf_dir: str, n_buckets: int = FH_BUCKETS
+) -> DataFrame:
+    """The HASHING TRICK (Weinberger et al. ICML'09): each document's
+    bag-of-words projected into a fixed n_buckets-dim sparse vector —
+    bucket = h(word) mod n, value summed with a SIGN from an
+    independent hash bit so colliding words cancel in expectation
+    (unbiased inner products, the property that lets linear models
+    train on hashed features without a vocabulary).
+
+    Vocabulary-free by construction: the feature space is O(n_buckets)
+    at ANY corpus size — the same reason dsir_weights hashes its
+    bigrams — and the whole op is one token scan with a map-side-
+    combined (doc, bucket) sum; no dictionary build, no broadcast.
+
+    Portability: bucket and sign come from the md5-31 token hash
+    (bucket = h mod n, sign from the next bit up: (h ÷ n) mod 2), all
+    exact integers. Output: sparse long form (doc_id, bucket, val).
+    """
+    from mimir_spark.functions.text import portable_token_hash31
+    from mimir_spark.operators.core import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = tokens(docs).select(
+        "doc_id", portable_token_hash31(F.col("word")).alias("h")
+    )
+    bucket = (F.col("h") % n_buckets).cast("long")
+    sign = F.when(
+        (F.floor(F.col("h") / n_buckets) % 2) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        occ.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )

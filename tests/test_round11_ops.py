@@ -1882,3 +1882,49 @@ def test_round11_batch2_partition_invariance(spark):
         base = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
         alt = {tuple(r) for r in fn(odd, SF_SMOKE).collect()}
         assert base == alt, fn.__name__
+
+
+# ---- feature hashing ---------------------------------------------------
+
+
+def test_feature_hashing_matches_python_recompute(spark):
+    """Exact mechanical pin: the sparse hashed vectors equal a Python
+    recompute from the same md5-31 hash (bucket = h mod 64, sign from
+    the next bit up), zero-sum cells dropped. (A STATISTICAL
+    unbiasedness check over doc pairs would be wrong here: with one
+    fixed hash function and this corpus's tiny shared vocabulary,
+    collision errors are perfectly correlated across pairs — the
+    Weinberger expectation is over hash draws, not documents.)"""
+    import hashlib
+    from collections import Counter
+
+    from mimir_spark.operators.features import feature_hashing
+    from mimir_spark.sources.tables import load_table
+
+    def h31(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    want: dict = {}
+    for r in docs:
+        cell: Counter = Counter()
+        for w in r["text"].split():
+            h = h31(w)
+            cell[h % 64] += 1 if (h // 64) % 2 == 0 else -1
+        for b, v in cell.items():
+            if v != 0:
+                want[(r["doc_id"], b)] = v
+    got = {
+        (r["doc_id"], r["bucket"]): r["val"]
+        for r in feature_hashing(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # same-word mass is always preserved: every doc's hashed L1 mass
+    # is bounded by its token count and nonzero for nonempty docs
+    per_doc: dict = {}
+    for (d, b), v in got.items():
+        per_doc[d] = per_doc.get(d, 0) + abs(v)
+    for r in docs:
+        n_tok = len(r["text"].split())
+        if n_tok:
+            assert 0 < per_doc[r["doc_id"]] <= n_tok
