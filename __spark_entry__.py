@@ -3624,7 +3624,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Hashing trick: md5-31 bucket + the next bit up as the sign,
         # exact integers end to end; zero-sum cells dropped.
-        "feature_hashing": """
+        "feature_hashing": r"""
             WITH occ AS (
               SELECT doc_id,
                      cast(concat('0x', substring(md5(word), 1, 8)) as bigint)
