@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "rendezvous_shards",
     "feature_hashing",
     "quantile_binning",
     "top_session_paths",
@@ -190,6 +191,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_hourly": stats.theil_sen_hourly,
         "quantile_binning": features.quantile_binning,
         "feature_hashing": features.feature_hashing,
+        "rendezvous_shards": pipeline.rendezvous_shards,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3621,6 +3623,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # HRW sharding: argmax over 8 md5-31 weights per doc; ties
+        # (astronomically unlikely) break to the lowest shard index in
+        # both engines (first position of the max).
+        "rendezvous_shards": """
+            WITH w AS (
+              SELECT doc_id,
+                     [cast(concat('0x', substring(md5(doc_id::VARCHAR || ':0'), 1, 8)) as bigint) & 2147483647,
+                      cast(concat('0x', substring(md5(doc_id::VARCHAR || ':1'), 1, 8)) as bigint) & 2147483647,
+                      cast(concat('0x', substring(md5(doc_id::VARCHAR || ':2'), 1, 8)) as bigint) & 2147483647,
+                      cast(concat('0x', substring(md5(doc_id::VARCHAR || ':3'), 1, 8)) as bigint) & 2147483647,
+                      cast(concat('0x', substring(md5(doc_id::VARCHAR || ':4'), 1, 8)) as bigint) & 2147483647,
+                      cast(concat('0x', substring(md5(doc_id::VARCHAR || ':5'), 1, 8)) as bigint) & 2147483647,
+                      cast(concat('0x', substring(md5(doc_id::VARCHAR || ':6'), 1, 8)) as bigint) & 2147483647,
+                      cast(concat('0x', substring(md5(doc_id::VARCHAR || ':7'), 1, 8)) as bigint) & 2147483647] AS ws
+              FROM documents),
+            a AS (
+              SELECT doc_id,
+                     (list_position(ws, list_max(ws)) - 1)::BIGINT AS shard
+              FROM w),
+            c AS (SELECT shard, count(*)::BIGINT AS n_docs FROM a GROUP BY 1),
+            t AS (SELECT sum(n_docs) AS t FROM c)
+            SELECT shard, n_docs, round(n_docs / t.t, 6) AS share
+            FROM c CROSS JOIN t
         """,
         # Hashing trick: md5-31 bucket + the next bit up as the sign,
         # exact integers end to end; zero-sum cells dropped.

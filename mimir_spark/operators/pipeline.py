@@ -302,3 +302,61 @@ def sample_weighted_k(
         .filter(F.col("rk") <= k)
         .select("doc_id", "lang", F.round(wgt, 6).alias("weight"), "rk")
     )
+
+
+HRW_SHARDS = 8
+
+
+def rendezvous_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = HRW_SHARDS
+) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) sharding report (Thaler &
+    Ravishankar '98 — the consistent-placement scheme behind cache
+    rings and shard routers): each doc goes to argmax_s h(doc, s),
+    which gives the minimal-disruption property that resizing from N
+    to N−1 shards remaps ONLY the removed shard's docs (pytest-pinned)
+    — unlike mod-N sharding, which reshuffles nearly everything.
+
+    Map-only: n_shards portable hashes per row, one argmax, then a
+    map-side-combined shard count. Weights are md5-31 of
+    'doc_id:shard' (pure function of the key — stable across engines,
+    partitionings and reruns). Output: (shard, n_docs, share).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weights = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(f":{s}")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .bitwiseAND(F.lit(2_147_483_647))
+            for s in range(n_shards)
+        ]
+    )
+    shard = (F.array_position(weights, F.array_max(weights)) - 1).cast(
+        "long"
+    )
+    counts = (
+        docs.select(shard.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    total = counts.agg(F.sum("n_docs").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("t"), 6).alias("share"),
+        )
+    )

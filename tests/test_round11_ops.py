@@ -1928,3 +1928,65 @@ def test_feature_hashing_matches_python_recompute(spark):
         n_tok = len(r["text"].split())
         if n_tok:
             assert 0 < per_doc[r["doc_id"]] <= n_tok
+
+
+# ---- rendezvous sharding -------------------------------------------------
+
+
+def test_hrw_minimal_disruption(spark):
+    """The rendezvous property: dropping the last shard (N=8 -> 7)
+    remaps ONLY docs that lived on the dropped shard; mod-N sharding
+    on the same ids remaps the vast majority."""
+    import hashlib
+
+    from mimir_spark.sources.tables import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    ]
+
+    def h(d, s):
+        return (
+            int(hashlib.md5(f"{d}:{s}".encode()).hexdigest()[:8], 16)
+            & 0x7FFFFFFF
+        )
+
+    def assign(d, n):
+        ws = [h(d, s) for s in range(n)]
+        return ws.index(max(ws))
+
+    a8 = {d: assign(d, 8) for d in ids}
+    a7 = {d: assign(d, 7) for d in ids}
+    moved = [d for d in ids if a8[d] != a7[d]]
+    assert all(a8[d] == 7 for d in moved)  # only the dropped shard moves
+    mod_moved = sum(1 for d in ids if d % 8 != d % 7)
+    assert mod_moved > len(ids) * 0.8  # mod-N: nearly everything
+
+
+def test_hrw_report_matches_python(spark):
+    import hashlib
+    from collections import Counter
+
+    from mimir_spark.operators.pipeline import rendezvous_shards
+    from mimir_spark.sources.tables import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    ]
+
+    def assign(d):
+        ws = [
+            int(hashlib.md5(f"{d}:{s}".encode()).hexdigest()[:8], 16)
+            & 0x7FFFFFFF
+            for s in range(8)
+        ]
+        return ws.index(max(ws))
+
+    want = Counter(assign(d) for d in ids)
+    got = {
+        r["shard"]: r["n_docs"]
+        for r in rendezvous_shards(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
