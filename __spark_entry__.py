@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # item), then r6-vintage fill.
 _R11_WINDOW = [
     # new this round
+    "wau_hll_sliding",
     "rendezvous_shards",
     "feature_hashing",
     "quantile_binning",
@@ -192,6 +193,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_binning": features.quantile_binning,
         "feature_hashing": features.feature_hashing,
         "rendezvous_shards": pipeline.rendezvous_shards,
+        "wau_hll_sliding": sketches.wau_hll_sliding,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3623,6 +3625,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # Sliding-window HLL: daily registers fanned to their <=7
+        # window end-days, merged by max — same portable register
+        # arithmetic as hll_distinct; exact range-join twin beside it.
+        "wau_hll_sliding": r"""
+            WITH h AS (
+              SELECT floor(epoch(ts) / 86400)::BIGINT AS day, user_id,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(regexp_extract_all(user_id::VARCHAR,
+                                                         '[\s\S]'),
+                                      c -> ascii(c)::BIGINT)),
+                       (acc, x) -> (acc * 131 + x) % 1000000007) AS h0
+              FROM events
+            ), rdaily AS (
+              SELECT day, h0 % 256 AS j,
+                     max(CASE WHEN h0 // 256 > 0
+                              THEN 22 - floor(log2(h0 // 256))::BIGINT
+                              ELSE 23 END) AS m_j
+              FROM h GROUP BY 1, 2
+            ), fanned AS (
+              SELECT unnest(generate_series(day, day + 6)) AS day, j, m_j
+              FROM rdaily
+            ), reg AS (
+              SELECT day, j, max(m_j) AS m_j FROM fanned GROUP BY 1, 2
+            ), agg AS (
+              SELECT day, count(*)::BIGINT AS n_present,
+                     (sum((1::BIGINT << (30 - m_j)))
+                      + (256 - count(*)) * 1073741824)::BIGINT AS z_int,
+                     (256 - count(*))::BIGINT AS v_zero
+              FROM reg GROUP BY 1
+            ), days AS (SELECT DISTINCT day FROM h
+            ), ex AS (
+              SELECT d.day, count(DISTINCT e.user_id)::BIGINT AS true_wau
+              FROM days d JOIN h e
+                ON e.day <= d.day AND e.day >= d.day - 6
+              GROUP BY 1
+            )
+            SELECT a.day, n_present, v_zero,
+                   round(CASE WHEN v_zero > 0
+                              AND 7213e-4 / (1e0 + 1079e-3 / 256e0)
+                                  * 65536e0 * 1073741824e0 / z_int <= 640e0
+                         THEN 256e0 * ln(256e0 / v_zero)
+                         ELSE 7213e-4 / (1e0 + 1079e-3 / 256e0)
+                              * 65536e0 * 1073741824e0 / z_int END, 4)
+                     AS est_distinct,
+                   true_wau
+            FROM agg a JOIN ex USING (day)
         """,
         # HRW sharding: argmax over 8 md5-31 weights per doc; ties
         # (astronomically unlikely) break to the lowest shard index in

@@ -815,3 +815,54 @@ def kmv_pairwise(sk_rows: DataFrame, k: int = KMV_K) -> DataFrame:
         "diff_ab_est",
         "diff_ba_est",
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def wau_hll_sliding(
+    spark: SparkSession, sf_dir: str, window_days: int = WAU_WINDOW_DAYS
+) -> DataFrame:
+    """Trailing-7-day active users per day ("WAU") by HLL REGISTER
+    RE-AGGREGATION — the sketch version of hypertable_rollup's
+    cascade: daily register tables (one scan of events, ≤ days·m
+    rows) are fanned to the ≤7 window end-days they serve and merged
+    by cell-wise max, so the sliding distinct-count NEVER rescans the
+    corpus and never unions raw user sets. Exactly the property that
+    makes HLL the right WAU primitive at 100 TB: a day's registers
+    are computed once, forever mergeable into any window.
+
+    The exact trailing-window distinct (a days×events range join) is
+    kept beside the estimate as the verification twin — at scale you
+    keep only the sketch side (the hll_distinct contract). Output:
+    (day, n_present, v_zero, est_distinct, true_wau).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    keyed = ev.select(day.alias("day"), "user_id")
+    reg_daily = hll_registers(keyed, ["day"], F.col("user_id"))
+    fanned = reg_daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(window_days - 1)
+            )
+        ).alias("day"),
+        "j",
+        "m_j",
+    )
+    merged = fanned.groupBy("day", "j").agg(F.max("m_j").alias("m_j"))
+    est = hll_estimate(merged, ["day"])
+    days = keyed.select("day").distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            keyed.alias("e"),
+            (F.col("e.day") <= F.col("d.day"))
+            & (F.col("e.day") >= F.col("d.day") - F.lit(window_days - 1)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("e.user_id").cast("long").alias("true_wau"))
+    )
+    return est.join(exact, "day").select(
+        "day", "n_present", "v_zero", "est_distinct", "true_wau"
+    )

@@ -1990,3 +1990,48 @@ def test_hrw_report_matches_python(spark):
         for r in rendezvous_shards(spark, SF_SMOKE).collect()
     }
     assert got == dict(want)
+
+
+# ---- sliding-window HLL (WAU) -----------------------------------------
+
+
+def test_wau_estimates_within_hll_band(spark):
+    """Every trailing-7d estimate within the 4-sigma HLL band of the
+    exact range-join twin (rsd = 1.04/sqrt(256))."""
+    from mimir_spark.operators.sketches import wau_hll_sliding
+
+    rows = wau_hll_sliding(spark, SF_CORRECT).collect()
+    assert len(rows) > 20
+    rsd = 1.04 / (256 ** 0.5)
+    for r in rows:
+        assert abs(r["est_distinct"] - r["true_wau"]) <= 4 * rsd * r["true_wau"], r
+
+
+def test_wau_register_merge_equals_direct_window(spark):
+    """Mergeability: daily registers max-merged over the window equal
+    registers computed from the window's raw rows directly."""
+    from pyspark.sql import functions as FF
+
+    from mimir_spark.operators.sketches import hll_registers
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    day = FF.floor(FF.unix_timestamp("ts") / 86400).cast("long")
+    keyed = ev.select(day.alias("day"), "user_id")
+    days = sorted(r["day"] for r in keyed.select("day").distinct().collect())
+    target = days[len(days) // 2]
+    window = keyed.filter(
+        (FF.col("day") <= target) & (FF.col("day") >= target - 6)
+    )
+    direct = {
+        (r["j"], r["m_j"])
+        for r in hll_registers(
+            window.select(FF.lit(0).alias("k"), "user_id"), ["k"], FF.col("user_id")
+        ).collect()
+    }
+    daily = hll_registers(window, ["day"], FF.col("user_id"))
+    merged = {
+        (r["j"], r["m_j"])
+        for r in daily.groupBy("j").agg(FF.max("m_j").alias("m_j")).collect()
+    }
+    assert merged == direct
