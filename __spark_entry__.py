@@ -59,11 +59,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks queries() in order and covers a
 # ~50-key window per round, so the first ~50 keys ARE the round's gate.
-# Round-11 lead (EXACTLY 50 keys — r10's 60-key list proved only the
-# first 50 get checked): new keys, contract/implementation changes,
-# then every key whose latest driver row is r5-vintage (the full list
-# from the union of CORRECTNESS_r04..r10 — the round-10 verdict's #1
-# item), then r6-vintage fill.
+# Round-11 lead: the 20 batch-2 keys (all brand-new this round — they
+# MUST be in the gate), then the 16 batch-1 keys and this round's
+# contract changes, then as much of the r5-vintage backlog as still
+# fits the 50 slots (keys past #50 keep their r4-r8 evidence and
+# rotate into the round-12 window).
 _R11_WINDOW = [
     # new this round
     "wau_hll_sliding",
