@@ -161,3 +161,75 @@ def stateful_user_ema(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_3", DoubleType()),
+    ]
+)
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+
+
+def _update_user_holt(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch into the running Holt (level, trend)
+    state — α = 1/4, β = 1/8 and the identical parenthesization as
+    operators.features.holt_linear_user, so the final state over a
+    time-split corpus is bit-identical to the batch fold."""
+    n, level, trend = state.get if state.exists else (0, None, 0.0)
+    rows = pd.concat(list(pdfs))
+    if len(rows):
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            v = float(v)
+            if level is None:
+                level, trend = v, 0.0
+            else:
+                ln = 0.25 * v + 0.75 * (level + trend)
+                trend = 0.125 * (ln - level) + 0.875 * trend
+                level = ln
+        n += len(rows)
+    state.update((n, level, trend))
+    if level is None:
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "level": [_spark_round6(level)],
+            "trend": [_spark_round6(trend)],
+            "forecast_3": [_spark_round6(level + 3.0 * trend)],
+        }
+    )
+
+
+def stateful_user_holt(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of holt_linear_user: O(1) (level, trend) state
+    per user, no idle timeout (a trend must never restart), same
+    event-time-ordered-batches contract as stateful_user_ema;
+    equality with the batch fold over a time-split corpus is
+    pytest-pinned."""
+    return (
+        events_stream.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_holt,
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

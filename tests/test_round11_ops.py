@@ -2035,3 +2035,67 @@ def test_wau_register_merge_equals_direct_window(spark):
         for r in daily.groupBy("j").agg(FF.max("m_j").alias("m_j")).collect()
     }
     assert merged == direct
+
+
+# ---- stateful Holt streaming twin -------------------------------------
+
+
+def test_stateful_holt_matches_batch(spark, tmp_path):
+    """Streaming Holt twin: events split into two TIME-ORDERED files;
+    after both micro-batches the per-user (level, trend, forecast)
+    must equal the batch fold exactly."""
+    import glob as globmod
+    import os
+    import shutil
+    import time as _time
+
+    from mimir_spark.operators.features import holt_linear_user
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.jobs import read_events_stream
+    from mimir_spark.streaming.stateful import stateful_user_holt
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = ev.agg(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)")
+    ).collect()[0][0]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, part in enumerate(
+        [
+            ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut),
+            ev.filter(F.col("ts").cast("timestamp").cast("double") > cut),
+        ]
+    ):
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        src = globmod.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/events{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (_time.time() + i, _time.time() + i))
+
+    stream = read_events_stream(spark, in_dir, glob="events*.parquet")
+    shutil.rmtree("/tmp/mimir_ckpt_sholt", ignore_errors=True)
+    q = (
+        stateful_user_holt(stream)
+        .writeStream.format("memory")
+        .queryName("sholt")
+        .outputMode("update")
+        .option("checkpointLocation", "/tmp/mimir_ckpt_sholt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_3)
+        for r in spark.sql(
+            """SELECT user_id, n_events, level, trend, forecast_3 FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY n_events DESC) rn
+                 FROM sholt) WHERE rn = 1"""
+        ).collect()
+    }
+    expect = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_3)
+        for r in holt_linear_user(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
