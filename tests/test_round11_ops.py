@@ -2099,3 +2099,36 @@ def test_stateful_holt_matches_batch(spark, tmp_path):
         for r in holt_linear_user(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+# ---- plan-shape pins for the batch-2 scale claims -----------------------
+
+
+def test_kmv_plan_uses_windowgrouplimit(spark):
+    """The bottom-k rank filter must run as WindowGroupLimit
+    (per-partition heaps), never a full per-source sort."""
+    from mimir_spark.operators.sketches import kmv_source_setops
+
+    plan = (
+        kmv_source_setops(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_winnow_plan_broadcasts_df_cap_no_cartesian(spark):
+    """The df-cap join must broadcast the fingerprint-sized frequency
+    table, and nothing in the chain may fall back to a cartesian."""
+    from mimir_spark.operators.winnow import winnowing_matches
+
+    plan = (
+        winnowing_matches(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
