@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate into the round-12 window).
 _R11_WINDOW = [
     # new this round
+    "attribution_report",
     "wau_hll_sliding",
     "rendezvous_shards",
     "feature_hashing",
@@ -194,6 +195,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hashing": features.feature_hashing,
         "rendezvous_shards": pipeline.rendezvous_shards,
         "wau_hll_sliding": sketches.wau_hll_sliding,
+        "attribution_report": features.attribution_report,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3625,6 +3627,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # Multi-touch attribution: user-keyed range join, three models,
+        # unattributed bucket so each model conserves total value.
+        "attribution_report": """
+            WITH p AS (
+              SELECT event_id AS p_id, user_id AS u,
+                     floor(epoch(ts))::BIGINT AS p_sec, value AS p_value
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT user_id AS u, event_id AS t_id,
+                     event_type AS touch_type,
+                     floor(epoch(ts))::BIGINT AS t_sec
+              FROM events WHERE event_type IN ('view', 'click')),
+            pairs AS (
+              SELECT p.p_id, p.p_value, t.touch_type, t.t_sec, t.t_id
+              FROM p JOIN t ON p.u = t.u
+              WHERE t.t_sec < p.p_sec AND t.t_sec >= p.p_sec - 3600),
+            e AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY p_id) AS n_touch,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY t_sec DESC, t_id DESC) AS rk_last,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY t_sec ASC, t_id ASC) AS rk_first
+              FROM pairs),
+            una AS (
+              SELECT m.model, 'unattributed' AS touch_type,
+                     p.p_value AS v
+              FROM p
+              LEFT JOIN (SELECT DISTINCT p_id FROM pairs) a USING (p_id)
+              CROSS JOIN (VALUES ('last_touch'), ('first_touch'),
+                                 ('linear')) m(model)
+              WHERE a.p_id IS NULL),
+            allv AS (
+              SELECT 'last_touch' AS model, touch_type, p_value AS v
+              FROM e WHERE rk_last = 1
+              UNION ALL
+              SELECT 'first_touch', touch_type, p_value FROM e
+              WHERE rk_first = 1
+              UNION ALL
+              SELECT 'linear', touch_type, p_value / n_touch FROM e
+              UNION ALL
+              SELECT model, touch_type, v FROM una)
+            SELECT model, touch_type, count(*)::BIGINT AS n,
+                   round(sum(v), 4) AS value
+            FROM allv GROUP BY 1, 2
         """,
         # Sliding-window HLL: daily registers fanned to their <=7
         # window end-days, merged by max — same portable register

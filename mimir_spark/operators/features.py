@@ -868,3 +868,96 @@ def feature_hashing(
         .agg(F.sum("s").cast("long").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+ATTR_WINDOW_S = 3600
+
+
+def attribution_report(
+    spark: SparkSession, sf_dir: str, window_s: int = ATTR_WINDOW_S
+) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION of purchase value to the touch events
+    (views/clicks) in the hour before each purchase — the marketing-
+    analytics workhorse, under three standard models at once:
+    last_touch (all value to the latest touch), first_touch, and
+    linear (value split evenly). Purchases with no in-window touch
+    land in the 'unattributed' bucket, so every model CONSERVES total
+    purchase value (pytest-pinned).
+
+    Plan: purchases ⋈ touches is a user-keyed range join (both sides
+    partitioned by user_id; per-purchase fan-in bounded by that
+    user's touches in one hour); each model is a window/aggregate
+    over the joined pairs — the corpus is scanned twice (once per
+    role), everything downstream is pair-sized. Value splits divide
+    the 2dp purchase value by an exact touch count; per-(model, type)
+    sums are rounded 4dp at emission (the winsorize contract).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("u"),
+        sec.alias("p_sec"),
+        F.col("value").alias("p_value"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+        sec.alias("t_sec"),
+    )
+    pairs = purchases.join(touches, "u").filter(
+        (F.col("t_sec") < F.col("p_sec"))
+        & (F.col("t_sec") >= F.col("p_sec") - F.lit(window_s))
+    )
+    w = Window.partitionBy("p_id")
+    enriched = pairs.select(
+        "p_id",
+        "p_value",
+        "touch_type",
+        "t_sec",
+        "t_id",
+        F.count(F.lit(1)).over(w).alias("n_touch"),
+        F.row_number()
+        .over(w.orderBy(F.col("t_sec").desc(), F.col("t_id").desc()))
+        .alias("rk_last"),
+        F.row_number()
+        .over(w.orderBy(F.col("t_sec").asc(), F.col("t_id").asc()))
+        .alias("rk_first"),
+    )
+    last = enriched.filter(F.col("rk_last") == 1).select(
+        F.lit("last_touch").alias("model"),
+        "touch_type",
+        F.col("p_value").alias("v"),
+    )
+    first = enriched.filter(F.col("rk_first") == 1).select(
+        F.lit("first_touch").alias("model"),
+        "touch_type",
+        F.col("p_value").alias("v"),
+    )
+    linear = enriched.select(
+        F.lit("linear").alias("model"),
+        "touch_type",
+        (F.col("p_value") / F.col("n_touch")).alias("v"),
+    )
+    attributed_ids = pairs.select("p_id").distinct()
+    unattributed = (
+        purchases.join(attributed_ids, "p_id", "left_anti")
+        .crossJoin(
+            spark.createDataFrame(
+                [("last_touch",), ("first_touch",), ("linear",)],
+                "model string",
+            )
+        )
+        .select("model", F.lit("unattributed").alias("touch_type"),
+                F.col("p_value").alias("v"))
+    )
+    allv = last.unionByName(first).unionByName(linear).unionByName(
+        unattributed
+    )
+    return allv.groupBy("model", "touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("v"), 4).alias("value"),
+    )

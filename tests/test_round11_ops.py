@@ -2132,3 +2132,75 @@ def test_winnow_plan_broadcasts_df_cap_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- multi-touch attribution ---------------------------------------------
+
+
+def test_attribution_conserves_value_per_model(spark):
+    """Every model's attributed + unattributed value must equal the
+    total purchase value (the conservation property the unattributed
+    bucket exists for)."""
+    from mimir_spark.operators.features import attribution_report
+    from mimir_spark.sources.tables import load_table
+
+    total = (
+        load_table(spark, SF_CORRECT, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    rows = attribution_report(spark, SF_CORRECT).collect()
+    per_model: dict = {}
+    for r in rows:
+        per_model[r["model"]] = per_model.get(r["model"], 0.0) + r["value"]
+    assert set(per_model) == {"last_touch", "first_touch", "linear"}
+    for m, v in per_model.items():
+        assert abs(v - total) < 0.01, (m, v, total)
+
+
+def test_attribution_models_match_hand_rolled(spark):
+    from collections import defaultdict
+
+    from mimir_spark.operators.features import attribution_report
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    by_user: dict = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(
+            (int(r["ts"].timestamp()), r["event_id"], r["event_type"], r["value"])
+        )
+    agg: dict = defaultdict(lambda: [0, 0.0])
+    for u, rows in by_user.items():
+        for sec, eid, typ, val in rows:
+            if typ != "purchase":
+                continue
+            touches = [
+                (s, e, t)
+                for s, e, t, _ in rows
+                if t in ("view", "click") and s < sec and s >= sec - 3600
+            ]
+            if not touches:
+                for m in ("last_touch", "first_touch", "linear"):
+                    c = agg[(m, "unattributed")]
+                    c[0] += 1
+                    c[1] += val
+                continue
+            last = max(touches)[2]
+            first = min(touches)[2]
+            agg[("last_touch", last)][0] += 1
+            agg[("last_touch", last)][1] += val
+            agg[("first_touch", first)][0] += 1
+            agg[("first_touch", first)][1] += val
+            for _, _, t in touches:
+                agg[("linear", t)][0] += 1
+                agg[("linear", t)][1] += val / len(touches)
+    got = {
+        (r["model"], r["touch_type"]): (r["n"], r["value"])
+        for r in attribution_report(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(agg)
+    for k, (n, v) in agg.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - v) < 1e-3, (k, got[k][1], v)
