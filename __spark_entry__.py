@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate into the round-12 window).
 _R11_WINDOW = [
     # new this round
+    "seasonal_decompose_hourly",
     "attribution_report",
     "wau_hll_sliding",
     "rendezvous_shards",
@@ -196,6 +197,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": pipeline.rendezvous_shards,
         "wau_hll_sliding": sketches.wau_hll_sliding,
         "attribution_report": features.attribution_report,
+        "seasonal_decompose_hourly": stats.seasonal_decompose_hourly,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3627,6 +3629,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # Classical additive decomposition: exact 6dp decimal
+        # components; only the two final variances are float-order
+        # dependent, collapsed by the 6dp emission round.
+        "seasonal_decompose_hourly": """
+            WITH hourly AS (
+              SELECT event_type,
+                     floor(epoch(ts) / 3600)::BIGINT AS h,
+                     round(avg(value), 6) AS x
+              FROM events GROUP BY 1, 2),
+            hh AS (
+              SELECT event_type, h, x, h // 24 AS day,
+                     (h % 24)::INT AS hod
+              FROM hourly),
+            daily AS (
+              SELECT event_type, day, avg(x) AS dmean
+              FROM hh GROUP BY 1, 2),
+            dev AS (
+              SELECT hh.event_type, hh.hod, hh.x - d.dmean AS dev
+              FROM hh JOIN daily d USING (event_type, day)),
+            seas AS (
+              SELECT event_type, hod, round(avg(dev), 6) AS seasonal,
+                     count(*)::BIGINT AS n_obs
+              FROM dev GROUP BY 1, 2),
+            resid AS (
+              SELECT d.event_type, d.hod, d.dev,
+                     d.dev - s.seasonal AS resid
+              FROM dev d JOIN seas s USING (event_type, hod)),
+            st AS (
+              SELECT event_type,
+                     round(var_samp(resid), 6) AS var_resid,
+                     round(var_samp(dev), 6) AS var_deseason,
+                     round(greatest(0.0,
+                           1.0 - var_samp(resid) / var_samp(dev)), 6)
+                       AS strength
+              FROM resid GROUP BY 1)
+            SELECT s.event_type, s.hod, s.seasonal, s.n_obs,
+                   st.var_resid, st.var_deseason, st.strength
+            FROM seas s JOIN st USING (event_type)
         """,
         # Multi-touch attribution: user-keyed range join, three models,
         # unattributed bucket so each model conserves total value.

@@ -427,3 +427,77 @@ def theil_sen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope"),
         F.round("r", 6).alias("intercept"),
     )
+
+
+# ---- additive seasonal decomposition (round 11) -----------------------------
+
+
+def seasonal_decompose_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive seasonal decomposition of each type's hourly series —
+    x = μ + trend_day + seasonal_hod + residual, with the hour-of-day
+    profile as the seasonal component (the classical-decomposition
+    half of STL) and Hyndman's seasonality STRENGTH
+    F_s = max(0, 1 − Var(resid)/Var(seas + resid)) as the headline
+    diagnostic a pipeline alerts on.
+
+    Plan: one corpus scan into the hourly rollup; everything after —
+    daily means, the 24-slot profile, residual variances — aggregates
+    over |types|·hours rows. Components stay EXACT decimal arithmetic
+    (x, daily mean, seasonal slot all rounded 6dp; deviations are
+    differences of rounded decimals), so the only order-dependent
+    float ops are the two final variances, emitted at 6dp where
+    engine ulp drift collapses.
+
+    Output: one row per (event_type, hod) with the seasonal profile
+    and the type-level strength/variances repeated.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).alias("h"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+        .withColumn("day", F.floor(F.col("h") / 24))
+        .withColumn("hod", (F.col("h") % 24).cast("int"))
+    )
+    # dmean stays UNROUNDED: the average of 6dp-grid values lands
+    # exactly on decimal halves (k/24 with k ≡ 12 mod 24), where
+    # Spark's HALF_UP and DuckDB's exact-binary round systematically
+    # diverge — a raw double's downstream 6dp rounds only hit a
+    # boundary at measure zero (the repo-wide float contract).
+    daily = hourly.groupBy("event_type", "day").agg(
+        F.avg("x").alias("dmean")
+    )
+    dev = hourly.join(daily, ["event_type", "day"]).withColumn(
+        "dev", F.col("x") - F.col("dmean")
+    )
+    seas = dev.groupBy("event_type", "hod").agg(
+        F.round(F.avg("dev"), 6).alias("seasonal"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    resid = dev.join(seas, ["event_type", "hod"]).withColumn(
+        "resid", F.col("dev") - F.col("seasonal")
+    )
+    strength = resid.groupBy("event_type").agg(
+        F.round(F.var_samp("resid"), 6).alias("var_resid"),
+        F.round(F.var_samp("dev"), 6).alias("var_deseason"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - F.var_samp("resid") / F.var_samp("dev"),
+            ),
+            6,
+        ).alias("strength"),
+    )
+    return seas.join(F.broadcast(strength), "event_type").select(
+        "event_type",
+        "hod",
+        "seasonal",
+        "n_obs",
+        "var_resid",
+        "var_deseason",
+        "strength",
+    )

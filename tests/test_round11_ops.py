@@ -2204,3 +2204,82 @@ def test_attribution_models_match_hand_rolled(spark):
     for k, (n, v) in agg.items():
         assert got[k][0] == n, k
         assert abs(got[k][1] - v) < 1e-3, (k, got[k][1], v)
+
+
+# ---- seasonal decomposition -------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark, tmp_path):
+    """A planted 24h sinusoid on a flat base: the recovered hour-of-
+    day profile must track the sinusoid and the strength must be near
+    1; a white-noise control must come out near 0."""
+    import math
+
+    import pandas as pd
+
+    from mimir_spark.operators.stats import seasonal_decompose_hourly
+
+    rng = np.random.default_rng(9)
+    recs, eid = [], 0
+    for h in range(24 * 14):
+        hod = h % 24
+        for typ, amp in (("cyc", 5.0), ("flat", 0.0)):
+            base = 20.0 + amp * math.sin(2 * math.pi * hod / 24)
+            for _ in range(6):
+                recs.append(
+                    (eid, pd.Timestamp(h * 3600, unit="s"), 1, typ,
+                     base + float(rng.normal(0, 0.3)), "{}")
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        recs, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = str(tmp_path / "cyc")
+    spark.createDataFrame(
+        pdf,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    rows = seasonal_decompose_hourly(spark, out).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["hod"]] = r
+    cyc = by_type["cyc"]
+    assert cyc[0]["strength"] > 0.95
+    assert by_type["flat"][0]["strength"] < 0.3
+    for hod, r in cyc.items():
+        expect = 5.0 * math.sin(2 * math.pi * hod / 24)
+        assert abs(r["seasonal"] - expect) < 0.3, (hod, r["seasonal"], expect)
+
+
+def test_seasonal_components_sum_back(spark):
+    """Decomposition identity on the real corpus: x == dmean +
+    seasonal + resid for every hourly cell (recomputed in Python from
+    the same rollup)."""
+    from collections import defaultdict
+
+    from mimir_spark.operators.stats import seasonal_decompose_hourly
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    cells: dict = defaultdict(list)
+    for r in ev:
+        h = int(r["ts"].timestamp() // 3600)
+        cells[(r["event_type"], h)].append(r["value"])
+    hourly = {k: round(sum(v) / len(v), 6) for k, v in cells.items()}
+    dmean: dict = defaultdict(list)
+    for (t, h), x in hourly.items():
+        dmean[(t, h // 24)].append(x)
+    dmean = {k: sum(v) / len(v) for k, v in dmean.items()}
+    devs: dict = defaultdict(list)
+    for (t, h), x in hourly.items():
+        devs[(t, h % 24)].append(x - dmean[(t, h // 24)])
+    seas = {k: round(sum(v) / len(v), 6) for k, v in devs.items()}
+    got = {
+        (r["event_type"], r["hod"]): r
+        for r in seasonal_decompose_hourly(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(seas)
+    for k, s_val in seas.items():
+        assert abs(got[k]["seasonal"] - s_val) < 2e-6, k
+        assert got[k]["n_obs"] == len(devs[k])
