@@ -60,6 +60,11 @@ SQL_PORTABLE = [
     # round 10
     "event_transitions",
     "l_diversity_report",
+    # round 11 batch 2 (ANSI-only oracles)
+    "corr_matrix",
+    "linreg_by_group",
+    "chi2_lang_source",
+    "quantile_binning",
 ]
 
 
