@@ -2283,3 +2283,88 @@ def test_seasonal_components_sum_back(spark):
     for k, s_val in seas.items():
         assert abs(got[k]["seasonal"] - s_val) < 2e-6, k
         assert got[k]["n_obs"] == len(devs[k])
+
+
+# ---- streaming CUSUM twin ---------------------------------------------
+
+
+def test_stateful_cusum_matches_batch_closed_hours(spark, tmp_path):
+    """Streamed integer-recursion CUSUM with frozen (mu, sd) equals
+    the batch closed-prefix form for every CLOSED hour (all but each
+    type's final hour) over a time-split corpus."""
+    import glob as globmod
+    import os
+    import shutil
+    import time as _time
+
+    from mimir_spark.operators.stats import cusum_changepoints
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.cusum import stateful_cusum
+    from mimir_spark.streaming.jobs import read_events_stream
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    # frozen reference = the batch operator's own stats (recomputed)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.floor(F.unix_timestamp("ts") / 3600).alias("h")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.round(F.avg("x"), 6).alias("mu"),
+        F.round(F.stddev_samp("x"), 6).alias("sd"),
+    )
+    params = {
+        r["event_type"]: (round(r["mu"] * 1e7), round(r["sd"] * 1e7))
+        for r in stats.collect()
+    }
+
+    cut = ev.agg(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)")
+    ).collect()[0][0]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, part in enumerate(
+        [
+            ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut),
+            ev.filter(F.col("ts").cast("timestamp").cast("double") > cut),
+        ]
+    ):
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        src = globmod.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/events{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (_time.time() + i, _time.time() + i))
+
+    stream = read_events_stream(spark, in_dir, glob="events*.parquet")
+    shutil.rmtree("/tmp/mimir_ckpt_scusum", ignore_errors=True)
+    q = (
+        stateful_cusum(stream, params)
+        .writeStream.format("memory")
+        .queryName("scusum")
+        .outputMode("append")
+        .option("checkpointLocation", "/tmp/mimir_ckpt_scusum")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.hour): (r.x, r.s_pos, r.s_neg, r.alarm_up, r.alarm_down)
+        for r in spark.sql("SELECT * FROM scusum").collect()
+    }
+    batch_rows = cusum_changepoints(spark, SF_SMOKE).collect()
+    last_hour = {}
+    for r in batch_rows:
+        last_hour[r["event_type"]] = max(
+            last_hour.get(r["event_type"], -1), r["hour"]
+        )
+    want = {
+        (r["event_type"], r["hour"]): (
+            r["x"], r["s_pos"], r["s_neg"], r["alarm_up"], r["alarm_down"]
+        )
+        for r in batch_rows
+        if r["hour"] < last_hour[r["event_type"]]
+    }
+    assert set(got) == set(want)
+    assert got == want
