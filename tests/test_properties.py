@@ -296,3 +296,53 @@ def test_jpeg_dc_only_exact_any_geometry(seed, ri):
             px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rng.randint(0, 256)
     _, _, rgb = decode_jpeg_pixels(encode_jpeg(px, restart_interval=ri))
     assert np.array_equal(rgb[:, :, 0], px)
+
+
+@given(
+    st.text(alphabet="abcdef", min_size=0, max_size=60),
+    st.text(alphabet="abcdef", min_size=0, max_size=60),
+    st.text(alphabet="ghijkl", min_size=15, max_size=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_winnowing_guarantee_property(prefix, suffix, common):
+    """Any two texts sharing a >= k+w-1 (15) char substring share at
+    least one winnowing fingerprint — the Schleimer guarantee, over
+    random surroundings (disjoint alphabets keep the planted run the
+    only long common substring)."""
+    import hashlib
+
+    def fps(text, k=8, w=8):
+        kh = [
+            int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+            & 0x7FFFFFFF
+            for i in range(len(text) - k + 1)
+        ]
+        return {min(kh[s : s + w]) for s in range(len(kh) - w + 1)}
+
+    a = prefix + common + suffix
+    b = suffix + common + prefix
+    assert fps(a) & fps(b)
+
+
+@given(
+    st.lists(st.integers(min_value=-10**9, max_value=10**9),
+             min_size=1, max_size=200),
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=100, deadline=None)
+def test_cusum_closed_form_equals_recursion(ds, mu, k):
+    """The closed prefix form S_t = c_t - min(0, min_j<=t c_j) equals
+    the textbook recursion S_t = max(0, S_{t-1} + d_t) in exact
+    integer arithmetic — the identity cusum_changepoints' two-window
+    plan AND the streaming twin's recursion both rely on."""
+    adj = [d - mu - k for d in ds]
+    s_rec = 0
+    c = 0
+    mins = 0
+    for d in adj:
+        s_rec = max(0, s_rec + d)
+        c += d
+        mins = min(mins, c)
+        s_closed = c - min(0, mins)
+        assert s_closed == s_rec
