@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate into the round-12 window).
 _R11_WINDOW = [
     # new this round
+    "winnow_clusters",
     "seasonal_decompose_hourly",
     "attribution_report",
     "wau_hll_sliding",
@@ -198,6 +199,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wau_hll_sliding": sketches.wau_hll_sliding,
         "attribution_report": features.attribution_report,
         "seasonal_decompose_hourly": stats.seasonal_decompose_hourly,
+        "winnow_clusters": winnow.winnow_clusters,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3629,6 +3631,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # Winnowing clusters: the match-pair CTE chain + the shared
+        # recursive-reach component oracle (min reachable doc_id).
+        "winnow_clusters": """
+            WITH RECURSIVE kh AS (
+              SELECT doc_id, list_transform(
+                       generate_series(1, length(text) - 7),
+                       i -> cast(concat('0x', substring(
+                              md5(substring(text, i, 8)), 1, 8)) as bigint)
+                            & 2147483647) AS kh
+              FROM documents WHERE length(text) >= 15),
+            fps AS MATERIALIZED (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(kh) - 7),
+                       s -> list_min(kh[s:s+7])))) AS fp
+              FROM kh),
+            dftbl AS (SELECT fp, count(*) AS dfreq FROM fps GROUP BY 1),
+            cold AS (
+              SELECT f.doc_id, f.fp
+              FROM fps f JOIN dftbl USING (fp) WHERE dftbl.dfreq <= 16),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM cold a JOIN cold b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= 4),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
         # Classical additive decomposition: exact 6dp decimal
         # components; only the two final variances are float-order

@@ -124,3 +124,25 @@ def winnow_match_report(
             ).alias("score"),
         )
     )
+
+
+def winnow_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = WIN_K,
+    w: int = WIN_W,
+    maxdf: int = WIN_MAXDF,
+    min_shared: int = WIN_MIN_SHARED,
+) -> DataFrame:
+    """Connected components over the winnowing match graph — the
+    cluster view of winnowing_matches (docs transitively linked by
+    ≥ min_shared shared fingerprints share a cluster), through the
+    SAME min-label finisher every other dedup family uses. Output:
+    (doc_id, cluster_id = min doc_id reachable), matched docs only.
+    """
+    from mimir_spark.operators.dedup import min_label_components
+
+    pairs = winnowing_matches(
+        spark, sf_dir, k, w, maxdf, min_shared
+    ).select("doc_a", "doc_b")
+    return min_label_components(pairs)

@@ -2368,3 +2368,31 @@ def test_stateful_cusum_matches_batch_closed_hours(spark, tmp_path):
     }
     assert set(got) == set(want)
     assert got == want
+
+
+def test_winnow_clusters_are_transitive_closure(spark):
+    """Cluster labels equal a union-find over the winnowing pairs."""
+    from mimir_spark.operators.winnow import winnow_clusters, winnowing_matches
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in winnowing_matches(spark, SF_CORRECT).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in winnow_clusters(spark, SF_CORRECT).collect()
+    }
+    assert got == want and len(got) > 0
