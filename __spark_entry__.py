@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate into the round-12 window).
 _R11_WINDOW = [
     # new this round
+    "kfold_assign",
     "winnow_clusters",
     "seasonal_decompose_hourly",
     "attribution_report",
@@ -200,6 +201,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_report": features.attribution_report,
         "seasonal_decompose_hourly": stats.seasonal_decompose_hourly,
         "winnow_clusters": winnow.winnow_clusters,
+        "kfold_assign": pipeline.kfold_assign,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3631,6 +3633,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # Exact stratification: rank by the portable multiplicative
+        # hash within lang, fold = (rank-1) mod 5.
+        "kfold_assign": r"""
+            SELECT lang, fold, count(*)::BIGINT AS n_docs,
+                   sum(n_toks)::BIGINT AS n_tokens
+            FROM (
+              SELECT lang,
+                     ((row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY (doc_id * 2654435761) % 4294967296,
+                                  doc_id) - 1) % 5)::BIGINT AS fold,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> ''))::BIGINT AS n_toks
+              FROM documents)
+            GROUP BY lang, fold
         """,
         # Winnowing clusters: the match-pair CTE chain + the shared
         # recursive-reach component oracle (min reachable doc_id).

@@ -360,3 +360,43 @@ def rendezvous_shards(
             F.round(F.col("n_docs") / F.col("t"), 6).alias("share"),
         )
     )
+
+
+KFOLD_K = 5
+
+
+def kfold_assign(
+    spark: SparkSession, sf_dir: str, k: int = KFOLD_K
+) -> DataFrame:
+    """EXACTLY-stratified k-fold assignment for cross-validation:
+    within each language, docs are ranked by their portable
+    multiplicative hash (ties → doc_id) and fold = (rank−1) mod k, so
+    per-(lang, fold) sizes differ by AT MOST 1 — the exactness a
+    5-fold eval wants, which hash-mod-k splits only approximate.
+
+    The deliberate contrast with train_val_test_split: THAT split is a
+    pure function of doc_id so membership survives corpus growth
+    (no leakage across refreshes); a k-fold is for a FROZEN evaluation
+    snapshot, and buys exact stratification with one rank window per
+    language instead. Output: (lang, fold, n_docs, n_tokens).
+    """
+    from pyspark.sql import Window
+
+    from mimir_spark.functions.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.size(tokens_col("text")).alias("n_toks"),
+            ((F.row_number().over(w) - 1) % k).cast("long").alias("fold"),
+        )
+        .groupBy("lang", "fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )

@@ -2396,3 +2396,27 @@ def test_winnow_clusters_are_transitive_closure(spark):
         for r in winnow_clusters(spark, SF_CORRECT).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_kfold_exact_stratification(spark):
+    """Per (lang, fold) sizes differ by at most 1 within each lang,
+    folds are 0..4, and totals conserve the per-lang doc counts."""
+    from mimir_spark.operators.pipeline import kfold_assign
+    from mimir_spark.sources.tables import load_table
+
+    rows = kfold_assign(spark, SF_CORRECT).collect()
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], {})[r["fold"]] = r["n_docs"]
+    truth = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_lang) == set(truth)
+    for lang, folds in per_lang.items():
+        assert set(folds) <= set(range(5))
+        assert max(folds.values()) - min(folds.values()) <= 1
+        assert sum(folds.values()) == truth[lang]
