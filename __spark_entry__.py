@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate into the round-12 window).
 _R11_WINDOW = [
     # new this round
+    "funnel_time_to_convert",
     "kfold_assign",
     "winnow_clusters",
     "seasonal_decompose_hourly",
@@ -202,6 +203,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose_hourly": stats.seasonal_decompose_hourly,
         "winnow_clusters": winnow.winnow_clusters,
         "kfold_assign": pipeline.kfold_assign,
+        "funnel_time_to_convert": features.funnel_time_to_convert,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3633,6 +3635,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # Time-to-convert: integer seconds, lower order-statistic
+        # percentile picks — no interpolation mode to diverge.
+        "funnel_time_to_convert": """
+            WITH p AS (
+              SELECT event_id AS p_id, user_id AS u,
+                     floor(epoch(ts))::BIGINT AS p_sec
+              FROM events WHERE event_type = 'purchase'),
+            v AS (
+              SELECT user_id AS u, floor(epoch(ts))::BIGINT AS v_sec
+              FROM events WHERE event_type = 'view'),
+            tt AS (
+              SELECT p.p_id, p.p_sec - max(v.v_sec) AS tt
+              FROM p JOIN v ON p.u = v.u
+              WHERE v.v_sec < p.p_sec AND v.v_sec >= p.p_sec - 86400
+              GROUP BY p.p_id, p.p_sec),
+            r AS (
+              SELECT tt, p_id,
+                     row_number() OVER (ORDER BY tt, p_id) AS rk,
+                     count(*) OVER () AS n
+              FROM tt)
+            SELECT max(n)::BIGINT AS n_conversions,
+                   max(CASE WHEN rk = (n + 1) // 2 THEN tt END)::BIGINT
+                     AS p50_s,
+                   max(CASE WHEN rk = ceil(0.9 * n) THEN tt END)::BIGINT
+                     AS p90_s,
+                   round(sum(tt) / max(n), 4) AS mean_s
+            FROM r
         """,
         # Exact stratification: rank by the portable multiplicative
         # hash within lang, fold = (rank-1) mod 5.

@@ -961,3 +961,70 @@ def attribution_report(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("v"), 4).alias("value"),
     )
+
+
+TTC_WINDOW_S = 86400
+
+
+def funnel_time_to_convert(
+    spark: SparkSession, sf_dir: str, window_s: int = TTC_WINDOW_S
+) -> DataFrame:
+    """TIME-TO-CONVERT distribution: for every purchase with a view
+    in the preceding 24 h by the same user, the seconds from the
+    LATEST such view to the purchase — the funnel-latency companion
+    to window_funnel's conversion counts. Percentiles are LOWER
+    order-statistic picks (the theil_sen contract: rank (n+1)÷2 and
+    ceil(0.9·n) under ORDER BY value, doc-id ties impossible on
+    integer seconds + unique purchase ids), so no interpolation mode
+    can diverge between engines; mean is one exact-integer sum over a
+    count.
+
+    Plan: a user-keyed range join (per-purchase fan-in bounded by one
+    user-day of views) → per-purchase max-view aggregate → one global
+    rank window over |conversions| rows. Output: (n_conversions,
+    p50_s, p90_s, mean_s).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("u"),
+        sec.alias("p_sec"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), sec.alias("v_sec")
+    )
+    tt = (
+        p.join(v, "u")
+        .filter(
+            (F.col("v_sec") < F.col("p_sec"))
+            & (F.col("v_sec") >= F.col("p_sec") - F.lit(window_s))
+        )
+        .groupBy("p_id", "p_sec")
+        .agg(F.max("v_sec").alias("v_sec"))
+        .select(
+            "p_id", (F.col("p_sec") - F.col("v_sec")).alias("tt")
+        )
+    )
+    w = Window.partitionBy().orderBy("tt", "p_id")
+    ranked = tt.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    picks = ranked.select(
+        "n",
+        F.when(
+            F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("tt")
+        ).alias("p50"),
+        F.when(
+            F.col("rk") == F.ceil(0.9 * F.col("n")), F.col("tt")
+        ).alias("p90"),
+        "tt",
+    )
+    return picks.groupBy().agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        F.max("p50").cast("long").alias("p50_s"),
+        F.max("p90").cast("long").alias("p90_s"),
+        F.round(F.sum("tt") / F.max("n"), 4).alias("mean_s"),
+    )

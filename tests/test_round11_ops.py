@@ -2420,3 +2420,36 @@ def test_kfold_exact_stratification(spark):
         assert set(folds) <= set(range(5))
         assert max(folds.values()) - min(folds.values()) <= 1
         assert sum(folds.values()) == truth[lang]
+
+
+def test_time_to_convert_matches_hand_rolled(spark):
+    from collections import defaultdict
+
+    from mimir_spark.operators.features import funnel_time_to_convert
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    by_user: dict = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(
+            (int(r["ts"].timestamp()), r["event_id"], r["event_type"])
+        )
+    tts = []
+    for u, rows in by_user.items():
+        views = sorted(s for s, _, t in rows if t == "view")
+        import bisect
+
+        for s, eid, t in rows:
+            if t != "purchase":
+                continue
+            i = bisect.bisect_left(views, s) - 1
+            if i >= 0 and views[i] >= s - 86400:
+                tts.append(s - views[i])
+    tts.sort()
+    r = funnel_time_to_convert(spark, SF_SMOKE).collect()[0]
+    assert r["n_conversions"] == len(tts)
+    assert r["p50_s"] == tts[(len(tts) + 1) // 2 - 1]
+    import math
+
+    assert r["p90_s"] == tts[math.ceil(0.9 * len(tts)) - 1]
+    assert abs(r["mean_s"] - sum(tts) / len(tts)) < 1e-3
