@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate into the round-12 window).
 _R11_WINDOW = [
     # new this round
+    "gini_source_concentration",
     "funnel_time_to_convert",
     "kfold_assign",
     "winnow_clusters",
@@ -204,6 +205,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_clusters": winnow.winnow_clusters,
         "kfold_assign": pipeline.kfold_assign,
         "funnel_time_to_convert": features.funnel_time_to_convert,
+        "gini_source_concentration": corpus.gini_source_concentration,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3635,6 +3637,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # Gini by the exact rank formula — integer sums, identical
+        # final expression.
+        "gini_source_concentration": r"""
+            WITH per AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '')))::BIGINT AS n_tokens
+              FROM documents GROUP BY 1),
+            g AS (
+              SELECT
+                2.0 * sum((rd)::BIGINT * n_docs) OVER ()
+                  / (count(*) OVER () * sum(n_docs) OVER ())
+                - (count(*) OVER () + 1)::DOUBLE
+                  / (count(*) OVER ())::DOUBLE AS g_docs,
+                2.0 * sum((rt)::BIGINT * n_tokens) OVER ()
+                  / (count(*) OVER () * sum(n_tokens) OVER ())
+                - (count(*) OVER () + 1)::DOUBLE
+                  / (count(*) OVER ())::DOUBLE AS g_tokens
+              FROM (
+                SELECT source, n_docs, n_tokens,
+                       row_number() OVER (ORDER BY n_docs, source) AS rd,
+                       row_number() OVER (ORDER BY n_tokens, source) AS rt
+                FROM per) q)
+            SELECT count(*)::BIGINT AS n_sources,
+                   round(max(g_docs), 6) AS gini_docs,
+                   round(max(g_tokens), 6) AS gini_tokens
+            FROM g
         """,
         # Time-to-convert: integer seconds, lower order-statistic
         # percentile picks — no interpolation mode to diverge.

@@ -415,3 +415,52 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = modified.unionByName(added)
     return snapshot_diff(docs, new)
+
+
+def gini_source_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GINI COEFFICIENT of the corpus's source contribution — the
+    one-number concentration diagnostic behind source_mix_report's
+    shares (G = 0 perfectly balanced ingest, G → 1 one source is the
+    corpus; a mixture rebalance gate alerts on drift in G): computed
+    for both doc counts and token counts via the exact rank formula
+    G = (2·Σ i·x_(i))/(n·Σx) − (n+1)/n over ascending per-source
+    totals.
+
+    Scale shape: one corpus scan into per-source totals (map-side
+    combined), then rank windows over |sources| rows. Portability:
+    Σ i·x and Σx are exact integer sums; the two divisions and the
+    subtraction are the identical expression on both engines, 6dp.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("n_tokens"),
+    )
+
+    def gini(col: str) -> F.Column:
+        w = Window.partitionBy().orderBy(F.col(col).asc(), "source")
+        i = F.row_number().over(w)
+        n = F.count("*").over(Window.partitionBy())
+        num = F.sum(i.cast("long") * F.col(col)).over(Window.partitionBy())
+        tot = F.sum(col).over(Window.partitionBy())
+        return (
+            F.lit(2.0) * num / (n * tot)
+            - (n + F.lit(1)).cast("double") / n.cast("double")
+        )
+
+    scored = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        gini("n_docs").alias("g_docs"),
+        gini("n_tokens").alias("g_tokens"),
+    )
+    return scored.groupBy().agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.round(F.max("g_docs"), 6).alias("gini_docs"),
+        F.round(F.max("g_tokens"), 6).alias("gini_tokens"),
+    )

@@ -2453,3 +2453,40 @@ def test_time_to_convert_matches_hand_rolled(spark):
 
     assert r["p90_s"] == tts[math.ceil(0.9 * len(tts)) - 1]
     assert abs(r["mean_s"] - sum(tts) / len(tts)) < 1e-3
+
+
+def test_gini_matches_hand_formula_and_extremes(spark, tmp_path):
+    from mimir_spark.operators.corpus import gini_source_concentration
+    from mimir_spark.sources.tables import load_table
+
+    def gini_ref(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (
+            n * sum(xs)
+        ) - (n + 1) / n
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    from collections import Counter
+
+    nd = Counter(r["source"] for r in docs)
+    nt = Counter()
+    for r in docs:
+        nt[r["source"]] += len(r["text"].split())
+    r = gini_source_concentration(spark, SF_SMOKE).collect()[0]
+    assert r["n_sources"] == len(nd)
+    assert abs(r["gini_docs"] - gini_ref(list(nd.values()))) < 1e-6
+    assert abs(r["gini_tokens"] - gini_ref(list(nt.values()))) < 1e-6
+    # extremes: one dominant source → high G; the real corpus is
+    # roughly balanced → low G
+    assert r["gini_docs"] < 0.2
+    skew = [(i, "w " * 5, "en", f"s{i % 2}", 10) for i in range(10)] + [
+        (10 + i, "w " * 5, "en", "big", 10) for i in range(190)
+    ]
+    df = spark.createDataFrame(
+        skew, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "skewg")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    r2 = gini_source_concentration(spark, out).collect()[0]
+    assert r2["gini_docs"] > 0.55
