@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate into the round-12 window).
 _R11_WINDOW = [
     # new this round
+    "user_behavior_entropy",
     "gini_source_concentration",
     "funnel_time_to_convert",
     "kfold_assign",
@@ -206,6 +207,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_assign": pipeline.kfold_assign,
         "funnel_time_to_convert": features.funnel_time_to_convert,
         "gini_source_concentration": corpus.gini_source_concentration,
+        "user_behavior_entropy": features.user_behavior_entropy,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3637,6 +3639,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # Shannon entropy of each user's type mix — exact integer
+        # ratios into ln (the bigram_logppl libm contract), 6dp.
+        "user_behavior_entropy": """
+            WITH cell AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2),
+            pu AS (
+              SELECT user_id, count(*)::BIGINT AS n_types,
+                     sum(c)::BIGINT AS n_events,
+                     round(sum(-(c::DOUBLE / tot::DOUBLE)
+                               * ln(c::DOUBLE / tot::DOUBLE)), 6)
+                       AS entropy
+              FROM (SELECT user_id, event_type, c,
+                           sum(c) OVER (PARTITION BY user_id) AS tot
+                    FROM cell) q
+              GROUP BY user_id)
+            SELECT user_id, n_types, n_events, entropy,
+                   CASE WHEN n_types = 1 THEN 0.0
+                        ELSE round(entropy / ln(n_types::DOUBLE), 6)
+                   END AS norm_entropy
+            FROM pu
         """,
         # Gini by the exact rank formula — integer sums, identical
         # final expression.

@@ -1028,3 +1028,50 @@ def funnel_time_to_convert(
         F.max("p90").cast("long").alias("p90_s"),
         F.round(F.sum("tt") / F.max("n"), 4).alias("mean_s"),
     )
+
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SHANNON ENTROPY of the event-type mix — the diversity
+    feature beside user_activity_profile's n_types (a 5-type user who
+    is 96% 'view' looks like a 1-type user to entropy but not to
+    n_types): H = −Σ p·ln p over the user's type distribution, plus
+    the normalized H/ln(n_types) in [0, 1].
+
+    Plan: one map-side-combined (user, type) count, one user-keyed
+    fold over ≤ |types| rows per user — both shuffles bounded by the
+    key space. Portability: p = exact integer ratio; ln follows the
+    bigram_logppl contract (libm parity at 6dp); single-type users
+    emit H = 0 exactly (no 0·ln 0 NaN — the term is skipped, and
+    norm_entropy is 0 by the ln(1) guard).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = Window.partitionBy("user_id")
+    p = F.col("c").cast("double") / F.sum("c").over(tot).cast("double")
+    per_user = (
+        cell.withColumn("term", -p * F.log(p))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_events"),
+            F.round(F.sum("term"), 6).alias("entropy"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "n_types",
+        "n_events",
+        "entropy",
+        F.when(F.col("n_types") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("entropy") / F.log(F.col("n_types").cast("double")),
+                6,
+            )
+        )
+        .alias("norm_entropy"),
+    )

@@ -2490,3 +2490,29 @@ def test_gini_matches_hand_formula_and_extremes(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     r2 = gini_source_concentration(spark, out).collect()[0]
     assert r2["gini_docs"] > 0.55
+
+
+def test_user_entropy_matches_scipy_style(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    from mimir_spark.operators.features import user_behavior_entropy
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    mix: dict = defaultdict(Counter)
+    for r in ev:
+        mix[r["user_id"]][r["event_type"]] += 1
+    got = {r["user_id"]: r for r in user_behavior_entropy(spark, SF_SMOKE).collect()}
+    assert set(got) == set(mix)
+    for u, cnt in mix.items():
+        n = sum(cnt.values())
+        h = -sum(c / n * math.log(c / n) for c in cnt.values())
+        g = got[u]
+        assert g["n_types"] == len(cnt) and g["n_events"] == n
+        assert abs(g["entropy"] - h) < 2e-6
+        if len(cnt) > 1:
+            assert abs(g["norm_entropy"] - h / math.log(len(cnt))) < 2e-6
+            assert 0 <= g["norm_entropy"] <= 1.0000001
+        else:
+            assert g["norm_entropy"] == 0.0
