@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotate into the round-12 window).
 _R11_WINDOW = [
     # new this round
+    "hourly_autocorrelation",
     "user_behavior_entropy",
     "gini_source_concentration",
     "funnel_time_to_convert",
@@ -208,6 +209,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_time_to_convert": features.funnel_time_to_convert,
         "gini_source_concentration": corpus.gini_source_concentration,
         "user_behavior_entropy": features.user_behavior_entropy,
+        "hourly_autocorrelation": stats.hourly_autocorrelation,
         "top_session_paths": features.top_session_paths,
         "dp_count_laplace": profiling.dp_count_laplace,
         "linreg_by_group": stats.linreg_by_group,
@@ -3639,6 +3641,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_doc pa ON pa.doc_id = p.doc_a
             JOIN per_doc pb ON pb.doc_id = p.doc_b
             WHERE p.n_shared >= 4
+        """,
+        # ACF over calendar-true lag pairs; Pearson corr cancels the
+        # co-moment ulps (the corr_matrix contract).
+        "hourly_autocorrelation": """
+            WITH hourly AS (
+              SELECT event_type,
+                     floor(epoch(ts) / 3600)::BIGINT AS hour,
+                     round(avg(value), 6) AS x
+              FROM events GROUP BY 1, 2),
+            lagged AS (
+              SELECT event_type, hour, x,
+                     lag(x, 1) OVER w AS x_l1, lag(hour, 1) OVER w AS h_l1,
+                     lag(x, 2) OVER w AS x_l2, lag(hour, 2) OVER w AS h_l2,
+                     lag(x, 3) OVER w AS x_l3, lag(hour, 3) OVER w AS h_l3,
+                     lag(x, 6) OVER w AS x_l6, lag(hour, 6) OVER w AS h_l6,
+                     lag(x, 12) OVER w AS x_l12, lag(hour, 12) OVER w AS h_l12,
+                     lag(x, 24) OVER w AS x_l24, lag(hour, 24) OVER w AS h_l24
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY hour))
+            SELECT event_type, 1::BIGINT AS lag,
+                   count(*)::BIGINT AS n_pairs,
+                   round(corr(x, x_l1), 6) AS acf
+            FROM lagged WHERE h_l1 = hour - 1
+            GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 2::BIGINT AS lag,
+                   count(*)::BIGINT AS n_pairs,
+                   round(corr(x, x_l2), 6) AS acf
+            FROM lagged WHERE h_l2 = hour - 2
+            GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 3::BIGINT AS lag,
+                   count(*)::BIGINT AS n_pairs,
+                   round(corr(x, x_l3), 6) AS acf
+            FROM lagged WHERE h_l3 = hour - 3
+            GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 6::BIGINT AS lag,
+                   count(*)::BIGINT AS n_pairs,
+                   round(corr(x, x_l6), 6) AS acf
+            FROM lagged WHERE h_l6 = hour - 6
+            GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 12::BIGINT AS lag,
+                   count(*)::BIGINT AS n_pairs,
+                   round(corr(x, x_l12), 6) AS acf
+            FROM lagged WHERE h_l12 = hour - 12
+            GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 24::BIGINT AS lag,
+                   count(*)::BIGINT AS n_pairs,
+                   round(corr(x, x_l24), 6) AS acf
+            FROM lagged WHERE h_l24 = hour - 24
+            GROUP BY event_type
         """,
         # Shannon entropy of each user's type mix — exact integer
         # ratios into ln (the bigram_logppl libm contract), 6dp.

@@ -501,3 +501,57 @@ def seasonal_decompose_hourly(
         "var_deseason",
         "strength",
     )
+
+
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION of each type's hourly mean series at
+    the standard diagnostic lags (1,2,3,6,12,24 h) — the numeric
+    periodicity check beside seasonal_decompose_hourly's strength
+    (a 24 h cycle shows as acf(24) >> acf(12)); computed as Pearson
+    corr over the (x_t, x_{t−lag}) pair set via a lag window, so the
+    co-moment normalization cancels engine summation ulps exactly as
+    in corr_matrix (6dp round).
+
+    Plan: one corpus scan into the hourly rollup; one event_type
+    window provides ALL lag columns (no self-joins); one aggregate
+    per type emits every lag's corr from algebraic co-moment
+    partials. Gaps in the hourly spine make a "lag" the previous
+    ROW's offset, so the series is first re-keyed onto a dense hour
+    index per type (rank), keeping lag semantics calendar-true only
+    on gap-free stretches — n_pairs is reported so thin series read
+    as such. Output: (event_type, lag, n_pairs, acf).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    cols = [
+        F.lag("x", lag).over(w).alias(f"x_l{lag}") for lag in ACF_LAGS
+    ] + [
+        F.lag("hour", lag).over(w).alias(f"h_l{lag}") for lag in ACF_LAGS
+    ]
+    lagged = hourly.select("event_type", "hour", "x", *cols)
+    parts = []
+    for lag in ACF_LAGS:
+        # keep only calendar-true pairs: the lagged row is exactly
+        # `lag` hours earlier (gap-free stretch)
+        valid = F.col(f"h_l{lag}") == F.col("hour") - lag
+        parts.append(
+            lagged.filter(valid).groupBy("event_type").agg(
+                F.lit(lag).cast("long").alias("lag"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.round(F.corr("x", f"x_l{lag}"), 6).alias("acf"),
+            )
+        )
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out.select("event_type", "lag", "n_pairs", "acf")

@@ -2516,3 +2516,48 @@ def test_user_entropy_matches_scipy_style(spark):
             assert 0 <= g["norm_entropy"] <= 1.0000001
         else:
             assert g["norm_entropy"] == 0.0
+
+
+def test_acf_detects_planted_24h_cycle(spark, tmp_path):
+    """On the planted 24h sinusoid corpus the ACF must peak at lag 24
+    and go negative at the half-period lag 12; numpy recompute pinned
+    on one type."""
+    import math
+
+    import pandas as pd
+
+    from mimir_spark.operators.stats import hourly_autocorrelation
+
+    rng = np.random.default_rng(13)
+    recs, eid = [], 0
+    for h in range(24 * 14):
+        base = 20.0 + 5.0 * math.sin(2 * math.pi * (h % 24) / 24)
+        for _ in range(4):
+            recs.append(
+                (eid, pd.Timestamp(h * 3600, unit="s"), 1, "cyc",
+                 base + float(rng.normal(0, 0.5)), "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        recs, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = str(tmp_path / "acf")
+    spark.createDataFrame(
+        pdf,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    rows = {r["lag"]: r for r in hourly_autocorrelation(spark, out).collect()}
+    assert rows[24]["acf"] > 0.9
+    assert rows[12]["acf"] < -0.9
+    assert abs(rows[6]["acf"]) < 0.3
+    # numpy recompute at lag 24
+    xs = np.array([
+        round(float(np.mean([v for (e, t, u, ty, v, p) in recs
+                             if int(t.timestamp() // 3600) == h])), 6)
+        for h in range(24 * 14)
+    ])
+    a, b = xs[24:], xs[:-24]
+    expect = float(np.corrcoef(a, b)[0, 1])
+    assert abs(rows[24]["acf"] - expect) < 1e-5
+    assert rows[24]["n_pairs"] == len(a)
