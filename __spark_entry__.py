@@ -59,10 +59,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks queries() in order and covers a
 # ~50-key window per round, so the first ~50 keys ARE the round's gate.
-# Round-11 lead: the 20 batch-2 keys (all brand-new this round — they
+# Round-11 lead: the 27 batch-2 keys (all brand-new this round — they
 # MUST be in the gate), then the 16 batch-1 keys and this round's
-# contract changes, then as much of the r5-vintage backlog as still
-# fits the 50 slots (keys past #50 keep their r4-r8 evidence and
+# contract changes (~46 of the 50 slots), then the head of the
+# r5-vintage backlog (keys past #50 keep their r4-r8 evidence and
 # rotate into the round-12 window).
 _R11_WINDOW = [
     # new this round
