@@ -51,6 +51,73 @@ from mimir_spark.operators import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# lang_id's oracle embeds the SAME seed passages the Spark model
+# trains on (single source of truth: textstats.LANG_SEED; the strings
+# contain no single quotes by construction).
+_LANG_SEED_VALUES = ", ".join(
+    f"('{lang}', '{text}')"
+    for lang, text in sorted(textstats.LANG_SEED.items())
+)
+
+
+def _pii_oracle() -> str:
+    """pii_scrub v2 oracle, assembled from the SAME regex constants the
+    Spark operator uses (textstats2) so the two can't drift. DuckDB
+    standard strings don't escape-process backslashes, so patterns
+    embed verbatim; the Luhn fold and entropy gate are the literal
+    list-expression translations of the Spark array expressions."""
+    t2 = textstats2
+    d = "regexp_replace(c, '[^0-9]', '', 'g')"
+    dig = f"CAST(substring({d}, CAST(i AS INT), 1) AS INT)"
+    luhn = (
+        f"list_sum(list_transform(range(1, length({d}) + 1),"
+        f" i -> CASE WHEN (length({d}) - i) % 2 = 1"
+        f" THEN CASE WHEN 2 * {dig} > 9 THEN 2 * {dig} - 9"
+        f" ELSE 2 * {dig} END ELSE {dig} END)) % 10 = 0"
+    )
+    chars = (
+        "list_transform(range(1, length(k) + 1),"
+        " i -> substring(k, CAST(i AS INT), 1))"
+    )
+    p = (
+        f"(CAST(len(list_filter({chars}, x -> x = c)) AS DOUBLE)"
+        f" / CAST(length(k) AS DOUBLE))"
+    )
+    entropy = (
+        f"round(-list_sum(list_transform(list_distinct({chars}),"
+        f" c -> {p} * ln({p}))) / ln(2), 6)"
+    )
+    redact = "text"
+    for rx, tag in [
+        (t2.EMAIL_RE, "<EMAIL>"),
+        (t2.SSN_RE, "<SSN>"),
+        (t2.CARD_RE, "<CARD>"),
+        (t2.PHONE_RE, "<PHONE>"),
+        (t2.IP_RE, "<IP>"),
+        (t2.KEY_RE, "<KEY>"),
+    ]:
+        redact = f"regexp_replace({redact}, '{rx}', '{tag}', 'g')"
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{t2.EMAIL_RE}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(text, '{t2.PHONE_RE}'))::BIGINT AS n_phones,
+               len(regexp_extract_all(text, '{t2.SSN_RE}'))::BIGINT AS n_ssns,
+               len(list_filter(regexp_extract_all(text, '{t2.CARD_RE}'),
+                   c -> {luhn}))::BIGINT AS n_cards,
+               len(list_filter(regexp_extract_all(text, '{t2.IP_RE}'),
+                   c -> len(list_filter(string_split(c, '.'),
+                        o -> CAST(o AS INT) <= 255)) = 4))::BIGINT AS n_ips,
+               len(list_filter(regexp_extract_all(text, '{t2.KEY_RE}'),
+                   k -> {entropy} >= {t2.KEY_ENTROPY_BITS}
+                        AND regexp_matches(k, '[0-9]')
+                        AND regexp_matches(k, '[A-Za-z]')))::BIGINT AS n_keys,
+               length({redact})::BIGINT AS clean_len
+        FROM documents
+    """
+
+
+_PII_ORACLE = _pii_oracle()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: TPC-H Q1 pricing summary on sf0.001."""
@@ -5190,18 +5257,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
             LIMIT 100
         """,
-        "pii_scrub": r"""
-            SELECT doc_id,
-                   len(regexp_extract_all(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-                   len(regexp_extract_all(text,
-                       '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b'))::BIGINT AS n_phones,
-                   length(regexp_replace(
-                     regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                     '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b', '<PHONE>', 'g'))::BIGINT AS clean_len
-            FROM documents
-        """,
+        "pii_scrub": _PII_ORACLE,
         "repetition_ratio": r"""
             WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
                        FROM documents),
@@ -5957,28 +6013,49 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 5
         """,
-        "lang_id": r"""
-            WITH t AS (
-              SELECT doc_id, lang,
-                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-              FROM documents),
-            s AS (
-              SELECT doc_id, lang,
-                len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS s_de,
-                len(list_filter(toks, x -> x IN ('the','and','of','to','a')))     AS s_en,
-                len(list_filter(toks, x -> x IN ('el','la','los','que','de')))    AS s_es,
-                len(list_filter(toks, x -> x IN ('le','la','les','et','des')))    AS s_fr,
-                len(list_filter(toks, x -> x IN ('的','是','了','在','我')))        AS s_zh
-              FROM t),
-            p AS (
-              SELECT doc_id, lang,
-                CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-                     WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-                     WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-                     WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-                     ELSE 'zh' END AS pred_lang
-              FROM s)
-            SELECT doc_id, pred_lang, (pred_lang = lang)::BIGINT AS is_correct FROM p
+        # char-trigram naive Bayes (round 12): replicate the model fold
+        # literally — labeled slice ∪ LANG_SEED, top-200 trigrams per
+        # lang, vocab union, Laplace micro-nat weights, argmax.
+        "lang_id": f"""
+            WITH seed(lang, text) AS (VALUES {_LANG_SEED_VALUES}),
+            train AS (
+              SELECT lang, text FROM documents WHERE doc_id % 10 < 3
+              UNION ALL SELECT lang, text FROM seed),
+            tg AS (
+              SELECT lang, substring(text, CAST(i AS INT), 3) AS tg
+              FROM train, unnest(range(1, length(text) - 1)) AS u(i)
+              WHERE length(text) >= 3),
+            counts AS (SELECT lang, tg, count(*)::BIGINT AS c FROM tg GROUP BY 1, 2),
+            top AS (
+              SELECT lang, tg, c FROM counts
+              QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) <= 200),
+            vocab AS (SELECT DISTINCT tg FROM top),
+            langs AS (SELECT DISTINCT lang FROM counts),
+            cells AS (
+              SELECT l.lang, v.tg, coalesce(c.c, 0) AS c
+              FROM langs l CROSS JOIN vocab v
+              LEFT JOIN counts c ON c.lang = l.lang AND c.tg = v.tg),
+            model AS (
+              SELECT lang, tg,
+                     CAST(round(1e6 * ln((c + 1)::DOUBLE /
+                          (sum(c) OVER (PARTITION BY lang)
+                           + count(*) OVER (PARTITION BY lang))::DOUBLE)) AS BIGINT) AS w
+              FROM cells),
+            doc_tg AS (
+              SELECT doc_id, substring(text, CAST(i AS INT), 3) AS tg
+              FROM documents, unnest(range(1, length(text) - 1)) AS u(i)
+              WHERE length(text) >= 3),
+            scores AS (
+              SELECT d.doc_id, m.lang, sum(m.w)::BIGINT AS score
+              FROM doc_tg d JOIN model m USING (tg) GROUP BY 1, 2),
+            best AS (
+              SELECT doc_id, lang AS pred FROM scores
+              QUALIFY row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, lang) = 1)
+            SELECT d.doc_id,
+                   coalesce(b.pred, 'und') AS pred_lang,
+                   (coalesce(b.pred, '') = d.lang)::BIGINT AS is_correct
+            FROM documents d LEFT JOIN best b USING (doc_id)
         """,
         "quality_score": r"""
             WITH t AS (

@@ -274,18 +274,37 @@ def main() -> None:
         )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "stage_metrics": stage_metrics,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "stage_metrics": stage_metrics,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Self-recovering artifact (round 12): the driver captures stdout's
+    # FINAL line, and a long stage_metrics blob has been tail-truncated
+    # into an unparseable BENCH_r{N}.json before (r07). So: (1) the
+    # full payload — headline + stage telemetry — is written to a
+    # git-tracked BENCH_LOCAL_r{N}.json beside the repo, and (2) the
+    # stdout line is the COMPACT headline only (metrics live in the
+    # file), small enough that truncation can't hit it.
+    compact = {k: v for k, v in payload.items() if k != "stage_metrics"}
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        existing = [
+            int(f[len("BENCH_r"):-len(".json")])
+            for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and f[len("BENCH_r"):-len(".json")].isdigit()
+        ]
+        rnd = max(existing, default=0) + 1
+        with open(os.path.join(here, f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # pragma: no cover - diagnostics only
+        print(f"# BENCH_LOCAL write failed: {exc}", file=sys.stderr)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -1041,8 +1041,11 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold over ≤ |types| rows per user — both shuffles bounded by the
     key space. Portability: p = exact integer ratio; ln follows the
     bigram_logppl contract (libm parity at 6dp); single-type users
-    emit H = 0 exactly (no 0·ln 0 NaN — the term is skipped, and
-    norm_entropy is 0 by the ln(1) guard).
+    emit H = 0 exactly — their one term is −1·ln(1) = −0.0, and the
+    sum's +0.0 seed absorbs the sign (−0.0 + 0.0 = +0.0 in IEEE 754,
+    identically in both engines); a p = 0 cell never exists because
+    counts come from observed rows, so 0·ln 0 cannot arise. The
+    explicit guard is only on norm_entropy (ln(1) division).
     """
     from pyspark.sql import Window
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mimir_spark.sources.tables import load_table
+from mimir_spark.sources.tables import load_table, maybe_broadcast
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,7 +40,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
@@ -77,7 +77,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the residual OR evaluates post-join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
     b1 = (
         (F.col("p_brand") == "Brand#1")
         & (F.col("p_size").between(1, 15))
@@ -199,7 +199,7 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = (
         orders.select("o_orderpriority", "o_totalprice")
-        .join(F.broadcast(agg), "o_orderpriority")
+        .join(maybe_broadcast(agg), "o_orderpriority")
         .groupBy("o_orderpriority", "p50a", "p90a", "p50_mid", "p90_mid", "n")
         .agg(
             F.sum(

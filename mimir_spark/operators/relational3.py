@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mimir_spark.sources.tables import load_table
+from mimir_spark.sources.tables import load_table, maybe_broadcast
 
 def _revenue():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -45,10 +45,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(maybe_broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair | flipped)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
         .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
@@ -75,13 +75,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("s_nk"))
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(nat_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(maybe_broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(maybe_broadcast(nat_s), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
@@ -105,9 +105,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("s_nk"))
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(maybe_broadcast(nat), F.col("s_nationkey") == F.col("s_nk"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(F.round(F.sum(_revenue()), 4).alias("sum_profit"))
@@ -146,7 +146,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_rev", F.max("total_revenue").over(Window.partitionBy())
     ).filter(F.col("total_revenue") == F.col("max_rev"))
     return (
-        F.broadcast(top)
+        maybe_broadcast(top)
         .join(sup, top.supplier_no == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -162,7 +162,7 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -179,12 +179,12 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    li_part = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    li_part = li.join(maybe_broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
     thresholds = li_part.groupBy("p_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("qty_cap")
     )
     return (
-        li_part.join(F.broadcast(thresholds), "p_partkey")
+        li_part.join(maybe_broadcast(thresholds), "p_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
@@ -209,10 +209,10 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("c_acctbal").alias("avg_bal")
     )
     return (
-        cust.crossJoin(F.broadcast(avg_bal))
+        cust.crossJoin(maybe_broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("c_nk"))
+        .join(maybe_broadcast(nat), F.col("c_nationkey") == F.col("c_nk"))
         .groupBy("n_name")
         .agg(
             F.count("*").alias("numcust"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mimir_spark.sources.tables import load_table
+from mimir_spark.sources.tables import load_table, maybe_broadcast
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
@@ -54,9 +54,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
         .drop("rn")
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        best.join(maybe_broadcast(part), best.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .orderBy(F.col("p_retailprice").desc(), "p_partkey")
         .limit(k)
         .select("p_partkey", "p_brand", "p_retailprice", "unit_cost",
@@ -78,7 +78,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") < 5
     )
     val = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 4).alias("part_value"))
     )
@@ -86,7 +86,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("part_value").alias("total_value")
     )
     return (
-        val.crossJoin(F.broadcast(total))
+        val.crossJoin(maybe_broadcast(total))
         .filter(F.col("part_value") > F.col("total_value") * 0.001)
         .select(
             "l_partkey",
@@ -118,7 +118,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same single-exchange trick as q2: partition by l_partkey alone so
     # the agg and the per-part share window run on one shuffle.
     qty = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
@@ -131,8 +131,8 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        dominant.join(F.broadcast(supp), dominant.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        dominant.join(maybe_broadcast(supp), dominant.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
     )
 
@@ -179,7 +179,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
         .agg(F.count("*").cast("long").alias("numwait"))
     )
     return (
-        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        blamed.join(maybe_broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(k)
         .select("s_suppkey", "s_name", "numwait")

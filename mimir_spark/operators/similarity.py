@@ -573,10 +573,16 @@ def knn_graph_descent(
     seed's (also pinned, as documented expected behavior; the kept-k
     set still monotonically improves under the (cos desc, id) order).
 
-    Determinism & portability: seed neighbors are (vec_id + i) mod n;
-    scores are the _raw_cos expression (dot / (‖a‖·‖b‖), sequential
-    folds) rounded 6dp; top-k ties break on neighbor_id — the unrolled
-    DuckDB oracle replays identical rounds. Output matches knn_graph:
+    Determinism & portability: seed neighbors are (vec_id + i) mod n,
+    which ASSUMES vec_ids are contiguous 0..n−1 (true for this corpus;
+    pinned by a pytest). With sparse or non-zero-based ids some seed
+    edges would reference absent nodes and be dropped by the inner
+    join, leaving those nodes under-seeded (< internal_k) — still
+    convergent, just a weaker round-0 graph; re-key through a rank
+    over vec_id first if ids aren't dense. Scores are the _raw_cos
+    expression (dot / (‖a‖·‖b‖), sequential folds) rounded 6dp; top-k
+    ties break on neighbor_id — the unrolled DuckDB oracle replays
+    identical rounds. Output matches knn_graph:
     (vec_id, neighbor_id, cos, rank).
     """
     emb = load_table(spark, sf_dir, "embeddings")

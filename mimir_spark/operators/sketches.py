@@ -821,7 +821,10 @@ WAU_WINDOW_DAYS = 7
 
 
 def wau_hll_sliding(
-    spark: SparkSession, sf_dir: str, window_days: int = WAU_WINDOW_DAYS
+    spark: SparkSession,
+    sf_dir: str,
+    window_days: int = WAU_WINDOW_DAYS,
+    verify: bool = True,
 ) -> DataFrame:
     """Trailing-7-day active users per day ("WAU") by HLL REGISTER
     RE-AGGREGATION — the sketch version of hypertable_rollup's
@@ -832,10 +835,13 @@ def wau_hll_sliding(
     makes HLL the right WAU primitive at 100 TB: a day's registers
     are computed once, forever mergeable into any window.
 
-    The exact trailing-window distinct (a days×events range join) is
-    kept beside the estimate as the verification twin — at scale you
-    keep only the sketch side (the hll_distinct contract). Output:
-    (day, n_present, v_zero, est_distinct, true_wau).
+    The exact trailing-window distinct (a days×events range join —
+    a BroadcastNestedLoopJoin that rescans events per day) is the
+    VERIFICATION twin only, gated behind verify=True: the driver's
+    oracle contract keeps it on, but the production path at 100 TB is
+    verify=False, which is pure register algebra — no range join, no
+    corpus rescans (plan-pinned: zero BroadcastNestedLoopJoin).
+    Output: (day, n_present, v_zero, est_distinct[, true_wau]).
     """
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
@@ -853,6 +859,13 @@ def wau_hll_sliding(
     merged = fanned.groupBy("day", "j").agg(F.max("m_j").alias("m_j"))
     est = hll_estimate(merged, ["day"])
     days = keyed.select("day").distinct()
+    if not verify:
+        # the fan-out manufactures window end-days past the last
+        # observed day; restrict to the observed-day spine (O(days)
+        # rows, broadcast) exactly as the verify twin's join does.
+        return est.join(F.broadcast(days), "day", "left_semi").select(
+            "day", "n_present", "v_zero", "est_distinct"
+        )
     exact = (
         days.alias("d")
         .join(

@@ -518,11 +518,12 @@ def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one corpus scan into the hourly rollup; one event_type
     window provides ALL lag columns (no self-joins); one aggregate
     per type emits every lag's corr from algebraic co-moment
-    partials. Gaps in the hourly spine make a "lag" the previous
-    ROW's offset, so the series is first re-keyed onto a dense hour
-    index per type (rank), keeping lag semantics calendar-true only
-    on gap-free stretches — n_pairs is reported so thin series read
-    as such. Output: (event_type, lag, n_pairs, acf).
+    partials. Gaps in the hourly spine make a ROW lag the previous
+    row's offset, not `lag` hours — so each pair also lags the HOUR
+    column and keeps only calendar-true pairs (h_lag == hour − lag);
+    pairs spanning a gap are dropped rather than re-indexed, and
+    n_pairs is reported so thin series read as such.
+    Output: (event_type, lag, n_pairs, acf).
     """
     ev = load_table(spark, sf_dir, "events")
     hourly = (

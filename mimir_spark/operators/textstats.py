@@ -14,15 +14,64 @@ from pyspark.sql import functions as F
 from mimir_spark.functions.text import MOD, BASE, tokens_col
 from mimir_spark.sources.tables import load_table
 
-# Marker stopwords per language for the n-gram-free heuristic: score a
-# language by how many of its marker words occur as tokens.
-LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "a"),
-    "de": ("der", "die", "und", "das", "ein"),
-    "es": ("el", "la", "los", "que", "de"),
-    "fr": ("le", "la", "les", "et", "des"),
-    "zh": ("的", "是", "了", "在", "我"),
+# Built-in multilingual seed sentences for the char-trigram language
+# model — one deterministic high-frequency-function-word passage per
+# language, written for this repo (lowercase, no apostrophes, so no
+# engine case-folding is ever needed). They anchor each language's
+# SCRIPT and function-word trigrams in the model even when the labeled
+# training slice is domain-skewed; zh/ja/ko exist only here (the
+# corpus has no real CJK text), which is exactly what lets the model
+# identify genuinely CJK documents.
+LANG_SEED: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then it runs"
+        " to the house of the old man with a friend that is always"
+        " there for them because they want to see what happens when"
+        " the sun goes down and the night comes with all of its stars"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und"
+        " dann läuft er zu dem haus des alten mannes mit einem freund"
+        " der immer für sie da ist weil sie sehen wollen was passiert"
+        " wenn die sonne untergeht und die nacht mit allen sternen kommt"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y luego"
+        " corre hacia la casa del viejo hombre con un amigo que siempre"
+        " está allí para ellos porque quieren ver lo que pasa cuando el"
+        " sol se pone y la noche llega con todas sus estrellas"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et"
+        " puis il court vers la maison du vieil homme avec un ami qui"
+        " est toujours là pour eux parce que ils veulent voir ce qui se"
+        " passe quand le soleil se couche et la nuit vient avec toutes"
+        " ses étoiles"
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过了懒惰的狗然后它跑到老人的房子那里和一个朋友在一起"
+        "因为他们想看看当太阳下山的时候会发生什么事情夜晚带着所有的星星来了"
+        "我们的世界是一个很大的地方每个人都在这里生活和工作"
+    ),
+    "ja": (
+        "すばやい茶色のきつねはなまけものの犬をとびこえてそれからふるい男の家に"
+        "はしりますともだちはいつもそこにいますなぜならたいようがしずむときに"
+        "なにがおこるかをみたいからですよるはすべてのほしとともにやってきます"
+    ),
+    "ko": (
+        "빠른 갈색 여우가 게으른 개를 뛰어넘고 그리고 나서 오래된 남자의 집으로"
+        " 달려갑니다 친구는 항상 거기에 있습니다 왜냐하면 해가 질 때 무슨 일이"
+        " 일어나는지 보고 싶기 때문입니다 밤은 모든 별들과 함께 찾아옵니다"
+    ),
 }
+
+# Model shape: per language keep the top LANG_TOPT trigrams by count
+# (ties on the trigram string); the scoring vocabulary V is the union
+# across languages, so |model| ≤ |langs| · |V| — bounded and
+# broadcastable regardless of corpus size.
+LANG_TOPT = 200
+# labeled training slice: deterministic 30% of docs by id
+LANG_TRAIN_MOD, LANG_TRAIN_KEEP = 10, 3
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -31,38 +80,137 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-def _marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
-    return F.size(
-        F.filter(toks, lambda t: t.isin(*markers))
+# char trigrams of the text column as an array expression (codepoint
+# semantics in BOTH engines; docs shorter than 3 chars are filtered
+# before this is applied — Spark's sequence() runs DESCENDING on a
+# negative span, so the guard is load-bearing)
+_TRIGRAMS = (
+    "transform(sequence(1, length(text) - 2),"
+    " i -> substring(text, i, 3))"
+)
+
+
+def lang_trigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded per-(lang, trigram) naive-Bayes model table.
+
+    Training data = the labeled slice (doc_id % 10 < 3) of documents
+    UNION the built-in LANG_SEED passages. Per language the top
+    LANG_TOPT trigrams by (count desc, trigram) survive; the scoring
+    vocabulary V is the cross-language union, and every (lang, t∈V)
+    cell gets an integer micro-nat Laplace log-probability
+
+        w = round(1e6 · ln((c + 1) / (total_lang_V + |V|)))
+
+    so absent trigrams carry the floor penalty rather than silently
+    dropping out — the property that makes a CJK document score
+    catastrophically under 'en' and normally under 'zh'. All-integer
+    output ⇒ hash-portable; ln follows the bigram_logppl libm-parity
+    contract. |model| = |langs| · |V| ≤ 7 · 1400 rows at any SF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(
+        F.col("doc_id") % LANG_TRAIN_MOD < LANG_TRAIN_KEEP
+    ).select("lang", "text")
+    seed = spark.createDataFrame(
+        sorted(LANG_SEED.items()), "lang string, text string"
+    )
+    tg = (
+        train.unionByName(seed)
+        .filter(F.length("text") >= 3)
+        .selectExpr("lang", f"explode({_TRIGRAMS}) AS tg")
+    )
+    counts = tg.groupBy("lang", "tg").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    top = counts.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("c"), F.col("tg"))
+        ),
+    ).filter(F.col("rk") <= LANG_TOPT)
+    vocab = top.select("tg").distinct()
+    langs = counts.select("lang").distinct()
+    cells = (
+        langs.crossJoin(vocab)
+        .join(counts, ["lang", "tg"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    per_lang = Window.partitionBy("lang")
+    return (
+        cells.withColumn("total", F.sum("c").over(per_lang))
+        .withColumn("n_v", F.count(F.lit(1)).over(per_lang))
+        .select(
+            "lang",
+            "tg",
+            F.round(
+                F.lit(1e6)
+                * F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("total") + F.col("n_v")).cast("double")
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+        )
     )
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: argmax marker-word hits, alphabetical
-    tie-break, plus correctness flag vs the labeled lang column."""
+    """Char-trigram naive-Bayes language ID (Cavnar & Trenkle's n-gram
+    text categorization recast as multinomial NB): every document's
+    trigrams join the broadcast model table (all langs per vocab
+    trigram, so the fan-out is |langs| rows per occurrence) and the
+    per-(doc, lang) integer score Σ w is argmaxed with alphabetical
+    tie-break. Docs with no in-vocabulary trigram (or < 3 chars)
+    predict 'und'.
+
+    NOTE on corpus accuracy: the synthetic corpus draws every lang
+    label's text from the SAME English-ish vocabulary, so on-corpus
+    accuracy is necessarily near-chance — the discriminative power
+    shows on real multilingual text (pytest: crafted zh/ja/ko/de/en
+    docs classify correctly via the LANG_SEED script anchors).
+
+    Scale shape: model build is one bounded agg over the 30% slice;
+    scoring is explode → broadcast-hash join → two map-side-combined
+    aggs keyed by doc — no corpus self-joins, no global sorts.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col("text")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        *[
-            _marker_score(toks, m).alias(f"s_{code}")
-            for code, m in sorted(LANG_MARKERS.items())
-        ],
+    model = lang_trigram_model(spark, sf_dir)
+    doc_tg = docs.filter(F.length("text") >= 3).selectExpr(
+        "doc_id", f"explode({_TRIGRAMS}) AS tg"
     )
-    # argmax with deterministic alphabetical tie-break via greatest +
-    # first-match scan in sorted code order
-    best = F.greatest(*[F.col(f"s_{c}") for c in sorted(LANG_MARKERS)])
-    pred = F.coalesce(
-        *[
-            F.when(F.col(f"s_{c}") == best, F.lit(c))
-            for c in sorted(LANG_MARKERS)
-        ]
+    scores = (
+        doc_tg.join(F.broadcast(model), "tg")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").cast("long").alias("score"))
     )
-    return scored.select(
-        "doc_id",
-        pred.alias("pred_lang"),
-        (pred == F.col("lang")).cast("long").alias("is_correct"),
+    from pyspark.sql import Window
+
+    best = (
+        scores.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("score"), F.col("lang")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("pred"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred", F.lit("und")).alias("pred_lang"),
+            (F.coalesce("pred", F.lit("")) == F.col("lang"))
+            .cast("long")
+            .alias("is_correct"),
+        )
     )
 
 

@@ -18,16 +18,102 @@ from mimir_spark.sources.tables import load_table
 # RE2-compatible (no lookaround) so the DuckDB oracle matches Java.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+# contiguous PAN or 4x4 dashed/spaced grouping
+CARD_RE = (
+    r"\b[0-9]{13,19}\b"
+    r"|\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b"
+)
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# secret-ish token shape; precision comes from the entropy + mixed-class
+# gate applied to candidates, not the regex
+KEY_RE = r"\b[A-Za-z0-9_-]{24,64}\b"
+# high-entropy threshold in BITS (Shannon over the candidate's chars);
+# 3.5 bits needs ≥ ~12 effectively-uniform distinct chars — natural
+# words and repeated filler stay far below, random secrets far above.
+KEY_ENTROPY_BITS = 3.5
+
+def _sql_escape(rx: str) -> str:
+    return rx.replace("\\", "\\\\")
+
+
+# Luhn mod-10 over the digit string d (candidate with separators
+# stripped), as a pure SQL expression: double every second digit from
+# the RIGHT ((len-i) odd for 1-based left index i), subtract 9 on
+# overflow, sum % 10 == 0. Identical text in Spark SQL and DuckDB.
+def _luhn_ok(d: str) -> str:
+    dig = f"CAST(substring({d}, i, 1) AS INT)"
+    return (
+        f"aggregate(transform(sequence(1, length({d})),"
+        f" i -> CASE WHEN (length({d}) - i) % 2 = 1"
+        f" THEN CASE WHEN 2 * {dig} > 9 THEN 2 * {dig} - 9 ELSE 2 * {dig} END"
+        f" ELSE {dig} END), 0, (a, x) -> a + x) % 10 = 0"
+    )
+
+
+# Shannon entropy in bits over the chars of candidate k — distinct
+# chars, each char's p = count/len, −Σ p·log2 p, rounded 6dp before
+# the threshold compare so borderline ULPs can't split engines.
+def _entropy_bits(k: str) -> str:
+    chars = f"transform(sequence(1, length({k})), i -> substring({k}, i, 1))"
+    p = (
+        f"CAST(size(filter(ch, x -> x = c)) AS DOUBLE)"
+        f" / CAST(length({k}) AS DOUBLE)"
+    )
+    return (
+        f"round(-aggregate(transform(array_distinct({chars}),"
+        f" c -> ({p.replace('ch', chars)}) * ln({p.replace('ch', chars)})),"
+        f" CAST(0.0 AS DOUBLE), (a, x) -> a + x) / ln(2), 6)"
+    )
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count + redact email/phone patterns per document. Output is the
-    redaction audit (counts + post-scrub length); the scrubbed text
-    itself stays an internal column a sink would write."""
+    """PII audit + redaction over six classes: email, SSN, credit card
+    (Luhn mod-10 validated, expression-side), phone, IPv4 (octet-range
+    validated), and high-entropy API-key-shaped tokens (Shannon ≥ 3.5
+    bits AND mixed letter+digit). Counts are per-class high-precision
+    audits on the RAW text; clean_len is the length after redacting
+    ALL candidates of every class in a fixed order (a scrubber is
+    conservative: a card-shaped number that fails Luhn is still
+    redacted, just not counted as a confirmed card).
+
+    Everything is JVM-side expressions — the Luhn fold and entropy
+    gate run as array expressions inside codegen, O(candidate_len)
+    per candidate, no Python, no shuffle (map-only over the scan).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    scrubbed = F.regexp_replace(
-        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+
+    # Spark SQL string literals process backslash escapes ('\b' →
+    # backspace), so regexes interpolated into expr() text need their
+    # backslashes doubled; the Python-API F.lit()/F.regexp_* sites
+    # below take the raw pattern untouched.
+    def cand(rx: str) -> str:
+        return f"regexp_extract_all(text, '{_sql_escape(rx)}', 0)"
+    digits_only = "regexp_replace(c, '[^0-9]', '')"
+    n_cards = (
+        f"size(filter({cand(CARD_RE)},"
+        f" c -> {_luhn_ok(digits_only)}))"
     )
+    n_ips = (
+        f"size(filter({cand(IP_RE)},"
+        f" c -> size(filter(split(c, '[.]'),"
+        f" o -> CAST(o AS INT) <= 255)) = 4))"
+    )
+    n_keys = (
+        f"size(filter({cand(KEY_RE)},"
+        f" k -> {_entropy_bits('k')} >= {KEY_ENTROPY_BITS}"
+        f" AND k rlike '[0-9]' AND k rlike '[A-Za-z]'))"
+    )
+    scrubbed = F.col("text")
+    for rx, tag in [
+        (EMAIL_RE, "<EMAIL>"),
+        (SSN_RE, "<SSN>"),
+        (CARD_RE, "<CARD>"),
+        (PHONE_RE, "<PHONE>"),
+        (IP_RE, "<IP>"),
+        (KEY_RE, "<KEY>"),
+    ]:
+        scrubbed = F.regexp_replace(scrubbed, rx, tag)
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
@@ -36,6 +122,12 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0))
         .cast("long")
         .alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(SSN_RE), 0))
+        .cast("long")
+        .alias("n_ssns"),
+        F.expr(n_cards).cast("long").alias("n_cards"),
+        F.expr(n_ips).cast("long").alias("n_ips"),
+        F.expr(n_keys).cast("long").alias("n_keys"),
         F.length(scrubbed).cast("long").alias("clean_len"),
     )
 

@@ -113,6 +113,45 @@ TABLES = tuple(SCHEMAS)
 # Dimension tables small enough to broadcast at any realistic SF.
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
+# Size gate for maybe_broadcast: Catalyst's metadata size estimate of
+# the build side must stay under this many bytes for the hint to be
+# attached. 128 MB estimated is comfortably inside executor budgets
+# (broadcast relations inflate ~2-4x over the parquet-footer estimate)
+# while letting every dim at test SFs through; at 100 TB, customer /
+# part / supplier / orders-derived sides blow past it and fall back to
+# shuffle joins (or AQE's runtime broadcast decision if they turn out
+# small post-filter).
+BROADCAST_MAX_EST_BYTES = 128 * 1024 * 1024
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint (the BFS tracked-set precedent,
+    graph.py:_maybe_broadcast, generalized to non-iterative plans).
+
+    Unconditional `F.broadcast(dim)` hints are a 100 TB scale-killer:
+    the hint overrides `autoBroadcastJoinThreshold`, so a "dim" that
+    grows with SF (customer, part, supplier) gets force-broadcast into
+    driver/executor OOM. This helper reads Catalyst's OPTIMIZED-plan
+    size statistic — derived from parquet footers + column pruning,
+    pure driver-side metadata, NO job — and attaches the hint only
+    while the estimate fits. Fixed-cardinality dims (region=5,
+    nation=25) always pass; scale-growing sides pass at test SFs and
+    gate off on a real cluster, where AQE still upgrades them to a
+    runtime broadcast if post-filter stats allow.
+
+    Single-row aggregates (empty grouping) estimate as one row and
+    always broadcast; grouped aggregates inherit their child's
+    estimate — conservatively large, which is the safe direction.
+    """
+    from pyspark.sql import functions as F
+
+    if max_bytes is None:  # resolved at call time so tests can patch it
+        max_bytes = BROADCAST_MAX_EST_BYTES
+    est = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    return F.broadcast(df) if est <= max_bytes else df
+
 
 def _canon_type(dt: T.DataType) -> str:
     # TIMESTAMP vs TIMESTAMP_NTZ: the corpus files carry NTZ and the

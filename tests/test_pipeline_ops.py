@@ -118,7 +118,7 @@ def test_ann_ivf_recall_against_bruteforce(spark, sf_smoke):
 def test_lang_id_output_domain(spark, sf_smoke):
     out = textstats.lang_id(spark, sf_smoke)
     langs = {r.pred_lang for r in out.select("pred_lang").distinct().collect()}
-    assert langs <= set(textstats.LANG_MARKERS)
+    assert langs <= set(textstats.LANG_SEED) | {"und"}
 
 
 def test_quality_score_in_unit_interval(spark, sf_smoke):

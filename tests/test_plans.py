@@ -692,3 +692,44 @@ def test_gopher_repetition_filter_is_map_only(spark, sf_smoke):
     plan = formatted_plan(gopher_repetition_filter(spark, sf_smoke))
     assert "Exchange" not in plan, plan
     assert "ReadSchema" in plan and "text" in plan
+
+
+def test_maybe_broadcast_gates_on_size_estimate(spark, sf_smoke):
+    """maybe_broadcast must attach the hint only while Catalyst's
+    metadata size estimate fits the budget: under a forced 1-byte
+    budget the hint disappears (the analyzed plan carries no
+    ResolvedHint and the query still returns identical rows through
+    shuffle joins), under the real budget the dims are hinted — the
+    BFS graceful-degradation contract generalized to the relational
+    suite."""
+    from mimir_spark.sources.tables import load_table, maybe_broadcast
+
+    nation = load_table(spark, sf_smoke, "nation")
+    cust = load_table(spark, sf_smoke, "customer")
+
+    hinted = cust.join(maybe_broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    gated = cust.join(
+        maybe_broadcast(nation, max_bytes=1),
+        cust.c_nationkey == nation.n_nationkey,
+    )
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, gated.collect()))
+
+
+def test_relational_broadcasts_gate_off_above_threshold(spark, sf_smoke, monkeypatch):
+    """With the size budget forced to 0, q5's five-way join must carry
+    ZERO forced broadcast hints yet return the identical result — the
+    100 TB fallback path (shuffle joins + AQE runtime broadcasts)."""
+    from mimir_spark.operators import relational
+    from mimir_spark.sources import tables
+
+    base = relational.q5_nation_revenue(spark, sf_smoke)
+    assert "ResolvedHint" in base._jdf.queryExecution().analyzed().toString()
+    base_rows = sorted(map(tuple, base.collect()))
+
+    monkeypatch.setattr(tables, "BROADCAST_MAX_EST_BYTES", 0)
+    gated = relational.q5_nation_revenue(spark, sf_smoke)
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, gated.collect())) == base_rows

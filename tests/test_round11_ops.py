@@ -1625,6 +1625,23 @@ def test_nn_descent_degrades_on_structureless_data(spark):
     assert sums[0] < sums[1] < sums[2]  # but strictly improving
 
 
+def test_descent_seed_id_contiguity_assumption_holds(spark):
+    """knn_graph_descent's ring seed is (vec_id + i) mod n, which
+    requires vec_ids to be exactly 0..n−1 (documented assumption:
+    sparse ids would silently under-seed nodes). Pin the corpus
+    contract here so a testdata regeneration that breaks it fails
+    loudly instead of degrading round-0 recall."""
+    from mimir_spark.sources.tables import load_table
+
+    ids = sorted(
+        r["vec_id"]
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id")
+        .collect()
+    )
+    assert ids == list(range(len(ids)))
+
+
 # ---- CUSUM changepoints ------------------------------------------------
 
 
@@ -2007,6 +2024,26 @@ def test_wau_estimates_within_hll_band(spark):
         assert abs(r["est_distinct"] - r["true_wau"]) <= 4 * rsd * r["true_wau"], r
 
 
+def test_wau_production_path_skips_exact_twin(spark):
+    """verify=False (the 100 TB production path) must agree with the
+    verified variant on every estimate column AND plan with ZERO
+    BroadcastNestedLoopJoin — the exact range-join twin is the only
+    corpus-rescanning piece, and it's gated off."""
+    from mimir_spark.operators.sketches import wau_hll_sliding
+
+    prod = wau_hll_sliding(spark, SF_SMOKE, verify=False)
+    assert prod.columns == ["day", "n_present", "v_zero", "est_distinct"]
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    verified = wau_hll_sliding(spark, SF_SMOKE, verify=True)
+    est_cols = ["day", "n_present", "v_zero", "est_distinct"]
+    assert sorted(map(tuple, prod.collect())) == sorted(
+        map(tuple, verified.select(*est_cols).collect())
+    )
+
+
 def test_wau_register_merge_equals_direct_window(spark):
     """Mergeability: daily registers max-merged over the window equal
     registers computed from the window's raw rows directly."""
@@ -2118,20 +2155,26 @@ def test_kmv_plan_uses_windowgrouplimit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
-def test_winnow_plan_broadcasts_df_cap_no_cartesian(spark):
-    """The df-cap join must broadcast the fingerprint-sized frequency
-    table, and nothing in the chain may fall back to a cartesian."""
+def test_winnow_plan_broadcasts_hot_anti_no_cartesian(spark):
+    """The df-cap must be a broadcast LEFT ANTI join against ONLY the
+    hot-fp list (df > maxdf; bounded by total_fps/maxdf), never a
+    broadcast of the corpus-sized cold table — the 100 TB driver-OOM
+    guard. Nothing in the chain may fall back to a cartesian."""
     from mimir_spark.operators.winnow import winnowing_matches
 
-    plan = (
-        winnowing_matches(spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BroadcastHashJoin" in plan
+    qe = winnowing_matches(spark, SF_SMOKE)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # exactly ONE FORCED broadcast hint in the whole chain — the hot
+    # list (the fp self-join is resolved into two scans of it, so the
+    # single source hint resolves twice); any extra BroadcastExchange
+    # in the physical plan is Catalyst's stat-based auto-broadcast at
+    # smoke SF, which AQE drops at scale. A forced hint over the
+    # corpus-sized cold table would show up here.
+    analyzed = qe.analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 2, analyzed
 
 
 # ---- multi-touch attribution ---------------------------------------------
