@@ -126,100 +126,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks queries() in order and covers a
 # ~50-key window per round, so the first ~50 keys ARE the round's gate.
-# Round-11 lead: the 27 batch-2 keys (all brand-new this round — they
-# MUST be in the gate), then the 16 batch-1 keys and this round's
-# contract changes (~46 of the 50 slots), then the head of the
-# r5-vintage backlog (keys past #50 keep their r4-r8 evidence and
-# rotate into the round-12 window).
-_R11_WINDOW = [
-    # new this round
-    "hourly_autocorrelation",
-    "user_behavior_entropy",
-    "gini_source_concentration",
-    "funnel_time_to_convert",
-    "kfold_assign",
-    "winnow_clusters",
-    "seasonal_decompose_hourly",
-    "attribution_report",
-    "wau_hll_sliding",
-    "rendezvous_shards",
-    "feature_hashing",
-    "quantile_binning",
-    "top_session_paths",
-    "theil_sen_hourly",
-    "cusum_changepoints",
-    "knn_graph_descent",
+# Round-12 lead: the 5 brand-new / rewritten keys (unigram_lm_train,
+# ann_graph_topk/recall, lang_id v2, pii_scrub v2), the 3 keys whose
+# implementation changed (winnowing anti-join pair, wau twin gate),
+# then ALL 17 relational queries that moved to size-gated broadcasts
+# this round, then every remaining key whose latest driver hash is
+# r5-vintage (23) plus the head of the r6 backlog — keeping every
+# key's driver-hash recency <= 7 rounds (the pytest oracle-parity
+# suite covers the interim on every run).
+_R12_WINDOW = [
+    "mixture_sample_docs",
+    "mlm_span_corruption_plan",
+    "readability_scores",
+    "unigram_encode",
+    "unigram_lm_train",
+    "ann_graph_topk",
+    "ann_graph_recall",
+    "lang_id",
+    "pii_scrub",
     "winnowing_matches",
-    "scd2_user_state",
-    "wordpiece_train",
-    "benford_digit_test",
-    "dp_count_laplace",
-    "holt_linear_user",
-    "kcenter_greedy",
-    "kmv_source_setops",
-    "corr_matrix",
-    "linreg_by_group",
-    "chi2_lang_source",
-    "multimodal_dedup_images_near",
-    "multimodal_near_dup_survivors",
-    "kneser_ney3_logppl",
-    "dedup_survivors_capped",
-    "t_closeness_report",
-    "feature_drift_psi",
-    "gopher_repetition_filter",
-    "ann_sq_topk",
-    "ann_sq_recall",
-    "logreg_train_quality",
-    "logreg_score_quality",
-    "minhash_bbit_jaccard",
-    "sample_weighted_k",
-    "bootstrap_ci_poisson",
-    "ann_ivfsq_topk",
-    "ann_ivfsq_recall",
-    # contract / implementation changes this round (tie-robust within
-    # flag; JPEG marker-walk fixes; in-plan history guard)
+    "winnow_clusters",
+    "wau_hll_sliding",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_bracketed_revenue",
     "approx_quantiles",
-    "multimodal_decode_jpeg",
-    "ema_user_value",
-    # all 31 keys whose latest driver row is r5
-    "pagerank",
-    "kmeans_embeddings",
-    "k_core",
-    "label_propagation",
-    "degree_distribution",
-    "bpe_train",
-    "bpe_encode",
-    "max_dup_span",
-    "heavy_hitters_cms",
-    "hll_distinct",
-    "rank_quantiles",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_lsh_topk",
-    "dedup_lsh_query_indexed",
-    "minhash_dedup_recall",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_qty_revenue",
+    "q22_dormant_customers",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
-    "chunk_documents",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
     "bigram_logppl",
-    "retrieval_hard_negatives",
-    "k_anonymity_report",
-    "shuffle_skew_report",
-    "window_funnel",
+    "bpe_encode",
+    "bpe_train",
+    "chunk_documents",
+    "corpus_snapshot_diff",
     "cross_source_duplication",
     "decontaminate_corpus",
+    "dedup_lsh_query_indexed",
+    "degree_distribution",
+    "heavy_hitters_cms",
+    "hll_distinct",
+    "k_anonymity_report",
+    "max_dup_span",
+    "minhash_dedup_recall",
     "multimodal_decode_bmp",
-    # r6-vintage fill (oldest remaining evidence)
-    "dedup_exact",
-    "dedup_prefix",
+    "multimodal_resize_digest",
+    "rank_quantiles",
+    "retrieval_hard_negatives",
+    "shuffle_skew_report",
+    "window_funnel",
+    "ann_bruteforce_topk",
+    "ann_range_search",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    out = {k: base[k] for k in _R11_WINDOW}
+    out = {k: base[k] for k in _R12_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
@@ -260,9 +235,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_linear_user": features.holt_linear_user,
         "benford_digit_test": profiling.benford_digit_test,
         "wordpiece_train": tokenizer.wordpiece_train,
+        "unigram_lm_train": tokenizer.unigram_lm_train,
         "scd2_user_state": features.scd2_user_state,
         "winnowing_matches": winnow.winnowing_matches,
         "knn_graph_descent": similarity.knn_graph_descent,
+        "ann_graph_topk": similarity.ann_graph_topk,
+        "ann_graph_recall": similarity.ann_graph_recall,
         "cusum_changepoints": stats.cusum_changepoints,
         "theil_sen_hourly": stats.theil_sen_hourly,
         "quantile_binning": features.quantile_binning,
@@ -346,6 +324,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": pipeline.train_val_test_split,
         "sequence_pack": packing.sequence_pack,
         "dataset_mixture_plan": packing.dataset_mixture_plan,
+        "mixture_sample_docs": packing.mixture_sample_docs,
+        "mlm_span_corruption_plan": packing.mlm_span_corruption_plan,
+        "readability_scores": textstats2.readability_scores,
+        "unigram_encode": tokenizer.unigram_encode,
         "clustering_coefficient": graph.clustering_coefficient,
         "table_profile": profiling.table_profile,
         "rfm_segmentation": features.rfm_segmentation,
@@ -1283,6 +1265,130 @@ def _wordpiece_sql(n_merges: int = 8) -> str:
     return "\n".join(parts) + "\n" + fin
 
 
+def _unigram_sql() -> str:
+    """Unrolled unigram-LM trainer oracle: the recursive CTE per EM
+    round enumerates EVERY segmentation of every distinct word over
+    vocab spans (bounded: piece length ≤ 4, word length ≤ 64) and
+    argmaxes the exact-BIGINT micro-nat score with the global
+    tie-break (score desc, reversed piece-length sequence desc) that
+    tokenizer._viterbi_pieces's positional DP provably computes. The
+    exhaustive oracle is the falsifier for the engine's O(n·4) fold."""
+    from mimir_spark.operators import tokenizer as _tok
+
+    maxp = _tok.UNI_MAXP
+    mstep = (
+        "SELECT piece, CAST(round(1e6 * ln((c + 1)::DOUBLE /"
+        " ((SELECT sum(c) FROM {v}) + (SELECT count(*) FROM {v}))::DOUBLE))"
+        " AS BIGINT) AS w FROM {v}"
+    )
+    estep = """segs{k} AS (
+      SELECT word, wc, 0::BIGINT AS pos,
+             CAST([] AS VARCHAR[]) AS pieces, 0::BIGINT AS score
+      FROM words
+      UNION ALL
+      SELECT s.word, s.wc, s.pos + length(sp.piece),
+             list_append(s.pieces, sp.piece), s.score + w.w
+      FROM segs{k} s
+      JOIN spans sp ON sp.word = s.word AND sp.start = s.pos + 1
+      JOIN {wsrc} w ON w.piece = sp.piece)
+    , best{k} AS MATERIALIZED (
+      SELECT word, wc, pieces FROM segs{k}
+      WHERE pos = length(word)
+      QUALIFY row_number() OVER (PARTITION BY word ORDER BY score DESC,
+              list_reverse(list_transform(pieces, p -> length(p))) DESC) = 1)
+    , c{k} AS (
+      SELECT piece, sum(wc)::BIGINT AS c
+      FROM (SELECT wc, unnest(pieces) AS piece FROM best{k})
+      GROUP BY piece)
+    , v{k} AS MATERIALIZED (
+      SELECT w.piece, coalesce(c.c, 0)::BIGINT AS c
+      FROM {wsrc} w LEFT JOIN c{k} c USING (piece))"""
+    return f"""WITH RECURSIVE
+    words AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS wc
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      WHERE length(word) <= {_tok.UNI_MAX_WORD}
+      GROUP BY word)
+    , spans AS MATERIALIZED (
+      SELECT word, wc, i AS start,
+             substring(word, CAST(i AS INT), CAST(k AS INT)) AS piece
+      FROM words,
+           unnest(range(1, length(word) + 1)) AS a(i),
+           unnest(range(1, least({maxp}, length(word) - i + 1) + 1)) AS b(k))
+    , seedc AS (SELECT piece, sum(wc)::BIGINT AS c FROM spans GROUP BY piece)
+    , v0 AS MATERIALIZED (
+      SELECT piece, c FROM seedc WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, c FROM (
+        SELECT piece, c FROM seedc WHERE length(piece) > 1
+        ORDER BY c DESC, piece LIMIT {_tok.UNI_SEED_MULTI}))
+    , w0 AS MATERIALIZED ({mstep.format(v="v0")})
+    , {estep.format(k=1, wsrc="w0")}
+    , w1 AS MATERIALIZED ({mstep.format(v="v1")})
+    , {estep.format(k=2, wsrc="w1")}
+    , kept AS MATERIALIZED (
+      SELECT piece, c FROM v2 WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, c FROM (
+        SELECT piece, c FROM v2 WHERE length(piece) > 1
+        ORDER BY c DESC, piece LIMIT {_tok.UNI_PRUNE_KEEP}))
+    , wk AS MATERIALIZED ({mstep.format(v="kept")})
+    , {estep.format(k=3, wsrc="wk")}
+    , wfin AS ({mstep.format(v="v3")})
+    SELECT v3.piece,
+           length(v3.piece)::INT AS n_chars,
+           v3.c::BIGINT AS count,
+           wfin.w AS logp_micro
+    FROM v3 JOIN wfin USING (piece)"""
+
+
+def _unigram_encode_sql() -> str:
+    """unigram_encode oracle: the full trainer chain (through the
+    final-weights CTE wfin), then one more exhaustive-enumeration
+    segmentation of every distinct word under wfin, joined back to the
+    per-doc token occurrences for the compression report."""
+    from mimir_spark.operators import tokenizer as _tok
+
+    train = _unigram_sql()
+    # strip the trainer's final SELECT; keep its WITH chain
+    chain = train[: train.rindex("SELECT v3.piece")]
+    return (
+        chain
+        + f""", segs4 AS (
+      SELECT word, wc, 0::BIGINT AS pos,
+             CAST([] AS VARCHAR[]) AS pieces, 0::BIGINT AS score
+      FROM words
+      UNION ALL
+      SELECT s.word, s.wc, s.pos + length(sp.piece),
+             list_append(s.pieces, sp.piece), s.score + w.w
+      FROM segs4 s
+      JOIN spans sp ON sp.word = s.word AND sp.start = s.pos + 1
+      JOIN wfin w ON w.piece = sp.piece)
+    , best4 AS MATERIALIZED (
+      SELECT word, len(pieces)::BIGINT AS n_symbols,
+             length(word)::BIGINT AS n_chars
+      FROM segs4
+      WHERE pos = length(word)
+      QUALIFY row_number() OVER (PARTITION BY word ORDER BY score DESC,
+              list_reverse(list_transform(pieces, p -> length(p))) DESC) = 1)
+    , tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents)
+    SELECT doc_id,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(n_symbols)::BIGINT AS total_symbols,
+           round(sum(n_chars) / sum(n_symbols)::DOUBLE, 6)
+             AS chars_per_symbol
+    FROM tok JOIN best4 USING (word)
+    WHERE length(word) <= {_tok.UNI_MAX_WORD}
+    GROUP BY doc_id"""
+    )
+
+
 def _bpe_train_sql(n_merges: int = 10) -> str:
     fin = "\nUNION ALL\n".join(
         f'SELECT {k - 1}::BIGINT AS step, l AS "left", r AS "right",'
@@ -2166,17 +2272,21 @@ def _sssp_sql(rounds: int = 12) -> str:
     return "\n".join(parts)
 
 
-def _nnd_sql(
-    k: int = 3, kp: int = 10, rounds: int = 6, dim: int = 64
-) -> str:
-    """Unrolled NN-descent (DuckDB dialect): ring seed graph, per
-    round the neighbors-of-neighbors candidate join over the
-    undirected edge set, 6dp-rounded cosine scoring (the identical
-    dot/(‖a‖·‖b‖) sequential folds), (cos desc, v) top-k."""
-    dot_ab = (
+def _nnd_dot(dim: int = 64) -> str:
+    return (
         f"list_sum(list_transform(generate_series(1, {dim}),"
         f" i -> a.e[i] * b.e[i]))"
     )
+
+
+def _nnd_graph_parts(
+    kp: int = 10, rounds: int = 6, dim: int = 64
+) -> list[str]:
+    """The shared NN-descent CTE chain (pts … g{rounds}) — used by the
+    knn_graph_descent oracle and, since round 12, as the graph-build
+    prefix of the ann_graph_topk / ann_graph_recall beam-search
+    oracles."""
+    dot_ab = _nnd_dot(dim)
     parts = [
         f"""WITH pts AS MATERIALIZED (
           SELECT vec_id,
@@ -2214,6 +2324,18 @@ def _nnd_sql(
             JOIN pts b ON b.vec_id = c.v) q
           WHERE rk <= {kp})"""
         )
+    return parts
+
+
+def _nnd_sql(
+    k: int = 3, kp: int = 10, rounds: int = 6, dim: int = 64
+) -> str:
+    """Unrolled NN-descent (DuckDB dialect): ring seed graph, per
+    round the neighbors-of-neighbors candidate join over the
+    undirected edge set, 6dp-rounded cosine scoring (the identical
+    dot/(‖a‖·‖b‖) sequential folds), (cos desc, v) top-k."""
+    dot_ab = _nnd_dot(dim)
+    parts = _nnd_graph_parts(kp, rounds, dim)
     parts.append(
         f"""SELECT vec_id, neighbor_id, cos, rank FROM (
           SELECT u AS vec_id, v AS neighbor_id, cos,
@@ -2227,6 +2349,106 @@ def _nnd_sql(
         WHERE rank <= {k}"""
     )
     return "\n".join(parts)
+
+
+def _gann_ctes(
+    k: int = 5,
+    beam: int = 8,
+    brounds: int = 3,
+    kp: int = 10,
+    grounds: int = 6,
+    dim: int = 64,
+    n_queries: int = 10,
+    sample: int = 16,
+) -> str:
+    """Beam-search CTE chain over the NN-descent graph, ending in a
+    CTE `gtopk(query_id, neighbor_id, cos, rank)`. Entry = the coarse
+    layer: score the query against every `sample`-th id, keep the
+    top-`beam`; per round: undirected expansion → 6dp cosine vs the
+    query → top-`beam` (cos desc, v); the query's own node is
+    excluded throughout."""
+    dot_qb = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> q.e[i] * b.e[i]))"
+    )
+    score_tpl = f"""sc{{tag}} AS (
+      SELECT c.query_id, c.v,
+             round({dot_qb} / (q.nrm * b.nrm), 6) AS cos
+      FROM cand{{tag}} c
+      JOIN pts q ON q.vec_id = c.query_id
+      JOIN pts b ON b.vec_id = c.v)
+    , beam{{tag}} AS MATERIALIZED (
+      SELECT query_id, v, cos FROM sc{{tag}}
+      QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, v) <= {{kk}})"""
+    parts = _nnd_graph_parts(kp, grounds, dim)
+    parts.append(
+        f""", und AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM g{grounds}
+        UNION ALL SELECT v AS u, u AS v FROM g{grounds}) q)
+    , qids AS (SELECT vec_id AS query_id FROM pts WHERE vec_id < {n_queries})
+    , cand0 AS (
+      SELECT query_id, e.v
+      FROM qids, (SELECT vec_id AS v FROM pts
+                  WHERE vec_id % {sample} = 0) e
+      WHERE e.v <> query_id)
+    , {score_tpl.format(tag=0, kk=beam)}"""
+    )
+    for r in range(1, brounds + 1):
+        parts.append(
+            f""", cand{r} AS (
+      SELECT DISTINCT query_id, v FROM (
+        SELECT query_id, v FROM beam{r - 1}
+        UNION ALL
+        SELECT bm.query_id, u2.v
+        FROM beam{r - 1} bm JOIN und u2 ON u2.u = bm.v) q
+      WHERE v <> query_id)
+    , {score_tpl.format(tag=r, kk=beam)}"""
+        )
+    parts.append(
+        f""", gtopk AS (
+      SELECT query_id, v AS neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, v)::BIGINT AS rank
+      FROM beam{brounds}
+      QUALIFY rank <= {k})"""
+    )
+    return "\n".join(parts)
+
+
+def _gann_topk_sql(**kw) -> str:
+    return (
+        _gann_ctes(**kw)
+        + "\nSELECT query_id, neighbor_id, cos, rank FROM gtopk"
+    )
+
+
+def _gann_recall_sql(k: int = 5, dim: int = 64, **kw) -> str:
+    """Per-query recall@k of the graph beam search vs brute-force
+    ground truth, BOTH re-derived inside the oracle (the
+    ann_ivf_recall pattern)."""
+    dot_ab = _nnd_dot(dim)
+    return (
+        _gann_ctes(k=k, dim=dim, **kw)
+        + f"""
+        , truth AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                      ORDER BY round({dot_ab} / (a.nrm * b.nrm), 6) DESC,
+                               b.vec_id) AS rank
+            FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 10) t WHERE rank <= {k})
+        SELECT t.query_id,
+               sum(CASE WHEN g.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+               round(sum(CASE WHEN g.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / {k}e0, 6) AS recall
+        FROM truth t LEFT JOIN gtopk g
+          ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id"""
+    )
 
 
 def _kcenter_sql(k: int = 8, dim: int = 64) -> str:
@@ -2821,6 +3043,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_sql(),
         "kcenter_greedy": _kcenter_sql(),
         "knn_graph_descent": _nnd_sql(),
+        "ann_graph_topk": _gann_topk_sql(),
+        "ann_graph_recall": _gann_recall_sql(),
         "ann_ivf_topk": _ivf_topk_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
         "minhash_bbit_jaccard": _bbit_sql(),
@@ -3355,6 +3579,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_train": _bpe_train_sql(),
         "wordpiece_train": _wordpiece_sql(),
+        "unigram_lm_train": _unigram_sql(),
         "bpe_encode": _bpe_encode_sql(),
         # Constraint-validation gate; every rule is one aggregate or
         # anti-join, trivially expressed in ANSI SQL.
@@ -6703,6 +6928,101 @@ def oracle_sql() -> dict[str, str]:
                     END)::BIGINT AS n_seqs
             FROM cum
         """,
+        "mixture_sample_docs": r"""
+            WITH per_source AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     SUM(len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '')))::BIGINT AS n_tokens
+              FROM documents GROUP BY source
+            ), weighted AS (
+              SELECT *, (CAST(substr(source, 4) AS BIGINT) % 4 + 1)::BIGINT AS weight
+              FROM per_source
+            ), tot AS (
+              SELECT SUM(n_tokens)::BIGINT AS total_tokens,
+                     SUM(weight)::BIGINT AS total_weight FROM weighted
+            ), plan AS (
+              SELECT source, n_tokens,
+                     LEAST(n_tokens,
+                           (total_tokens * 6 // 10) * weight // total_weight
+                     )::BIGINT AS alloc_tokens,
+                     ROUND(LEAST(n_tokens,
+                           (total_tokens * 6 // 10) * weight // total_weight)
+                           / n_tokens::DOUBLE, 6) AS sample_rate
+              FROM weighted, tot
+            ), scored AS (
+              SELECT d.source,
+                     len(list_filter(string_split_regex(d.text, '\s+'),
+                         x -> x <> ''))::BIGINT AS n_toks,
+                     CASE WHEN ((d.doc_id * 2654435761) % 4294967296)
+                               % 1000000
+                              < p.alloc_tokens * 1000000 // p.n_tokens
+                          THEN 1 ELSE 0 END AS keep,
+                     p.alloc_tokens, p.sample_rate, p.n_tokens
+              FROM documents d JOIN plan p USING (source)
+            )
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(keep)::BIGINT AS kept_docs,
+                   max(alloc_tokens)::BIGINT AS alloc_tokens,
+                   sum(keep * n_toks)::BIGINT AS kept_tokens,
+                   max(sample_rate) AS sample_rate,
+                   round(sum(keep * n_toks) / max(n_tokens)::DOUBLE, 6)
+                     AS achieved_rate
+            FROM scored GROUP BY source
+        """,
+        "mlm_span_corruption_plan": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                     list_transform(range(1, len(toks) + 1),
+                       i -> CAST(concat('0x', substring(md5(concat(
+                              CAST(doc_id AS VARCHAR), ':',
+                              CAST(i AS VARCHAR))), 1, 8)) AS BIGINT)
+                            & 2147483647) AS hs
+              FROM t WHERE len(toks) > 0),
+            st AS (
+              SELECT doc_id, n_tokens,
+                     list_filter(
+                       list_transform(range(1, CAST(n_tokens AS INT) + 1),
+                         i -> struct_pack(pos := i, hv := hs[i])),
+                       s -> s.hv % 20 = 0) AS starts
+              FROM h)
+            SELECT doc_id, n_tokens,
+                   len(starts)::BIGINT AS n_spans,
+                   len(list_distinct(flatten(list_transform(starts,
+                       s -> range(s.pos,
+                                  least(s.pos + 2 - 1 + (s.hv // 20) % 3,
+                                        n_tokens) + 1)))))::BIGINT AS n_masked,
+                   round(len(list_distinct(flatten(list_transform(starts,
+                       s -> range(s.pos,
+                                  least(s.pos + 2 - 1 + (s.hv // 20) % 3,
+                                        n_tokens) + 1)))))
+                         / n_tokens::DOUBLE, 6) AS mask_ratio
+            FROM st
+        """,
+        "readability_scores": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> ''))::BIGINT AS n_words,
+                     greatest(len(list_filter(
+                         string_split_regex(text, '[.!?]+'),
+                         s -> length(trim(s)) > 0)), 1)::BIGINT AS n_sentences,
+                     list_sum(list_transform(
+                         list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> ''),
+                         w -> greatest(len(regexp_extract_all(w,
+                              '[aeiouyAEIOUY]+')), 1)))::BIGINT AS n_syllables
+              FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835 - 1.015 * (n_words / n_sentences::DOUBLE)
+                         - 84.6 * (n_syllables / n_words::DOUBLE), 4) AS flesch
+            FROM t WHERE n_words > 0
+        """,
+        "unigram_encode": _unigram_encode_sql(),
         "dataset_mixture_plan": r"""
             WITH per_source AS (
               SELECT source, count(*)::BIGINT AS n_docs,

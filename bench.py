@@ -109,6 +109,15 @@ HEADLINE = [
     # list extraction + df-capped pair join — the MOSS workload).
     "kmv_source_setops",
     "winnowing_matches",
+    # round-12 additions: the trigram NB language ID (bounded model
+    # build + broadcast-join scoring over the char scan — a two-phase
+    # train/score shape no other entry times), the unigram-LM trainer
+    # (3 Viterbi-EM rounds of the integer DP fold — the heaviest
+    # driver-loop + expression-fold entry), and the graph-ANN query
+    # path (descent graph build + coarse entry + 3 beam rounds).
+    "lang_id",
+    "unigram_lm_train",
+    "ann_graph_topk",
 ]
 
 # localCheckpoint-heavy / iterative entries materialize intermediate

@@ -236,3 +236,123 @@ def chunk_documents(
         F.size("c.ck").cast("long").alias("n_tokens"),
         F.array_join("c.ck", " ").alias("chunk_text"),
     )
+
+
+# ---- mixture-plan execution (round 12) --------------------------------------
+
+MIX_RATE_DEN = 1_000_000  # fixed-point denominator for the keep test
+
+
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE dataset_mixture_plan: hash-sample each source at its
+    planned rate and report plan vs achieved. The keep test is exact
+    integer arithmetic — doc h6 = (doc_id·MULT mod MOD) mod 1e6 is
+    kept iff h6 < alloc_tokens·1e6 div n_tokens — so membership is a
+    pure function of (doc_id, plan row): reproducible across engines,
+    refreshes, and partitionings (no rand(), no sampleBy seed drift).
+
+    Scale shape: the plan is a |sources|-row broadcast; the keep test
+    is map-only on the corpus scan; one per-source aggregate closes
+    it. Sampling error vs the plan is the binomial noise of hashing
+    (reported as achieved_rate beside sample_rate).
+
+    Output: (source, n_docs, kept_docs, alloc_tokens, kept_tokens,
+    sample_rate, achieved_rate).
+    """
+    from mimir_spark.operators.pipeline import _HASH_MOD, _HASH_MULT
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = dataset_mixture_plan(spark, sf_dir).select(
+        "source", "n_tokens", "alloc_tokens", "sample_rate"
+    )
+    h6 = (
+        (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    ) % F.lit(MIX_RATE_DEN)
+    thresh = F.expr(f"alloc_tokens * {MIX_RATE_DEN} div n_tokens")
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(tokens_col("text")).cast("long").alias("n_toks"),
+        )
+        .join(F.broadcast(plan), "source")
+        .withColumn("keep", (h6 < thresh).cast("long"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("kept_docs"),
+            F.max("alloc_tokens").cast("long").alias("alloc_tokens"),
+            F.sum(F.col("keep") * F.col("n_toks"))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.max("sample_rate").alias("sample_rate"),
+            F.round(
+                F.sum(F.col("keep") * F.col("n_toks")) / F.max("n_tokens"), 6
+            ).alias("achieved_rate"),
+        )
+    )
+
+
+# ---- MLM span-corruption planning (round 12) --------------------------------
+
+MLM_START_MOD = 20   # a span starts at ~1/20 of token positions
+MLM_SPAN_BASE = 2    # span length = BASE + (h div MOD) % RANGE → 2..4
+MLM_SPAN_RANGE = 3
+
+
+def mlm_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLANNING (Raffel et al. JMLR'20 §3.1.4
+    'span corruption'): decide, deterministically, which token spans
+    of each document a denoising objective would mask — ~5% of
+    positions start a span (expected length 3, so ~15% noise density,
+    the T5 default), span length 2..4 drawn from the same hash. The
+    plan is a pure function of (doc_id, position) via the portable
+    md5-31 hash, so the identical mask reproduces on any engine or
+    refresh — the property a resumable preprocessing pipeline needs.
+
+    Everything is ONE map-only pass of array expressions: positions →
+    hash → span starts → flatten/clip/distinct for the covered set
+    (overlaps merge, counted once). Output: (doc_id, n_tokens,
+    n_spans, n_masked, mask_ratio)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = "size(toks)"
+    h = (
+        "transform(sequence(1, size(toks)),"
+        " i -> cast(conv(substring(md5(concat(cast(doc_id AS string),"
+        " ':', cast(i AS string))), 1, 8), 16, 10) AS bigint)"
+        " & 2147483647)"
+    )
+    starts = (
+        f"filter(transform(sequence(1, size(toks)),"
+        f" i -> struct(i AS pos, element_at(hs, i) AS hv)),"
+        f" s -> s.hv % {MLM_START_MOD} = 0)"
+    )
+    covered = (
+        f"array_distinct(flatten(transform(st,"
+        f" s -> sequence(s.pos, least(s.pos + {MLM_SPAN_BASE} - 1"
+        f" + (s.hv div {MLM_START_MOD}) % {MLM_SPAN_RANGE}, {n})))))"
+    )
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "filter(split(text, '\\\\s+'), x -> x != '') AS toks",
+        )
+        .filter(F.expr("size(toks) > 0"))
+        .selectExpr("doc_id", "toks", f"{h} AS hs")
+        .selectExpr("doc_id", "toks", f"{starts} AS st")
+        .selectExpr(
+            "doc_id",
+            "cast(size(toks) AS bigint) AS n_tokens",
+            "cast(size(st) AS bigint) AS n_spans",
+            f"cast(size({covered}) AS bigint) AS n_masked",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "n_masked",
+            "round(n_masked / n_tokens, 6) AS mask_ratio",
+        )
+    )

@@ -585,47 +585,67 @@ def knn_graph_descent(
     identical rounds. Output matches knn_graph:
     (vec_id, neighbor_id, cos, rank).
     """
+    pts, n = _descent_points(spark, sf_dir)
+    g = _descent_graph(pts, n, internal_k, n_rounds)
+    return _descent_scored_topk(pts, g.select("u", "v"), k).select(
+        F.col("u").alias("vec_id"),
+        F.col("v").alias("neighbor_id"),
+        "cos",
+        "rank",
+    )
+
+
+def _descent_points(spark: SparkSession, sf_dir: str):
+    """(vec_id, e, nrm) working table + its count — shared by the
+    descent build and the graph-ANN query path."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding").cast("array<double>")
     pts = emb.select(
         "vec_id", e.alias("e"), F.sqrt(dot(e, e)).alias("nrm")
     ).localCheckpoint(eager=True)
-    n = pts.count()
+    return pts, pts.count()
 
+
+def _descent_scored_topk(pts: DataFrame, cand: DataFrame, kk: int) -> DataFrame:
+    a = pts.select(
+        F.col("vec_id").alias("u"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = pts.select(
+        F.col("vec_id").alias("v"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    s = (
+        cand.join(a, "u")
+        .join(b, "v")
+        .select(
+            "u",
+            "v",
+            F.round(
+                dot("ea", "eb") / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("cos").desc(), "v")
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= kk)
+    )
+
+
+def _descent_graph(
+    pts: DataFrame, n: int, internal_k: int, n_rounds: int
+) -> DataFrame:
+    """The NN-descent loop proper: ring seed → n_rounds of
+    neighbors-of-neighbors propose + re-rank. Returns the directed
+    width-internal_k graph (u, v)."""
     seed = pts.select("vec_id").selectExpr(
         "vec_id AS u",
         f"explode(transform(sequence(1, {internal_k}),"
         f" i -> (vec_id + i) % {n})) AS v",
     )
-
-    def scored_topk(cand: DataFrame, kk: int) -> DataFrame:
-        a = pts.select(
-            F.col("vec_id").alias("u"),
-            F.col("e").alias("ea"),
-            F.col("nrm").alias("na"),
-        )
-        b = pts.select(
-            F.col("vec_id").alias("v"),
-            F.col("e").alias("eb"),
-            F.col("nrm").alias("nb"),
-        )
-        s = (
-            cand.join(a, "u")
-            .join(b, "v")
-            .select(
-                "u",
-                "v",
-                F.round(
-                    dot("ea", "eb") / (F.col("na") * F.col("nb")), 6
-                ).alias("cos"),
-            )
-        )
-        w = Window.partitionBy("u").orderBy(F.col("cos").desc(), "v")
-        return (
-            s.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= kk)
-        )
-
     g = seed
     for _ in range(n_rounds):
         und = g.select("u", "v").union(
@@ -639,13 +659,273 @@ def knn_graph_descent(
         )
         cand = nn.union(g.select("u", "v")).distinct()
         g = (
-            scored_topk(cand, internal_k)
+            _descent_scored_topk(pts, cand, internal_k)
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-    return scored_topk(g.select("u", "v"), k).select(
-        F.col("u").alias("vec_id"),
-        F.col("v").alias("neighbor_id"),
-        "cos",
-        "rank",
+    return g
+
+
+# ---- graph-ANN query path (round 12) ---------------------------------------
+
+GANN_BEAM = 8     # beam width
+GANN_ROUNDS = 3   # synchronous expansion rounds (fixed → unrollable)
+GANN_SAMPLE = 16  # coarse entry layer: score vs every GANN_SAMPLE-th id
+
+
+def ann_graph_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    beam: int = GANN_BEAM,
+    rounds: int = GANN_ROUNDS,
+    internal_k: int = NND_INTERNAL_K,
+    graph_rounds: int = NND_ROUNDS,
+    sample: int = GANN_SAMPLE,
+) -> DataFrame:
+    """Graph-ANN QUERY path: synchronous beam search over the
+    NN-Descent proximity graph — the search half of the HNSW/NSG
+    family (Malkov & Yashunin '18 layer-0 search; Fu et al. NSG
+    VLDB'19), made deterministic and unrollable: FIXED beam width,
+    FIXED round count, (cos desc, id) tie-breaks.
+
+    Entry (the HNSW upper-layer move, flattened to one coarse layer):
+    a FLAT k-NN graph has no long-range edges, so greedy search from
+    arbitrary fixed entries needs O(n/k') hops — measured 0.10 recall
+    at 2 rounds on the smooth-manifold corpus. Instead the query is
+    first scored against the deterministic 1/GANN_SAMPLE id-sample
+    (vec_id % sample == 0 — n/sample rows, the coarse layer) and the
+    top-`beam` sampled nodes become the starting beam; from an entry
+    that close, a constant round count converges. Each round then
+    expands the beam along UNDIRECTED graph edges, scores candidates
+    against the query (6dp sequential-fold cosine), keeps the
+    top-`beam` (cos desc, id). After `rounds` rounds the beam's top-k
+    is the answer (query's own node excluded throughout, matching
+    ann_bruteforce_topk's self-exclusion).
+
+    Scale shape: the graph is built ONCE (descent: every stage a
+    bounded vec_id shuffle) and reused across the whole query batch;
+    each beam round is queries x beam x 2·internal_k candidate rows —
+    independent of corpus size — flowing through one join against the
+    adjacency and one top-k window. Candidate budget per query =
+    n/sample + rounds·beam·2·internal_k scored vectors vs brute
+    force's n; at larger n, grow `sample` (or add layers) so the
+    entry stage stays sublinear. ann_graph_recall reports recall vs
+    this budget (pytest pins ≥ IVF recall at a SMALLER budget on the
+    smooth-manifold corpus).
+    """
+    pts, n = _descent_points(spark, sf_dir)
+    g = _descent_graph(pts, n, internal_k, graph_rounds)
+    und = g.select("u", "v").union(
+        g.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+
+    q = pts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    coarse = pts.filter(F.col("vec_id") % sample == 0).select(
+        F.col("vec_id").alias("v")
+    )
+    b = (
+        q.select("query_id")
+        .crossJoin(coarse)
+        .filter(F.col("v") != F.col("query_id"))
+    )
+
+    def scored(cand: DataFrame, kk: int) -> DataFrame:
+        s = (
+            cand.join(q, "query_id")
+            .join(
+                pts.select(
+                    F.col("vec_id").alias("v"),
+                    F.col("e").alias("ve"),
+                    F.col("nrm").alias("vn"),
+                ),
+                "v",
+            )
+            .select(
+                "query_id",
+                "v",
+                F.round(
+                    dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), "v"
+        )
+        return (
+            s.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= kk)
+        )
+
+    b = scored(b, beam).select("query_id", "v")
+    for _ in range(rounds):
+        # expansion: neighbors of the current beam along und edges
+        exp = (
+            b.withColumnRenamed("v", "u")
+            .join(und, "u")
+            .select("query_id", "v")
+        )
+        cand = (
+            b.union(exp)
+            .filter(F.col("v") != F.col("query_id"))
+            .distinct()
+        )
+        b = scored(cand, beam).select("query_id", "v").localCheckpoint(
+            eager=True
+        )
+    return scored(b, k).select(
+        "query_id", F.col("v").alias("neighbor_id"), "cos", "rank"
+    )
+
+
+def ann_graph_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    beam: int = GANN_BEAM,
+    rounds: int = GANN_ROUNDS,
+    internal_k: int = NND_INTERNAL_K,
+    graph_rounds: int = NND_ROUNDS,
+    sample: int = GANN_SAMPLE,
+) -> DataFrame:
+    """Per-query recall@k of the graph beam search vs the exact
+    brute-force ground truth — ann_ivf_recall's shape on the graph
+    path, the tuning signal for (beam, rounds) against the candidate
+    budget. Both inputs are k·queries-bounded."""
+    truth = ann_bruteforce_topk(spark, sf_dir, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_graph_topk(
+        spark, sf_dir, k, beam, rounds, internal_k, graph_rounds, sample
+    ).select("query_id", F.col("neighbor_id").alias("g_neighbor"))
+    hits = truth.join(
+        approx,
+        (truth.query_id == approx.query_id)
+        & (truth.neighbor_id == approx.g_neighbor),
+        "left",
+    ).select(
+        truth.query_id,
+        F.when(F.col("g_neighbor").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("long").alias("n_hit"),
+            F.round(F.sum("hit") / F.lit(float(k)), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def write_nn_graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    internal_k: int = NND_INTERNAL_K,
+    graph_rounds: int = NND_ROUNDS,
+    sample: int = GANN_SAMPLE,
+) -> None:
+    """Materialize the graph-ANN index: the UNDIRECTED NN-descent
+    adjacency to `<dir>/edges` BUCKETED BY u (the beam expansion's
+    join key — a bucketed read carries the partitioning, so per-round
+    expansion joins shuffle only the queries side), vectors + norms to
+    `<dir>/vectors`, and the coarse entry layer to `<dir>/coarse` —
+    the build-once/query-many layout for the descent family, closing
+    the same index lifecycle as write_ivf_index / write_sq_index."""
+    pts, n = _descent_points(spark, sf_dir)
+    g = _descent_graph(pts, n, internal_k, graph_rounds)
+    und = (
+        g.select("u", "v")
+        .union(g.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    (
+        und.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "u")
+        .sortBy("u")
+        .option("path", f"{index_dir}/edges")
+        .saveAsTable("nn_graph_edges_tmp")
+    )
+    spark.sql("DROP TABLE IF EXISTS nn_graph_edges_tmp")
+    pts.write.mode("overwrite").parquet(f"{index_dir}/vectors")
+    pts.filter(F.col("vec_id") % sample == 0).select("vec_id").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/coarse")
+
+
+def ann_graph_query_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = TOP_K,
+    beam: int = GANN_BEAM,
+    rounds: int = GANN_ROUNDS,
+) -> DataFrame:
+    """Beam-search the PERSISTED graph index: adjacency, vectors, and
+    coarse layer read from disk — the graph build never reruns.
+    Matches ann_graph_topk row-for-row (pytest-pinned): same entries,
+    same rounds, same tie-breaks."""
+    und = spark.read.parquet(f"{index_dir}/edges")
+    pts = spark.read.parquet(f"{index_dir}/vectors")
+    coarse = spark.read.parquet(f"{index_dir}/coarse").select(
+        F.col("vec_id").alias("v")
+    )
+    q = pts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = (
+        q.select("query_id")
+        .crossJoin(coarse)
+        .filter(F.col("v") != F.col("query_id"))
+    )
+
+    def scored(cand: DataFrame, kk: int) -> DataFrame:
+        s = (
+            cand.join(q, "query_id")
+            .join(
+                pts.select(
+                    F.col("vec_id").alias("v"),
+                    F.col("e").alias("ve"),
+                    F.col("nrm").alias("vn"),
+                ),
+                "v",
+            )
+            .select(
+                "query_id",
+                "v",
+                F.round(
+                    dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "v")
+        return (
+            s.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= kk)
+        )
+
+    b = scored(b, beam).select("query_id", "v")
+    for _ in range(rounds):
+        exp = (
+            b.withColumnRenamed("v", "u")
+            .join(und, "u")
+            .select("query_id", "v")
+        )
+        cand = (
+            b.union(exp)
+            .filter(F.col("v") != F.col("query_id"))
+            .distinct()
+        )
+        b = scored(cand, beam).select("query_id", "v").localCheckpoint(
+            eager=True
+        )
+    return scored(b, k).select(
+        "query_id", F.col("v").alias("neighbor_id"), "cos", "rank"
     )

@@ -269,3 +269,48 @@ def unicode_nfc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_chars long, n_chars_nfc long, changed long,"
         " nfc_fingerprint long",
     )
+
+
+# ---- readability (round 12) -------------------------------------------------
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch '48; the quality
+    family's readability axis beside quality_score's ratios):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    sentences = [.!?]+ splits (min 1 — the synthetic corpus has no
+    terminal punctuation, so it reads as one long sentence, which the
+    formula scores honestly as hard-to-read) and syllables = vowel-
+    group count per word (min 1) — the standard cheap proxy.
+
+    One map-only pass of array expressions; exact integer counts, one
+    4dp round at emission. Output: (doc_id, n_words, n_sentences,
+    n_syllables, flesch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    syll = (
+        "aggregate(transform(filter(split(text, '\\\\s+'), x -> x != ''),"
+        " w -> greatest(size(regexp_extract_all(w, '[aeiouyAEIOUY]+', 0)),"
+        " 1)), 0L, (a, x) -> a + x)"
+    )
+    sents = (
+        "greatest(size(filter(split(text, '[.!?]+'),"
+        " s -> length(trim(s)) > 0)), 1)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_words"),
+            F.expr(sents).cast("long").alias("n_sentences"),
+            F.expr(syll).cast("long").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .withColumn(
+            "flesch",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+                - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+                4,
+            ),
+        )
+    )

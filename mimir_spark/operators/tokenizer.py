@@ -292,3 +292,238 @@ def wordpiece_train(
         "step long, left string, right string, merged string,"
         " pair_count long, score double",
     )
+
+
+# ---- Unigram-LM (SentencePiece-style) trainer (round 12) -------------------
+
+UNI_MAXP = 4          # max piece length considered
+UNI_SEED_MULTI = 40   # multi-char seed pieces kept (top by weighted count)
+UNI_PRUNE_KEEP = 20   # multi-char pieces surviving the prune
+UNI_MAX_WORD = 64     # DP guard: words longer than this are excluded
+
+
+def _micro_nat_logp(c: int, total: int, n_vocab: int) -> int:
+    """Laplace micro-nat log-prob — the lang_id integer recipe:
+    round(1e6 · ln((c+1)/(total+|V|))). Integer weights make every DP
+    score an exact BIGINT sum, so Spark and DuckDB can never disagree
+    on an argmax comparison."""
+    import math
+
+    return round(1e6 * math.log((c + 1) / (total + n_vocab)))
+
+
+def _viterbi_pieces(word_col, vocab: dict[str, int]):
+    """Best segmentation of `word_col` under integer piece weights, as
+    ONE Catalyst fold — O(len · UNI_MAXP) per word, map-only.
+
+    acc[i+1] = struct(score, segs) for the best segmentation of the
+    first i chars; candidates at position i are the vocab pieces
+    ending there (length 1..UNI_MAXP). Ties break (score desc, piece
+    length desc) via array_max over struct(score, k, segs) — when both
+    score and k tie the candidates are literally the same cell, so no
+    deeper tie-break exists. Equivalent global rule (the oracle's):
+    argmax of (score, reversed-piece-length sequence, lexicographic).
+    """
+    entries = []
+    for p, w in sorted(vocab.items()):
+        entries.extend([F.lit(p), F.lit(int(w))])
+    wmap = F.create_map(*entries)
+    empty = F.array().cast("array<string>")
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("score"), empty.alias("segs")
+        )
+    )
+
+    def step(acc, i):
+        def cand(k):
+            piece = F.substring(word_col, (i - k + 1).cast("int"), k)
+            prev = F.element_at(acc, (i - k + 1).cast("int"))
+            w = F.element_at(wmap, piece)
+            return F.struct(
+                (prev["score"] + w).alias("score"),
+                F.lit(k).cast("int").alias("k"),
+                F.concat(prev["segs"], F.array(piece)).alias("segs"),
+            )
+
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(UNI_MAXP), i)),
+                lambda k: cand(k),
+            ),
+            lambda c: c["score"].isNotNull(),
+        )
+        best = F.array_max(cands)
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    best["score"].alias("score"), best["segs"].alias("segs")
+                )
+            ),
+        )
+
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.length(word_col)), init, step
+    )
+    return F.element_at(final, -1)["segs"]
+
+
+def unigram_lm_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM tokenizer trainer (Kudo 2018, the SentencePiece
+    unigram model) as deterministic Viterbi hard-EM with an explicit
+    prune round — the third trainer beside bpe_train (pair-frequency
+    argmax) and wordpiece_train (likelihood-ratio argmax). Where those
+    grow a vocab bottom-up one merge at a time, unigram starts from an
+    over-complete substring seed and SHRINKS it, so it can keep a
+    whole high-frequency morpheme (e.g. 'tion') as one piece that BPE
+    would need three merge rounds to assemble (the crafted-corpus
+    pytest separates the three trainers' picks).
+
+    Loop (driver state = the bounded vocab, exactly bpe_train's
+    contract):
+      seed   : all substrings of length 1..UNI_MAXP weighted by word
+               count → every single char + top UNI_SEED_MULTI
+               multi-char pieces by (count desc, piece)
+      EM x2  : E = Viterbi-segment every distinct word under integer
+               micro-nat piece weights (one Catalyst fold per word,
+               map-only; see _viterbi_pieces) and sum word-count-
+               weighted piece usages; M = Laplace re-estimate weights
+      prune  : keep every single char + top UNI_PRUNE_KEEP multi-char
+               pieces by (EM-2 count desc, piece)
+      EM x1  : final counts + weights on the pruned vocab
+    Corpus is scanned ONCE (the wordcount agg); each E-step is a
+    vocabulary-sized job. All scores are exact BIGINT sums of micro-
+    nat weights → hash-portable; the DuckDB oracle replays the
+    identical rounds by exhaustively enumerating segmentations with a
+    recursive CTE and applying the equivalent global argmax
+    (score desc, reversed piece-length sequence desc, which the DP's
+    positional tie-break provably computes).
+
+    Output: (piece, n_chars, count, logp_micro) — the final vocab.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        tokens(docs)
+        .filter(F.length("word") <= UNI_MAX_WORD)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- seed: weighted substring counts, bounded selection --------
+    spans = words.select(
+        "wc",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.filter(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(
+                                    F.lit(UNI_MAXP),
+                                    F.length("word") - i + 1,
+                                ),
+                            ),
+                            lambda k: F.substring(
+                                "word", i.cast("int"), k
+                            ),
+                        ),
+                        lambda s: F.length(s) > 0,
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    seed_counts = {
+        r["piece"]: r["c"]
+        for r in spans.groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("c"))
+        .collect()
+    }
+    single = {p: c for p, c in seed_counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in seed_counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:UNI_SEED_MULTI]
+    vocab_counts = dict(single) | dict(multi)
+
+    def m_step(counts: dict[str, int]) -> dict[str, int]:
+        total = sum(counts.values())
+        return {
+            p: _micro_nat_logp(c, total, len(counts))
+            for p, c in counts.items()
+        }
+
+    def e_step(weights: dict[str, int]) -> dict[str, int]:
+        segs = words.select(
+            "wc", F.explode(_viterbi_pieces(F.col("word"), weights)).alias("piece")
+        )
+        got = {
+            r["piece"]: r["c"]
+            for r in segs.groupBy("piece")
+            .agg(F.sum("wc").cast("long").alias("c"))
+            .collect()
+        }
+        # unused pieces stay in the vocab with count 0 (Laplace keeps
+        # their weight finite); the prune is what drops them
+        return {p: got.get(p, 0) for p in weights}
+
+    weights = m_step(vocab_counts)
+    counts = e_step(weights)          # EM round 1
+    counts = e_step(m_step(counts))   # EM round 2
+
+    pruned_multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:UNI_PRUNE_KEEP]
+    kept = {p: c for p, c in counts.items() if len(p) == 1} | dict(
+        pruned_multi
+    )
+
+    final_counts = e_step(m_step(kept))  # EM round 3 on pruned vocab
+    final_w = m_step(final_counts)
+    rows = [
+        (p, len(p), int(final_counts[p]), int(final_w[p]))
+        for p in sorted(final_counts)
+    ]
+    return spark.createDataFrame(
+        rows, "piece string, n_chars int, count long, logp_micro long"
+    )
+
+
+def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram vocab to the corpus — bpe_encode's
+    shape on the third trainer: per-doc char count vs Viterbi piece
+    count under the final micro-nat weights (the tokenizer-build
+    compression report). The trained vocab (bounded) arrives as
+    literals in ONE fold expression; the corpus is scanned once, no
+    rule-table join. Words longer than UNI_MAX_WORD are excluded on
+    both engines (they were never trainable).
+
+    Output: (doc_id, total_chars, total_symbols, chars_per_symbol).
+    """
+    vocab = {
+        r["piece"]: int(r["logp_micro"])
+        for r in unigram_lm_train(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    word = tokens(docs).filter(F.length("word") <= UNI_MAX_WORD)
+    per_word = word.select(
+        "doc_id",
+        F.length("word").cast("long").alias("n_chars"),
+        F.size(_viterbi_pieces(F.col("word"), vocab))
+        .cast("long")
+        .alias("n_symbols"),
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_symbols").alias("total_symbols"),
+        F.round(F.sum("n_chars") / F.sum("n_symbols"), 6).alias(
+            "chars_per_symbol"
+        ),
+    )

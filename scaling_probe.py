@@ -66,6 +66,19 @@ PROBES = [
     # df-capped pair join — time must track the corpus, never pairs)
     "kmv_source_setops",
     "winnowing_matches",
+    # round-12: the trigram KN fold (4-key joins over trigram TYPE
+    # tables — state grows with distinct trigrams, time must track
+    # the token scan), perceptual image near-dup (decode-bound map +
+    # pigeonhole bucket join), the trigram NB language ID (bounded
+    # model build + broadcast-join scoring — time must track the
+    # char scan), the unigram trainer (corpus-once + vocab-sized EM
+    # rounds), and the graph-ANN query path (graph build dominates;
+    # query stage is corpus-independent)
+    "kneser_ney3_logppl",
+    "multimodal_dedup_images_near",
+    "lang_id",
+    "unigram_lm_train",
+    "ann_graph_topk",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -90,6 +103,11 @@ INPUT_TABLES = {
     "ann_sq_topk": "embeddings",
     "kmv_source_setops": "documents",
     "winnowing_matches": "documents",
+    "kneser_ney3_logppl": "documents",
+    "multimodal_dedup_images_near": "documents",
+    "lang_id": "documents",
+    "unigram_lm_train": "documents",
+    "ann_graph_topk": "embeddings",
 }
 
 

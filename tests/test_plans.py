@@ -733,3 +733,30 @@ def test_relational_broadcasts_gate_off_above_threshold(spark, sf_smoke, monkeyp
     gated = relational.q5_nation_revenue(spark, sf_smoke)
     assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
     assert sorted(map(tuple, gated.collect())) == base_rows
+
+
+def test_mlm_and_readability_are_map_only(spark, sf_correct):
+    """Both round-12 text planners are doc-local array expressions:
+    ZERO exchanges — a shuffle here would mean an accidental
+    explode/groupBy rewrite of the per-doc fold."""
+    from mimir_spark.operators.packing import mlm_span_corruption_plan
+    from mimir_spark.operators.textstats2 import readability_scores
+
+    for df in (
+        mlm_span_corruption_plan(spark, sf_correct),
+        readability_scores(spark, sf_correct),
+    ):
+        plan = formatted_plan(df)
+        assert "Exchange" not in plan, plan
+
+
+def test_mixture_sample_broadcasts_plan(spark, sf_correct):
+    """The mixture keep-test must join the |sources|-row plan as a
+    broadcast (never shuffle the corpus on source), and the whole op
+    may carry at most the two aggregation exchanges (plan build +
+    final per-source report)."""
+    from mimir_spark.operators.packing import mixture_sample_docs
+
+    plan = formatted_plan(mixture_sample_docs(spark, sf_correct))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

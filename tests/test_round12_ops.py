@@ -145,3 +145,341 @@ def test_pii_scrub_v2_crafted(spark, tmp_path):
         for r in con.execute(entry.oracle_sql()["pii_scrub"]).fetchall()
     }
     assert spark_len == duck_len
+
+
+# ---- unigram-LM trainer ---------------------------------------------------
+
+def _unigram_py(word_counts: dict[str, int]):
+    """Independent pure-Python replay of unigram_lm_train's rounds
+    (explicit O(2^n) enumeration instead of the engine's DP fold)."""
+    import math
+
+    from mimir_spark.operators.tokenizer import (
+        UNI_MAXP,
+        UNI_PRUNE_KEEP,
+        UNI_SEED_MULTI,
+    )
+
+    def mstep(counts):
+        total, nv = sum(counts.values()), len(counts)
+        return {
+            p: round(1e6 * math.log((c + 1) / (total + nv)))
+            for p, c in counts.items()
+        }
+
+    def segmentations(word, vocab):
+        if not word:
+            yield []
+            return
+        for k in range(1, min(UNI_MAXP, len(word)) + 1):
+            if word[:k] in vocab:
+                for rest in segmentations(word[k:], vocab):
+                    yield [word[:k]] + rest
+
+    def estep(weights):
+        counts = {p: 0 for p in weights}
+        for word, wc in word_counts.items():
+            best = max(
+                segmentations(word, weights),
+                key=lambda segs: (
+                    sum(weights[p] for p in segs),
+                    list(reversed([len(p) for p in segs])),
+                ),
+            )
+            for p in best:
+                counts[p] += wc
+        return counts
+
+    seed = {}
+    for word, wc in word_counts.items():
+        for i in range(len(word)):
+            for k in range(1, min(UNI_MAXP, len(word) - i) + 1):
+                p = word[i : i + k]
+                seed[p] = seed.get(p, 0) + wc
+    single = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = dict(
+        sorted(
+            ((p, c) for p, c in seed.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:UNI_SEED_MULTI]
+    )
+    counts = estep(mstep(single | multi))
+    counts = estep(mstep(counts))
+    kept = {p: c for p, c in counts.items() if len(p) == 1} | dict(
+        sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:UNI_PRUNE_KEEP]
+    )
+    final = estep(mstep(kept))
+    w = mstep(final)
+    return {p: (final[p], w[p]) for p in final}
+
+
+UNIGRAM_CRAFTED = [
+    (0, "the nation and the station share the relation", "en"),
+    (1, "this nation that station this relation that nation", "en"),
+    (2, "the station of the nation has the relation", "en"),
+]
+
+
+def test_unigram_matches_python_reference(spark, tmp_path):
+    """Engine DP fold vs the exhaustive-enumeration python replay:
+    identical final vocab, counts, and micro-nat weights."""
+    from mimir_spark.operators.tokenizer import unigram_lm_train
+
+    sf = _write_documents_ml(str(tmp_path / "uni"), UNIGRAM_CRAFTED)
+    wc: dict[str, int] = {}
+    for _i, text, _l in UNIGRAM_CRAFTED:
+        for w in text.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _unigram_py(wc)
+    got = {
+        r.piece: (r["count"], r.logp_micro)
+        for r in unigram_lm_train(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_unigram_separates_from_bpe_and_wordpiece(spark, tmp_path):
+    """The crafted corpus has a high-frequency 4-char morpheme 'tion'
+    plus th-heavy fillers: unigram keeps 'tion' as ONE used piece
+    straight from the substring seed, while BPE's first 3 merges go to
+    frequent char pairs and never assemble 'tion', and WordPiece's
+    first pick differs from BPE's (likelihood ratio vs raw count) —
+    three trainers, three behaviors, one corpus."""
+    from mimir_spark.operators.tokenizer import (
+        bpe_train,
+        unigram_lm_train,
+        wordpiece_train,
+    )
+
+    sf = _write_documents_ml(str(tmp_path / "sep"), UNIGRAM_CRAFTED)
+    uni = {r.piece: r["count"] for r in unigram_lm_train(spark, sf).collect()}
+    assert uni.get("tion", 0) >= 8  # every -tion occurrence uses the piece
+
+    bpe = [r.merged for r in bpe_train(spark, sf, n_merges=3).collect()]
+    assert "tion" not in bpe
+    assert all("tion" not in m for m in bpe)
+
+    wp = [r.merged for r in wordpiece_train(spark, sf, n_merges=3).collect()]
+    assert wp[0] != bpe[0]
+
+
+# ---- graph-ANN beam search ------------------------------------------------
+
+def test_graph_ann_beats_ivf_at_matched_budget(spark, tmp_path):
+    """On the smooth-manifold corpus (the regime proximity graphs
+    target), beam search over the NN-Descent graph must reach at least
+    IVF's recall at a SMALLER per-query candidate budget. Budget is
+    measured honestly as UNIQUE vectors scored (entry sample ∪ every
+    round's candidate set) via a python replica of the same walk —
+    ~127 on this corpus vs IVF's n·nprobe/ncells = 200."""
+    import numpy as np
+    import numpy.random as npr
+    import pandas as pd
+
+    from mimir_spark.operators.similarity import (
+        N_CELLS,
+        N_PROBE,
+        ann_graph_recall,
+        ann_ivf_recall,
+    )
+
+    rng = npr.default_rng(11)
+    steps = rng.normal(size=(400, 64)) * 0.12
+    X = np.cumsum(steps, axis=0) + rng.normal(size=64)
+    X = X[rng.permutation(400)]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(X), dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in X],
+            "label": np.zeros(len(X), dtype=np.int32),
+        }
+    )
+    sf = str(tmp_path / "manifold")
+    spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    beam, rounds, sample = 8, 3, 4
+
+    # unique-scored budget via the exact-graph python replica
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    np.fill_diagonal(S, -np.inf)
+    und: dict[int, set] = {u: set() for u in range(400)}
+    for u in range(400):
+        for v in np.argsort(-S[u])[:10]:
+            und[u].add(int(v))
+            und[int(v)].add(u)
+    budgets = []
+    for q in range(10):
+        scored = {v for v in range(0, 400, sample) if v != q}
+        b = sorted(scored, key=lambda v: (-S[q, v], v))[:beam]
+        for _ in range(rounds):
+            ex = set(b)
+            for u in b:
+                ex |= und[u]
+            ex.discard(q)
+            scored |= ex
+            b = sorted(ex, key=lambda v: (-S[q, v], v))[:beam]
+        budgets.append(len(scored))
+    ivf_budget = 400 * N_PROBE // N_CELLS
+    assert max(budgets) < ivf_budget, (budgets, ivf_budget)
+
+    g = ann_graph_recall(spark, sf, beam=beam, rounds=rounds, sample=sample).collect()
+    i = ann_ivf_recall(spark, sf).collect()
+    g_mean = sum(r["recall"] for r in g) / len(g)
+    i_mean = sum(r["recall"] for r in i) / len(i)
+    assert g_mean >= i_mean, (g_mean, i_mean)
+    assert g_mean >= 0.99, g_mean  # near-exact on manifold data
+
+
+def test_graph_ann_more_rounds_never_hurt(spark):
+    """Beam recall is monotone-ish in rounds on the synthetic corpus:
+    mean recall at 3 rounds >= mean recall at 1 round (the beam only
+    ever replaces entries with closer ones)."""
+    from mimir_spark.operators.similarity import ann_graph_recall
+
+    r1 = ann_graph_recall(spark, SF_SMOKE, rounds=1).collect()
+    r3 = ann_graph_recall(spark, SF_SMOKE, rounds=3).collect()
+    m1 = sum(r["recall"] for r in r1) / len(r1)
+    m3 = sum(r["recall"] for r in r3) / len(r3)
+    assert m3 >= m1, (m1, m3)
+
+
+# ---- mixture-plan execution -------------------------------------------------
+
+def test_mixture_sample_tracks_plan(spark):
+    """Every source keeps <= its doc count; a rate-1.0 source keeps
+    everything; achieved token rate lands within binomial noise of the
+    plan (±0.15 absolute at this corpus size); deterministic across
+    runs."""
+    from mimir_spark.operators.packing import mixture_sample_docs
+
+    rows = {r["source"]: r for r in mixture_sample_docs(spark, SF_CORRECT).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r["kept_docs"] <= r["n_docs"]
+        if r["sample_rate"] == 1.0:
+            assert r["kept_docs"] == r["n_docs"]
+            assert r["achieved_rate"] == 1.0
+        else:
+            assert abs(r["achieved_rate"] - r["sample_rate"]) < 0.15, r
+    again = {r["source"]: tuple(r) for r in mixture_sample_docs(spark, SF_CORRECT).collect()}
+    assert again == {s: tuple(r) for s, r in rows.items()}
+
+
+# ---- MLM span corruption ----------------------------------------------------
+
+def test_mlm_plan_matches_python_replica(spark):
+    """The mask is a pure function of (doc_id, position): replicate
+    start/length selection in python over the raw docs and require
+    identical (n_spans, n_masked) per doc; corpus mask_ratio must land
+    near the T5 15% design point."""
+    import hashlib
+
+    from mimir_spark.operators.packing import (
+        MLM_SPAN_BASE,
+        MLM_SPAN_RANGE,
+        MLM_START_MOD,
+        mlm_span_corruption_plan,
+    )
+    from mimir_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_masked"])
+        for r in mlm_span_corruption_plan(spark, SF_SMOKE).collect()
+    }
+    ratios = []
+    for doc_id, text in docs.items():
+        toks = [t for t in text.split() if t]
+        if not toks:
+            continue
+        n = len(toks)
+        covered: set[int] = set()
+        spans = 0
+        for i in range(1, n + 1):
+            h = int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+            if h % MLM_START_MOD == 0:
+                spans += 1
+                ln = MLM_SPAN_BASE + (h // MLM_START_MOD) % MLM_SPAN_RANGE
+                covered.update(range(i, min(i + ln - 1, n) + 1))
+        assert got[doc_id] == (spans, len(covered)), doc_id
+        ratios.append(len(covered) / n)
+    assert 0.10 <= sum(ratios) / len(ratios) <= 0.20  # ~15% design point
+
+
+# ---- readability ------------------------------------------------------------
+
+def test_readability_crafted_counts(spark, tmp_path):
+    """Hand-counted words/sentences/syllable-groups on crafted docs,
+    including the no-punctuation fallback (one sentence)."""
+    from mimir_spark.operators.textstats2 import readability_scores
+
+    sf = _write_documents_ml(
+        str(tmp_path / "read"),
+        [
+            (0, "the cat sat. it ran away!", "en"),   # 6 words, 2 sents
+            (1, "no punctuation here at all", "en"),  # 5 words, 1 sent
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_sentences, r.n_syllables, r.flesch)
+        for r in readability_scores(spark, sf).collect()
+    }
+    # syllable groups: the(1) cat(1) sat.(1) it(1) ran(1) away!(2) = 7
+    assert got[0][:3] == (6, 2, 7)
+    # no(1) punctuation(5: u,ua,io — 'punctuation'→ u,ua,io = 3? count
+    # vowel GROUPS: p-u-nct-ua-t-io-n = 3) here(2) at(1) all(1) = 8
+    assert got[1][:3] == (5, 1, 8)
+    import math
+
+    for i, (w, s, y, fl) in got.items():
+        expect = round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4)
+        assert math.isclose(fl, expect), (i, fl, expect)
+
+
+# ---- unigram encode ----------------------------------------------------------
+
+def test_unigram_encode_compresses(spark, tmp_path):
+    """On the morpheme-heavy crafted corpus the trained vocab must
+    compress: strictly fewer symbols than chars on every doc, and
+    'nation' (na|tion or n|a|tion at worst) segments to <= 3 pieces —
+    checked via the per-doc totals of a single-word doc."""
+    from mimir_spark.operators.tokenizer import unigram_encode
+
+    rows = UNIGRAM_CRAFTED + [(3, "nation", "en")]
+    sf = _write_documents_ml(str(tmp_path / "ue"), rows)
+    got = {r.doc_id: r for r in unigram_encode(spark, sf).collect()}
+    for r in got.values():
+        assert r.total_symbols <= r.total_chars
+        assert r.chars_per_symbol >= 1.0
+    assert got[3].total_chars == 6
+    assert got[3].total_symbols <= 3
+
+
+def test_nn_graph_index_roundtrip_matches_in_memory(spark, tmp_path):
+    """write_nn_graph_index → ann_graph_query_indexed equals
+    ann_graph_topk row-for-row: adjacency + vectors + coarse layer on
+    disk carry the whole search state, and the persisted edges table
+    is bucketed on the expansion join key."""
+    from mimir_spark.operators.similarity import (
+        ann_graph_query_indexed,
+        ann_graph_topk,
+        write_nn_graph_index,
+    )
+
+    idx = str(tmp_path / "gidx")
+    write_nn_graph_index(spark, SF_SMOKE, idx)
+    got = {
+        tuple(r)
+        for r in ann_graph_query_indexed(spark, SF_SMOKE, idx).collect()
+    }
+    expect = {tuple(r) for r in ann_graph_topk(spark, SF_SMOKE).collect()}
+    assert got == expect and got
