@@ -135,6 +135,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # key's driver-hash recency <= 7 rounds (the pytest oracle-parity
 # suite covers the interim on every run).
 _R12_WINDOW = [
+    "lang_id_confidence",
     "mixture_sample_docs",
     "mlm_span_corruption_plan",
     "readability_scores",
@@ -338,6 +339,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": textstats2.repetition_ratio,
         "text_normalize": textstats2.text_normalize,
         "lang_id": textstats.lang_id,
+        "lang_id_confidence": textstats.lang_id_confidence,
         "quality_score": textstats.quality_score,
         "token_count": textstats.token_count,
         "doc_fingerprint": textstats.doc_fingerprint,
@@ -6241,6 +6243,50 @@ def oracle_sql() -> dict[str, str]:
         # char-trigram naive Bayes (round 12): replicate the model fold
         # literally — labeled slice ∪ LANG_SEED, top-200 trigrams per
         # lang, vocab union, Laplace micro-nat weights, argmax.
+        # same model chain as lang_id; finisher keeps top-2 per doc
+        "lang_id_confidence": f"""
+            WITH seed(lang, text) AS (VALUES {_LANG_SEED_VALUES}),
+            train AS (
+              SELECT lang, text FROM documents WHERE doc_id % 10 < 3
+              UNION ALL SELECT lang, text FROM seed),
+            tg AS (
+              SELECT lang, substring(text, CAST(i AS INT), 3) AS tg
+              FROM train, unnest(range(1, length(text) - 1)) AS u(i)
+              WHERE length(text) >= 3),
+            counts AS (SELECT lang, tg, count(*)::BIGINT AS c FROM tg GROUP BY 1, 2),
+            top AS (
+              SELECT lang, tg, c FROM counts
+              QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) <= 200),
+            vocab AS (SELECT DISTINCT tg FROM top),
+            langs AS (SELECT DISTINCT lang FROM counts),
+            cells AS (
+              SELECT l.lang, v.tg, coalesce(c.c, 0) AS c
+              FROM langs l CROSS JOIN vocab v
+              LEFT JOIN counts c ON c.lang = l.lang AND c.tg = v.tg),
+            model AS (
+              SELECT lang, tg,
+                     CAST(round(1e6 * ln((c + 1)::DOUBLE /
+                          (sum(c) OVER (PARTITION BY lang)
+                           + count(*) OVER (PARTITION BY lang))::DOUBLE)) AS BIGINT) AS w
+              FROM cells),
+            doc_tg AS (
+              SELECT doc_id, substring(text, CAST(i AS INT), 3) AS tg
+              FROM documents, unnest(range(1, length(text) - 1)) AS u(i)
+              WHERE length(text) >= 3),
+            scores AS (
+              SELECT d.doc_id, m.lang, sum(m.w)::BIGINT AS score
+              FROM doc_tg d JOIN model m USING (tg) GROUP BY 1, 2),
+            ranked AS (
+              SELECT doc_id, lang, score,
+                     lead(score) OVER w AS next_score,
+                     lead(lang) OVER w AS next_lang,
+                     row_number() OVER w AS rk
+              FROM scores
+              WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, lang))
+            SELECT doc_id, lang AS pred_lang, next_lang AS second_lang,
+                   (score - next_score)::BIGINT AS margin_micro
+            FROM ranked WHERE rk = 1
+        """,
         "lang_id": f"""
             WITH seed(lang, text) AS (VALUES {_LANG_SEED_VALUES}),
             train AS (

@@ -179,6 +179,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     model = lang_trigram_model(spark, sf_dir)
+    return lang_id_score_docs(docs, model)
+
+
+def lang_id_score_docs(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """The scoring tail of lang_id over an arbitrary documents frame
+    and a (frozen) model table — the composition point the streaming
+    twin reuses: scores are a pure per-doc function of the model, so a
+    micro-batch scores independently and partials merge by union."""
     doc_tg = docs.filter(F.length("text") >= 3).selectExpr(
         "doc_id", f"explode({_TRIGRAMS}) AS tg"
     )
@@ -304,3 +312,46 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, ch: (acc * BASE + F.ascii(ch)) % MOD,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def lang_id_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_id's abstention signal: per doc, the winning language AND
+    the micro-nat margin to the runner-up — the number a production
+    pipeline thresholds to route low-confidence docs to a heavier
+    model (margin ≈ log-likelihood ratio of the top two hypotheses).
+    Because the model carries a weight for EVERY (lang, vocab-trigram)
+    cell, any doc with at least one in-vocabulary trigram scores all
+    languages, so the runner-up always exists; docs with no
+    in-vocabulary trigram carry no evidence and are excluded (they'd
+    be lang_id's 'und').
+
+    Same plan as lang_id plus one extra lead() over the per-doc
+    (score desc, lang) order — no new scan, no new join. Output:
+    (doc_id, pred_lang, second_lang, margin_micro)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lang_trigram_model(spark, sf_dir)
+    doc_tg = docs.filter(F.length("text") >= 3).selectExpr(
+        "doc_id", f"explode({_TRIGRAMS}) AS tg"
+    )
+    scores = (
+        doc_tg.join(F.broadcast(model), "tg")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("lang"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .withColumn("next_score", F.lead("score").over(w))
+        .withColumn("next_lang", F.lead("lang").over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            F.col("next_lang").alias("second_lang"),
+            (F.col("score") - F.col("next_score"))
+            .cast("long")
+            .alias("margin_micro"),
+        )
+    )

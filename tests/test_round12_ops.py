@@ -483,3 +483,22 @@ def test_nn_graph_index_roundtrip_matches_in_memory(spark, tmp_path):
     }
     expect = {tuple(r) for r in ann_graph_topk(spark, SF_SMOKE).collect()}
     assert got == expect and got
+
+
+def test_lang_id_confidence_margins(spark, tmp_path):
+    """Margins are strictly positive, pred_lang agrees with lang_id,
+    the no-evidence doc is excluded, and every crafted doc's margin
+    clears 1 nat (1e6 micro-nats) — comfortably above an abstention
+    threshold (margins here are driven by the runner-up paying the
+    Laplace floor for trigrams it has never seen)."""
+    from mimir_spark.operators.textstats import lang_id, lang_id_confidence
+
+    sf = _write_documents_ml(str(tmp_path / "conf"), CRAFTED_ML)
+    conf = {r.doc_id: r for r in lang_id_confidence(spark, sf).collect()}
+    pred = {r.doc_id: r.pred_lang for r in lang_id(spark, sf).collect()}
+    assert 7 not in conf  # the sub-trigram doc carries no evidence
+    assert set(conf) == set(range(7))
+    for i, r in conf.items():
+        assert r.margin_micro > 1_000_000, (i, r.margin_micro)
+        assert r.pred_lang == pred[i]
+        assert r.second_lang != r.pred_lang

@@ -1289,3 +1289,47 @@ def test_streaming_winnow_matches_batch(spark, sf_smoke, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_lang_id_matches_batch(spark, sf_smoke, tmp_path):
+    """Frozen-model micro-batch scoring + plain-union finalizer must
+    equal the batch lang_id row-for-row (scoring is a pure per-doc
+    function of the model artifact)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mimir_spark.operators.textstats import lang_id
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.langid import (
+        finalize_lang_id,
+        streaming_lang_id,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf_smoke, "documents")
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_lang_id(
+        spark,
+        sf_smoke,
+        flat,
+        str(tmp_path / "preds"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in finalize_lang_id(spark, str(tmp_path / "preds")).collect()
+    }
+    want = {tuple(r) for r in lang_id(spark, sf_smoke).collect()}
+    assert got == want and got
