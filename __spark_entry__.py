@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from mimir_spark.operators import winnow
 from mimir_spark.operators import (
     advanced,
+    itemsets,
     clustering,
     core,
     corpus,
@@ -135,6 +136,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # key's driver-hash recency <= 7 rounds (the pytest oracle-parity
 # suite covers the interim on every run).
 _R12_WINDOW = [
+    "frequent_pairs",
+    "rake_keywords",
     "lang_id_confidence",
     "mixture_sample_docs",
     "mlm_span_corruption_plan",
@@ -387,6 +390,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_islands": dedup.dup_span_islands,
         "dedup_clusters_star": dedup.dedup_clusters_star,
         "triangle_count": graph.triangle_count,
+        "frequent_pairs": itemsets.frequent_pairs,
+        "rake_keywords": textstats2.rake_keywords,
         "unigram_logppl": quality.unigram_logppl,
         "dup_span_fraction": dedup.dup_span_fraction,
         "histogram_quantiles": sketches.histogram_quantiles,
@@ -6937,6 +6942,76 @@ def oracle_sql() -> dict[str, str]:
                      AS est_distinct,
                    true_distinct
             FROM agg JOIN ex USING (event_type)
+        """,
+        "frequent_pairs": r"""
+            WITH po AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), nb AS (SELECT count(DISTINCT o)::BIGINT AS n FROM po),
+            f1 AS (
+              SELECT p, count(*)::BIGINT AS sup FROM po GROUP BY p
+              HAVING count(*) >= 3
+            ), pof AS (
+              SELECT po.o, po.p FROM po JOIN f1 USING (p)
+            ), pairs AS (
+              SELECT a.p AS item_a, b.p AS item_b, count(*)::BIGINT AS pair_support
+              FROM pof a JOIN pof b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT item_a, item_b, pair_support,
+                   sa.sup AS support_a, sb.sup AS support_b,
+                   round(pair_support / sa.sup::DOUBLE, 6) AS conf_a_to_b,
+                   round(pair_support / sb.sup::DOUBLE, 6) AS conf_b_to_a,
+                   round(pair_support * nb.n / (sa.sup * sb.sup)::DOUBLE, 6) AS lift
+            FROM pairs
+            JOIN f1 sa ON sa.p = item_a
+            JOIN f1 sb ON sb.p = item_b
+            CROSS JOIN nb
+        """,
+        "rake_keywords": r"""
+            WITH tk AS (
+              SELECT doc_id, toks[CAST(i AS INT)] AS tok, i,
+                     CASE WHEN toks[CAST(i AS INT)] IN
+                          ('the','a','of','and','to','in','is','it')
+                          THEN 1 ELSE 0 END AS is_stop
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents),
+                   unnest(range(1, len(toks) + 1)) AS u(i)
+            ), runs AS (
+              SELECT doc_id, tok, i,
+                     sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i) AS island
+              FROM tk QUALIFY is_stop = 0
+            ), phrases AS (
+              SELECT doc_id, island,
+                     string_agg(tok, ' ' ORDER BY i) AS phrase,
+                     count(*)::BIGINT AS n_words
+              FROM runs GROUP BY doc_id, island
+            ), words AS (
+              SELECT n_words, unnest(string_split(phrase, ' ')) AS word
+              FROM phrases
+            ), wscore AS (
+              SELECT word,
+                     CAST(round(1e6 * sum(n_words) / count(*)::DOUBLE) AS BIGINT) AS w_micro
+              FROM words GROUP BY word
+            ), dphrase AS (
+              SELECT DISTINCT phrase, n_words FROM phrases
+            ), pscore AS (
+              SELECT d.phrase, d.n_words, sum(w.w_micro)::BIGINT AS p_micro
+              FROM (SELECT phrase, n_words,
+                           unnest(string_split(phrase, ' ')) AS word
+                    FROM dphrase) d
+              JOIN wscore w USING (word)
+              GROUP BY d.phrase, d.n_words
+            ), occ AS (
+              SELECT phrase, count(*)::BIGINT AS n_occurrences
+              FROM phrases GROUP BY phrase
+            )
+            SELECT phrase, n_words, n_occurrences,
+                   p_micro AS score_micro,
+                   row_number() OVER (ORDER BY p_micro DESC, phrase)::BIGINT AS rank
+            FROM pscore JOIN occ USING (phrase)
+            QUALIFY rank <= 25
         """,
         "triangle_count": r"""
             WITH po AS (

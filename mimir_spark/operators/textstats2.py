@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mimir_spark.functions.text import tokens_col
+from mimir_spark.operators.textstats import STOPWORDS
 from mimir_spark.sources.tables import load_table
 
 # RE2-compatible (no lookaround) so the DuckDB oracle matches Java.
@@ -313,4 +314,101 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         )
+    )
+
+
+# ---- RAKE keyword extraction (round 12) --------------------------------------
+
+RAKE_TOP_K = 25
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str, k: int = RAKE_TOP_K) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"), corpus-level: candidate
+    phrases are maximal stopword-free token runs; each word scores
+    deg/freq (deg = Σ lengths of phrases containing it, freq = its
+    phrase-occurrence count); a phrase scores the sum of its member
+    word scores; report the global top-k distinct phrases.
+
+    Portability: word scores are integer-ratio fixed-point
+    (round(1e6·deg/freq) as BIGINT), so phrase scores are EXACT
+    integer sums — no float-sum order risk anywhere; ties break on the
+    phrase string. Scale shape: phrase building is one posexplode +
+    one doc-keyed window (island = running stopword count) + one
+    doc-keyed aggregate; word stats and phrase scores are two bounded
+    counting aggregates; the final top-k is a k-row sort of the
+    distinct-phrase table.
+
+    Output: (phrase, n_words, n_occurrences, score_micro, rank)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col("text")).alias("pos", "tok"),
+    ).withColumn("is_stop", F.col("tok").isin(*STOPWORDS).cast("int"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = toks.withColumn("island", F.sum("is_stop").over(w)).filter(
+        F.col("is_stop") == 0
+    )
+    phrases = runs.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    words = phrases.select(
+        "n_words", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    wstats = words.groupBy("word").agg(
+        F.sum("n_words").cast("long").alias("deg"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+    )
+    wscore = wstats.select(
+        "word",
+        F.round(F.lit(1e6) * F.col("deg") / F.col("freq"), 0)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    # score DISTINCT phrases (a phrase's score is a function of its
+    # words alone — summing over occurrences would multiply it);
+    # occurrences are counted separately.
+    phrase_scores = (
+        phrases.select("phrase", "n_words")
+        .distinct()
+        .select(
+            "phrase",
+            "n_words",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .join(F.broadcast(wscore), "word")
+        .groupBy("phrase", "n_words")
+        .agg(F.sum("w_micro").cast("long").alias("p_micro"))
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    ranked = (
+        phrase_scores.join(occ, "phrase")
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy().orderBy(
+                    F.desc("p_micro"), F.col("phrase")
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select(
+        "phrase", "n_words", "n_occurrences",
+        F.col("p_micro").alias("score_micro"), "rank",
     )

@@ -502,3 +502,68 @@ def test_lang_id_confidence_margins(spark, tmp_path):
         assert r.margin_micro > 1_000_000, (i, r.margin_micro)
         assert r.pred_lang == pred[i]
         assert r.second_lang != r.pred_lang
+
+
+# ---- A-Priori frequent pairs -------------------------------------------------
+
+def test_frequent_pairs_semantics(spark):
+    """Downward closure + association-stat identities: every frequent
+    pair's items are individually frequent; pair_support <= min of the
+    item supports; confidence = exact support ratio; lift symmetric."""
+    import math
+
+    from mimir_spark.operators.itemsets import frequent_pairs
+    from mimir_spark.sources.tables import load_table
+
+    rows = frequent_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    po = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .selectExpr("l_orderkey AS o", "l_partkey AS p")
+        .distinct()
+        .collect()
+    )
+    sup: dict[int, int] = {}
+    baskets: dict[int, set] = {}
+    for r in po:
+        sup[r["p"]] = sup.get(r["p"], 0) + 1
+        baskets.setdefault(r["o"], set()).add(r["p"])
+    n = len(baskets)
+    for r in rows:
+        a, b = r["item_a"], r["item_b"]
+        assert sup[a] >= 3 and sup[b] >= 3  # downward closure
+        true_pair = sum(1 for items in baskets.values() if a in items and b in items)
+        assert r["pair_support"] == true_pair
+        assert r["pair_support"] <= min(sup[a], sup[b])
+        assert math.isclose(r["conf_a_to_b"], round(true_pair / sup[a], 6))
+        assert math.isclose(r["lift"], round(true_pair * n / (sup[a] * sup[b]), 6))
+
+
+# ---- RAKE ---------------------------------------------------------------------
+
+def test_rake_crafted_scores(spark, tmp_path):
+    """Hand-computed RAKE on a crafted corpus: 'deep learning systems'
+    (long phrase of co-occurring words) must outrank the lone
+    'keyword'; stopwords never appear inside phrases."""
+    from mimir_spark.operators.textstats2 import rake_keywords
+
+    sf = _write_documents_ml(
+        str(tmp_path / "rake"),
+        [
+            (0, "deep learning systems and deep learning in practice", "en"),
+            (1, "the keyword of practice and a keyword", "en"),
+        ],
+    )
+    rows = rake_keywords(spark, sf).collect()
+    by_phrase = {r.phrase: r for r in rows}
+    # phrases: "deep learning systems", "deep learning", "practice",
+    # "keyword" (x2), "practice" (x2 total)
+    assert "deep learning systems" in by_phrase
+    assert by_phrase["deep learning systems"].rank == 1
+    assert by_phrase["keyword"].n_occurrences == 2
+    for r in rows:
+        for w in r.phrase.split(" "):
+            assert w not in ("the", "a", "of", "and", "to", "in", "is", "it")
+    # hand RAKE: deg(deep)=5, freq=2 -> 2.5; learning same 2.5;
+    # systems deg=3 freq=1 -> 3.0; phrase = 8.0
+    assert by_phrase["deep learning systems"].score_micro == 8_000_000
