@@ -351,17 +351,24 @@ def rake_keywords(spark: SparkSession, sf_dir: str, k: int = RAKE_TOP_K) -> Data
     runs = toks.withColumn("island", F.sum("is_stop").over(w)).filter(
         F.col("is_stop") == 0
     )
-    phrases = runs.groupBy("doc_id", "island").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "tok"))
+    # three consumers (word stats, distinct-phrase scores, occurrence
+    # counts) read this — materialize once or the corpus is scanned
+    # and window-shuffled three times
+    phrases = (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
                 ),
-                lambda s: s["tok"],
-            ),
-        ).alias("phrase"),
-        F.count(F.lit(1)).cast("long").alias("n_words"),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .localCheckpoint(eager=True)
     )
     words = phrases.select(
         "n_words", F.explode(F.split("phrase", " ")).alias("word")

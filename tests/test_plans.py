@@ -760,3 +760,31 @@ def test_mixture_sample_broadcasts_plan(spark, sf_correct):
     plan = formatted_plan(mixture_sample_docs(spark, sf_correct))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_frequent_pairs_semi_filter_is_broadcast(spark, sf_correct):
+    """The A-Priori downward-closure filter must be a broadcast
+    LeftSemi against the bounded frequent-1 table, and the pair join
+    must stay a within-basket equi-join (no cartesian fallback)."""
+    from mimir_spark.operators.itemsets import frequent_pairs
+
+    plan = formatted_plan(frequent_pairs(spark, sf_correct))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rake_single_doc_window_chain(spark, sf_correct):
+    """RAKE's phrase builder must run the island window and phrase
+    aggregate on the SAME doc_id-keyed partitioning (no extra
+    exchange between them), and never sort the corpus globally: the
+    only Sort outside the final 25-row TakeOrdered is the window's
+    per-partition (doc_id, pos) sort."""
+    from mimir_spark.operators.textstats2 import rake_keywords
+
+    plan = formatted_plan(rake_keywords(spark, sf_correct))
+    assert "CartesianProduct" not in plan, plan
+    # island window partitions by doc_id; the phrase groupBy keys on
+    # (doc_id, island) — hashpartitioning(doc_id) satisfies both, so
+    # exactly ONE exchange may carry the doc-keyed stages
+    assert plan.count("hashpartitioning(doc_id") <= 2, plan

@@ -346,3 +346,88 @@ def test_cusum_closed_form_equals_recursion(ds, mu, k):
         mins = min(mins, c)
         s_closed = c - min(0, mins)
         assert s_closed == s_rec
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="0123456789", min_size=13, max_size=19),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_luhn_expression_matches_python(spark, digit_strings):
+    """pii_scrub's expression-side Luhn fold vs the textbook python
+    recursion over arbitrary digit strings."""
+    from mimir_spark.operators.textstats2 import _luhn_ok
+
+    def luhn_py(d: str) -> bool:
+        total = 0
+        for idx, ch in enumerate(reversed(d)):
+            v = int(ch)
+            if idx % 2 == 1:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            total += v
+        return total % 10 == 0
+
+    df = spark.createDataFrame([(d,) for d in digit_strings], "d string")
+    got = {r["d"]: r["ok"] for r in df.selectExpr("d", _luhn_ok("d") + " AS ok").collect()}
+    assert got == {d: luhn_py(d) for d in digit_strings}
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=9),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        st.integers(min_value=-5_000_000, max_value=-1),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_viterbi_fold_matches_enumeration(spark, words, extra_vocab):
+    """tokenizer._viterbi_pieces (the O(n·MAXP) positional DP) vs
+    exhaustive enumeration with the global tie-break (score desc,
+    reversed piece-length sequence desc) over random integer-weight
+    vocabularies — single chars always present so every word
+    segments."""
+    from pyspark.sql import functions as FF
+
+    from mimir_spark.operators.tokenizer import UNI_MAXP, _viterbi_pieces
+
+    vocab = {c: -1_000_000 for c in "abcd"}
+    vocab.update({p: w for p, w in extra_vocab.items() if len(p) <= UNI_MAXP})
+
+    def segmentations(word):
+        if not word:
+            yield []
+            return
+        for k in range(1, min(UNI_MAXP, len(word)) + 1):
+            if word[:k] in vocab:
+                for rest in segmentations(word[k:]):
+                    yield [word[:k]] + rest
+
+    def best_py(word):
+        return max(
+            segmentations(word),
+            key=lambda segs: (
+                sum(vocab[p] for p in segs),
+                list(reversed([len(p) for p in segs])),
+            ),
+        )
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["segs"])
+        for r in df.select(
+            "word", _viterbi_pieces(FF.col("word"), vocab).alias("segs")
+        ).collect()
+    }
+    assert got == {w: best_py(w) for w in words}
