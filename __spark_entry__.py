@@ -136,6 +136,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # key's driver-hash recency <= 7 rounds (the pytest oracle-parity
 # suite covers the interim on every run).
 _R12_WINDOW = [
+    "holt_winters_hourly",
     "frequent_pairs",
     "rake_keywords",
     "lang_id_confidence",
@@ -246,6 +247,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_graph_topk": similarity.ann_graph_topk,
         "ann_graph_recall": similarity.ann_graph_recall,
         "cusum_changepoints": stats.cusum_changepoints,
+        "holt_winters_hourly": stats.holt_winters_hourly,
         "theil_sen_hourly": stats.theil_sen_hourly,
         "quantile_binning": features.quantile_binning,
         "feature_hashing": features.feature_hashing,
@@ -1349,6 +1351,56 @@ def _unigram_sql() -> str:
            v3.c::BIGINT AS count,
            wfin.w AS logp_micro
     FROM v3 JOIN wfin USING (piece)"""
+
+
+def _hw_sql() -> str:
+    """Holt-Winters oracle: the identical per-step arithmetic (exact
+    binary-rational constants 1/4, 1/8 — every fold step is the same
+    fixed IEEE op sequence, so Spark's aggregate() and this recursive
+    CTE are bit-identical with no per-step rounding) unrolled by a
+    recursive CTE over each type's sorted hourly series."""
+    from mimir_spark.operators import stats as _st
+
+    a, b, g, m = _st.HW_ALPHA, _st.HW_BETA, _st.HW_GAMMA, _st.HW_SEASON
+    x = "(ts[CAST(t + 1 AS INT)]).x"
+    sidx = f"CAST(((ts[CAST(t + 1 AS INT)]).hour % {m}) + 1 AS INT)"
+    sprev = f"s[{sidx}]"
+    newlevel = f"({a} * ({x} - {sprev}) + {1 - a} * (level + trend))"
+    return f"""
+        WITH RECURSIVE hourly AS (
+          SELECT event_type,
+                 floor(epoch(ts) / 3600)::BIGINT AS hour,
+                 round(avg(value), 6) AS x
+          FROM events GROUP BY 1, 2),
+        series AS (
+          SELECT event_type,
+                 list(struct_pack(hour := hour, x := x) ORDER BY hour) AS ts
+          FROM hourly GROUP BY event_type),
+        rec AS (
+          SELECT event_type, ts, 0::BIGINT AS t,
+                 (ts[1]).x AS level, CAST(0.0 AS DOUBLE) AS trend,
+                 list_transform(range(1, {m + 1}),
+                                j -> CAST(0.0 AS DOUBLE)) AS s,
+                 CAST([] AS DOUBLE[]) AS fc
+          FROM series
+          UNION ALL
+          SELECT event_type, ts, t + 1,
+                 {newlevel},
+                 {b} * ({newlevel} - level) + {1 - b} * trend,
+                 list_transform(range(1, {m + 1}), j -> CASE
+                   WHEN j = {sidx}
+                   THEN {g} * ({x} - {newlevel}) + {1 - g} * {sprev}
+                   ELSE s[CAST(j AS INT)] END),
+                 list_append(fc, level + trend + {sprev})
+          FROM rec WHERE t < len(ts))
+        SELECT event_type,
+               (ts[CAST(i AS INT)]).hour AS hour,
+               (ts[CAST(i AS INT)]).x AS x,
+               round(fc[CAST(i AS INT)], 6) AS forecast,
+               round((ts[CAST(i AS INT)]).x - fc[CAST(i AS INT)], 6) AS resid
+        FROM (SELECT event_type, ts, fc FROM rec WHERE t = len(ts)),
+             unnest(range(1, len(ts) + 1)) AS u(i)
+    """
 
 
 def _unigram_encode_sql() -> str:
@@ -4386,6 +4438,7 @@ def oracle_sql() -> dict[str, str]:
         # CUSUM via the closed prefix form: running sum + running min
         # windows accumulate in the identical order on both engines;
         # hourly means / mu / sd rounded 6dp before the recursion.
+        "holt_winters_hourly": _hw_sql(),
         "cusum_changepoints": """
             WITH hourly AS (
               SELECT event_type,

@@ -556,3 +556,86 @@ def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_df in parts[1:]:
         out = out.unionByName(p_df)
     return out.select("event_type", "lag", "n_pairs", "acf")
+
+
+# ---- Holt-Winters (round 12) -------------------------------------------------
+
+# Smoothing constants are EXACT binary rationals (1/4, 1/8, 1/4), so
+# every fold step is a fixed sequence of exact-representable-constant
+# IEEE ops — Spark's aggregate() and DuckDB's recursive CTE compute
+# bit-identical doubles with NO per-step rounding (the kcenter
+# sequential-fold contract), and only the EMITTED forecast rounds.
+HW_ALPHA = 0.25
+HW_BETA = 0.125
+HW_GAMMA = 0.25
+HW_SEASON = 24  # daily cycle on the hourly rollup
+
+
+def holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive HOLT-WINTERS (triple exponential smoothing; Winters
+    1960) over each event type's hourly mean series — level + trend +
+    24-hour seasonality, the forecasting step past holt_linear_user
+    (no seasonality) and seasonal_decompose_hourly (no forecast).
+
+    Recursion (simple-init variant: level₀ = x₁, trend₀ = 0, s ≡ 0):
+        ŷ_t  = level + trend + s[h_t]          (one-step forecast)
+        level' = α(x_t − s[h_t]) + (1−α)(level + trend)
+        trend' = β(level' − level) + (1−β)trend
+        s[h_t]' = γ(x_t − level') + (1−γ)s[h_t]
+    with h_t = calendar hour-of-day (hour mod 24) — calendar-true
+    seasonality, robust to gaps in the observed-hour spine (a gap
+    skips updates; it never shifts which season cell a reading hits).
+
+    Scale shape: one corpus scan into the (|types|·hours)-bounded
+    hourly rollup; each type's whole recursion is ONE Catalyst
+    aggregate fold over its sorted series array (state = level, trend,
+    24 season cells — O(1) per step); output explodes back to one row
+    per (event_type, hour). Nothing iterative ever touches raw events.
+    Output: (event_type, hour, x, forecast, resid).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "x"))).alias("ts")
+    )
+
+    a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON
+    x_i = "element_at(ts, CAST(i AS INT)).x"
+    sidx = f"CAST(pmod(element_at(ts, CAST(i AS INT)).hour, {m}) + 1 AS INT)"
+    sprev = f"element_at(acc.s, {sidx})"
+    newlevel = f"({a} * ({x_i} - {sprev}) + {1 - a} * (acc.level + acc.trend))"
+    fold = f"""
+        aggregate(
+          sequence(1, size(ts)),
+          named_struct(
+            'level', element_at(ts, 1).x,
+            'trend', CAST(0.0 AS DOUBLE),
+            's', transform(sequence(1, {m}), j -> CAST(0.0 AS DOUBLE)),
+            'fc', CAST(array() AS array<double>)
+          ),
+          (acc, i) -> named_struct(
+            'level', {newlevel},
+            'trend', {b} * ({newlevel} - acc.level) + {1 - b} * acc.trend,
+            's', transform(sequence(1, {m}), j -> CASE
+                   WHEN j = {sidx}
+                   THEN {g} * ({x_i} - {newlevel}) + {1 - g} * {sprev}
+                   ELSE element_at(acc.s, CAST(j AS INT)) END),
+            'fc', concat(acc.fc,
+                         array(acc.level + acc.trend + {sprev}))
+          )
+        ).fc
+    """
+    folded = series.selectExpr("event_type", "ts", f"{fold} AS fc")
+    return folded.selectExpr(
+        "event_type",
+        "explode(arrays_zip(ts, fc)) AS z",
+    ).selectExpr(
+        "event_type",
+        "z.ts.hour AS hour",
+        "z.ts.x AS x",
+        "round(z.fc, 6) AS forecast",
+        "round(z.ts.x - z.fc, 6) AS resid",
+    )

@@ -567,3 +567,59 @@ def test_rake_crafted_scores(spark, tmp_path):
     # hand RAKE: deg(deep)=5, freq=2 -> 2.5; learning same 2.5;
     # systems deg=3 freq=1 -> 3.0; phrase = 8.0
     assert by_phrase["deep learning systems"].score_micro == 8_000_000
+
+
+# ---- Holt-Winters -------------------------------------------------------------
+
+def test_holt_winters_matches_python_recursion(spark):
+    """The Catalyst fold vs the textbook python recursion (same init,
+    same calendar season index) — exact equality on the 6dp-rounded
+    forecasts, plus the one-step-forecast identity at t=1
+    (forecast_1 == x_1 under the simple init)."""
+    from mimir_spark.operators.stats import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_SEASON,
+        holt_winters_hourly,
+    )
+    from mimir_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    series: dict[str, dict[int, list[float]]] = {}
+    for r in ev:
+        h = int(r["ts"].timestamp() // 3600)
+        series.setdefault(r["event_type"], {}).setdefault(h, []).append(
+            r["value"]
+        )
+    got = {
+        (r["event_type"], r["hour"]): (r["x"], r["forecast"])
+        for r in holt_winters_hourly(spark, SF_SMOKE).collect()
+    }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(v: float) -> float:
+        # Spark's round(): HALF_UP on the shortest decimal repr —
+        # python's built-in round() is banker's and disagrees exactly
+        # at .5 boundaries
+        return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_SEASON
+    n_checked = 0
+    for et, hours in series.items():
+        xs = [
+            (h, r6(sum(v) / len(v))) for h, v in sorted(hours.items())
+        ]
+        level, trend, s = xs[0][1], 0.0, [0.0] * m
+        for t, (h, x) in enumerate(xs):
+            si = h % m
+            fc = level + trend + s[si]
+            if t == 0:
+                assert r6(fc) == x  # simple-init identity
+            assert got[(et, h)] == (x, r6(fc)), (et, h)
+            nl = a * (x - s[si]) + (1 - a) * (level + trend)
+            trend = b * (nl - level) + (1 - b) * trend
+            s[si] = g * (x - nl) + (1 - g) * s[si]
+            level = nl
+            n_checked += 1
+    assert n_checked == len(got) > 100
