@@ -136,6 +136,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # key's driver-hash recency <= 7 rounds (the pytest oracle-parity
 # suite covers the interim on every run).
 _R12_WINDOW = [
+    "k_truss",
     "holt_winters_hourly",
     "frequent_pairs",
     "rake_keywords",
@@ -392,6 +393,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_islands": dedup.dup_span_islands,
         "dedup_clusters_star": dedup.dedup_clusters_star,
         "triangle_count": graph.triangle_count,
+        "k_truss": graph.k_truss,
         "frequent_pairs": itemsets.frequent_pairs,
         "rake_keywords": textstats2.rake_keywords,
         "unigram_logppl": quality.unigram_logppl,
@@ -1351,6 +1353,45 @@ def _unigram_sql() -> str:
            v3.c::BIGINT AS count,
            wfin.w AS logp_micro
     FROM v3 JOIN wfin USING (piece)"""
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 5) -> str:
+    """Unrolled k-truss peel: per round one wedge join recounts every
+    remaining edge's support and edges below k−2 drop; the final
+    select recounts support inside the surviving subgraph."""
+    parts = [
+        """WITH po AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), e0 AS MATERIALIZED (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM po a JOIN po b ON a.o = b.o AND a.p < b.p)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", und{r - 1} AS (
+          SELECT u, v FROM e{r - 1}
+          UNION ALL SELECT v AS u, u AS v FROM e{r - 1})
+        , s{r} AS (
+          SELECT e.u, e.v, count(*)::BIGINT AS c
+          FROM e{r - 1} e
+          JOIN und{r - 1} a ON a.u = e.u
+          JOIN und{r - 1} b ON b.u = e.v AND b.v = a.v
+          GROUP BY e.u, e.v)
+        , e{r} AS MATERIALIZED (
+          SELECT u, v FROM s{r} WHERE c >= {k - 2})"""
+        )
+    parts.append(
+        f""", undF AS (
+          SELECT u, v FROM e{rounds}
+          UNION ALL SELECT v AS u, u AS v FROM e{rounds})
+        SELECT e.u, e.v, count(*)::BIGINT AS support
+        FROM e{rounds} e
+        JOIN undF a ON a.u = e.u
+        JOIN undF b ON b.u = e.v AND b.v = a.v
+        GROUP BY e.u, e.v
+        HAVING count(*) >= {k - 2}"""
+    )
+    return "\n".join(parts)
 
 
 def _hw_sql() -> str:
@@ -6996,6 +7037,7 @@ def oracle_sql() -> dict[str, str]:
                    true_distinct
             FROM agg JOIN ex USING (event_type)
         """,
+        "k_truss": _ktruss_sql(),
         "frequent_pairs": r"""
             WITH po AS (
               SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem

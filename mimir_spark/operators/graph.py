@@ -760,3 +760,64 @@ def sssp_weighted(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+# ---- k-truss (round 12) -----------------------------------------------------
+
+KTRUSS_K = 4       # every surviving edge sits in >= k-2 triangles
+KTRUSS_ROUNDS = 5  # fixed synchronous peel rounds (the pagerank contract)
+
+
+def k_truss(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KTRUSS_K,
+    n_rounds: int = KTRUSS_ROUNDS,
+) -> DataFrame:
+    """K-TRUSS decomposition (Cohen 2008) of the part co-occurrence
+    graph — the edge-analogue of k_core: peel edges supported by fewer
+    than k−2 triangles until (almost) none fall. Trusses are the
+    standard dense-community certificate one notch stronger than
+    cores (every k-truss edge's endpoints share ≥ k−2 common
+    neighbors INSIDE the subgraph).
+
+    FIXED-ROUND contract (the pagerank/sssp recipe): exactly
+    `n_rounds` synchronous peels — a deterministic prefix of the
+    fixpoint, hash-checkable by an unrolled oracle; on this corpus the
+    peel converges in ≤ 3 rounds (pytest pins a fixpoint round).
+
+    Per round: one |E|-bounded wedge join computes every edge's
+    support (count of common neighbors), edges below k−2 drop. No
+    adjacency lists are collected anywhere; driver state is nothing
+    at all (the loop is a fixed-length plan chain with per-round
+    localCheckpoint to cap lineage).
+
+    Output: surviving (u, v, support) after the last round's support
+    recount — support measured IN the surviving subgraph.
+    """
+    edges = _part_cooccurrence_edges(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+
+    def support(e: DataFrame) -> DataFrame:
+        und = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        a = und.select(F.col("u").alias("eu"), F.col("v").alias("w"))
+        b = und.select(F.col("u").alias("ev"), F.col("v").alias("w"))
+        return (
+            e.join(a, e.u == a.eu)
+            .join(b, (e.v == b.ev) & (a.w == b.w))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+
+    cur = edges
+    for _ in range(n_rounds):
+        cur = (
+            support(cur)
+            .filter(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return support(cur).filter(F.col("support") >= k - 2)

@@ -623,3 +623,40 @@ def test_holt_winters_matches_python_recursion(spark):
             level = nl
             n_checked += 1
     assert n_checked == len(got) > 100
+
+
+# ---- k-truss -------------------------------------------------------------------
+
+def test_k_truss_invariants(spark):
+    """Truss semantics on the smoke graph: (1) the peel reaches its
+    fixpoint within the fixed rounds (running one more round changes
+    nothing — the converged-prefix contract), (2) every surviving
+    edge's support inside the subgraph is >= k-2 by python recount,
+    (3) the truss edge set is a subset of the raw edge set."""
+    from mimir_spark.operators.graph import (
+        KTRUSS_K,
+        KTRUSS_ROUNDS,
+        _part_cooccurrence_edges,
+        k_truss,
+    )
+
+    got = {(r["u"], r["v"]): r["support"] for r in k_truss(spark, SF_SMOKE).collect()}
+    assert got
+    more = {
+        (r["u"], r["v"]): r["support"]
+        for r in k_truss(spark, SF_SMOKE, n_rounds=KTRUSS_ROUNDS + 1).collect()
+    }
+    assert got == more  # fixpoint reached inside the fixed rounds
+
+    raw = {
+        (r["u"], r["v"])
+        for r in _part_cooccurrence_edges(spark, SF_SMOKE).collect()
+    }
+    assert set(got) <= raw
+    adj: dict[int, set] = {}
+    for u, v in got:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for (u, v), sup in got.items():
+        assert sup == len(adj[u] & adj[v])
+        assert sup >= KTRUSS_K - 2
