@@ -106,6 +106,13 @@ def lang_trigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     catastrophically under 'en' and normally under 'zh'. All-integer
     output ⇒ hash-portable; ln follows the bigram_logppl libm-parity
     contract. |model| = |langs| · |V| ≤ 7 · 1400 rows at any SF.
+
+    Each row also carries c (the raw count) and w0 (the lang's
+    zero-count floor weight), which lets the scorer use the SPARSE
+    identity score = n_invocab·w0 + Σ_{c>0 hits} (w − w0) — exact
+    integer algebra, so results are identical to the dense fold while
+    the scoring join touches only NONZERO cells (~2-3 langs per
+    trigram instead of all |langs|).
     """
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(
@@ -138,22 +145,32 @@ def lang_trigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c", F.coalesce("c", F.lit(0)))
     )
     per_lang = Window.partitionBy("lang")
+
+    def micro(c_expr) -> F.Column:
+        return (
+            F.round(
+                F.lit(1e6)
+                * F.log(
+                    c_expr.cast("double")
+                    / (F.col("total") + F.col("n_v")).cast("double")
+                ),
+                0,
+            )
+            .cast("long")
+        )
+
     return (
         cells.withColumn("total", F.sum("c").over(per_lang))
         .withColumn("n_v", F.count(F.lit(1)).over(per_lang))
         .select(
             "lang",
             "tg",
-            F.round(
-                F.lit(1e6)
-                * F.log(
-                    (F.col("c") + 1).cast("double")
-                    / (F.col("total") + F.col("n_v")).cast("double")
-                ),
-                0,
-            )
-            .cast("long")
-            .alias("w"),
+            "c",
+            micro(F.col("c") + 1).alias("w"),
+            # the lang's zero-count floor weight — carried on every row
+            # so the sparse scorer can derive (w − w0) without a second
+            # aggregation pass
+            micro(F.lit(1)).alias("w0"),
         )
     )
 
@@ -182,19 +199,53 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_score_docs(docs, model)
 
 
+def _lang_scores(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, lang, score) for every doc with ≥ 1 in-vocabulary
+    trigram, by SPARSE scoring: instead of fanning every in-vocab
+    occurrence out to ALL |langs| model cells, use the exact integer
+    identity score(d, l) = n_iv(d)·w0(l) + Σ_{nonzero cells hit}
+    (w − w0) — one broadcast semi-join counts in-vocab occurrences,
+    one broadcast join touches only c>0 cells. Identical scores to
+    the dense fold (pytest-pinned), ~|langs|/nnz-per-trigram less
+    join traffic."""
+    doc_tg = docs.filter(F.length("text") >= 3).selectExpr(
+        "doc_id", f"explode({_TRIGRAMS}) AS tg"
+    )
+    vocab = model.select("tg").distinct()
+    w0s = model.select("lang", "w0").distinct()
+    nz = model.filter(F.col("c") > 0).select(
+        "lang", "tg", (F.col("w") - F.col("w0")).alias("dw")
+    )
+    iv = doc_tg.join(F.broadcast(vocab), "tg", "left_semi")
+    n_iv = iv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_iv")
+    )
+    deltas = (
+        iv.join(F.broadcast(nz), "tg")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("dw").cast("long").alias("delta"))
+    )
+    return (
+        n_iv.crossJoin(F.broadcast(w0s))
+        .join(deltas, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_iv") * F.col("w0") + F.coalesce("delta", F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+
+
 def lang_id_score_docs(docs: DataFrame, model: DataFrame) -> DataFrame:
     """The scoring tail of lang_id over an arbitrary documents frame
     and a (frozen) model table — the composition point the streaming
     twin reuses: scores are a pure per-doc function of the model, so a
-    micro-batch scores independently and partials merge by union."""
-    doc_tg = docs.filter(F.length("text") >= 3).selectExpr(
-        "doc_id", f"explode({_TRIGRAMS}) AS tg"
-    )
-    scores = (
-        doc_tg.join(F.broadcast(model), "tg")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("w").cast("long").alias("score"))
-    )
+    micro-batch scores independently and partials merge by union.
+
+    Sparse scoring (round 12): see _lang_scores."""
+    scores = _lang_scores(docs, model)
     from pyspark.sql import Window
 
     best = (
@@ -332,14 +383,7 @@ def lang_id_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     model = lang_trigram_model(spark, sf_dir)
-    doc_tg = docs.filter(F.length("text") >= 3).selectExpr(
-        "doc_id", f"explode({_TRIGRAMS}) AS tg"
-    )
-    scores = (
-        doc_tg.join(F.broadcast(model), "tg")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("w").cast("long").alias("score"))
-    )
+    scores = _lang_scores(docs, model)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("lang"))
     return (
         scores.withColumn("rk", F.row_number().over(w))

@@ -36,14 +36,14 @@ def streaming_lang_id(
     driver once (bounded: |langs|·|V| rows) and re-broadcast into each
     micro-batch's plan as a literal table."""
     model_rows = lang_trigram_model(spark, model_sf_dir).collect()
-    schema = "lang string, tg string, w long"
+    schema = "lang string, tg string, c long, w long, w0 long"
     docs_stream = read_documents_stream(spark, input_dir, glob=glob)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         model = batch.sparkSession.createDataFrame(
-            [(r["lang"], r["tg"], r["w"]) for r in model_rows], schema
+            [(r["lang"], r["tg"], r["c"], r["w"], r["w0"]) for r in model_rows], schema
         )
         lang_id_score_docs(batch, model).write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
