@@ -1,12 +1,18 @@
 """Similarity search over an embedding column.
 
-Three tiers, same output shape (query_id, neighbor_id, rank):
+Four query tiers, same output shape (query_id, neighbor_id, rank):
 - brute-force exact top-k   — the correctness baseline (oracle-checked);
   at scale it's still the right plan when the query set is small
   (queries broadcast, one pass over the corpus, per-partition top-k
   via window).
 - random-hyperplane LSH     — bucketed candidates, sub-linear scans.
-- IVF                        — k-means-lite centroids, probe n cells.
+- IVF                        — trained Lloyd centroids, probe n cells.
+- graph beam search          — coarse entry layer + fixed-round walk
+  over the NN-Descent proximity graph (round 12), with a persisted
+  bucketed-adjacency index variant.
+Plus the graph BUILDERS: exact kNN graph (tiled GEMM) and NN-Descent
+(neighbors-of-neighbors rounds), each with a recall report vs the
+brute-force truth.
 
 All ranking uses round(cosine, 6) with an id tie-break so results are
 deterministic and engine-portable.

@@ -1,5 +1,6 @@
-"""Text-analysis operators for training-data pipelines: language ID,
-quality scoring, token counting, document fingerprinting.
+"""Text-analysis operators for training-data pipelines: char-trigram
+naive-Bayes language ID (model + argmax + confidence margins), quality
+scoring, token counting, document fingerprinting.
 
 Everything is pure Column expressions (codegen'd, no Python), and every
 formula is written in engine-portable arithmetic so the DuckDB oracle

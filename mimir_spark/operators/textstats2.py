@@ -1,6 +1,8 @@
-"""Text-pipeline batch 2: PII scrubbing, repetition scoring, text
-normalization — standard pre-training-corpus cleaning passes, all
-JVM-side expressions, all oracle-checkable.
+"""Text-pipeline batch 2: six-class PII scrubbing (Luhn-validated
+cards, octet-validated IPv4, entropy-gated key tokens), repetition
+scoring, text normalization, Flesch readability, RAKE keyword
+extraction — standard pre-training-corpus cleaning/analysis passes,
+all JVM-side expressions, all oracle-checkable.
 """
 
 from __future__ import annotations

@@ -79,6 +79,15 @@ PROBES = [
     "lang_id",
     "unigram_lm_train",
     "ann_graph_topk",
+    # late round-12: the truss peel (5 wedge joins over a shrinking
+    # edge set), A-Priori pairs (pruned within-basket self-join), RAKE
+    # (one doc-keyed window chain + bounded word/phrase aggs), and the
+    # Holt-Winters fold (|types| folds over hourly arrays — time must
+    # track the one corpus scan)
+    "k_truss",
+    "frequent_pairs",
+    "rake_keywords",
+    "holt_winters_hourly",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -108,6 +117,10 @@ INPUT_TABLES = {
     "lang_id": "documents",
     "unigram_lm_train": "documents",
     "ann_graph_topk": "embeddings",
+    "k_truss": "lineitem",
+    "frequent_pairs": "lineitem",
+    "rake_keywords": "documents",
+    "holt_winters_hourly": "events",
 }
 
 

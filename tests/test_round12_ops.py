@@ -1,5 +1,8 @@
-"""Round-12 operator tests: char-trigram language ID, PII scrub v2,
-unigram-LM tokenizer trainer, graph-ANN beam search.
+"""Round-12 operator tests: char-trigram language ID (+ confidence),
+PII scrub v2, unigram-LM tokenizer trainer/encoder, graph-ANN beam
+search (+ persisted index), mixture-plan execution, MLM span
+corruption, readability, A-Priori frequent pairs, RAKE keywords,
+Holt-Winters forecasting, k-truss.
 """
 
 from __future__ import annotations
