@@ -786,11 +786,20 @@ def k_truss(
     fixpoint, hash-checkable by an unrolled oracle; on this corpus the
     peel converges in ≤ 3 rounds (pytest pins a fixpoint round).
 
-    Per round: one |E|-bounded wedge join computes every edge's
-    support (count of common neighbors), edges below k−2 drop. No
-    adjacency lists are collected anywhere; driver state is nothing
-    at all (the loop is a fixed-length plan chain with per-round
-    localCheckpoint to cap lineage).
+    Per round, support is counted with triangle_count's DEGREE-ORIENTED
+    adjacency intersection (Σdeg^1.5 work, never the Σdeg² wedge
+    table): each triangle is found exactly once at its oriented
+    (src, dst) edge as a common out-neighbor w, then credited to all
+    three edges — (src,dst) in bulk, (src,w)/(dst,w) via an explode of
+    actual triangles (3·T rows, the output's natural size). Edges
+    below k−2 drop. Driver state is nothing at all (the loop is a
+    fixed-length plan chain with per-round localCheckpoint to cap
+    lineage). On the UNIFORMLY dense test graph this measures a wash
+    vs the naive wedge join (identical support counts — the wedge
+    formulation survives as the oracle's); the orientation's value is
+    the skew bound: a power-law hub of degree d contributes d² wedge
+    rows but only O(E^0.5) oriented out-degree, which is what keeps a
+    100×-scale real-world graph from detonating round one.
 
     Output: surviving (u, v, support) after the last round's support
     recount — support measured IN the surviving subgraph.
@@ -803,13 +812,60 @@ def k_truss(
         und = e.select("u", "v").union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        a = und.select(F.col("u").alias("eu"), F.col("v").alias("w"))
-        b = und.select(F.col("u").alias("ev"), F.col("v").alias("w"))
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        du = deg.select(F.col("u").alias("u"), F.col("deg").alias("deg_u"))
+        dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+        with_deg = e.join(du, "u").join(dv, "v")
+        u_first = (F.col("deg_u") < F.col("deg_v")) | (
+            (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+        )
+        oriented = with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        tri = (
+            oriented.join(
+                adj.select(F.col("src").alias("src"), F.col("nbrs").alias("nu")),
+                "src",
+            )
+            .join(
+                adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nv")),
+                "dst",
+                "left",
+            )
+            .select(
+                "src",
+                "dst",
+                F.coalesce(
+                    F.array_intersect("nu", "nv"),
+                    F.array().cast("array<long>"),
+                ).alias("ws"),
+            )
+        )
+        # credit: (src,dst) += |ws|; (src,w) += 1; (dst,w) += 1 — all
+        # canonicalized back to u < v
+        bulk = tri.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.size("ws").cast("long").alias("c"),
+        ).filter(F.col("c") > 0)
+        third = tri.select("src", "dst", F.explode("ws").alias("w"))
+        ones = third.select(
+            F.least("src", "w").alias("u"),
+            F.greatest("src", "w").alias("v"),
+            F.lit(1).cast("long").alias("c"),
+        ).union(
+            third.select(
+                F.least("dst", "w").alias("u"),
+                F.greatest("dst", "w").alias("v"),
+                F.lit(1).cast("long").alias("c"),
+            )
+        )
         return (
-            e.join(a, e.u == a.eu)
-            .join(b, (e.v == b.ev) & (a.w == b.w))
+            bulk.union(ones)
             .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .agg(F.sum("c").cast("long").alias("support"))
         )
 
     cur = edges
