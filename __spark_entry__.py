@@ -2527,8 +2527,10 @@ def _gann_topk_sql(**kw) -> str:
 def _gann_recall_sql(k: int = 5, dim: int = 64, **kw) -> str:
     """Per-query recall@k of the graph beam search vs brute-force
     ground truth, BOTH re-derived inside the oracle (the
-    ann_ivf_recall pattern)."""
+    ann_ivf_recall pattern). n_queries is threaded into the truth CTE
+    so the two sides can never desynchronize on the query count."""
     dot_ab = _nnd_dot(dim)
+    n_queries = kw.get("n_queries", 10)
     return (
         _gann_ctes(k=k, dim=dim, **kw)
         + f"""
@@ -2539,7 +2541,7 @@ def _gann_recall_sql(k: int = 5, dim: int = 64, **kw) -> str:
                       ORDER BY round({dot_ab} / (a.nrm * b.nrm), 6) DESC,
                                b.vec_id) AS rank
             FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
-            WHERE a.vec_id < 10) t WHERE rank <= {k})
+            WHERE a.vec_id < {n_queries}) t WHERE rank <= {k})
         SELECT t.query_id,
                sum(CASE WHEN g.neighbor_id IS NOT NULL
                         THEN 1 ELSE 0 END)::BIGINT AS n_hit,

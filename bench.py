@@ -283,6 +283,28 @@ def main() -> None:
         )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Environment self-description (round 13): wall-clock on a shared
+    # box swings with co-tenant load, and two rounds of verdicts had to
+    # reconstruct the box factor from prose. Record (a) the 1/5/15-min
+    # load averages and (b) a tiny single-thread CPU reference (a fixed
+    # pure-Python integer fold, best of 3 — deterministic work, so its
+    # time IS the box's effective single-core speed) so a reader can
+    # normalize cross-round comparisons straight off the artifact.
+    def _cpu_ref_sec() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = 0
+            for i in range(2_000_000):
+                acc = (acc * 1103515245 + i) & 0x7FFFFFFFFFFFFFFF
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    try:
+        load1, load5, load15 = os.getloadavg()
+        loadavg = [round(load1, 2), round(load5, 2), round(load15, 2)]
+    except OSError:  # pragma: no cover - non-POSIX only
+        loadavg = None
     payload = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -290,6 +312,11 @@ def main() -> None:
         "queries": timings,
         "stage_metrics": stage_metrics,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env": {
+            "loadavg": loadavg,
+            "cpu_ref_sec": _cpu_ref_sec(),
+            "cpus": os.cpu_count(),
+        },
     }
     # Self-recovering artifact (round 12): the driver captures stdout's
     # FINAL line, and a long stage_metrics blob has been tail-truncated
@@ -301,13 +328,21 @@ def main() -> None:
     compact = {k: v for k, v in payload.items() if k != "stage_metrics"}
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        existing = [
-            int(f[len("BENCH_r"):-len(".json")])
-            for f in os.listdir(here)
-            if f.startswith("BENCH_r") and f.endswith(".json")
-            and f[len("BENCH_r"):-len(".json")].isdigit()
-        ]
-        rnd = max(existing, default=0) + 1
+        # Round label: explicit SPARK_GRAFT_ROUND wins (a rerun after
+        # the driver already captured BENCH_r{N}.json would otherwise
+        # mislabel itself N+1); the max(BENCH_r*)+1 inference is only
+        # the fallback when the env var is absent.
+        rnd_env = os.environ.get("SPARK_GRAFT_ROUND", "")
+        if rnd_env.isdigit():
+            rnd = int(rnd_env)
+        else:
+            existing = [
+                int(f[len("BENCH_r"):-len(".json")])
+                for f in os.listdir(here)
+                if f.startswith("BENCH_r") and f.endswith(".json")
+                and f[len("BENCH_r"):-len(".json")].isdigit()
+            ]
+            rnd = max(existing, default=0) + 1
         with open(os.path.join(here, f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
             json.dump(payload, fh, indent=1)
             fh.write("\n")

@@ -81,10 +81,14 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
-# char trigrams of the text column as an array expression (codepoint
-# semantics in BOTH engines; docs shorter than 3 chars are filtered
-# before this is applied — Spark's sequence() runs DESCENDING on a
-# negative span, so the guard is load-bearing)
+# char trigrams of the text column as an array expression. Parity is
+# BMP-only: Spark's length/substring count UTF-16 code units while
+# DuckDB counts codepoints, so a non-BMP char (emoji, rare CJK-B+)
+# would split surrogate pairs and diverge — same documented caveat as
+# token_count_cjk; the synthetic corpus and LANG_SEED are BMP-only.
+# Docs shorter than 3 chars are filtered before this is applied —
+# Spark's sequence() runs DESCENDING on a negative span, so the guard
+# is load-bearing.
 _TRIGRAMS = (
     "transform(sequence(1, length(text) - 2),"
     " i -> substring(text, i, 3))"

@@ -338,8 +338,10 @@ def rake_keywords(spark: SparkSession, sf_dir: str, k: int = RAKE_TOP_K) -> Data
     phrase string. Scale shape: phrase building is one posexplode +
     one doc-keyed window (island = running stopword count) + one
     doc-keyed aggregate; word stats and phrase scores are two bounded
-    counting aggregates; the final top-k is a k-row sort of the
-    distinct-phrase table.
+    counting aggregates; the final top-k executes as a distributed
+    TakeOrderedAndProject (orderBy+limit — per-partition k-row heaps,
+    never the whole distinct-phrase table through one task); rank is
+    a row_number over the already-k-row result only.
 
     Output: (phrase, n_words, n_occurrences, score_micro, rank)."""
     from pyspark.sql import Window
@@ -403,19 +405,16 @@ def rake_keywords(spark: SparkSession, sf_dir: str, k: int = RAKE_TOP_K) -> Data
     occ = phrases.groupBy("phrase").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )
-    ranked = (
+    top = (
         phrase_scores.join(occ, "phrase")
-        .withColumn(
-            "rank",
-            F.row_number()
-            .over(
-                Window.partitionBy().orderBy(
-                    F.desc("p_micro"), F.col("phrase")
-                )
-            )
-            .cast("long"),
-        )
-        .filter(F.col("rank") <= k)
+        .orderBy(F.desc("p_micro"), F.col("phrase"))
+        .limit(k)
+    )
+    ranked = top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("p_micro"), F.col("phrase")))
+        .cast("long"),
     )
     return ranked.select(
         "phrase", "n_words", "n_occurrences",
