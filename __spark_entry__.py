@@ -2460,17 +2460,26 @@ def _gann_ctes(
     dim: int = 64,
     n_queries: int = 10,
     sample: int = 16,
+    kpc: int = 6,
+    groundsc: int = 4,
+    crounds: int = 3,
 ) -> str:
-    """Beam-search CTE chain over the NN-descent graph, ending in a
-    CTE `gtopk(query_id, neighbor_id, cos, rank)`. Entry = the coarse
-    layer: score the query against every `sample`-th id, keep the
-    top-`beam`; per round: undirected expansion → 6dp cosine vs the
-    query → top-`beam` (cos desc, v); the query's own node is
-    excluded throughout."""
+    """Two-level beam-search CTE chain over the NN-descent graphs,
+    ending in a CTE `gtopk(query_id, neighbor_id, cos, rank)` —
+    replaying the round-13 Spark path literally: (1) full descent
+    graph (g{grounds} → und); (2) COARSE-LAYER descent graph over the
+    vec_id % sample == 0 subset, ring-seeded on the dense
+    cid = vec_id/sample (cg{groundsc} → und_c); (3) entry = score the
+    query against the vec_id % sample² == 0 top set, keep top-beam;
+    (4) `crounds` beam rounds expanding along und_c, then `brounds`
+    rounds along und — each round 6dp cosine vs the query, top-beam
+    (cos desc, v), query's own node excluded throughout."""
+    dot_ab = _nnd_dot(dim)
     dot_qb = (
         f"list_sum(list_transform(generate_series(1, {dim}),"
         f" i -> q.e[i] * b.e[i]))"
     )
+    stride = sample * sample
     score_tpl = f"""sc{{tag}} AS (
       SELECT c.query_id, c.v,
              round({dot_qb} / (q.nrm * b.nrm), 6) AS cos
@@ -2487,31 +2496,83 @@ def _gann_ctes(
       SELECT DISTINCT u, v FROM (
         SELECT u, v FROM g{grounds}
         UNION ALL SELECT v AS u, u AS v FROM g{grounds}) q)
+    , pts_c AS MATERIALIZED (
+      SELECT vec_id, (vec_id // {sample}) AS cid
+      FROM pts WHERE vec_id % {sample} = 0)
+    , nc0 AS (SELECT count(*) AS m FROM pts_c)
+    , cg0 AS (
+      SELECT vec_id AS u,
+             unnest(list_transform(generate_series(1, {kpc}),
+                    i -> ((cid + i) % m) * {sample})) AS v
+      FROM pts_c CROSS JOIN nc0)"""
+    )
+    for r in range(1, groundsc + 1):
+        parts.append(
+            f""", cb{r} AS (
+      SELECT u, v FROM cg{r - 1}
+      UNION ALL SELECT v AS u, u AS v FROM cg{r - 1})
+    , cc{r} AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT e2.u AS u, e1.v AS v
+        FROM cb{r} e1 JOIN cb{r} e2 ON e1.u = e2.v
+        WHERE e2.u <> e1.v
+        UNION ALL SELECT u, v FROM cg{r - 1}) q)
+    , cg{r} AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT c.u, c.v,
+               row_number() OVER (
+                 PARTITION BY c.u
+                 ORDER BY round({dot_ab} / (a.nrm * b.nrm), 6) DESC,
+                          c.v) AS rk
+        FROM cc{r} c
+        JOIN pts a ON a.vec_id = c.u
+        JOIN pts b ON b.vec_id = c.v) q
+      WHERE rk <= {kpc})"""
+        )
+    parts.append(
+        f""", und_c AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM cg{groundsc}
+        UNION ALL SELECT v AS u, u AS v FROM cg{groundsc}) q)
     , qids AS (SELECT vec_id AS query_id FROM pts WHERE vec_id < {n_queries})
-    , cand0 AS (
+    , candt0 AS (
       SELECT query_id, e.v
       FROM qids, (SELECT vec_id AS v FROM pts
-                  WHERE vec_id % {sample} = 0) e
+                  WHERE vec_id % {stride} = 0) e
       WHERE e.v <> query_id)
-    , {score_tpl.format(tag=0, kk=beam)}"""
+    , {score_tpl.format(tag='t0', kk=beam)}"""
     )
+    prev = "beamt0"
+    for r in range(1, crounds + 1):
+        parts.append(
+            f""", candc{r} AS (
+      SELECT DISTINCT query_id, v FROM (
+        SELECT query_id, v FROM {prev}
+        UNION ALL
+        SELECT bm.query_id, u2.v
+        FROM {prev} bm JOIN und_c u2 ON u2.u = bm.v) q
+      WHERE v <> query_id)
+    , {score_tpl.format(tag=f'c{r}', kk=beam)}"""
+        )
+        prev = f"beamc{r}"
     for r in range(1, brounds + 1):
         parts.append(
             f""", cand{r} AS (
       SELECT DISTINCT query_id, v FROM (
-        SELECT query_id, v FROM beam{r - 1}
+        SELECT query_id, v FROM {prev}
         UNION ALL
         SELECT bm.query_id, u2.v
-        FROM beam{r - 1} bm JOIN und u2 ON u2.u = bm.v) q
+        FROM {prev} bm JOIN und u2 ON u2.u = bm.v) q
       WHERE v <> query_id)
     , {score_tpl.format(tag=r, kk=beam)}"""
         )
+        prev = f"beam{r}"
     parts.append(
         f""", gtopk AS (
       SELECT query_id, v AS neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, v)::BIGINT AS rank
-      FROM beam{brounds}
+      FROM {prev}
       QUALIFY rank <= {k})"""
     )
     return "\n".join(parts)

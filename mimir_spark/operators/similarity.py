@@ -672,72 +672,88 @@ def _descent_graph(
     return g
 
 
-# ---- graph-ANN query path (round 12) ---------------------------------------
+# ---- graph-ANN query path (round 12; two-level entry + persisted-index
+#      composition in round 13) ------------------------------------------------
 
 GANN_BEAM = 8     # beam width
-GANN_ROUNDS = 3   # synchronous expansion rounds (fixed → unrollable)
-GANN_SAMPLE = 16  # coarse entry layer: score vs every GANN_SAMPLE-th id
+GANN_ROUNDS = 3   # synchronous expansion rounds on the FULL graph
+GANN_SAMPLE = 16  # coarse layer: every GANN_SAMPLE-th id
+GANN_COARSE_KP = 6       # descent width of the coarse-layer graph
+GANN_COARSE_GROUNDS = 4  # descent rounds of the coarse-layer graph
+GANN_COARSE_ROUNDS = 3   # beam rounds ON the coarse layer (2 leaves the
+                         # manifold corpus 0.94 — one hop short of the
+                         # best coarse cell; 3 reaches 1.0, pytest-pinned)
 
 
-def ann_graph_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    k: int = TOP_K,
-    beam: int = GANN_BEAM,
-    rounds: int = GANN_ROUNDS,
-    internal_k: int = NND_INTERNAL_K,
-    graph_rounds: int = NND_ROUNDS,
-    sample: int = GANN_SAMPLE,
+def _coarse_descent_graph(
+    pts: DataFrame,
+    n: int,
+    sample: int,
+    kp: int = GANN_COARSE_KP,
+    grounds: int = GANN_COARSE_GROUNDS,
 ) -> DataFrame:
-    """Graph-ANN QUERY path: synchronous beam search over the
-    NN-Descent proximity graph — the search half of the HNSW/NSG
-    family (Malkov & Yashunin '18 layer-0 search; Fu et al. NSG
-    VLDB'19), made deterministic and unrollable: FIXED beam width,
-    FIXED round count, (cos desc, id) tie-breaks.
+    """NN-descent over the COARSE layer only (vec_id % sample == 0) —
+    the upper-layer proximity graph of the two-level entry. Because
+    vec_ids are dense 0..n−1 (the same documented assumption as the
+    full descent's ring seed), cid = vec_id/sample is dense 0..m−1, so
+    the ring seed is ((cid + i) mod m)·sample with no re-keying pass.
+    Directed width-kp edges in vec_id space."""
+    m = (n - 1) // sample + 1
+    cpts = pts.filter(F.col("vec_id") % sample == 0).localCheckpoint(
+        eager=True
+    )
+    seed = cpts.selectExpr(
+        "vec_id AS u",
+        f"explode(transform(sequence(1, {kp}),"
+        f" i -> ((vec_id div {sample} + i) % {m}) * {sample})) AS v",
+    )
+    g = seed
+    for _ in range(grounds):
+        und = g.select("u", "v").union(
+            g.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nn = (
+            und.select(F.col("u").alias("x"), F.col("v").alias("w"))
+            .join(und.select("u", F.col("v").alias("x")), "x")
+            .filter(F.col("u") != F.col("w"))
+            .select("u", F.col("w").alias("v"))
+        )
+        cand = nn.union(g.select("u", "v")).distinct()
+        g = (
+            _descent_scored_topk(cpts, cand, kp)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return g
 
-    Entry (the HNSW upper-layer move, flattened to one coarse layer):
-    a FLAT k-NN graph has no long-range edges, so greedy search from
-    arbitrary fixed entries needs O(n/k') hops — measured 0.10 recall
-    at 2 rounds on the smooth-manifold corpus. Instead the query is
-    first scored against the deterministic 1/GANN_SAMPLE id-sample
-    (vec_id % sample == 0 — n/sample rows, the coarse layer) and the
-    top-`beam` sampled nodes become the starting beam; from an entry
-    that close, a constant round count converges. Each round then
-    expands the beam along UNDIRECTED graph edges, scores candidates
-    against the query (6dp sequential-fold cosine), keeps the
-    top-`beam` (cos desc, id). After `rounds` rounds the beam's top-k
-    is the answer (query's own node excluded throughout, matching
-    ann_bruteforce_topk's self-exclusion).
 
-    Scale shape: the graph is built ONCE (descent: every stage a
-    bounded vec_id shuffle) and reused across the whole query batch;
-    each beam round is queries x beam x 2·internal_k candidate rows —
-    independent of corpus size — flowing through one join against the
-    adjacency and one top-k window. Candidate budget per query =
-    n/sample + rounds·beam·2·internal_k scored vectors vs brute
-    force's n; at larger n, grow `sample` (or add layers) so the
-    entry stage stays sublinear. ann_graph_recall reports recall vs
-    this budget (pytest pins ≥ IVF recall at a SMALLER budget on the
-    smooth-manifold corpus).
-    """
-    pts, n = _descent_points(spark, sf_dir)
-    g = _descent_graph(pts, n, internal_k, graph_rounds)
-    und = g.select("u", "v").union(
-        g.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
+def _undirect(g: DataFrame) -> DataFrame:
+    return (
+        g.select("u", "v")
+        .union(g.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
 
+
+def _gann_search(
+    pts: DataFrame,
+    und: DataFrame,
+    und_coarse: DataFrame,
+    tops: DataFrame,
+    k: int,
+    beam: int,
+    rounds: int,
+    coarse_rounds: int,
+) -> DataFrame:
+    """The two-level beam search proper, over ALREADY-MATERIALIZED
+    state (vectors+norms, full adjacency, coarse adjacency, top-entry
+    ids) — shared verbatim by ann_graph_topk (cached index) and
+    ann_graph_query_indexed (explicit index dir), so the two paths
+    cannot drift. Every per-round table is (queries × beam)-bounded."""
     q = pts.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
-    )
-    coarse = pts.filter(F.col("vec_id") % sample == 0).select(
-        F.col("vec_id").alias("v")
-    )
-    b = (
-        q.select("query_id")
-        .crossJoin(coarse)
-        .filter(F.col("v") != F.col("query_id"))
     )
 
     def scored(cand: DataFrame, kk: int) -> DataFrame:
@@ -767,24 +783,148 @@ def ann_graph_topk(
             .filter(F.col("rank") <= kk)
         )
 
+    def beam_rounds(b: DataFrame, adj: DataFrame, nr: int) -> DataFrame:
+        # Per-round localCheckpoint is load-bearing: `b` feeds the
+        # round twice (carry-over ∪ expansion), so a lazy chain would
+        # recompute every earlier round 2× per level — exponential in
+        # round count (measured 14.6s vs 6.2s warm at sf0.01).
+        for _ in range(nr):
+            exp = (
+                b.withColumnRenamed("v", "u")
+                .join(adj, "u")
+                .select("query_id", "v")
+            )
+            cand = (
+                b.union(exp)
+                .filter(F.col("v") != F.col("query_id"))
+                .distinct()
+            )
+            b = scored(cand, beam).select("query_id", "v").localCheckpoint(
+                eager=True
+            )
+        return b
+
+    b = (
+        q.select("query_id")
+        .crossJoin(tops.select("v"))
+        .filter(F.col("v") != F.col("query_id"))
+    )
     b = scored(b, beam).select("query_id", "v")
-    for _ in range(rounds):
-        # expansion: neighbors of the current beam along und edges
-        exp = (
-            b.withColumnRenamed("v", "u")
-            .join(und, "u")
-            .select("query_id", "v")
-        )
-        cand = (
-            b.union(exp)
-            .filter(F.col("v") != F.col("query_id"))
-            .distinct()
-        )
-        b = scored(cand, beam).select("query_id", "v").localCheckpoint(
-            eager=True
-        )
+    b = beam_rounds(b, und_coarse, coarse_rounds)  # walk the coarse layer
+    b = beam_rounds(b, und, rounds)                # then the full graph
     return scored(b, k).select(
         "query_id", F.col("v").alias("neighbor_id"), "cos", "rank"
+    )
+
+
+def _gann_cache_dir(
+    sf_dir: str,
+    internal_k: int,
+    graph_rounds: int,
+    sample: int,
+) -> str:
+    """Deterministic per-(data, build-params) cache location for the
+    graph index. The key folds in the embeddings file's (mtime, size)
+    so a regenerated dataset can never serve a stale graph."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    key = (
+        f"{src}|{stamp}|k{internal_k}g{graph_rounds}s{sample}"
+        f"c{GANN_COARSE_KP}.{GANN_COARSE_GROUNDS}"
+    )
+    h = hashlib.md5(key.encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), "mimir_spark_idx", f"nn_graph_{h}"
+    )
+
+
+def _gann_cached_index(
+    spark: SparkSession,
+    sf_dir: str,
+    internal_k: int,
+    graph_rounds: int,
+    sample: int,
+) -> str:
+    """Build-once/query-many: materialize the graph index into the
+    cache dir on first use (atomic rename, so a concurrent builder
+    can't expose a half-written index) and return the dir. Repeat
+    calls — the recall report, the bench's best-of-2, every later
+    query batch — skip the descent build entirely."""
+    import os
+    import shutil
+
+    d = _gann_cache_dir(sf_dir, internal_k, graph_rounds, sample)
+    marker = os.path.join(d, "_INDEX_COMPLETE")
+    if not os.path.exists(marker):
+        tmp = f"{d}.build-{os.getpid()}"
+        write_nn_graph_index(
+            spark, sf_dir, tmp,
+            internal_k=internal_k,
+            graph_rounds=graph_rounds,
+            sample=sample,
+        )
+        with open(os.path.join(tmp, "_INDEX_COMPLETE"), "w") as fh:
+            fh.write("ok\n")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            # another builder won the race; its index is equivalent
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def ann_graph_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    beam: int = GANN_BEAM,
+    rounds: int = GANN_ROUNDS,
+    internal_k: int = NND_INTERNAL_K,
+    graph_rounds: int = NND_ROUNDS,
+    sample: int = GANN_SAMPLE,
+    coarse_rounds: int = GANN_COARSE_ROUNDS,
+) -> DataFrame:
+    """Graph-ANN QUERY path: synchronous beam search over the
+    NN-Descent proximity graph — the search half of the HNSW/NSG
+    family (Malkov & Yashunin '18; Fu et al. NSG VLDB'19), made
+    deterministic and unrollable: FIXED beam width, FIXED round
+    counts, (cos desc, id) tie-breaks.
+
+    TWO-LEVEL ENTRY (round 13 — HNSW's actual answer, replacing the
+    round-12 flat 1/sample scan whose entry cost was corpus-LINEAR):
+    level 2 is the O(n/sample²) top-entry set (vec_id % sample² == 0)
+    scored exhaustively; level 1 is the coarse layer (vec_id % sample
+    == 0) carrying its OWN NN-descent graph, walked for
+    `coarse_rounds` beam rounds from the level-2 winners; the coarse
+    winners then seed `rounds` beam rounds on the full graph. Scored
+    candidates per query = n/sample² + (coarse_rounds+rounds)·beam·
+    (2·width+1) — the linear term's coefficient drops from 1/sample
+    to 1/sample², and deeper corpora add layers the same way (each
+    layer a 1/sample subsample with its own descent graph), keeping
+    entry cost O(log n)·beam·width like HNSW.
+
+    BUILD ONCE, QUERY MANY (round 13): the descent graphs are read
+    from the persisted index (write_nn_graph_index) via a
+    per-(data, params) cache — repeat invocations run ZERO graph-build
+    stages (pytest pins this by poisoning the builder after warm-up).
+
+    Each beam round expands along UNDIRECTED edges, scores candidates
+    against the query (6dp sequential-fold cosine), keeps the
+    top-`beam` (cos desc, id); the query's own node is excluded
+    throughout, matching ann_bruteforce_topk. ann_graph_recall reports
+    recall vs this budget (pytest pins ≥ IVF recall at a SMALLER
+    unique-scored budget on the smooth-manifold corpus)."""
+    idx = _gann_cached_index(spark, sf_dir, internal_k, graph_rounds, sample)
+    return ann_graph_query_indexed(
+        spark, sf_dir, idx, k, beam, rounds, coarse_rounds
     )
 
 
@@ -797,6 +937,7 @@ def ann_graph_recall(
     internal_k: int = NND_INTERNAL_K,
     graph_rounds: int = NND_ROUNDS,
     sample: int = GANN_SAMPLE,
+    coarse_rounds: int = GANN_COARSE_ROUNDS,
 ) -> DataFrame:
     """Per-query recall@k of the graph beam search vs the exact
     brute-force ground truth — ann_ivf_recall's shape on the graph
@@ -806,7 +947,8 @@ def ann_graph_recall(
         "query_id", "neighbor_id"
     )
     approx = ann_graph_topk(
-        spark, sf_dir, k, beam, rounds, internal_k, graph_rounds, sample
+        spark, sf_dir, k, beam, rounds, internal_k, graph_rounds, sample,
+        coarse_rounds,
     ).select("query_id", F.col("neighbor_id").alias("g_neighbor"))
     hits = truth.join(
         approx,
@@ -835,33 +977,35 @@ def write_nn_graph_index(
     graph_rounds: int = NND_ROUNDS,
     sample: int = GANN_SAMPLE,
 ) -> None:
-    """Materialize the graph-ANN index: the UNDIRECTED NN-descent
-    adjacency to `<dir>/edges` BUCKETED BY u (the beam expansion's
-    join key — a bucketed read carries the partitioning, so per-round
-    expansion joins shuffle only the queries side), vectors + norms to
-    `<dir>/vectors`, and the coarse entry layer to `<dir>/coarse` —
-    the build-once/query-many layout for the descent family, closing
-    the same index lifecycle as write_ivf_index / write_sq_index."""
+    """Materialize the graph-ANN index — the build-once/query-many
+    layout for the descent family, closing the same index lifecycle
+    as write_ivf_index / write_sq_index:
+
+      <dir>/edges        — UNDIRECTED full-graph NN-descent adjacency
+      <dir>/edges_coarse — undirected adjacency of the coarse layer's
+                           OWN descent graph (the level-1 entry graph)
+      <dir>/vectors      — (vec_id, e, nrm) working table
+      <dir>/tops         — level-2 entry ids (vec_id % sample² == 0)
+
+    All four are plain parquet: at these adjacency sizes (n·2k rows)
+    the expansion join broadcasts the beam side anyway, and a plain
+    path read is what ann_graph_query_indexed does — a production
+    deployment that wants shuffle-free expansion joins registers
+    `edges` as a CATALOG table bucketed by u instead (spark.read
+    .parquet on a bucketBy output discards bucketing metadata, so
+    writing one here would be dead weight)."""
     pts, n = _descent_points(spark, sf_dir)
     g = _descent_graph(pts, n, internal_k, graph_rounds)
-    und = (
-        g.select("u", "v")
-        .union(g.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
+    _undirect(g).write.mode("overwrite").parquet(f"{index_dir}/edges")
+    gc = _coarse_descent_graph(pts, n, sample)
+    _undirect(gc).write.mode("overwrite").parquet(
+        f"{index_dir}/edges_coarse"
     )
-    (
-        und.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(8, "u")
-        .sortBy("u")
-        .option("path", f"{index_dir}/edges")
-        .saveAsTable("nn_graph_edges_tmp")
-    )
-    spark.sql("DROP TABLE IF EXISTS nn_graph_edges_tmp")
     pts.write.mode("overwrite").parquet(f"{index_dir}/vectors")
-    pts.filter(F.col("vec_id") % sample == 0).select("vec_id").write.mode(
+    stride = sample * sample
+    pts.filter(F.col("vec_id") % stride == 0).select("vec_id").write.mode(
         "overwrite"
-    ).parquet(f"{index_dir}/coarse")
+    ).parquet(f"{index_dir}/tops")
 
 
 def ann_graph_query_indexed(
@@ -871,67 +1015,19 @@ def ann_graph_query_indexed(
     k: int = TOP_K,
     beam: int = GANN_BEAM,
     rounds: int = GANN_ROUNDS,
+    coarse_rounds: int = GANN_COARSE_ROUNDS,
 ) -> DataFrame:
-    """Beam-search the PERSISTED graph index: adjacency, vectors, and
-    coarse layer read from disk — the graph build never reruns.
-    Matches ann_graph_topk row-for-row (pytest-pinned): same entries,
-    same rounds, same tie-breaks."""
+    """Beam-search the PERSISTED graph index: both adjacencies,
+    vectors, and the top-entry set read from disk — the graph build
+    never reruns. Identical to ann_graph_topk by construction (the
+    two share _gann_search; ann_graph_topk IS this function over the
+    cached index)."""
     und = spark.read.parquet(f"{index_dir}/edges")
+    und_c = spark.read.parquet(f"{index_dir}/edges_coarse")
     pts = spark.read.parquet(f"{index_dir}/vectors")
-    coarse = spark.read.parquet(f"{index_dir}/coarse").select(
+    tops = spark.read.parquet(f"{index_dir}/tops").select(
         F.col("vec_id").alias("v")
     )
-    q = pts.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    b = (
-        q.select("query_id")
-        .crossJoin(coarse)
-        .filter(F.col("v") != F.col("query_id"))
-    )
-
-    def scored(cand: DataFrame, kk: int) -> DataFrame:
-        s = (
-            cand.join(q, "query_id")
-            .join(
-                pts.select(
-                    F.col("vec_id").alias("v"),
-                    F.col("e").alias("ve"),
-                    F.col("nrm").alias("vn"),
-                ),
-                "v",
-            )
-            .select(
-                "query_id",
-                "v",
-                F.round(
-                    dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6
-                ).alias("cos"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "v")
-        return (
-            s.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= kk)
-        )
-
-    b = scored(b, beam).select("query_id", "v")
-    for _ in range(rounds):
-        exp = (
-            b.withColumnRenamed("v", "u")
-            .join(und, "u")
-            .select("query_id", "v")
-        )
-        cand = (
-            b.union(exp)
-            .filter(F.col("v") != F.col("query_id"))
-            .distinct()
-        )
-        b = scored(cand, beam).select("query_id", "v").localCheckpoint(
-            eager=True
-        )
-    return scored(b, k).select(
-        "query_id", F.col("v").alias("neighbor_id"), "cos", "rank"
+    return _gann_search(
+        pts, und, und_c, tops, k, beam, rounds, coarse_rounds
     )
