@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mimir_spark.operators import html as _html
 from mimir_spark.operators import winnow
 from mimir_spark.operators import (
     advanced,
@@ -25,6 +26,7 @@ from mimir_spark.operators import (
     editdist,
     features,
     graph,
+    html,
     ivfpq,
     lsh_index,
     mltrain,
@@ -244,6 +246,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_train": tokenizer.unigram_lm_train,
         "scd2_user_state": features.scd2_user_state,
         "winnowing_matches": winnow.winnowing_matches,
+        "html_extract_text": html.html_extract_text,
         "knn_graph_descent": similarity.knn_graph_descent,
         "ann_graph_topk": similarity.ann_graph_topk,
         "ann_graph_recall": similarity.ann_graph_recall,
@@ -2827,8 +2830,52 @@ def _label_propagation_sql(iters: int = 5) -> str:
     return "\n".join(parts)
 
 
+def _html_extract_sql() -> str:
+    """html_extract_text's expected output is a CLOSED FORM of
+    (doc_id, tokens) — the synthetic-HTML generation rule inverted:
+    extraction = 'Document {id}' + space-joined tokens; block/link
+    counts from the paragraph-wrap / nav / sidebar constants. The
+    oracle never parses HTML, so a kernel that echoed the raw doc
+    (or mis-dropped a block) hash-mismatches."""
+    h = _html
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks, len(toks) AS n_tok,
+                 {h.HTML_PARA_BASE} + doc_id % {h.HTML_PARA_RANGE} AS plen,
+                 (doc_id % {h.HTML_SIDE_SKIP_MOD} <> 0) AS has_side
+          FROM t),
+        e AS (
+          SELECT doc_id, n_tok, plen, has_side,
+                 'Document ' || doc_id
+                 || CASE WHEN n_tok > 0
+                         THEN ' ' || array_to_string(toks, ' ')
+                         ELSE '' END AS extracted_text,
+                 (n_tok + plen - 1) // plen AS n_para
+          FROM c)
+        SELECT doc_id, extracted_text,
+               length(extracted_text)::BIGINT AS extracted_len,
+               (3 + CASE WHEN has_side THEN 1 ELSE 0 END
+                  + n_para)::BIGINT AS n_blocks,
+               (1 + n_para)::BIGINT AS n_kept,
+               2::BIGINT AS n_dropped_semantic,
+               CASE WHEN has_side THEN 1 ELSE 0 END::BIGINT
+                 AS n_dropped_density,
+               ({h.HTML_NAV_BASE} + doc_id % {h.HTML_NAV_RANGE}
+                + CASE WHEN has_side
+                       THEN {h.HTML_SIDE_BASE} + doc_id % {h.HTML_SIDE_RANGE}
+                       ELSE 0 END)::BIGINT AS n_links
+        FROM e
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "html_extract_text": _html_extract_sql(),
         # Decoded-pixel features recomputed from the generation rule —
         # pixel byte j = (id*31 + j) % 256 in BOTH containers (BMP and
         # PNG share it), so channel sums and the 8-bin luminance

@@ -1,0 +1,126 @@
+"""Round-13 operators: HTML/boilerplate extraction."""
+
+from __future__ import annotations
+
+from tests.parity import SF_DIR
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---- html_extract_text -------------------------------------------------------
+
+def test_html_extractor_on_crafted_pages():
+    """The extractor is a GENERIC parser, pinned on hand-written pages
+    that the synthetic generator could never emit — nested inline
+    markup, entity soup, script containing fake tags, a link-stuffed
+    table-of-contents div, uppercase tags."""
+    from mimir_spark.operators.html import extract_page
+
+    page = """<html><head><title>x</title>
+    <script type="text/javascript">if (a < b) { track('<p>'); }</script>
+    <style>p { color: red; }</style></head><body>
+    <NAV><a href="/">home</a> <a href="/x">about</a></NAV>
+    <h1>Hello &amp; <i>welcome</i></h1>
+    <p>First   paragraph with <b>bold <i>nested</i></b> text &lt;tag&gt;.</p>
+    <div id="toc"><a href="#1">one</a> <a href="#2">two</a> <a href="#3">three</a></div>
+    <p>Second paragraph.</p>
+    <div class="body">A normal div block with a single <a href="/ref">reference</a> inside a lot of prose text.</div>
+    <footer>&copy; nobody</footer>
+    </body></html>"""
+    got = extract_page(page)
+    # block accounting: nav, h1, p, div#toc, p, div.body, footer = 7
+    assert got["n_blocks"] == 7
+    # nav + footer semantic; toc div by link density
+    assert got["n_dropped_semantic"] == 2
+    assert got["n_dropped_density"] == 1
+    assert got["n_kept"] == 4
+    # links: 2 nav + 3 toc + 1 prose div
+    assert got["n_links"] == 6
+    # kept text: h1 + two p's + prose div, entities unescaped, inline
+    # tags stripped, whitespace collapsed — and the toc dropped
+    assert got["extracted_text"] == (
+        "Hello & welcome First paragraph with bold nested text <tag>. "
+        "Second paragraph. A normal div block with a single reference "
+        "inside a lot of prose text."
+    )
+    assert got["extracted_len"] == len(got["extracted_text"])
+
+
+def test_html_low_density_anchor_block_kept():
+    """A prose block with a minority anchor survives the density gate
+    (the gate is about link-STUFFED blocks, not any block with a
+    link); a 50% anchor block does not."""
+    from mimir_spark.operators.html import extract_page
+
+    kept = extract_page(
+        "<body><p>plenty of ordinary words around one small "
+        '<a href="/x">link</a> here</p></body>'
+    )
+    assert kept["n_kept"] == 1 and "link" in kept["extracted_text"]
+    dropped = extract_page(
+        '<body><p><a href="/x">half anchor text</a> tiny rest</p></body>'
+    )
+    assert dropped["n_kept"] == 0 and dropped["n_dropped_density"] == 1
+
+
+def test_html_generator_inversion_closed_form():
+    """extract(synthesize(doc)) == the closed form the DuckDB oracle
+    computes — for edge docs: empty text, entity-bearing text,
+    multi-whitespace, the no-sidebar residue class."""
+    from mimir_spark.operators.html import (
+        HTML_SIDE_SKIP_MOD,
+        expected_extraction,
+        extract_page,
+        synthesize_page,
+    )
+
+    cases = [
+        (HTML_SIDE_SKIP_MOD * 3, ""),                 # empty, no sidebar
+        (11, 'a & b < c > d "quoted"'),               # escaping round-trip
+        (3, "  spaced   out\ttokens \n here "),       # whitespace soup
+        (5, "one"),                                   # single token
+    ]
+    for doc_id, text in cases:
+        got = extract_page(synthesize_page(doc_id, text))
+        got["doc_id"] = doc_id
+        assert got == expected_extraction(doc_id, text), (doc_id, text)
+
+
+def test_html_extract_spark_plan_is_single_scan(spark):
+    """One corpus scan, zero shuffles, column pruning reaches the
+    parquet read (doc_id + text only)."""
+    from mimir_spark.operators.html import html_extract_text
+
+    df = html_extract_text(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "doc_id:bigint,text:string" in plan.replace(" ", "")
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows and all(
+        r.n_kept + r.n_dropped_semantic + r.n_dropped_density == r.n_blocks
+        for r in rows.values()
+    )
+
+
+def test_html_extract_matches_python_replica_at_sf001(spark):
+    """Spark output == the pure-python kernel run driver-side over the
+    same corpus (pins the Arrow batch plumbing, not just the kernel)."""
+    from mimir_spark.operators.html import (
+        extract_page,
+        html_extract_text,
+        synthesize_page,
+    )
+    from mimir_spark.sources.tables import load_table
+
+    docs = {
+        r.doc_id: r.text or ""
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {r.doc_id: r.asDict() for r in html_extract_text(spark, SF_SMOKE).collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        exp = extract_page(synthesize_page(doc_id, text))
+        exp["doc_id"] = doc_id
+        assert got[doc_id] == exp, doc_id
