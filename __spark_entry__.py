@@ -247,6 +247,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": features.scd2_user_state,
         "winnowing_matches": winnow.winnowing_matches,
         "html_extract_text": html.html_extract_text,
+        "unigram_encode_ids": tokenizer.unigram_encode_ids,
         "knn_graph_descent": similarity.knn_graph_descent,
         "ann_graph_topk": similarity.ann_graph_topk,
         "ann_graph_recall": similarity.ann_graph_recall,
@@ -1488,6 +1489,70 @@ def _unigram_encode_sql() -> str:
              AS chars_per_symbol
     FROM tok JOIN best4 USING (word)
     WHERE length(word) <= {_tok.UNI_MAX_WORD}
+    GROUP BY doc_id"""
+    )
+
+
+def _unigram_encode_ids_sql() -> str:
+    """unigram_encode_ids oracle: the trainer chain through wfin, then
+    (a) deterministic piece ids by piece string order, (b) one more
+    exhaustive Viterbi segmentation KEEPING the piece sequence, (c)
+    the per-doc ordered id stream reassembled from (token position,
+    piece ordinal) and folded into the same Horner digest."""
+    from mimir_spark.operators import tokenizer as _tok
+
+    train = _unigram_sql()
+    chain = train[: train.rindex("SELECT v3.piece")]
+    return (
+        chain
+        + f""", vid AS MATERIALIZED (
+      SELECT piece,
+             (row_number() OVER (ORDER BY piece) - 1)::BIGINT AS pid
+      FROM wfin)
+    , segs5 AS (
+      SELECT word, 0::BIGINT AS pos,
+             CAST([] AS VARCHAR[]) AS pieces, 0::BIGINT AS score
+      FROM words
+      UNION ALL
+      SELECT s.word, s.pos + length(sp.piece),
+             list_append(s.pieces, sp.piece), s.score + w.w
+      FROM segs5 s
+      JOIN spans sp ON sp.word = s.word AND sp.start = s.pos + 1
+      JOIN wfin w ON w.piece = sp.piece)
+    , best5 AS MATERIALIZED (
+      SELECT word, pieces FROM segs5
+      WHERE pos = length(word)
+      QUALIFY row_number() OVER (PARTITION BY word ORDER BY score DESC,
+              list_reverse(list_transform(pieces, p -> length(p))) DESC) = 1)
+    , wid AS MATERIALIZED (
+      SELECT b.word, list(v.pid ORDER BY a.j) AS wids
+      FROM best5 b,
+           unnest(range(1, len(b.pieces) + 1)) AS a(j)
+      JOIN vid v ON v.piece = b.pieces[CAST(a.j AS INT)]
+      GROUP BY b.word)
+    , tokp AS (
+      SELECT doc_id, t[CAST(i AS INT)] AS word, i
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents),
+           unnest(range(1, len(t) + 1)) AS a(i)
+      WHERE length(t[CAST(i AS INT)]) <= {_tok.UNI_MAX_WORD})
+    , stream AS (
+      SELECT t.doc_id, t.i, b.j,
+             w.wids[CAST(b.j AS INT)]::BIGINT AS pid
+      FROM tokp t
+      JOIN wid w USING (word),
+           unnest(range(1, len(w.wids) + 1)) AS b(j))
+    SELECT doc_id,
+           count(*)::BIGINT AS n_ids,
+           list_reduce(
+             list_prepend(0::BIGINT, list(pid ORDER BY i, j)),
+             (acc, x) -> (acc * {_tok.UNI_ID_MULT} + x)
+                         % {_tok.UNI_ID_MOD})::BIGINT AS ids_digest,
+           (list(pid ORDER BY i, j))[1]::BIGINT AS first_id,
+           (list(pid ORDER BY i, j))[-1]::BIGINT AS last_id
+    FROM stream
     GROUP BY doc_id"""
     )
 
@@ -7349,6 +7414,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t WHERE n_words > 0
         """,
         "unigram_encode": _unigram_encode_sql(),
+        "unigram_encode_ids": _unigram_encode_ids_sql(),
         "dataset_mixture_plan": r"""
             WITH per_source AS (
               SELECT source, count(*)::BIGINT AS n_docs,

@@ -527,3 +527,90 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_symbol"
         ),
     )
+
+
+# ---- subword token-id emission (round 13) ------------------------------------
+# unigram_encode reports the COMPRESSION of the trained vocab; a real
+# training run needs the id STREAM itself — the thing sequence_pack /
+# write_packed_shards actually lay out into shards. Piece ids are
+# assigned deterministically by piece string order over the final
+# vocab (0-based), so the stream is a pure function of the corpus and
+# the DuckDB oracle re-derives it end-to-end.
+
+UNI_ID_MULT = 131          # Horner digest base (multimodal digest's)
+UNI_ID_MOD = 1_000_000_007
+
+
+def unigram_corpus_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SUBWORD id stream under the trained unigram vocab:
+    (doc_id, lang, ids array<long>, n_ids), ids in document order.
+
+    Plan shape: the Viterbi DP runs once per DISTINCT word (bounded
+    working vocabulary), not per occurrence — one distinct-word
+    aggregate, the fold expression over that table, then a hash join
+    back to the positional token stream and a doc-keyed aggregate that
+    reassembles order via array_sort over (word_pos, piece_pos)
+    structs. Words longer than UNI_MAX_WORD are excluded on both
+    engines (never trainable); docs with zero encodable words emit no
+    row (they pack nowhere)."""
+    vocab_rows = unigram_lm_train(spark, sf_dir).collect()
+    weights = {r["piece"]: int(r["logp_micro"]) for r in vocab_rows}
+    pid = {p: i for i, p in enumerate(sorted(weights))}
+    idmap = F.create_map(
+        *[x for p in sorted(pid) for x in (F.lit(p), F.lit(pid[p]))]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("pos", "word"),
+    ).filter(F.length("word") <= UNI_MAX_WORD)
+    wseg = (
+        tok.select("word")
+        .distinct()
+        .select(
+            "word",
+            _viterbi_pieces(F.col("word"), weights).alias("segs"),
+        )
+    )
+    pcs = (
+        tok.join(wseg, "word")
+        .select(
+            "doc_id",
+            "lang",
+            "pos",
+            F.posexplode("segs").alias("j", "piece"),
+        )
+        .withColumn("pid", F.element_at(idmap, F.col("piece")).cast("long"))
+    )
+    return pcs.groupBy("doc_id", "lang").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "j", "pid"))),
+            lambda s: s["pid"],
+        ).alias("ids"),
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+    )
+
+
+def unigram_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable projection of the id stream: per doc the id
+    count, a Horner digest of the ORDERED ids (acc·131 + id mod 1e9+7
+    — order-sensitive, so a shuffled or mis-ordered stream mismatches)
+    and the first/last ids for diagnosability.
+
+    Output: (doc_id, n_ids, ids_digest, first_id, last_id)."""
+    ids = unigram_corpus_ids(spark, sf_dir)
+    return ids.select(
+        "doc_id",
+        "n_ids",
+        F.aggregate(
+            "ids",
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(UNI_ID_MULT) + x)
+            % F.lit(UNI_ID_MOD),
+        ).alias("ids_digest"),
+        F.element_at("ids", 1).cast("long").alias("first_id"),
+        F.element_at("ids", -1).cast("long").alias("last_id"),
+    )

@@ -124,3 +124,75 @@ def test_html_extract_matches_python_replica_at_sf001(spark):
         exp = extract_page(synthesize_page(doc_id, text))
         exp["doc_id"] = doc_id
         assert got[doc_id] == exp, doc_id
+
+
+# ---- subword token-id stream → packed shards ---------------------------------
+
+def test_unigram_ids_digest_consistent_with_stream(spark):
+    """unigram_encode_ids' digest/first/last are a pure projection of
+    unigram_corpus_ids' ordered stream (recomputed driver-side)."""
+    from mimir_spark.operators.tokenizer import (
+        UNI_ID_MOD,
+        UNI_ID_MULT,
+        unigram_corpus_ids,
+        unigram_encode_ids,
+    )
+
+    ids = {r.doc_id: list(r.ids) for r in unigram_corpus_ids(spark, SF_SMOKE).collect()}
+    got = {r.doc_id: r for r in unigram_encode_ids(spark, SF_SMOKE).collect()}
+    assert set(ids) == set(got) and ids
+    for doc_id, stream in ids.items():
+        acc = 0
+        for x in stream:
+            acc = (acc * UNI_ID_MULT + x) % UNI_ID_MOD
+        r = got[doc_id]
+        assert (r.n_ids, r.ids_digest, r.first_id, r.last_id) == (
+            len(stream), acc, stream[0], stream[-1]
+        ), doc_id
+
+
+def test_packed_shards_carry_concatenated_id_stream(spark, tmp_path):
+    """The training-shard exporter packs REAL token ids: per language,
+    concatenating the shard files' per-doc id arrays in (shard, doc_id)
+    order reproduces exactly the doc_id-ordered concatenation of the
+    corpus id streams, and every doc's start_tok equals the running id
+    count (the loader's seek offset)."""
+    from mimir_spark.operators.packing import sequence_pack_token_ids
+    from mimir_spark.operators.tokenizer import unigram_corpus_ids
+    from mimir_spark.sources.io import write_packed_shards
+
+    ids_df = unigram_corpus_ids(spark, SF_SMOKE)
+    packed = sequence_pack_token_ids(ids_df)
+    out = str(tmp_path / "shards")
+    manifest = write_packed_shards(packed, out, seqs_per_shard=4).collect()
+    assert manifest
+
+    back = spark.read.parquet(out).collect()
+    by_lang: dict[str, list] = {}
+    for r in back:
+        by_lang.setdefault(r["lang"], []).append(r)
+    truth = {}
+    for r in ids_df.collect():
+        truth.setdefault(r["lang"], []).append((r["doc_id"], list(r["ids"])))
+    assert set(by_lang) == set(truth)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (r["shard"], r["doc_id"]))
+        shard_stream = [x for r in rows for x in r["ids"]]
+        expect_rows = sorted(truth[lang])
+        expect_stream = [x for _, ids in expect_rows for x in ids]
+        assert shard_stream == expect_stream, lang
+        # start_tok = running id count in doc_id order
+        run = 0
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            assert r["start_tok"] == run, (lang, r["doc_id"])
+            run += len(r["ids"])
+    # manifest totals agree with the data
+    m = {(r["lang"], r["shard"]): r for r in manifest}
+    for lang, rows in by_lang.items():
+        for r in rows:
+            key = (lang, r["shard"])
+            assert key in m
+    for (lang, shard), r in m.items():
+        docs = [x for x in by_lang[lang] if x["shard"] == shard]
+        assert r["n_docs"] == len(docs)
+        assert r["n_tokens"] == sum(len(x["ids"]) for x in docs)
