@@ -506,33 +506,22 @@ def decode_image(payload: bytes) -> tuple[int, int, int, int, int]:
     if payload[:3] == b"\xff\xd8\xff":
         from mimir_spark.operators.jpeg import (  # noqa: PLC0415
             UnsupportedJpeg,
-            decode_jpeg,
+            decode_jpeg_auto,
         )
 
         try:
-            return decode_jpeg(payload)
-        except UnsupportedJpeg:
-            try:
-                from PIL import Image  # noqa: PLC0415
-            except ImportError as exc:  # pragma: no cover - no PIL here
-                raise NotImplementedError(
-                    "non-baseline JPEG (progressive/arithmetic/12-bit) "
-                    "requires PIL (pip install pillow on the cluster "
-                    "image); baseline JPEG + BMP/PNG decode pure-Python"
-                ) from exc
-        import io
-
-        img = Image.open(io.BytesIO(payload)).convert("RGB")
-        import numpy as np
-
-        px = np.asarray(img, dtype=np.int64)
-        return (
-            img.width,
-            img.height,
-            24,
-            img.width * img.height,
-            int(px.sum()),
-        )
+            # native-codec dispatch: PIL (libjpeg) handles EVERY JPEG
+            # when importable — baseline included, so the pure-Python
+            # entropy decode is never the hot path on a cluster image;
+            # without PIL the strict baseline decoder runs and the
+            # exotic tail raises the dependency boundary below.
+            return decode_jpeg_auto(payload)
+        except UnsupportedJpeg as exc:
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/arithmetic/12-bit) "
+                "requires PIL (pip install pillow on the cluster "
+                "image); baseline JPEG + BMP/PNG decode pure-Python"
+            ) from exc
     raise ValueError("unrecognized image magic bytes")
 
 
@@ -572,10 +561,13 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mimir_spark.operators.jpeg import decode_jpeg
+        # decode_jpeg_auto: libjpeg via PIL when importable (the hot
+        # path on a real cluster image), pure-Python fallback here —
+        # identical output either way on these DC-only payloads.
+        from mimir_spark.operators.jpeg import decode_jpeg_auto
 
         for pdf in batches:
-            rows = [decode_jpeg(p) for p in pdf["payload"]]
+            rows = [decode_jpeg_auto(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

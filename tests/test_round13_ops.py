@@ -196,3 +196,48 @@ def test_packed_shards_carry_concatenated_id_stream(spark, tmp_path):
         docs = [x for x in by_lang[lang] if x["shard"] == shard]
         assert r["n_docs"] == len(docs)
         assert r["n_tokens"] == sum(len(x["ids"]) for x in docs)
+
+
+# ---- JPEG native-codec dispatch ----------------------------------------------
+
+def test_decode_jpeg_auto_fallback_branch_matches_pure():
+    """Without PIL (this container), decode_jpeg_auto IS the strict
+    pure-Python decoder — identical tuples on generated payloads."""
+    from mimir_spark.operators import jpeg
+
+    for doc_id in (0, 3, 7, 12):
+        p = jpeg.encode_jpeg_gray_blocks(doc_id)
+        assert jpeg.decode_jpeg_auto(p) == jpeg.decode_jpeg(p), doc_id
+
+
+def test_decode_jpeg_auto_prefers_native_branch(monkeypatch):
+    """Dispatch-order pin: when the PIL probe reports available, the
+    native branch is what runs (stubbed to a sentinel here since the
+    container has no PIL); a native-branch failure falls back to the
+    strict parser instead of erroring."""
+    from mimir_spark.operators import jpeg
+
+    p = jpeg.encode_jpeg_gray_blocks(5)
+    sentinel = (1, 2, 24, 2, 42)
+    monkeypatch.setattr(jpeg, "_HAVE_PIL", True)
+    monkeypatch.setattr(jpeg, "_pil_decode", lambda payload: sentinel)
+    assert jpeg.decode_jpeg_auto(p) == sentinel
+
+    def _broken(payload):
+        raise OSError("native codec refused")
+
+    monkeypatch.setattr(jpeg, "_pil_decode", _broken)
+    assert jpeg.decode_jpeg_auto(p) == jpeg.decode_jpeg(p)
+
+
+def test_decode_jpeg_auto_native_equality_when_pil_present():
+    """When PIL exists (cluster image), both branches agree on the
+    DC-only generated payloads — skipped in the hermetic container."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    from mimir_spark.operators import jpeg
+
+    for doc_id in (0, 3, 7, 12):
+        p = jpeg.encode_jpeg_gray_blocks(doc_id)
+        assert jpeg._pil_decode(p) == jpeg.decode_jpeg(p), doc_id

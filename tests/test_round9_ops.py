@@ -129,11 +129,12 @@ def test_decode_image_jpeg_without_pil_raises():
 
 
 def test_decode_image_jpeg_with_stubbed_pil(monkeypatch):
-    """Pin the PIL fallback's contract with a stub module: on a
+    """Pin the native-codec branch's contract with a stub module: on a
     NON-BASELINE payload, dispatch must call Image.open on the payload
     bytes, convert('RGB'), and emit (w, h, 24, w*h, int pixel sum)
-    from the array view."""
-    from mimir_spark.operators import multimodal
+    from the array view. (Round 13: the probe is cached in
+    jpeg._HAVE_PIL, so the stub flips it explicitly.)"""
+    from mimir_spark.operators import jpeg, multimodal
 
     arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
 
@@ -157,6 +158,7 @@ def test_decode_image_jpeg_with_stubbed_pil(monkeypatch):
     fake_pil = types.ModuleType("PIL")
     fake_pil.Image = _FakeImage
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setattr(jpeg, "_HAVE_PIL", True)
 
     w, h, bpp, n_px, total = multimodal.decode_image(
         b"\xff\xd8\xff\xc2\x00\x0bstubbed"
