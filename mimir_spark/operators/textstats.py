@@ -180,6 +180,33 @@ def lang_trigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_langid_model(
+    spark: SparkSession, sf_dir: str, model_dir: str
+) -> None:
+    """Persist the bounded trigram NB model (lang, tg, c, w, w0) as a
+    single parquet file — the frozen-artifact half of the lang-ID
+    lifecycle, matching the streaming twin's contract (score new docs
+    against a FROZEN model; never retrain inside the scoring path).
+    |model| = |langs|·|V| rows at any corpus size, so the artifact is
+    kilobytes and its read needs no partition pruning — one bounded
+    file, broadcast whole by the scorer."""
+    lang_trigram_model(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(model_dir)
+
+
+def lang_id_from_model(
+    spark: SparkSession, sf_dir: str, model_dir: str
+) -> DataFrame:
+    """lang_id's scoring tail over the PERSISTED model: identical
+    output to lang_id row-for-row (pytest round-trip pin) with zero
+    model-build stages — the per-call train is replaced by one bounded
+    parquet read."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = spark.read.parquet(model_dir)
+    return lang_id_score_docs(docs, model)
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram naive-Bayes language ID (Cavnar & Trenkle's n-gram
     text categorization recast as multinomial NB): every document's

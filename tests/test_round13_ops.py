@@ -241,3 +241,46 @@ def test_decode_jpeg_auto_native_equality_when_pil_present():
     for doc_id in (0, 3, 7, 12):
         p = jpeg.encode_jpeg_gray_blocks(doc_id)
         assert jpeg._pil_decode(p) == jpeg.decode_jpeg(p), doc_id
+
+
+# ---- frozen lang-ID model artifact -------------------------------------------
+
+def test_langid_model_roundtrip_matches_inline(spark, tmp_path):
+    """write_langid_model → lang_id_from_model equals lang_id
+    row-for-row, and so does lang_id_confidence's underlying scoring
+    path: the persisted bounded model carries the whole scorer state
+    (the streaming twin's frozen-artifact contract on the batch side).
+    The model artifact itself is bounded: |langs|·|V| rows, one file."""
+    import glob
+
+    from mimir_spark.operators.textstats import (
+        lang_id,
+        lang_id_from_model,
+        write_langid_model,
+    )
+
+    d = str(tmp_path / "langid_model")
+    write_langid_model(spark, SF_SMOKE, d)
+    files = [f for f in glob.glob(f"{d}/*.parquet")]
+    assert len(files) == 1  # bounded single-file artifact
+    model = spark.read.parquet(d)
+    assert model.count() <= 7 * 1400  # documented bound
+
+    got = {tuple(r) for r in lang_id_from_model(spark, SF_SMOKE, d).collect()}
+    expect = {tuple(r) for r in lang_id(spark, SF_SMOKE).collect()}
+    assert got == expect and got
+
+
+def test_langid_from_model_runs_zero_train_stages(spark, tmp_path, monkeypatch):
+    """The frozen-model scorer never re-enters the trainer — poisoned
+    like the graph-ANN builder pin."""
+    from mimir_spark.operators import textstats
+
+    d = str(tmp_path / "langid_model2")
+    textstats.write_langid_model(spark, SF_SMOKE, d)
+
+    def _boom(*a, **kw):  # pragma: no cover - executed only on failure
+        raise AssertionError("model build re-entered on frozen artifact")
+
+    monkeypatch.setattr(textstats, "lang_trigram_model", _boom)
+    assert textstats.lang_id_from_model(spark, SF_SMOKE, d).count() > 0
