@@ -129,65 +129,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks queries() in order and covers a
 # ~50-key window per round, so the first ~50 keys ARE the round's gate.
-# Round-12 lead: the 5 brand-new / rewritten keys (unigram_lm_train,
-# ann_graph_topk/recall, lang_id v2, pii_scrub v2), the 3 keys whose
-# implementation changed (winnowing anti-join pair, wau twin gate),
-# then ALL 17 relational queries that moved to size-gated broadcasts
-# this round, then every remaining key whose latest driver hash is
-# r5-vintage (23) plus the head of the r6 backlog — keeping every
-# key's driver-hash recency <= 7 rounds (the pytest oracle-parity
-# suite covers the interim on every run).
-_R12_WINDOW = [
-    "k_truss",
-    "holt_winters_hourly",
-    "frequent_pairs",
-    "rake_keywords",
-    "lang_id_confidence",
-    "mixture_sample_docs",
-    "mlm_span_corruption_plan",
-    "readability_scores",
-    "unigram_encode",
-    "unigram_lm_train",
+# Round-13 lead (sized so the critical 45 all land inside a 50-key
+# window — round 12's tail 8 fell off the cut, which is exactly how
+# the r05-vintage keys stayed stale): the 2 brand-new keys
+# (html_extract_text, unigram_encode_ids), the 5 keys whose
+# implementation changed this round (two-level cached graph-ANN pair,
+# k_truss fixpoint exit, RAKE TakeOrdered top-k, JPEG codec dispatch),
+# then the 7 keys whose latest driver hash is r05-vintage, then ALL 31
+# r06-vintage keys, then the oldest r08 keys as padding — after this
+# round no key's driver row predates r08.
+_R13_WINDOW = [
+    # new this round
+    "html_extract_text",
+    "unigram_encode_ids",
+    # implementation changed this round
     "ann_graph_topk",
     "ann_graph_recall",
-    "lang_id",
-    "pii_scrub",
-    "winnowing_matches",
-    "winnow_clusters",
-    "wau_hll_sliding",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_bracketed_revenue",
-    "approx_quantiles",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_qty_revenue",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "ann_ivf_recall",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "bigram_logppl",
-    "bpe_encode",
-    "bpe_train",
-    "chunk_documents",
-    "corpus_snapshot_diff",
-    "cross_source_duplication",
-    "decontaminate_corpus",
-    "dedup_lsh_query_indexed",
-    "degree_distribution",
-    "heavy_hitters_cms",
-    "hll_distinct",
-    "k_anonymity_report",
-    "max_dup_span",
+    "k_truss",
+    "rake_keywords",
+    "multimodal_decode_jpeg",
+    # r05-vintage driver rows (the round-12 rotation gap)
     "minhash_dedup_recall",
     "multimodal_decode_bmp",
     "multimodal_resize_digest",
@@ -195,14 +156,50 @@ _R12_WINDOW = [
     "retrieval_hard_negatives",
     "shuffle_skew_report",
     "window_funnel",
+    # r06-vintage driver rows
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "sessionize",
+    "event_windows",
+    "q4_order_priority",
+    "funnel_conversion",
+    "dedup_exact",
+    "dedup_prefix",
+    "dup_span_fraction",
+    "dedup_span_removal",
+    "dup_span_islands",
+    "dedup_survivors",
     "ann_bruteforce_topk",
     "ann_range_search",
+    "knn_graph",
+    "triangle_count",
+    "bpe_pair_counts",
+    "top_ngrams_per_lang",
+    "sample_stratified",
+    "gopher_quality_filter",
+    "quality_topk_select",
+    "zipf_slope",
+    "cooccurrence_pmi",
+    "unigram_logppl",
+    "histogram_quantiles",
+    "ddsketch_quantiles",
+    "sample_weighted",
+    "anomaly_zscore",
+    "cohort_retention",
+    "event_windows_sliding",
+    "hourly_value_correlation",
+    # r08 padding (next-oldest rows)
+    "wordcount",
+    "wordcount_topk",
+    "inverted_index",
+    "octree_bin",
+    "octree_adaptive",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    out = {k: base[k] for k in _R12_WINDOW}
+    out = {k: base[k] for k in _R13_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
