@@ -49,6 +49,7 @@ from mimir_spark.operators import (
     textstats,
     textstats2,
     tokenizer,
+    urls,
     weighted,
 )
 
@@ -131,8 +132,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ~50-key window per round, so the first ~50 keys ARE the round's gate.
 # Round-13 lead (sized so the critical 45 all land inside a 50-key
 # window — round 12's tail 8 fell off the cut, which is exactly how
-# the r05-vintage keys stayed stale): the 2 brand-new keys
-# (html_extract_text, unigram_encode_ids), the 5 keys whose
+# the r05-vintage keys stayed stale): the 4 brand-new keys
+# (html_extract_text, unigram_encode_ids, url_normalize,
+# url_dedup_survivors), the 5 keys whose
 # implementation changed this round (two-level cached graph-ANN pair,
 # k_truss fixpoint exit, RAKE TakeOrdered top-k, JPEG codec dispatch),
 # then the 7 keys whose latest driver hash is r05-vintage, then ALL 31
@@ -142,6 +144,8 @@ _R13_WINDOW = [
     # new this round
     "html_extract_text",
     "unigram_encode_ids",
+    "url_normalize",
+    "url_dedup_survivors",
     # implementation changed this round
     "ann_graph_topk",
     "ann_graph_recall",
@@ -245,6 +249,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_matches": winnow.winnowing_matches,
         "html_extract_text": html.html_extract_text,
         "unigram_encode_ids": tokenizer.unigram_encode_ids,
+        "url_normalize": urls.url_normalize,
+        "url_dedup_survivors": urls.url_dedup_survivors,
         "knn_graph_descent": similarity.knn_graph_descent,
         "ann_graph_topk": similarity.ann_graph_topk,
         "ann_graph_recall": similarity.ann_graph_recall,
@@ -1551,6 +1557,72 @@ def _unigram_encode_ids_sql() -> str:
            (list(pid ORDER BY i, j))[-1]::BIGINT AS last_id
     FROM stream
     GROUP BY doc_id"""
+    )
+
+
+def _url_parts_sql() -> str:
+    """Shared closed-form of the URL generation rule (urls.py): cid,
+    tld, mirror prefix — the oracle never parses a URL."""
+    from mimir_spark.operators import urls as _u
+
+    tlds = ", ".join(f"'{t}'" for t in _u.URL_TLDS)
+    prefixes = ", ".join(f"'{p}'" for p in _u.URL_PREFIXES)
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 doc_id // {_u.URL_DOCS_PER_PAGE} AS cid,
+                 [{tlds}][CAST((doc_id // {_u.URL_DOCS_PER_PAGE})
+                          % {len(_u.URL_TLDS)} AS INT) + 1] AS tld,
+                 [{prefixes}][CAST(doc_id % {len(_u.URL_PREFIXES)} AS INT)
+                          + 1] AS prefix
+          FROM documents)"""
+
+
+def _url_normalize_sql() -> str:
+    from mimir_spark.operators import urls as _u
+
+    return (
+        _url_parts_sql()
+        + f"""
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+               || '://' || prefix || 'example' || (cid % {_u.URL_SITES})::VARCHAR
+               || '.' || tld || '/p/' || cid::VARCHAR
+               || '?utm_source=feed&utm_campaign=c' || (doc_id % 5)::VARCHAR
+               || (CASE WHEN doc_id % 3 <> 2
+                        THEN '&ref=r' || (doc_id % 3)::VARCHAR
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END)
+                 AS url,
+               'https://example' || (cid % {_u.URL_SITES})::VARCHAR || '.'
+               || tld || '/p/' || cid::VARCHAR AS norm_url,
+               'example' || (cid % {_u.URL_SITES})::VARCHAR || '.' || tld
+                 AS domain,
+               (CASE WHEN doc_id % 3 <> 2 THEN 3 ELSE 2 END)::BIGINT
+                 AS n_tracking,
+               (CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS had_fragment
+        FROM c"""
+    )
+
+
+def _url_dedup_sql() -> str:
+    from mimir_spark.operators import urls as _u
+
+    blocked = ", ".join(f"'{t}'" for t in _u.BLOCKED_TLDS)
+    return (
+        _url_parts_sql()
+        + f"""
+        , g AS (
+          SELECT cid, tld, count(*)::BIGINT AS n_docs,
+                 min(doc_id)::BIGINT AS survivor_doc_id
+          FROM c GROUP BY cid, tld)
+        SELECT 'https://example' || (cid % {_u.URL_SITES})::VARCHAR || '.'
+               || tld || '/p/' || cid::VARCHAR AS norm_url,
+               'example' || (cid % {_u.URL_SITES})::VARCHAR || '.' || tld
+                 AS domain,
+               n_docs, survivor_doc_id
+        FROM g WHERE tld NOT IN ({blocked})"""
     )
 
 
@@ -7412,6 +7484,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unigram_encode": _unigram_encode_sql(),
         "unigram_encode_ids": _unigram_encode_ids_sql(),
+        "url_normalize": _url_normalize_sql(),
+        "url_dedup_survivors": _url_dedup_sql(),
         "dataset_mixture_plan": r"""
             WITH per_source AS (
               SELECT source, count(*)::BIGINT AS n_docs,

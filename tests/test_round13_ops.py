@@ -284,3 +284,79 @@ def test_langid_from_model_runs_zero_train_stages(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(textstats, "lang_trigram_model", _boom)
     assert textstats.lang_id_from_model(spark, SF_SMOKE, d).count() > 0
+
+
+# ---- URL / domain curation ----------------------------------------------------
+
+def test_url_normalizer_on_crafted_urls(spark):
+    """The normalizer is generic: mixed-case host, kept non-tracking
+    params get SORTED, tracking params dropped, mirror prefixes and
+    scheme collapse, fragments stripped — on hand-written URLs the
+    generator never emits."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators.urls import normalize_url_cols
+
+    raws = [
+        ("http://WWW.Site.COM/a/b?z=2&utm_source=x&a=1#top",),
+        ("https://m.site.com/a/b?a=1&z=2",),
+        ("https://site.com/a/b?utm_campaign=c&z=2&a=1&gclid=g",),
+        ("http://amp.other.org",),
+        ("https://other.org?ref=tw",),
+    ]
+    df = spark.createDataFrame(raws, "url string")
+    cols = normalize_url_cols(F.col("url"))
+    got = df.select(
+        "url",
+        cols["norm_url"].alias("n"),
+        cols["domain"].alias("d"),
+        cols["n_tracking"].alias("t"),
+        cols["had_fragment"].alias("f"),
+    ).collect()
+    by_url = {r.url: r for r in got}
+    # all three site.com variants normalize identically
+    assert (
+        by_url[raws[0][0]].n
+        == by_url[raws[1][0]].n
+        == by_url[raws[2][0]].n
+        == "https://site.com/a/b?a=1&z=2"
+    )
+    assert by_url[raws[0][0]].d == "site.com"
+    assert by_url[raws[0][0]].t == 1 and by_url[raws[0][0]].f == 1
+    assert by_url[raws[2][0]].t == 2 and by_url[raws[2][0]].f == 0
+    # bare-host URLs: empty path, tracking-only query drops entirely
+    assert by_url[raws[3][0]].n == "https://other.org"
+    assert by_url[raws[4][0]].n == "https://other.org"
+
+
+def test_url_dedup_groups_and_blocklist(spark):
+    """Every canonical page groups its URL_DOCS_PER_PAGE consecutive
+    docs (mirror prefix + scheme + tracking noise collapse), survivor
+    is the lowest doc_id, and no blocked-TLD domain survives."""
+    from mimir_spark.operators.urls import (
+        BLOCKED_TLDS,
+        URL_DOCS_PER_PAGE,
+        url_dedup_survivors,
+    )
+
+    rows = url_dedup_survivors(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert not any(r.domain.endswith("." + t) for t in BLOCKED_TLDS)
+        assert 1 <= r.n_docs <= URL_DOCS_PER_PAGE
+        assert r.survivor_doc_id % URL_DOCS_PER_PAGE == 0 or r.n_docs == 1
+        assert r.norm_url.startswith("https://" + r.domain + "/p/")
+
+
+def test_url_normalize_plan_jvm_side(spark):
+    """Normalization is JVM expression work (one Project over the
+    scan — the higher-order filter/array_sort lambdas opt that
+    projection out of whole-stage codegen, but it is still Tungsten
+    expression eval): no Python/Arrow eval anywhere, no exchange."""
+    from mimir_spark.operators.urls import url_normalize
+
+    df = url_normalize(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Project" in plan
