@@ -132,9 +132,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ~50-key window per round, so the first ~50 keys ARE the round's gate.
 # Round-13 lead (sized so the critical 45 all land inside a 50-key
 # window — round 12's tail 8 fell off the cut, which is exactly how
-# the r05-vintage keys stayed stale): the 4 brand-new keys
-# (html_extract_text, unigram_encode_ids, url_normalize,
-# url_dedup_survivors), the 5 keys whose
+# the r05-vintage keys stayed stale): the 5 brand-new keys
+# (html_extract_text, unigram_encode_ids, bpe_encode_ids,
+# url_normalize, url_dedup_survivors), the 5 keys whose
 # implementation changed this round (two-level cached graph-ANN pair,
 # k_truss fixpoint exit, RAKE TakeOrdered top-k, JPEG codec dispatch),
 # then the 7 keys whose latest driver hash is r05-vintage, then ALL 31
@@ -144,6 +144,7 @@ _R13_WINDOW = [
     # new this round
     "html_extract_text",
     "unigram_encode_ids",
+    "bpe_encode_ids",
     "url_normalize",
     "url_dedup_survivors",
     # implementation changed this round
@@ -249,6 +250,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_matches": winnow.winnowing_matches,
         "html_extract_text": html.html_extract_text,
         "unigram_encode_ids": tokenizer.unigram_encode_ids,
+        "bpe_encode_ids": tokenizer.bpe_encode_ids,
         "url_normalize": urls.url_normalize,
         "url_dedup_survivors": urls.url_dedup_survivors,
         "knn_graph_descent": similarity.knn_graph_descent,
@@ -1652,6 +1654,50 @@ def _bpe_encode_sql(n_merges: int = 10) -> str:
            sum(n_symbols)::BIGINT AS total_symbols,
            round(sum(n_chars_v0) / sum(n_symbols), 6) AS chars_per_symbol
     FROM tok JOIN wl USING (word) JOIN we USING (word)
+    GROUP BY doc_id"""
+
+
+def _bpe_encode_ids_sql(n_merges: int = 10) -> str:
+    """bpe_encode_ids oracle: the merge-replay chain's final segmented
+    vocab v{n}, symbol ids by string order over the segmented symbol
+    universe, per-doc positional stream + Horner digest (the
+    _unigram_encode_ids_sql recipe on the BPE side)."""
+    from mimir_spark.operators import tokenizer as _tok
+
+    return f"""WITH {_bpe_ctes(n_merges, with_word=True)},
+    wsym AS MATERIALIZED (
+      SELECT word, string_split(s, ' ') AS syms FROM v{n_merges}),
+    vid AS MATERIALIZED (
+      SELECT sym, (row_number() OVER (ORDER BY sym) - 1)::BIGINT AS pid
+      FROM (SELECT DISTINCT unnest(syms) AS sym FROM wsym)),
+    wid AS MATERIALIZED (
+      SELECT w.word, list(v.pid ORDER BY a.j) AS wids
+      FROM wsym w,
+           unnest(range(1, len(w.syms) + 1)) AS a(j)
+      JOIN vid v ON v.sym = w.syms[CAST(a.j AS INT)]
+      GROUP BY w.word),
+    tokp AS (
+      SELECT doc_id, t[CAST(i AS INT)] AS word, i
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents),
+           unnest(range(1, len(t) + 1)) AS a(i)),
+    stream AS (
+      SELECT t.doc_id, t.i, b.j,
+             w.wids[CAST(b.j AS INT)]::BIGINT AS pid
+      FROM tokp t
+      JOIN wid w USING (word),
+           unnest(range(1, len(w.wids) + 1)) AS b(j))
+    SELECT doc_id,
+           count(*)::BIGINT AS n_ids,
+           list_reduce(
+             list_prepend(0::BIGINT, list(pid ORDER BY i, j)),
+             (acc, x) -> (acc * {_tok.UNI_ID_MULT} + x)
+                         % {_tok.UNI_ID_MOD})::BIGINT AS ids_digest,
+           (list(pid ORDER BY i, j))[1]::BIGINT AS first_id,
+           (list(pid ORDER BY i, j))[-1]::BIGINT AS last_id
+    FROM stream
     GROUP BY doc_id"""
 
 
@@ -7484,6 +7530,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unigram_encode": _unigram_encode_sql(),
         "unigram_encode_ids": _unigram_encode_ids_sql(),
+        "bpe_encode_ids": _bpe_encode_ids_sql(),
         "url_normalize": _url_normalize_sql(),
         "url_dedup_survivors": _url_dedup_sql(),
         "dataset_mixture_plan": r"""

@@ -614,3 +614,82 @@ def unigram_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ids", 1).cast("long").alias("first_id"),
         F.element_at("ids", -1).cast("long").alias("last_id"),
     )
+
+
+def bpe_corpus_ids(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> DataFrame:
+    """Per-document SUBWORD id stream under the trained BPE merge
+    table — unigram_corpus_ids' twin on the second tokenizer, so the
+    shard exporter can pack either trainer's output. Symbol ids are
+    assigned by symbol string order over the segmented corpus's
+    symbol universe (bounded: ≤ alphabet + n_merges symbols).
+    Merges apply once per DISTINCT word (the chained fold expression);
+    the positional stream reassembles exactly like the unigram path.
+
+    Output: (doc_id, lang, ids array<long>, n_ids)."""
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train(spark, sf_dir, n_merges).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("pos", "word"),
+    )
+    syms = F.filter(F.split("word", ""), lambda c: c != "")
+    col = syms
+    for left, right in rules:
+        col = _apply_merge(col, left, right)
+    wseg = (
+        tok.select("word").distinct().select("word", col.alias("segs"))
+        .localCheckpoint(eager=True)
+    )
+    universe = sorted(
+        r["sym"]
+        for r in wseg.select(
+            F.explode("segs").alias("sym")
+        ).distinct().collect()
+    )
+    idmap = F.create_map(
+        *[x for i, p in enumerate(universe) for x in (F.lit(p), F.lit(i))]
+    )
+    pcs = (
+        tok.join(wseg, "word")
+        .select(
+            "doc_id", "lang", "pos", F.posexplode("segs").alias("j", "piece")
+        )
+        .withColumn("pid", F.element_at(idmap, F.col("piece")).cast("long"))
+    )
+    return pcs.groupBy("doc_id", "lang").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "j", "pid"))),
+            lambda s: s["pid"],
+        ).alias("ids"),
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+    )
+
+
+def bpe_encode_ids(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> DataFrame:
+    """Driver-hashable projection of the BPE id stream — same digest
+    contract as unigram_encode_ids.
+
+    Output: (doc_id, n_ids, ids_digest, first_id, last_id)."""
+    ids = bpe_corpus_ids(spark, sf_dir, n_merges)
+    return ids.select(
+        "doc_id",
+        "n_ids",
+        F.aggregate(
+            "ids",
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(UNI_ID_MULT) + x)
+            % F.lit(UNI_ID_MOD),
+        ).alias("ids_digest"),
+        F.element_at("ids", 1).cast("long").alias("first_id"),
+        F.element_at("ids", -1).cast("long").alias("last_id"),
+    )

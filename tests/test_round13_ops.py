@@ -360,3 +360,33 @@ def test_url_normalize_plan_jvm_side(spark):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Project" in plan
+
+
+def test_bpe_ids_cross_pin_against_bpe_encode(spark):
+    """bpe_encode_ids' per-doc id count equals bpe_encode's
+    total_symbols (two independent code paths over the same merges),
+    and the stream digests are consistent with bpe_corpus_ids."""
+    from mimir_spark.operators.tokenizer import (
+        UNI_ID_MOD,
+        UNI_ID_MULT,
+        bpe_corpus_ids,
+        bpe_encode,
+        bpe_encode_ids,
+    )
+
+    totals = {
+        r.doc_id: r.total_symbols
+        for r in bpe_encode(spark, SF_SMOKE).collect()
+    }
+    got = {r.doc_id: r for r in bpe_encode_ids(spark, SF_SMOKE).collect()}
+    assert set(got) == set(totals) and got
+    for doc_id, r in got.items():
+        assert r.n_ids == totals[doc_id], doc_id
+    streams = {
+        r.doc_id: list(r.ids) for r in bpe_corpus_ids(spark, SF_SMOKE).collect()
+    }
+    for doc_id, stream in streams.items():
+        acc = 0
+        for x in stream:
+            acc = (acc * UNI_ID_MULT + x) % UNI_ID_MOD
+        assert got[doc_id].ids_digest == acc, doc_id
