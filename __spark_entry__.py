@@ -193,12 +193,10 @@ _R13_WINDOW = [
     "cohort_retention",
     "event_windows_sliding",
     "hourly_value_correlation",
-    # r08 padding (next-oldest rows)
+    # r08 padding (next-oldest rows; exactly 50 total — entries past
+    # the driver's 50-key cut are NOT checked, the round-12 lesson)
     "wordcount",
     "wordcount_topk",
-    "inverted_index",
-    "octree_bin",
-    "octree_adaptive",
 ]
 
 
