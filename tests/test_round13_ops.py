@@ -390,3 +390,49 @@ def test_bpe_ids_cross_pin_against_bpe_encode(spark):
         for x in stream:
             acc = (acc * UNI_ID_MULT + x) % UNI_ID_MOD
         assert got[doc_id].ids_digest == acc, doc_id
+
+
+def test_streaming_url_dedup_matches_batch(spark, tmp_path):
+    """Micro-batch URL dedup partials merge to the batch operator's
+    exact output, independent of batch boundaries (min/sum are
+    order-insensitive merges)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators.urls import url_dedup_survivors
+    from mimir_spark.sources.tables import load_table
+    from mimir_spark.streaming.urldedup import (
+        finalize_url_dedup,
+        streaming_url_dedup,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # split so canonical-URL pairs (doc 2c, 2c+1) STRADDLE batches —
+    # the merge, not the batching, must produce the global min/count
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+
+    q = streaming_url_dedup(
+        spark, flat, str(tmp_path / "partials"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in finalize_url_dedup(spark, str(tmp_path / "partials"))
+        .select("norm_url", "domain", "n_docs", "survivor_doc_id")
+        .collect()
+    }
+    want = {tuple(r) for r in url_dedup_survivors(spark, SF_SMOKE).collect()}
+    assert got == want and got
