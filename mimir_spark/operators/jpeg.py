@@ -607,8 +607,17 @@ def decode_jpeg_auto(payload: bytes) -> tuple[int, int, int, int, int]:
     if _pil_available():
         try:
             return _pil_decode(payload)
-        except Exception:
-            # PIL refused something the strict parser may still accept
-            # (or will reject with a precise error) — fall through.
-            pass
+        except Exception as pil_exc:
+            # PIL refused; the strict parser may still accept (or will
+            # reject with a precise error). Never LOSE the PIL error:
+            # if the strict parser's only complaint is "non-baseline"
+            # then PIL was the right decoder and ITS error is the real
+            # diagnostic (decode_image would otherwise tell the user
+            # to install the pillow that is already installed).
+            try:
+                return decode_jpeg(payload)
+            except UnsupportedJpeg:
+                raise pil_exc
+            except Exception as strict_exc:
+                raise strict_exc from pil_exc
     return decode_jpeg(payload)

@@ -99,6 +99,27 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack_docs(load_table(spark, sf_dir, "documents"))
 
 
+def _pack_layout(toks: DataFrame) -> DataFrame:
+    """The packing derivation proper over a (doc_id, lang, n_tokens,
+    …passthrough) frame: distributed prefix sum → seq_id → straddle
+    count — ONE source of truth for the layout rule, so the word-count
+    and token-id shard paths can never desynchronize."""
+    return (
+        distributed_prefix_sum(
+            toks, "lang", "doc_id", "n_tokens", out_col="start_tok"
+        )
+        .withColumn("seq_id", F.expr(f"start_tok div {SEQ_LEN}"))
+        .withColumn(
+            "n_seqs",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(f"(start_tok + n_tokens - 1) div {SEQ_LEN}")
+                - F.col("seq_id")
+                + 1
+            ),
+        )
+    )
+
+
 def sequence_pack_docs(docs: DataFrame) -> DataFrame:
     """sequence_pack over an arbitrary (doc_id, lang, text) corpus —
     the composition point: a corpus-build feeds the KEPT docs
@@ -109,21 +130,7 @@ def sequence_pack_docs(docs: DataFrame) -> DataFrame:
         "lang",
         F.size(tokens_col("text")).cast("long").alias("n_tokens"),
     )
-    packed = (
-        distributed_prefix_sum(
-            toks, "lang", "doc_id", "n_tokens", out_col="start_tok"
-        )
-        .withColumn("seq_id", F.expr(f"start_tok div {SEQ_LEN}"))
-        .withColumn(
-            "n_seqs",
-            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
-                F.expr(f"(start_tok + n_tokens - 1) div {SEQ_LEN}")
-                - F.col("seq_id")
-                + 1
-            ),
-        )
-    )
-    return packed.select(
+    return _pack_layout(toks).select(
         "doc_id", "lang", "n_tokens", "start_tok", "seq_id", "n_seqs"
     )
 
@@ -131,32 +138,18 @@ def sequence_pack_docs(docs: DataFrame) -> DataFrame:
 def sequence_pack_token_ids(ids_df: DataFrame) -> DataFrame:
     """sequence_pack over an already-TOKENIZED id stream — the layout
     an actual training run uses, where the stream is subword ids from
-    the trained tokenizer (unigram_corpus_ids / a BPE twin), not
+    the trained tokenizer (unigram_corpus_ids / bpe_corpus_ids), not
     whitespace words. Input: (doc_id, lang, ids array<long>); output
     carries the ids through so write_packed_shards materializes the
     real token stream into the shard files (pytest pins that each
     lang's shard-concatenated stream equals the doc_id-ordered
     concatenation of per-doc ids, and start_tok equals the running id
-    count). Same two-level distributed prefix sum as sequence_pack —
-    no per-language single-task window at any corpus size."""
+    count). Same layout rule and two-level distributed prefix sum as
+    sequence_pack, via the shared _pack_layout."""
     toks = ids_df.select(
         "doc_id", "lang", "ids", F.size("ids").cast("long").alias("n_tokens")
     )
-    packed = (
-        distributed_prefix_sum(
-            toks, "lang", "doc_id", "n_tokens", out_col="start_tok"
-        )
-        .withColumn("seq_id", F.expr(f"start_tok div {SEQ_LEN}"))
-        .withColumn(
-            "n_seqs",
-            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
-                F.expr(f"(start_tok + n_tokens - 1) div {SEQ_LEN}")
-                - F.col("seq_id")
-                + 1
-            ),
-        )
-    )
-    return packed.select(
+    return _pack_layout(toks).select(
         "doc_id", "lang", "ids", "n_tokens", "start_tok", "seq_id", "n_seqs"
     )
 

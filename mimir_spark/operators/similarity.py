@@ -641,17 +641,14 @@ def _descent_scored_topk(pts: DataFrame, cand: DataFrame, kk: int) -> DataFrame:
     )
 
 
-def _descent_graph(
-    pts: DataFrame, n: int, internal_k: int, n_rounds: int
+def _descent_rounds(
+    pts: DataFrame, seed: DataFrame, internal_k: int, n_rounds: int
 ) -> DataFrame:
-    """The NN-descent loop proper: ring seed → n_rounds of
-    neighbors-of-neighbors propose + re-rank. Returns the directed
-    width-internal_k graph (u, v)."""
-    seed = pts.select("vec_id").selectExpr(
-        "vec_id AS u",
-        f"explode(transform(sequence(1, {internal_k}),"
-        f" i -> (vec_id + i) % {n})) AS v",
-    )
+    """The NN-descent loop proper over an arbitrary point set and seed
+    graph: n_rounds of neighbors-of-neighbors propose + re-rank —
+    shared by the full-graph and coarse-layer builds so the round body
+    (and its DuckDB oracle replica) has exactly one source of truth.
+    Returns the directed width-internal_k graph (u, v)."""
     g = seed
     for _ in range(n_rounds):
         und = g.select("u", "v").union(
@@ -670,6 +667,19 @@ def _descent_graph(
             .localCheckpoint(eager=True)
         )
     return g
+
+
+def _descent_graph(
+    pts: DataFrame, n: int, internal_k: int, n_rounds: int
+) -> DataFrame:
+    """Full-graph NN-descent: ring seed over the dense 0..n−1 ids,
+    then the shared round loop."""
+    seed = pts.select("vec_id").selectExpr(
+        "vec_id AS u",
+        f"explode(transform(sequence(1, {internal_k}),"
+        f" i -> (vec_id + i) % {n})) AS v",
+    )
+    return _descent_rounds(pts, seed, internal_k, n_rounds)
 
 
 # ---- graph-ANN query path (round 12; two-level entry + persisted-index
@@ -707,24 +717,7 @@ def _coarse_descent_graph(
         f"explode(transform(sequence(1, {kp}),"
         f" i -> ((vec_id div {sample} + i) % {m}) * {sample})) AS v",
     )
-    g = seed
-    for _ in range(grounds):
-        und = g.select("u", "v").union(
-            g.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        nn = (
-            und.select(F.col("u").alias("x"), F.col("v").alias("w"))
-            .join(und.select("u", F.col("v").alias("x")), "x")
-            .filter(F.col("u") != F.col("w"))
-            .select("u", F.col("w").alias("v"))
-        )
-        cand = nn.union(g.select("u", "v")).distinct()
-        g = (
-            _descent_scored_topk(cpts, cand, kp)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-    return g
+    return _descent_rounds(cpts, seed, kp, grounds)
 
 
 def _undirect(g: DataFrame) -> DataFrame:
@@ -860,11 +853,14 @@ def _gann_cached_index(
     query batch — skip the descent build entirely."""
     import os
     import shutil
+    import uuid
 
     d = _gann_cache_dir(sf_dir, internal_k, graph_rounds, sample)
     marker = os.path.join(d, "_INDEX_COMPLETE")
     if not os.path.exists(marker):
-        tmp = f"{d}.build-{os.getpid()}"
+        # uuid (not just pid) so concurrent builders — including two
+        # threads of one process — never interleave writes in one tmp
+        tmp = f"{d}.build-{uuid.uuid4().hex}"
         write_nn_graph_index(
             spark, sf_dir, tmp,
             internal_k=internal_k,
@@ -876,8 +872,16 @@ def _gann_cached_index(
         try:
             os.rename(tmp, d)
         except OSError:
-            # another builder won the race; its index is equivalent
-            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(marker):
+                # a COMPLETE index won the race; equivalent by
+                # determinism — discard ours
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # the destination is stale/partial (e.g. a tmp cleaner
+                # aged out files but left the dir) — replace it with
+                # the fresh build rather than serving the broken one
+                shutil.rmtree(d, ignore_errors=True)
+                os.rename(tmp, d)
     return d
 
 
