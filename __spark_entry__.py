@@ -249,6 +249,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_text": html.html_extract_text,
         "unigram_encode_ids": tokenizer.unigram_encode_ids,
         "bpe_encode_ids": tokenizer.bpe_encode_ids,
+        "unigram_encode_ids_frozen": tokenizer.unigram_encode_ids_frozen,
+        "bpe_encode_ids_frozen": tokenizer.bpe_encode_ids_frozen,
+        "byte_bpe_encode_ids": tokenizer.byte_bpe_encode_ids,
         "url_normalize": urls.url_normalize,
         "url_dedup_survivors": urls.url_dedup_survivors,
         "knn_graph_descent": similarity.knn_graph_descent,
@@ -1172,7 +1175,39 @@ def _icws_containment_ctes(threshold: float = 0.8) -> str:
     return ",\n".join(parts)
 
 
-def _bpe_ctes(n_merges: int = 10, with_word: bool = False) -> str:
+_CHAR_SYM_SQL = (
+    "array_to_string(list_filter(string_split(word, ''),"
+    " c -> c <> ''), ' ')"
+)
+
+
+def _byte_sym_sql() -> str:
+    """UTF-8 byte symbolization (DuckDB dialect): encode → hex →
+    per-byte lookup into the literal GPT-2 byte-to-unicode table —
+    the closed form of tokenizer._byte_syms, space-joined for the
+    shared merge-fold chain."""
+    from mimir_spark.operators import tokenizer as _tok
+
+    items = ", ".join(
+        "''''" if c == "'" else f"'{c}'" for c in _tok.BYTE_TABLE
+    )
+    hx = "hex(encode(word))"
+    idx = (
+        f"(strpos('0123456789ABCDEF',"
+        f" substring({hx}, CAST(2*i-1 AS INT), 1)) - 1) * 16"
+        f" + strpos('0123456789ABCDEF',"
+        f" substring({hx}, CAST(2*i AS INT), 1))"
+    )
+    return (
+        f"array_to_string(list_transform("
+        f"range(1, octet_length(encode(word)) + 1),"
+        f" i -> [{items}][CAST({idx} AS INT)]), ' ')"
+    )
+
+
+def _bpe_ctes(
+    n_merges: int = 10, with_word: bool = False, sym_sql: str | None = None
+) -> str:
     """Unrolled sequential-BPE CTE chain: v0 = char-split (word, wc)
     vocab; per round k, pair counts (p{k}) → deterministic argmax
     winner (w{k}, MATERIALIZED — it is referenced by both the next
@@ -1184,12 +1219,13 @@ def _bpe_ctes(n_merges: int = 10, with_word: bool = False) -> str:
     (_safe_merge_prefix) is provably sequential-equivalent, so the
     sequential oracle pins it. `with_word` keeps the word column
     through the chain (the encode oracle joins it back to the
-    corpus)."""
+    corpus). `sym_sql` overrides the v0 symbolization (default: char
+    split; the byte-level trainer passes _byte_sym_sql())."""
+    sym = sym_sql or _CHAR_SYM_SQL
     parts = [
-        r"""v0 AS MATERIALIZED (
+        rf"""v0 AS MATERIALIZED (
       SELECT word, count(*)::BIGINT AS wc,
-             array_to_string(list_filter(string_split(word, ''),
-                                         c -> c <> ''), ' ') AS s
+             {sym} AS s
       FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                       x -> x <> '')) AS word
             FROM documents)
@@ -1655,14 +1691,18 @@ def _bpe_encode_sql(n_merges: int = 10) -> str:
     GROUP BY doc_id"""
 
 
-def _bpe_encode_ids_sql(n_merges: int = 10) -> str:
+def _bpe_encode_ids_sql(
+    n_merges: int = 10, sym_sql: str | None = None
+) -> str:
     """bpe_encode_ids oracle: the merge-replay chain's final segmented
     vocab v{n}, symbol ids by string order over the segmented symbol
     universe, per-doc positional stream + Horner digest (the
-    _unigram_encode_ids_sql recipe on the BPE side)."""
+    _unigram_encode_ids_sql recipe on the BPE side). With
+    sym_sql=_byte_sym_sql() this is the byte_bpe_encode_ids oracle —
+    the whole downstream chain is symbolization-agnostic."""
     from mimir_spark.operators import tokenizer as _tok
 
-    return f"""WITH {_bpe_ctes(n_merges, with_word=True)},
+    return f"""WITH {_bpe_ctes(n_merges, with_word=True, sym_sql=sym_sql)},
     wsym AS MATERIALIZED (
       SELECT word, string_split(s, ' ') AS syms FROM v{n_merges}),
     vid AS MATERIALIZED (
@@ -2632,6 +2672,22 @@ def _nnd_sql(
     return "\n".join(parts)
 
 
+def _gann_oracle_n() -> int:
+    """Row count of the gate-corpus embeddings table (the driver
+    compares at sf0.01) — the oracle must unroll the SAME layer count
+    the Spark auto-L formula derives from n. Footer-only pyarrow read;
+    falls back to the generated corpus's stable 500 if the file is
+    unreadable at SQL-build time."""
+    try:
+        import pyarrow.parquet as _pq
+
+        return _pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).metadata.num_rows
+    except Exception:
+        return 500
+
+
 def _gann_ctes(
     k: int = 5,
     beam: int = 8,
@@ -2644,23 +2700,30 @@ def _gann_ctes(
     kpc: int = 6,
     groundsc: int = 4,
     crounds: int = 3,
+    n_layers: int | None = None,
 ) -> str:
-    """Two-level beam-search CTE chain over the NN-descent graphs,
+    """L-layer beam-search CTE chain over the NN-descent graphs,
     ending in a CTE `gtopk(query_id, neighbor_id, cos, rank)` —
-    replaying the round-13 Spark path literally: (1) full descent
-    graph (g{grounds} → und); (2) COARSE-LAYER descent graph over the
-    vec_id % sample == 0 subset, ring-seeded on the dense
-    cid = vec_id/sample (cg{groundsc} → und_c); (3) entry = score the
-    query against the vec_id % sample² == 0 top set, keep top-beam;
-    (4) `crounds` beam rounds expanding along und_c, then `brounds`
-    rounds along und — each round 6dp cosine vs the query, top-beam
-    (cos desc, v), query's own node excluded throughout."""
+    replaying the round-14 Spark path literally: (1) full descent
+    graph (g{grounds} → und); (2) per coarse layer ℓ = L−1..1, a
+    descent graph over the vec_id % sample^ℓ == 0 subset, ring-seeded
+    on the dense cid = vec_id/sample^ℓ (l{ℓ}g{groundsc} → l{ℓ}und);
+    (3) entry = score the query against the vec_id % sample^L == 0
+    top set, keep top-beam; (4) `crounds` beam rounds expanding along
+    each l{ℓ}und top-down, then `brounds` rounds along und — each
+    round 6dp cosine vs the query, top-beam (cos desc, v), query's
+    own node excluded throughout. L defaults to the Spark auto-layer
+    formula at the gate corpus's n (L=2 at n=500, sample=16 — the
+    round-13 two-level chain falls out as the special case)."""
+    from mimir_spark.operators.similarity import _gann_n_layers
+
+    lyr = n_layers or _gann_n_layers(_gann_oracle_n(), sample)
     dot_ab = _nnd_dot(dim)
     dot_qb = (
         f"list_sum(list_transform(generate_series(1, {dim}),"
         f" i -> q.e[i] * b.e[i]))"
     )
-    stride = sample * sample
+    stride_top = sample**lyr
     score_tpl = f"""sc{{tag}} AS (
       SELECT c.query_id, c.v,
              round({dot_qb} / (q.nrm * b.nrm), 6) AS cos
@@ -2676,66 +2739,73 @@ def _gann_ctes(
         f""", und AS MATERIALIZED (
       SELECT DISTINCT u, v FROM (
         SELECT u, v FROM g{grounds}
-        UNION ALL SELECT v AS u, u AS v FROM g{grounds}) q)
-    , pts_c AS MATERIALIZED (
-      SELECT vec_id, (vec_id // {sample}) AS cid
-      FROM pts WHERE vec_id % {sample} = 0)
-    , nc0 AS (SELECT count(*) AS m FROM pts_c)
-    , cg0 AS (
+        UNION ALL SELECT v AS u, u AS v FROM g{grounds}) q)"""
+    )
+    for ell in range(1, lyr):
+        stride = sample**ell
+        parts.append(
+            f""", l{ell}pts AS MATERIALIZED (
+      SELECT vec_id, (vec_id // {stride}) AS cid
+      FROM pts WHERE vec_id % {stride} = 0)
+    , l{ell}n0 AS (SELECT count(*) AS m FROM l{ell}pts)
+    , l{ell}g0 AS (
       SELECT vec_id AS u,
              unnest(list_transform(generate_series(1, {kpc}),
-                    i -> ((cid + i) % m) * {sample})) AS v
-      FROM pts_c CROSS JOIN nc0)"""
-    )
-    for r in range(1, groundsc + 1):
-        parts.append(
-            f""", cb{r} AS (
-      SELECT u, v FROM cg{r - 1}
-      UNION ALL SELECT v AS u, u AS v FROM cg{r - 1})
-    , cc{r} AS (
+                    i -> ((cid + i) % m) * {stride})) AS v
+      FROM l{ell}pts CROSS JOIN l{ell}n0)"""
+        )
+        for r in range(1, groundsc + 1):
+            parts.append(
+                f""", l{ell}b{r} AS (
+      SELECT u, v FROM l{ell}g{r - 1}
+      UNION ALL SELECT v AS u, u AS v FROM l{ell}g{r - 1})
+    , l{ell}c{r} AS (
       SELECT DISTINCT u, v FROM (
         SELECT e2.u AS u, e1.v AS v
-        FROM cb{r} e1 JOIN cb{r} e2 ON e1.u = e2.v
+        FROM l{ell}b{r} e1 JOIN l{ell}b{r} e2 ON e1.u = e2.v
         WHERE e2.u <> e1.v
-        UNION ALL SELECT u, v FROM cg{r - 1}) q)
-    , cg{r} AS MATERIALIZED (
+        UNION ALL SELECT u, v FROM l{ell}g{r - 1}) q)
+    , l{ell}g{r} AS MATERIALIZED (
       SELECT u, v FROM (
         SELECT c.u, c.v,
                row_number() OVER (
                  PARTITION BY c.u
                  ORDER BY round({dot_ab} / (a.nrm * b.nrm), 6) DESC,
                           c.v) AS rk
-        FROM cc{r} c
+        FROM l{ell}c{r} c
         JOIN pts a ON a.vec_id = c.u
         JOIN pts b ON b.vec_id = c.v) q
       WHERE rk <= {kpc})"""
+            )
+        parts.append(
+            f""", l{ell}und AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM l{ell}g{groundsc}
+        UNION ALL SELECT v AS u, u AS v FROM l{ell}g{groundsc}) q)"""
         )
     parts.append(
-        f""", und_c AS MATERIALIZED (
-      SELECT DISTINCT u, v FROM (
-        SELECT u, v FROM cg{groundsc}
-        UNION ALL SELECT v AS u, u AS v FROM cg{groundsc}) q)
-    , qids AS (SELECT vec_id AS query_id FROM pts WHERE vec_id < {n_queries})
+        f""", qids AS (SELECT vec_id AS query_id FROM pts WHERE vec_id < {n_queries})
     , candt0 AS (
       SELECT query_id, e.v
       FROM qids, (SELECT vec_id AS v FROM pts
-                  WHERE vec_id % {stride} = 0) e
+                  WHERE vec_id % {stride_top} = 0) e
       WHERE e.v <> query_id)
     , {score_tpl.format(tag='t0', kk=beam)}"""
     )
     prev = "beamt0"
-    for r in range(1, crounds + 1):
-        parts.append(
-            f""", candc{r} AS (
+    for ell in range(lyr - 1, 0, -1):
+        for r in range(1, crounds + 1):
+            parts.append(
+                f""", candc{ell}_{r} AS (
       SELECT DISTINCT query_id, v FROM (
         SELECT query_id, v FROM {prev}
         UNION ALL
         SELECT bm.query_id, u2.v
-        FROM {prev} bm JOIN und_c u2 ON u2.u = bm.v) q
+        FROM {prev} bm JOIN l{ell}und u2 ON u2.u = bm.v) q
       WHERE v <> query_id)
-    , {score_tpl.format(tag=f'c{r}', kk=beam)}"""
-        )
-        prev = f"beamc{r}"
+    , {score_tpl.format(tag=f'c{ell}_{r}', kk=beam)}"""
+            )
+            prev = f"beamc{ell}_{r}"
     for r in range(1, brounds + 1):
         parts.append(
             f""", cand{r} AS (
@@ -7529,6 +7599,16 @@ def oracle_sql() -> dict[str, str]:
         "unigram_encode": _unigram_encode_sql(),
         "unigram_encode_ids": _unigram_encode_ids_sql(),
         "bpe_encode_ids": _bpe_encode_ids_sql(),
+        # The frozen gate keys encode from the persisted model
+        # artifact; the artifact round-trips the trainer's bounded
+        # output exactly (pytest-pinned), so the oracle is the SAME
+        # unrolled train+encode chain — a drifted artifact would
+        # hash-mismatch here.
+        "unigram_encode_ids_frozen": _unigram_encode_ids_sql(),
+        "bpe_encode_ids_frozen": _bpe_encode_ids_sql(),
+        "byte_bpe_encode_ids": _bpe_encode_ids_sql(
+            sym_sql=_byte_sym_sql()
+        ),
         "url_normalize": _url_normalize_sql(),
         "url_dedup_survivors": _url_dedup_sql(),
         "dataset_mixture_plan": r"""

@@ -138,9 +138,41 @@ HEADLINE = [
 BEST_OF_3 = {"dedup_containment_lsh", "dedup_clusters_lsh", "pagerank"}
 
 
+# Quiet-box gate (round 14): r13's artifact recorded six 1.3-1.8×
+# phantom regressions on provably-unchanged code because the box was
+# busy (its own env block showed load15 4.37); the verdict had to
+# re-measure solo. Gate RECORDING on the pre-run 5-min load average:
+# wait (poll) until load5 drops below the threshold, give up after
+# LOAD_WAIT_MAX_SEC and stamp "noisy": true so the driver/judge can
+# discount the numbers instead of adjudicating them from prose.
+LOAD5_QUIET = float(os.environ.get("SPARK_GRAFT_LOAD5_QUIET", "2.0"))
+LOAD_WAIT_MAX_SEC = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
+
+
+def _wait_for_quiet_box() -> tuple[bool, float]:
+    """Returns (noisy, pre_run_load5). Polls every 20s until load5 <
+    LOAD5_QUIET or the wait budget runs out. The PRE-run load is the
+    honest signal — once Spark's 32 threads start, loadavg measures the
+    bench itself."""
+    try:
+        load5 = os.getloadavg()[1]
+    except OSError:  # pragma: no cover - non-POSIX only
+        return False, -1.0
+    deadline = time.monotonic() + LOAD_WAIT_MAX_SEC
+    while load5 >= LOAD5_QUIET and time.monotonic() < deadline:
+        print(
+            f"# box busy (load5 {load5:.2f} >= {LOAD5_QUIET}); waiting",
+            file=sys.stderr,
+        )
+        time.sleep(20)
+        load5 = os.getloadavg()[1]
+    return load5 >= LOAD5_QUIET, round(load5, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    noisy, pre_load5 = _wait_for_quiet_box()
     spark = get_spark("mimir_spark_bench")
     # Several finalizers run a DELIBERATE single-partition window over
     # k-bounded inputs (post-limit pools, O(bins) sketch tables, a
@@ -323,6 +355,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": {
             "loadavg": loadavg,
+            "pre_run_load5": pre_load5,
+            "noisy": noisy,
             "cpu_ref_sec": _cpu_ref_sec(),
             "cpus": os.cpu_count(),
         },

@@ -598,12 +598,20 @@ def decode_jpeg_auto(payload: bytes) -> tuple[int, int, int, int, int]:
     isn't (this hermetic container), fall back to the strict
     pure-Python baseline decoder.
 
-    Output equality across branches holds on the oracle-checked
-    payloads by construction (DC-only blocks, all-ones quant table —
-    any conforming decoder is bit-exact there; javax.imageio agreement
-    is pytest-pinned) and the dispatch order itself is pinned by a
-    monkeypatched pytest, so the gate key's hash is identical
-    whichever branch runs."""
+    Output equality across branches is GUARANTEED only for the
+    DC-only generated payloads the oracle checks (DC-only blocks,
+    all-ones quant table — any conforming decoder is bit-exact there;
+    javax.imageio agreement is pytest-pinned), and the dispatch order
+    itself is pinned by a monkeypatched pytest, so the gate key's hash
+    is identical whichever branch runs. For ARBITRARY baseline JPEGs
+    with nonzero AC coefficients the two branches can legitimately
+    differ by ±1/pixel in IDCT rounding (JPEG permits it; ISO/IEC
+    10918-1 Annex A accuracy bounds) — callers needing bit-stable
+    output across environments should pin one branch. The
+    native-equality pytest (test_decode_jpeg_auto_native_equality_
+    when_pil_present) runs wherever pillow is installed; this hermetic
+    container has no PIL, so it importorskips here and first runs for
+    real on a pillow-equipped image."""
     if _pil_available():
         try:
             return _pil_decode(payload)

@@ -177,10 +177,19 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — so the integration layer adds no new scan of text. Fusing
     them in one plan (instead of materializing per-stage corpora) is
     what makes clean→filter→dedup→decontaminate one job at 100 TB.
-    Oracle: the conjunction of the four stages' own oracle chains."""
+    Oracle: the conjunction of the four stages' own oracle chains.
+
+    Shared-scan discipline (round 14): the LSH leg used to run TWICE —
+    dedup_clusters for membership and dedup_survivors for the
+    keep-one-per-cluster set each re-derived signatures → banding →
+    candidate verify → min-label propagation. The cluster table is now
+    computed ONCE, localCheckpointed, and the losers derived from it
+    with one window (rn > 1 under the survivor order) — identical
+    output, half the LSH stages."""
     from mimir_spark.operators.corpus import decontaminate_corpus
-    from mimir_spark.operators.dedup import dedup_clusters, dedup_survivors
+    from mimir_spark.operators.dedup import dedup_clusters
     from mimir_spark.operators.quality import gopher_quality_filter
+    from pyspark.sql import Window
 
     clean = corpus_clean_pipeline(spark, sf_dir)
     gop = (
@@ -188,13 +197,24 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("passes_gopher") == 1)
         .select("doc_id")
     )
-    clustered = dedup_clusters(spark, sf_dir, pair_source="lsh").select(
-        "doc_id"
+    clusters = dedup_clusters(spark, sf_dir, pair_source="lsh").localCheckpoint(
+        eager=True
     )
-    survivors = dedup_survivors(spark, sf_dir, pair_source="lsh").select(
-        F.col("survivor_doc_id").alias("doc_id")
+    docs_len = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
     )
-    losers = clustered.join(survivors, "doc_id", "left_anti")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    # dedup_survivors' keep rule (longest doc, ties → lowest id): the
+    # non-rank-1 members ARE the losers — no second cluster build, no
+    # anti-join
+    losers = (
+        clusters.join(docs_len, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
     decont = decontaminate_corpus(spark, sf_dir).select("doc_id")
     return (
         clean.join(gop, "doc_id", "left_semi")

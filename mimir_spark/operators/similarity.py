@@ -687,35 +687,57 @@ def _descent_graph(
 
 GANN_BEAM = 8     # beam width
 GANN_ROUNDS = 3   # synchronous expansion rounds on the FULL graph
-GANN_SAMPLE = 16  # coarse layer: every GANN_SAMPLE-th id
-GANN_COARSE_KP = 6       # descent width of the coarse-layer graph
-GANN_COARSE_GROUNDS = 4  # descent rounds of the coarse-layer graph
-GANN_COARSE_ROUNDS = 3   # beam rounds ON the coarse layer (2 leaves the
+GANN_SAMPLE = 16  # layer subsampling factor: layer ℓ keeps every
+                  # GANN_SAMPLE^ℓ-th id
+GANN_COARSE_KP = 6       # descent width of each coarse-layer graph
+GANN_COARSE_GROUNDS = 4  # descent rounds of each coarse-layer graph
+GANN_COARSE_ROUNDS = 3   # beam rounds PER coarse layer (2 leaves the
                          # manifold corpus 0.94 — one hop short of the
                          # best coarse cell; 3 reaches 1.0, pytest-pinned)
+GANN_TOP_TARGET = 4      # max size of the exhaustively-scored top
+                         # entry set — the auto-layer formula adds
+                         # layers until n/sample^L ≤ this, so entry
+                         # cost is CORPUS-INDEPENDENT (HNSW's log-layer
+                         # argument: L ≈ log_sample(n/top_target))
 
 
-def _coarse_descent_graph(
+def _gann_n_layers(
+    n: int, sample: int, top_target: int = GANN_TOP_TARGET
+) -> int:
+    """Smallest L ≥ 1 with n/sample^L ≤ top_target — the HNSW layer
+    count. At the gate corpus (n=500, sample=16) this is 2 (the
+    round-13 two-level structure, which the unrolled oracle replays);
+    at sf0.1 (n=2000) it is 3, so the bench exercises a deeper
+    stack."""
+    lyr = 1
+    cap = sample
+    while n / cap > top_target:
+        lyr += 1
+        cap *= sample
+    return lyr
+
+
+def _layer_descent_graph(
     pts: DataFrame,
     n: int,
-    sample: int,
+    stride: int,
     kp: int = GANN_COARSE_KP,
     grounds: int = GANN_COARSE_GROUNDS,
 ) -> DataFrame:
-    """NN-descent over the COARSE layer only (vec_id % sample == 0) —
-    the upper-layer proximity graph of the two-level entry. Because
-    vec_ids are dense 0..n−1 (the same documented assumption as the
-    full descent's ring seed), cid = vec_id/sample is dense 0..m−1, so
-    the ring seed is ((cid + i) mod m)·sample with no re-keying pass.
-    Directed width-kp edges in vec_id space."""
-    m = (n - 1) // sample + 1
-    cpts = pts.filter(F.col("vec_id") % sample == 0).localCheckpoint(
+    """NN-descent over ONE coarse layer (vec_id % stride == 0) — the
+    layer-ℓ proximity graph of the L-layer entry (stride = sample^ℓ).
+    Because vec_ids are dense 0..n−1 (the same documented assumption
+    as the full descent's ring seed), cid = vec_id/stride is dense
+    0..m−1, so the ring seed is ((cid + i) mod m)·stride with no
+    re-keying pass. Directed width-kp edges in vec_id space."""
+    m = (n - 1) // stride + 1
+    cpts = pts.filter(F.col("vec_id") % stride == 0).localCheckpoint(
         eager=True
     )
     seed = cpts.selectExpr(
         "vec_id AS u",
         f"explode(transform(sequence(1, {kp}),"
-        f" i -> ((vec_id div {sample} + i) % {m}) * {sample})) AS v",
+        f" i -> ((vec_id div {stride} + i) % {m}) * {stride})) AS v",
     )
     return _descent_rounds(cpts, seed, kp, grounds)
 
@@ -731,16 +753,17 @@ def _undirect(g: DataFrame) -> DataFrame:
 def _gann_search(
     pts: DataFrame,
     und: DataFrame,
-    und_coarse: DataFrame,
+    layer_adjs: list[DataFrame],
     tops: DataFrame,
     k: int,
     beam: int,
     rounds: int,
     coarse_rounds: int,
 ) -> DataFrame:
-    """The two-level beam search proper, over ALREADY-MATERIALIZED
-    state (vectors+norms, full adjacency, coarse adjacency, top-entry
-    ids) — shared verbatim by ann_graph_topk (cached index) and
+    """The L-layer beam search proper, over ALREADY-MATERIALIZED
+    state (vectors+norms, full adjacency, the coarse-layer adjacencies
+    TOP-DOWN in `layer_adjs` (ℓ = L−1 … 1), top-entry ids) — shared
+    verbatim by ann_graph_topk (cached index) and
     ann_graph_query_indexed (explicit index dir), so the two paths
     cannot drift. Every per-round table is (queries × beam)-bounded."""
     q = pts.filter(F.col("vec_id") < N_QUERIES).select(
@@ -803,8 +826,9 @@ def _gann_search(
         .filter(F.col("v") != F.col("query_id"))
     )
     b = scored(b, beam).select("query_id", "v")
-    b = beam_rounds(b, und_coarse, coarse_rounds)  # walk the coarse layer
-    b = beam_rounds(b, und, rounds)                # then the full graph
+    for adj in layer_adjs:       # walk the coarse layers, top-down
+        b = beam_rounds(b, adj, coarse_rounds)
+    b = beam_rounds(b, und, rounds)  # then the full graph
     return scored(b, k).select(
         "query_id", F.col("v").alias("neighbor_id"), "cos", "rank"
     )
@@ -816,9 +840,13 @@ def _gann_cache_dir(
     graph_rounds: int,
     sample: int,
 ) -> str:
-    """Deterministic per-(data, build-params) cache location for the
-    graph index. The key folds in the embeddings file's (mtime, size)
-    so a regenerated dataset can never serve a stale graph."""
+    """Deterministic per-(user, data, build-params) cache location for
+    the graph index. The key folds in the embeddings file's (mtime,
+    size) so a regenerated dataset can never serve a stale graph. The
+    cache root is scoped PER USER (uid suffix, created 0700): a shared
+    tempdir root would let the first user's 755 parent dir break later
+    users' builds with PermissionError, and would trust any
+    pre-planted same-named dir."""
     import hashlib
     import os
     import tempfile
@@ -830,13 +858,18 @@ def _gann_cache_dir(
     except OSError:
         stamp = "nostat"
     key = (
+        # the v2/t component versions the L-layer index format: an old
+        # two-level cache dir (edges_coarse layout) keys differently
+        # and is never read by the new query path
         f"{src}|{stamp}|k{internal_k}g{graph_rounds}s{sample}"
         f"c{GANN_COARSE_KP}.{GANN_COARSE_GROUNDS}"
+        f"t{GANN_TOP_TARGET}v2"
     )
     h = hashlib.md5(key.encode()).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), "mimir_spark_idx", f"nn_graph_{h}"
-    )
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(), f"mimir_spark_idx-{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return os.path.join(root, f"nn_graph_{h}")
 
 
 def _gann_cached_index(
@@ -850,12 +883,25 @@ def _gann_cached_index(
     cache dir on first use (atomic rename, so a concurrent builder
     can't expose a half-written index) and return the dir. Repeat
     calls — the recall report, the bench's best-of-2, every later
-    query batch — skip the descent build entirely."""
+    query batch — skip the descent build entirely. Orphaned
+    *.build-<uuid> dirs from crashed builders are swept opportunistically
+    once they are clearly abandoned (>1h old)."""
     import os
     import shutil
+    import time
     import uuid
 
     d = _gann_cache_dir(sf_dir, internal_k, graph_rounds, sample)
+    root = os.path.dirname(d)
+    try:
+        for entry in os.listdir(root):
+            if ".build-" not in entry:
+                continue
+            p = os.path.join(root, entry)
+            if time.time() - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
     marker = os.path.join(d, "_INDEX_COMPLETE")
     if not os.path.exists(marker):
         # uuid (not just pid) so concurrent builders — including two
@@ -902,18 +948,21 @@ def ann_graph_topk(
     deterministic and unrollable: FIXED beam width, FIXED round
     counts, (cos desc, id) tie-breaks.
 
-    TWO-LEVEL ENTRY (round 13 — HNSW's actual answer, replacing the
-    round-12 flat 1/sample scan whose entry cost was corpus-LINEAR):
-    level 2 is the O(n/sample²) top-entry set (vec_id % sample² == 0)
-    scored exhaustively; level 1 is the coarse layer (vec_id % sample
-    == 0) carrying its OWN NN-descent graph, walked for
-    `coarse_rounds` beam rounds from the level-2 winners; the coarse
-    winners then seed `rounds` beam rounds on the full graph. Scored
-    candidates per query = n/sample² + (coarse_rounds+rounds)·beam·
-    (2·width+1) — the linear term's coefficient drops from 1/sample
-    to 1/sample², and deeper corpora add layers the same way (each
-    layer a 1/sample subsample with its own descent graph), keeping
-    entry cost O(log n)·beam·width like HNSW.
+    L-LAYER ENTRY (round 14 — HNSW's actual construction, closing the
+    round-13 residual where the n/sample² top set was still
+    corpus-LINEAR): layer ℓ (ℓ = 1..L−1) is the 1/sample^ℓ subsample
+    (vec_id % sample^ℓ == 0) carrying its OWN NN-descent graph; L is
+    chosen automatically so the top entry set (vec_id % sample^L ==
+    0) has ≤ GANN_TOP_TARGET ids (_gann_n_layers — L ≈
+    log_sample(n/top_target), HNSW's log-layer argument). The top set
+    is scored exhaustively (BOUNDED, corpus-independent), then each
+    coarse layer is walked top-down for `coarse_rounds` beam rounds,
+    and the layer-1 winners seed `rounds` beam rounds on the full
+    graph. Scored candidates per query = top_target +
+    ((L−1)·coarse_rounds + rounds)·beam·(2·width+1) — NO term grows
+    linearly with n; only the layer COUNT grows, logarithmically. At
+    the gate corpus (n=500) L=2 (the round-13 structure the unrolled
+    oracle replays); at sf0.1 (n=2000) L=3.
 
     BUILD ONCE, QUERY MANY (round 13): the descent graphs are read
     from the persisted index (write_nn_graph_index) via a
@@ -980,18 +1029,28 @@ def write_nn_graph_index(
     internal_k: int = NND_INTERNAL_K,
     graph_rounds: int = NND_ROUNDS,
     sample: int = GANN_SAMPLE,
+    n_layers: int | None = None,
 ) -> None:
-    """Materialize the graph-ANN index — the build-once/query-many
-    layout for the descent family, closing the same index lifecycle
-    as write_ivf_index / write_sq_index:
+    """Materialize the L-LAYER graph-ANN index — the
+    build-once/query-many layout for the descent family, closing the
+    same index lifecycle as write_ivf_index / write_sq_index:
 
-      <dir>/edges        — UNDIRECTED full-graph NN-descent adjacency
-      <dir>/edges_coarse — undirected adjacency of the coarse layer's
-                           OWN descent graph (the level-1 entry graph)
-      <dir>/vectors      — (vec_id, e, nrm) working table
-      <dir>/tops         — level-2 entry ids (vec_id % sample² == 0)
+      <dir>/edges          — UNDIRECTED full-graph NN-descent adjacency
+      <dir>/edges_layer_ℓ  — undirected adjacency of layer ℓ's OWN
+                             descent graph over vec_id % sample^ℓ == 0,
+                             for ℓ = 1..L−1
+      <dir>/vectors        — (vec_id, e, nrm) working table
+      <dir>/tops           — entry ids (vec_id % sample^L == 0,
+                             ≤ GANN_TOP_TARGET of them under auto-L)
+      <dir>/meta           — (sample, n_layers): the reader derives the
+                             layer file set from this, so index layout
+                             and query path can never disagree on L
 
-    All four are plain parquet: at these adjacency sizes (n·2k rows)
+    n_layers=None → auto (see _gann_n_layers): layers are added until
+    the top set is ≤ GANN_TOP_TARGET ids, making entry cost
+    corpus-INDEPENDENT — the HNSW log-layer construction.
+
+    All files are plain parquet: at these adjacency sizes (n·2k rows)
     the expansion join broadcasts the beam side anyway, and a plain
     path read is what ann_graph_query_indexed does — a production
     deployment that wants shuffle-free expansion joins registers
@@ -999,17 +1058,22 @@ def write_nn_graph_index(
     .parquet on a bucketBy output discards bucketing metadata, so
     writing one here would be dead weight)."""
     pts, n = _descent_points(spark, sf_dir)
+    lyr = n_layers or _gann_n_layers(n, sample)
     g = _descent_graph(pts, n, internal_k, graph_rounds)
     _undirect(g).write.mode("overwrite").parquet(f"{index_dir}/edges")
-    gc = _coarse_descent_graph(pts, n, sample)
-    _undirect(gc).write.mode("overwrite").parquet(
-        f"{index_dir}/edges_coarse"
-    )
+    for ell in range(1, lyr):
+        gc = _layer_descent_graph(pts, n, sample**ell)
+        _undirect(gc).write.mode("overwrite").parquet(
+            f"{index_dir}/edges_layer_{ell}"
+        )
     pts.write.mode("overwrite").parquet(f"{index_dir}/vectors")
-    stride = sample * sample
+    stride = sample**lyr
     pts.filter(F.col("vec_id") % stride == 0).select("vec_id").write.mode(
         "overwrite"
     ).parquet(f"{index_dir}/tops")
+    spark.createDataFrame(
+        [(sample, lyr)], "sample int, n_layers int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
 def ann_graph_query_indexed(
@@ -1021,17 +1085,22 @@ def ann_graph_query_indexed(
     rounds: int = GANN_ROUNDS,
     coarse_rounds: int = GANN_COARSE_ROUNDS,
 ) -> DataFrame:
-    """Beam-search the PERSISTED graph index: both adjacencies,
+    """Beam-search the PERSISTED graph index: every layer adjacency,
     vectors, and the top-entry set read from disk — the graph build
-    never reruns. Identical to ann_graph_topk by construction (the
-    two share _gann_search; ann_graph_topk IS this function over the
-    cached index)."""
+    never reruns. The layer count comes from the index's own meta
+    file. Identical to ann_graph_topk by construction (the two share
+    _gann_search; ann_graph_topk IS this function over the cached
+    index)."""
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
     und = spark.read.parquet(f"{index_dir}/edges")
-    und_c = spark.read.parquet(f"{index_dir}/edges_coarse")
+    layer_adjs = [
+        spark.read.parquet(f"{index_dir}/edges_layer_{ell}")
+        for ell in range(int(meta["n_layers"]) - 1, 0, -1)
+    ]
     pts = spark.read.parquet(f"{index_dir}/vectors")
     tops = spark.read.parquet(f"{index_dir}/tops").select(
         F.col("vec_id").alias("v")
     )
     return _gann_search(
-        pts, und, und_c, tops, k, beam, rounds, coarse_rounds
+        pts, und, layer_adjs, tops, k, beam, rounds, coarse_rounds
     )

@@ -127,8 +127,9 @@ def bpe_train(
     merges specialize, and the guard never trades a merge for speed.
 
     Memoized per (corpus stamp, n_merges) — see _TRAIN_MEMO below."""
-    memo_key = ("bpe", _corpus_stamp(sf_dir), n_merges, batch_m)
-    if memo_key in _TRAIN_MEMO:
+    stamp = _corpus_stamp(sf_dir)
+    memo_key = None if stamp is None else ("bpe", stamp, n_merges, batch_m)
+    if memo_key is not None and memo_key in _TRAIN_MEMO:
         return spark.createDataFrame(
             _TRAIN_MEMO[memo_key],
             "step long, left string, right string, merged string,"
@@ -139,9 +140,30 @@ def bpe_train(
         F.count("*").cast("long").alias("wc")
     )
     symbols = vocab.select(
-        "wc", F.filter(F.split("word", ""), lambda c: c != "").alias("syms")
+        "wc", _char_syms(F.col("word")).alias("syms")
     ).localCheckpoint(eager=True)
+    merges = _bpe_train_loop(symbols, n_merges, batch_m)
+    if memo_key is not None:
+        _TRAIN_MEMO[memo_key] = merges
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, pair_count long"
+    )
 
+
+def _char_syms(word_col: F.Column) -> F.Column:
+    """UTF-16-code-unit symbolization — the char-level trainers'
+    alphabet (BMP-only parity, the documented token_count_cjk
+    caveat)."""
+    return F.filter(F.split(word_col, ""), lambda c: c != "")
+
+
+def _bpe_train_loop(
+    symbols: DataFrame, n_merges: int, batch_m: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The merge-learning loop proper over an arbitrary pre-symbolized
+    (wc, syms) vocabulary — shared by the char-level and byte-level
+    trainers so the round body (pair count → safe prefix → fold apply)
+    has exactly one source of truth."""
     merges: list[tuple[int, str, str, str, int]] = []
     applied_since_checkpoint = 0
     while len(merges) < n_merges:
@@ -173,10 +195,7 @@ def bpe_train(
         if applied_since_checkpoint >= 4:
             symbols = symbols.localCheckpoint(eager=True)
             applied_since_checkpoint = 0
-    _TRAIN_MEMO[memo_key] = merges
-    return spark.createDataFrame(
-        merges, "step long, left string, right string, merged string, pair_count long"
-    )
+    return merges
 
 
 def bpe_encode(
@@ -390,7 +409,11 @@ def _viterbi_pieces(word_col, vocab: dict[str, int]):
 _TRAIN_MEMO: dict[tuple, list] = {}
 
 
-def _corpus_stamp(sf_dir: str) -> tuple:
+def _corpus_stamp(sf_dir: str) -> tuple | None:
+    """(path, mtime_ns, size) freshness stamp, or None when the stat
+    fails — a failed stat is UNCACHEABLE (returning a 'nostat' stamp
+    would let a long-lived process serve stale trainer rows after the
+    dataset regenerates behind a transient stat failure)."""
     import os
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
@@ -398,7 +421,7 @@ def _corpus_stamp(sf_dir: str) -> tuple:
         st = os.stat(src)
         return (src, st.st_mtime_ns, st.st_size)
     except OSError:
-        return (src, "nostat")
+        return None
 
 
 def unigram_lm_train(
@@ -440,8 +463,9 @@ def unigram_lm_train(
     id-stream ops / best-of-2 bench runs) rebuild the DataFrame from
     the cached bounded rows instead of re-running the EM loop.
     """
-    memo_key = ("unigram", _corpus_stamp(sf_dir))
-    if memo_key in _TRAIN_MEMO:
+    stamp = _corpus_stamp(sf_dir)
+    memo_key = None if stamp is None else ("unigram", stamp)
+    if memo_key is not None and memo_key in _TRAIN_MEMO:
         return spark.createDataFrame(
             _TRAIN_MEMO[memo_key],
             "piece string, n_chars int, count long, logp_micro long",
@@ -533,7 +557,8 @@ def unigram_lm_train(
         (p, len(p), int(final_counts[p]), int(final_w[p]))
         for p in sorted(final_counts)
     ]
-    _TRAIN_MEMO[memo_key] = rows
+    if memo_key is not None:
+        _TRAIN_MEMO[memo_key] = rows
     return spark.createDataFrame(
         rows, "piece string, n_chars int, count long, logp_micro long"
     )
@@ -584,7 +609,11 @@ UNI_ID_MULT = 131          # Horner digest base (multimodal digest's)
 UNI_ID_MOD = 1_000_000_007
 
 
-def unigram_corpus_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unigram_corpus_ids(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
     """Per-document SUBWORD id stream under the trained unigram vocab:
     (doc_id, lang, ids array<long>, n_ids), ids in document order.
 
@@ -595,9 +624,14 @@ def unigram_corpus_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembles order via array_sort over (word_pos, piece_pos)
     structs. Words longer than UNI_MAX_WORD are excluded on both
     engines (never trainable); docs with zero encodable words emit no
-    row (they pack nowhere)."""
-    vocab_rows = unigram_lm_train(spark, sf_dir).collect()
-    weights = {r["piece"]: int(r["logp_micro"]) for r in vocab_rows}
+    row (they pack nowhere).
+
+    `weights` (piece → micro-nat log-prob) may be supplied by a caller
+    that loaded a FROZEN model artifact (unigram_encode_ids_from_model)
+    — the trainer is then never invoked."""
+    if weights is None:
+        vocab_rows = unigram_lm_train(spark, sf_dir).collect()
+        weights = {r["piece"]: int(r["logp_micro"]) for r in vocab_rows}
     pid = {p: i for i, p in enumerate(sorted(weights))}
     idmap = F.create_map(
         *[x for p in sorted(pid) for x in (F.lit(p), F.lit(pid[p]))]
@@ -643,14 +677,11 @@ def unigram_corpus_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def unigram_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-hashable projection of the id stream: per doc the id
-    count, a Horner digest of the ORDERED ids (acc·131 + id mod 1e9+7
-    — order-sensitive, so a shuffled or mis-ordered stream mismatches)
-    and the first/last ids for diagnosability.
-
-    Output: (doc_id, n_ids, ids_digest, first_id, last_id)."""
-    ids = unigram_corpus_ids(spark, sf_dir)
+def _ids_digest_projection(ids: DataFrame) -> DataFrame:
+    """Shared driver-hashable projection of an id-stream frame: per doc
+    the id count, a Horner digest of the ORDERED ids (acc·131 + id mod
+    1e9+7 — order-sensitive, so a shuffled or mis-ordered stream
+    mismatches) and the first/last ids for diagnosability."""
     return ids.select(
         "doc_id",
         "n_ids",
@@ -665,8 +696,18 @@ def unigram_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest projection of the unigram id stream.
+
+    Output: (doc_id, n_ids, ids_digest, first_id, last_id)."""
+    return _ids_digest_projection(unigram_corpus_ids(spark, sf_dir))
+
+
 def bpe_corpus_ids(
-    spark: SparkSession, sf_dir: str, n_merges: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 10,
+    rules: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Per-document SUBWORD id stream under the trained BPE merge
     table — unigram_corpus_ids' twin on the second tokenizer, so the
@@ -676,11 +717,31 @@ def bpe_corpus_ids(
     Merges apply once per DISTINCT word (the chained fold expression);
     the positional stream reassembles exactly like the unigram path.
 
-    Output: (doc_id, lang, ids array<long>, n_ids)."""
-    rules = [
-        (r["left"], r["right"])
-        for r in bpe_train(spark, sf_dir, n_merges).collect()
-    ]
+    Output: (doc_id, lang, ids array<long>, n_ids).
+
+    `rules` (ordered (left, right) merge pairs) may be supplied by a
+    caller that loaded a FROZEN merge-table artifact
+    (bpe_encode_ids_from_model) — the trainer is then never invoked."""
+    if rules is None:
+        rules = [
+            (r["left"], r["right"])
+            for r in bpe_train(spark, sf_dir, n_merges).collect()
+        ]
+    return _merge_fold_corpus_ids(
+        spark, sf_dir, _char_syms(F.col("word")), rules
+    )
+
+
+def _merge_fold_corpus_ids(
+    spark: SparkSession,
+    sf_dir: str,
+    syms: F.Column,
+    rules: list[tuple[str, str]],
+) -> DataFrame:
+    """Shared id-stream assembly for the merge-fold tokenizers (char
+    BPE and byte BPE): apply the rule chain once per DISTINCT word,
+    assign symbol ids by string order over the segmented symbol
+    universe, reassemble the per-doc positional stream."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -689,7 +750,6 @@ def bpe_corpus_ids(
             F.filter(F.split("text", r"\s+"), lambda x: x != "")
         ).alias("pos", "word"),
     )
-    syms = F.filter(F.split("word", ""), lambda c: c != "")
     col = syms
     for left, right in rules:
         col = _apply_merge(col, left, right)
@@ -729,16 +789,291 @@ def bpe_encode_ids(
     contract as unigram_encode_ids.
 
     Output: (doc_id, n_ids, ids_digest, first_id, last_id)."""
-    ids = bpe_corpus_ids(spark, sf_dir, n_merges)
-    return ids.select(
-        "doc_id",
-        "n_ids",
-        F.aggregate(
-            "ids",
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * F.lit(UNI_ID_MULT) + x)
-            % F.lit(UNI_ID_MOD),
-        ).alias("ids_digest"),
-        F.element_at("ids", 1).cast("long").alias("first_id"),
-        F.element_at("ids", -1).cast("long").alias("last_id"),
+    return _ids_digest_projection(bpe_corpus_ids(spark, sf_dir, n_merges))
+
+
+# ---- frozen tokenizer model artifacts (round 14) -----------------------------
+# The trainers memoize IN-PROCESS only (_TRAIN_MEMO): every new
+# process/job re-trained before encoding. A production pipeline trains
+# ONCE and encodes from a persisted artifact across jobs and streams —
+# the write_langid_model recipe (textstats.py) applied to the
+# tokenizers. The artifact is the trainer's bounded output table
+# (vocab rows / merge table), kilobytes at any corpus scale, written
+# as one parquet file and read whole by every encoder.
+
+
+def write_unigram_model(
+    spark: SparkSession, sf_dir: str, model_dir: str
+) -> None:
+    """Persist the trained unigram vocab (piece, n_chars, count,
+    logp_micro) as a single parquet file — the frozen-artifact half of
+    the tokenizer lifecycle. |vocab| is bounded (all single chars +
+    UNI_PRUNE_KEEP multi-char pieces) so the artifact needs no
+    partitioning and is broadcast whole by the encoder."""
+    unigram_lm_train(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(model_dir)
+
+
+def write_bpe_model(
+    spark: SparkSession, sf_dir: str, model_dir: str, n_merges: int = 10
+) -> None:
+    """Persist the learned BPE merge table (step, left, right, merged,
+    pair_count) as a single parquet file. Row order is immaterial on
+    disk — the encoder re-sorts by step before folding, so the merges
+    always apply in learning order."""
+    bpe_train(spark, sf_dir, n_merges).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(model_dir)
+
+
+def load_unigram_weights(
+    spark: SparkSession, model_dir: str
+) -> dict[str, int]:
+    """piece → micro-nat weight from a persisted unigram model."""
+    return {
+        r["piece"]: int(r["logp_micro"])
+        for r in spark.read.parquet(model_dir).collect()
+    }
+
+
+def load_bpe_rules(
+    spark: SparkSession, model_dir: str
+) -> list[tuple[str, str]]:
+    """Ordered merge rules from a persisted BPE model."""
+    rows = spark.read.parquet(model_dir).collect()
+    return [
+        (r["left"], r["right"]) for r in sorted(rows, key=lambda r: r["step"])
+    ]
+
+
+def unigram_encode_ids_from_model(
+    spark: SparkSession, sf_dir: str, model_dir: str
+) -> DataFrame:
+    """unigram_encode_ids' scoring tail over the PERSISTED vocab:
+    identical output row-for-row (pytest round-trip pin) with ZERO
+    train stages — the EM loop is replaced by one bounded parquet
+    read."""
+    weights = load_unigram_weights(spark, model_dir)
+    return _ids_digest_projection(
+        unigram_corpus_ids(spark, sf_dir, weights=weights)
     )
+
+
+def bpe_encode_ids_from_model(
+    spark: SparkSession, sf_dir: str, model_dir: str
+) -> DataFrame:
+    """bpe_encode_ids' encoding tail over the PERSISTED merge table —
+    zero train stages, pytest-pinned row-equal to the inline op."""
+    rules = load_bpe_rules(spark, model_dir)
+    return _ids_digest_projection(
+        bpe_corpus_ids(spark, sf_dir, rules=rules)
+    )
+
+
+def _model_cache_dir(kind: str, sf_dir: str, params: str) -> str | None:
+    """Deterministic per-(user, corpus stamp, params) artifact dir
+    under the same 0700 per-user cache root as the graph-ANN index, or
+    None when the corpus can't be stamped (uncacheable — a 'nostat'
+    stamp could serve stale rows after a regeneration)."""
+    import hashlib
+    import os
+    import tempfile
+
+    stamp = _corpus_stamp(sf_dir)
+    if stamp is None:
+        return None
+    key = f"{stamp[0]}|{stamp[1]}:{stamp[2]}|{kind}|{params}"
+    h = hashlib.md5(key.encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(), f"mimir_spark_idx-{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return os.path.join(root, f"tok_{kind}_{h}")
+
+
+def _cached_model(
+    spark: SparkSession, sf_dir: str, kind: str, params: str, build_fn
+) -> str | None:
+    """Build-once/encode-many: materialize the model artifact into the
+    cache dir on first use (atomic rename — the _gann_cached_index
+    race discipline) and return the dir; None if uncacheable."""
+    import os
+    import shutil
+    import uuid
+
+    d = _model_cache_dir(kind, sf_dir, params)
+    if d is None:
+        return None
+    marker = os.path.join(d, "_MODEL_COMPLETE")
+    if not os.path.exists(marker):
+        tmp = f"{d}.build-{uuid.uuid4().hex}"
+        build_fn(tmp)
+        with open(os.path.join(tmp, "_MODEL_COMPLETE"), "w") as fh:
+            fh.write("ok\n")
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            if os.path.exists(marker):
+                # a COMPLETE artifact won the race; identical by
+                # determinism — discard ours
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.rmtree(d, ignore_errors=True)
+                os.rename(tmp, d)
+    return d
+
+
+def unigram_encode_ids_frozen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate-key wrapper proving train-once/encode-many END-TO-END from
+    a persisted artifact: the unigram model is written to the
+    per-(user, corpus) cache on first use and every encode reads it
+    from disk — a poisoned-trainer pytest pins that repeat calls run
+    ZERO train stages even in a fresh process. Output (and oracle) are
+    identical to unigram_encode_ids by round-trip determinism."""
+    d = _cached_model(
+        spark, sf_dir, "unigram", "",
+        lambda tmp: write_unigram_model(spark, sf_dir, tmp),
+    )
+    if d is None:  # uncacheable corpus — inline path, identical output
+        return unigram_encode_ids(spark, sf_dir)
+    return unigram_encode_ids_from_model(spark, sf_dir, d)
+
+
+# ---- byte-level BPE (round 14) -----------------------------------------------
+# The char-level trainers inherit the UTF-16 BMP parity caveat and can
+# OOV on unseen characters. GPT-2-style byte-level BPE (Radford et al.
+# 2019; the tiktoken/HuggingFace byte_level pre-tokenizer) closes
+# both: every word is decomposed into its UTF-8 BYTES, each byte
+# rendered as a printable stand-in character from the public 256-entry
+# GPT-2 byte-to-unicode table, and the ordinary merge machinery runs
+# over those symbols — arbitrary text (emoji, any script, binary-ish
+# junk) segments with ZERO OOV because the base alphabet is all 256
+# bytes. The byte decomposition is closed-form on both engines
+# (encode → hex → per-byte table lookup), so non-BMP text is
+# hash-portable where the char-level path documents it away.
+
+
+def _gpt2_byte_table() -> list[str]:
+    """The public GPT-2 bytes_to_unicode table: printable ASCII and
+    Latin-1 bytes map to themselves; the rest map to U+0100.. in
+    order. 256 single-char strings, indexed by byte value."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    table = [""] * 256
+    for b, c in zip(bs, cs):
+        table[b] = chr(c)
+    return table
+
+
+BYTE_TABLE = _gpt2_byte_table()
+
+
+def _byte_syms(word_col: F.Column) -> F.Column:
+    """UTF-8 byte symbolization, fully JVM-side: encode → hex → one
+    table lookup per byte. Handles non-BMP text correctly (encode
+    operates on code points, so surrogate pairs never split)."""
+    tab = F.array(*[F.lit(c) for c in BYTE_TABLE])
+    bin_ = F.encode(word_col, "UTF-8")
+    hx = F.hex(bin_)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(bin_)),
+        lambda i: F.element_at(
+            tab,
+            (
+                F.conv(
+                    F.substring(hx, (2 * i - 1).cast("int"), 2), 16, 10
+                ).cast("int")
+                + 1
+            ),
+        ),
+    )
+
+
+def byte_bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10, batch_m: int = 4
+) -> DataFrame:
+    """Learn `n_merges` BPE merges over the UTF-8 BYTE symbols of
+    `documents.text` — bpe_train's loop (shared _bpe_train_loop +
+    _safe_merge_prefix batching) on the byte alphabet. Output schema
+    matches bpe_train; symbols are GPT-2 printable stand-ins."""
+    stamp = _corpus_stamp(sf_dir)
+    memo_key = (
+        None if stamp is None else ("byte_bpe", stamp, n_merges, batch_m)
+    )
+    if memo_key is not None and memo_key in _TRAIN_MEMO:
+        return spark.createDataFrame(
+            _TRAIN_MEMO[memo_key],
+            "step long, left string, right string, merged string,"
+            " pair_count long",
+        )
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = tokens(docs).groupBy("word").agg(
+        F.count("*").cast("long").alias("wc")
+    )
+    symbols = vocab.select(
+        "wc", _byte_syms(F.col("word")).alias("syms")
+    ).localCheckpoint(eager=True)
+    merges = _bpe_train_loop(symbols, n_merges, batch_m)
+    if memo_key is not None:
+        _TRAIN_MEMO[memo_key] = merges
+    return spark.createDataFrame(
+        merges,
+        "step long, left string, right string, merged string,"
+        " pair_count long",
+    )
+
+
+def byte_bpe_corpus_ids(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> DataFrame:
+    """Per-document subword id stream under the byte-level merge
+    table. Symbol ids by string order over the segmented byte-symbol
+    universe (bounded ≤ 256 + n_merges). No word-length exclusion and
+    no OOV: EVERY word decomposes into bytes, so every doc with ≥ 1
+    token emits a row — the coverage guarantee the char-level paths
+    lack. Output: (doc_id, lang, ids array<long>, n_ids)."""
+    rules = [
+        (r["left"], r["right"])
+        for r in byte_bpe_train(spark, sf_dir, n_merges).collect()
+    ]
+    return _merge_fold_corpus_ids(
+        spark, sf_dir, _byte_syms(F.col("word")), rules
+    )
+
+
+def byte_bpe_encode_ids(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> DataFrame:
+    """Driver-hashable projection of the byte-level id stream — the
+    digest contract of unigram_encode_ids on the zero-OOV tokenizer.
+
+    Output: (doc_id, n_ids, ids_digest, first_id, last_id)."""
+    return _ids_digest_projection(
+        byte_bpe_corpus_ids(spark, sf_dir, n_merges)
+    )
+
+
+def bpe_encode_ids_frozen(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> DataFrame:
+    """bpe_encode_ids over the cached persisted merge table — the
+    frozen twin of unigram_encode_ids_frozen."""
+    d = _cached_model(
+        spark, sf_dir, "bpe", f"m{n_merges}",
+        lambda tmp: write_bpe_model(spark, sf_dir, tmp, n_merges),
+    )
+    if d is None:
+        return bpe_encode_ids(spark, sf_dir, n_merges)
+    return bpe_encode_ids_from_model(spark, sf_dir, d)

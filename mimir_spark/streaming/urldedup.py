@@ -42,6 +42,10 @@ def streaming_url_dedup(
     glob: str = "*.parquet",
 ) -> StreamingQuery:
     docs_stream = read_documents_stream(spark, input_dir, glob=glob)
+    # built once per stream, not per micro-batch — the blocklist is
+    # static configuration, and rebuilding it inside _process put a
+    # createDataFrame on every batch's critical path
+    blocklist = _blocklist_df(spark)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -53,11 +57,7 @@ def streaming_url_dedup(
             cols["norm_url"].alias("norm_url"),
             cols["domain"].alias("domain"),
         )
-        kept = norm.join(
-            F.broadcast(_blocklist_df(batch.sparkSession)),
-            "domain",
-            "left_anti",
-        )
+        kept = norm.join(F.broadcast(blocklist), "domain", "left_anti")
         partial = kept.groupBy("norm_url", "domain").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min("doc_id").cast("long").alias("min_doc"),
@@ -73,11 +73,21 @@ def streaming_url_dedup(
     )
 
 
+PARTIAL_SCHEMA = (
+    "norm_url string, domain string, n_docs long, min_doc long"
+)
+
+
 def finalize_url_dedup(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge the per-batch partials into the batch operator's exact
-    output shape: (norm_url, domain, n_docs, survivor_doc_id)."""
+    output shape: (norm_url, domain, n_docs, survivor_doc_id).
+
+    The read carries an EXPLICIT schema: if every micro-batch was empty
+    or fully blocklisted no part-file exists, and a schema-less read
+    would die on inference instead of returning the correct empty
+    frame."""
     return (
-        spark.read.parquet(out_dir)
+        spark.read.schema(PARTIAL_SCHEMA).parquet(out_dir)
         .groupBy("norm_url", "domain")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),

@@ -310,9 +310,13 @@ def test_graph_ann_beats_ivf_at_matched_budget(spark, tmp_path):
     beam, rounds, sample = 8, 3, 4
 
     # unique-scored budget via the exact-graph python replica of the
-    # two-level walk (exact kNN graphs stand in for the descent graphs
-    # on both layers — the same stand-in the round-12 replica used for
-    # the full layer, since descent ≈ exact on manifold data)
+    # round-14 L-LAYER walk (exact kNN graphs stand in for the descent
+    # graphs on every layer — the same stand-in the round-12 replica
+    # used for the full layer, since descent ≈ exact on manifold data)
+    from mimir_spark.operators.similarity import _gann_n_layers
+
+    n_layers = _gann_n_layers(400, sample)
+    assert n_layers >= 3  # this corpus actually exercises a deep stack
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     S = np.round(Xn @ Xn.T, 6)
     np.fill_diagonal(S, -np.inf)
@@ -321,19 +325,25 @@ def test_graph_ann_beats_ivf_at_matched_budget(spark, tmp_path):
         for v in np.argsort(-S[u])[:10]:
             und[u].add(int(v))
             und[int(v)].add(u)
-    coarse = list(range(0, 400, sample))
-    und_c: dict[int, set] = {u: set() for u in coarse}
-    for u in coarse:
-        ranked = sorted(coarse, key=lambda v: (-S[u, v], v))
-        for v in ranked[:GANN_COARSE_KP]:
-            if v != u:
-                und_c[u].add(v)
-                und_c[v].add(u)
+    layer_adjs = []
+    for ell in range(n_layers - 1, 0, -1):
+        stride = sample**ell
+        nodes = list(range(0, 400, stride))
+        adj: dict[int, set] = {u: set() for u in nodes}
+        for u in nodes:
+            ranked = sorted(nodes, key=lambda v: (-S[u, v], v))
+            for v in ranked[:GANN_COARSE_KP]:
+                if v != u:
+                    adj[u].add(v)
+                    adj[v].add(u)
+        layer_adjs.append(adj)
+    walk = [(adj, GANN_COARSE_ROUNDS) for adj in layer_adjs]
+    walk.append((und, rounds))
     budgets = []
     for q in range(10):
-        scored = {v for v in range(0, 400, sample * sample) if v != q}
+        scored = {v for v in range(0, 400, sample**n_layers) if v != q}
         b = sorted(scored, key=lambda v: (-S[q, v], v))[:beam]
-        for adj, nr in ((und_c, GANN_COARSE_ROUNDS), (und, rounds)):
+        for adj, nr in walk:
             for _ in range(nr):
                 ex = set(b)
                 for u in b:
@@ -518,7 +528,7 @@ def test_ann_graph_topk_warm_path_runs_zero_build_stages(spark, monkeypatch):
         raise AssertionError("graph build re-entered on warm cache")
 
     monkeypatch.setattr(similarity, "_descent_graph", _boom)
-    monkeypatch.setattr(similarity, "_coarse_descent_graph", _boom)
+    monkeypatch.setattr(similarity, "_layer_descent_graph", _boom)
     rows = similarity.ann_graph_topk(spark, SF_SMOKE).collect()
     assert len(rows) == n0
 
