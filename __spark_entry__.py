@@ -130,79 +130,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate walks queries() in order and covers a
 # ~50-key window per round, so the first ~50 keys ARE the round's gate.
-# Round-13 lead (sized so the critical 45 all land inside a 50-key
-# window — round 12's tail 8 fell off the cut, which is exactly how
-# the r05-vintage keys stayed stale): the 5 brand-new keys
-# (html_extract_text, unigram_encode_ids, bpe_encode_ids,
-# url_normalize, url_dedup_survivors), the 5 keys whose
-# implementation changed this round (two-level cached graph-ANN pair,
-# k_truss fixpoint exit, RAKE TakeOrdered top-k, JPEG codec dispatch),
-# then the 7 keys whose latest driver hash is r05-vintage, then ALL 31
-# r06-vintage keys, then the oldest r08 keys as padding — after this
-# round no key's driver row predates r08.
-_R13_WINDOW = [
+# Round-14 lead (exactly 50 — entries past the driver's 50-key cut are
+# NOT checked, the round-12 lesson): the 4 brand-new keys (frozen
+# tokenizer encode pair, byte-level BPE, MJPEG AVI), the 3 keys whose
+# implementation changed this round (L-layer graph-ANN pair, the
+# shared-scan corpus_keep_list), then ALL 42 keys whose latest driver
+# hash is r08-vintage (the round-13 verdict's named rotation target),
+# then one r09 key as padding — after this round no key's driver row
+# predates r09.
+_R14_WINDOW = [
     # new this round
-    "html_extract_text",
-    "unigram_encode_ids",
-    "bpe_encode_ids",
-    "url_normalize",
-    "url_dedup_survivors",
+    "unigram_encode_ids_frozen",
+    "bpe_encode_ids_frozen",
+    "byte_bpe_encode_ids",
+    "multimodal_frame_sample_mjpeg",
     # implementation changed this round
     "ann_graph_topk",
     "ann_graph_recall",
-    "k_truss",
-    "rake_keywords",
-    "multimodal_decode_jpeg",
-    # r05-vintage driver rows (the round-12 rotation gap)
-    "minhash_dedup_recall",
-    "multimodal_decode_bmp",
-    "multimodal_resize_digest",
-    "rank_quantiles",
-    "retrieval_hard_negatives",
-    "shuffle_skew_report",
-    "window_funnel",
-    # r06-vintage driver rows
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "sessionize",
-    "event_windows",
-    "q4_order_priority",
-    "funnel_conversion",
-    "dedup_exact",
-    "dedup_prefix",
-    "dup_span_fraction",
-    "dedup_span_removal",
-    "dup_span_islands",
-    "dedup_survivors",
-    "ann_bruteforce_topk",
-    "ann_range_search",
-    "knn_graph",
-    "triangle_count",
-    "bpe_pair_counts",
-    "top_ngrams_per_lang",
-    "sample_stratified",
-    "gopher_quality_filter",
-    "quality_topk_select",
-    "zipf_slope",
-    "cooccurrence_pmi",
-    "unigram_logppl",
-    "histogram_quantiles",
-    "ddsketch_quantiles",
-    "sample_weighted",
-    "anomaly_zscore",
-    "cohort_retention",
-    "event_windows_sliding",
-    "hourly_value_correlation",
-    # r08 padding (next-oldest rows; exactly 50 total — entries past
-    # the driver's 50-key cut are NOT checked, the round-12 lesson)
-    "wordcount",
-    "wordcount_topk",
+    "corpus_keep_list",
+    # r08-vintage driver rows (all 42)
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "multimodal_dedup_images",
+    "multimodal_frame_sample_gif",
+    "multimodal_audio_features",
+    "bm25_topk_batch",
+    "hybrid_retrieval_batch",
+    "phrase_search",
+    "phrase_search_batch",
+    "constraint_report",
+    "dedup_survivors_icws",
+    "multimodal_features",
+    "corpus_clean_pipeline",
+    "repetition_ratio",
+    "text_normalize",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "frame_sample",
+    "json_extract_agg",
+    "contamination_check",
+    "token_entropy",
+    "doc_length_stats",
+    "source_mix_report",
+    "skew_join_salted",
+    "ngram_novelty",
+    "user_activity_profile",
+    "winsorize_events",
+    "embedding_norm_stats",
+    "vocab_encode",
+    "inverted_index",
+    "kv_combine",
+    "kv_reduce",
+    "distinct_keys",
+    "histogram",
+    "group_topk",
+    "bfs_levels",
+    "octree_bin",
+    "octree_adaptive",
+    "embedding_pca",
+    "multimodal_resize",
+    # r09 padding (next-oldest rows; exactly 50 total)
+    "tfidf",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    out = {k: base[k] for k in _R13_WINDOW}
+    out = {k: base[k] for k in _R14_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
@@ -389,6 +385,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_wav": multimodal.multimodal_decode_wav,
         "multimodal_dedup_images": multimodal.multimodal_dedup_images,
         "multimodal_frame_sample_gif": multimodal.multimodal_frame_sample_gif,
+        "multimodal_frame_sample_mjpeg": multimodal.multimodal_frame_sample_mjpeg,
         "multimodal_audio_features": multimodal.multimodal_audio_features,
         "bm25_topk_batch": retrieval.bm25_topk_batch,
         "hybrid_retrieval_batch": retrieval.hybrid_retrieval_batch,
@@ -4074,6 +4071,24 @@ def oracle_sql() -> dict[str, str]:
         # recomputes the sampled-frame RGB sum from the generation
         # rule and the fixed palette arithmetic — the Spark side
         # reaches the same bytes through a full LZW decode.
+        # MJPEG-in-AVI frame sampling: the oracle recomputes the
+        # sampled-frame pixel sum from the DC-only generation rule —
+        # a RIFF walk, chunk-alignment, avih cross-check, or JPEG
+        # decode bug hash-mismatches immediately.
+        "multimodal_frame_sample_mjpeg": """
+            SELECT doc_id,
+                   (8 * ((doc_id % 4) + 1))::INT AS width,
+                   (8 * ((doc_id % 2) + 1))::INT AS height,
+                   ((doc_id % 5) + 2)::BIGINT AS n_frames,
+                   (((doc_id % 5) + 2 + 1) // 2)::BIGINT AS n_sampled,
+                   list_sum(list_transform(range(0, (doc_id % 5) + 2),
+                     f -> CASE WHEN f % 2 = 0 THEN
+                       3 * 64 * list_sum(list_transform(
+                         range(0, ((doc_id % 4) + 1) * ((doc_id % 2) + 1)),
+                         b -> (doc_id * 31 + 17 * f + 7 * b) % 256))
+                     ELSE 0 END))::BIGINT AS sum_sampled
+            FROM documents
+        """,
         "multimodal_frame_sample_gif": """
             SELECT doc_id,
                    ((doc_id % 8) + 2)::INT AS width,

@@ -127,6 +127,14 @@ HEADLINE = [
     # reassembly — the full tokenizer-apply cost a training run pays).
     "html_extract_text",
     "unigram_encode_ids",
+    # round-14 additions: the frozen-artifact encode path (train-once/
+    # encode-many — run 1 may write the cached model, best-of-2
+    # records the pure encode from disk), the zero-OOV byte-level BPE
+    # id stream (byte-alphabet fold throughput), and the MJPEG AVI
+    # container walk + per-frame JPEG decode (video-ingest kernel).
+    "unigram_encode_ids_frozen",
+    "byte_bpe_encode_ids",
+    "multimodal_frame_sample_mjpeg",
 ]
 
 # localCheckpoint-heavy / iterative entries materialize intermediate

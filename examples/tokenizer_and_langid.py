@@ -4,6 +4,9 @@ language routing with the trigram NB classifier.
 - BPE merges frequent pairs, WordPiece merges high-likelihood-ratio
   pairs, unigram-LM starts over-complete and prunes — same corpus,
   three vocabularies; the compression report shows what each buys.
+- Round 14: the production lifecycle — train ONCE, persist the frozen
+  model artifact, encode from it in any later job or stream; plus
+  byte-level BPE, which cannot OOV on any input.
 - lang_id + lang_id_confidence route docs: confident predictions pass,
   low-margin docs would go to a heavier model.
 
@@ -48,6 +51,30 @@ def main() -> None:
             (F.sum("total_chars") / F.sum("total_symbols")).alias("r")
         ).collect()[0]["r"]
         print(f"  {name}: {m:.3f}")
+
+    print("== frozen artifact: train once, encode many ==")
+    import tempfile
+
+    from mimir_spark.operators.tokenizer import (
+        byte_bpe_encode_ids,
+        unigram_encode_ids_from_model,
+        write_unigram_model,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        model_dir = os.path.join(td, "unigram_model")
+        write_unigram_model(spark, sf_dir, model_dir)  # the train job
+        ids = unigram_encode_ids_from_model(spark, sf_dir, model_dir)
+        n = ids.agg(F.sum("n_ids")).collect()[0][0]  # the encode job
+        print(f"  encoded {n} subword ids from the persisted model"
+              " (zero train stages)")
+
+    print("== byte-level BPE (zero OOV) ==")
+    b = byte_bpe_encode_ids(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_ids").alias("ids")
+    ).collect()[0]
+    print(f"  {b['docs']} docs -> {b['ids']} byte-BPE ids"
+          " (every doc encodes — the byte alphabet cannot OOV)")
 
     print("== language routing ==")
     acc = lang_id(spark, sf_dir).agg(F.avg("is_correct")).collect()[0][0]

@@ -178,6 +178,15 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     block counts from the paragraph-wrap/nav/sidebar rules — so DuckDB
     recomputes it without any HTML in sight."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return html_extract_docs(docs)
+
+
+def html_extract_docs(docs: DataFrame) -> DataFrame:
+    """The fused synthesize+extract kernel over an ARBITRARY
+    (doc_id, text) frame — shared by the batch operator and the
+    streaming twin (extraction is a pure per-doc map, so batch and
+    micro-batch runs are identical row-for-row by construction)."""
+    docs = docs.select("doc_id", "text")
 
     def _kernel(batches):
         import pandas as pd

@@ -632,11 +632,22 @@ def unigram_corpus_ids(
     if weights is None:
         vocab_rows = unigram_lm_train(spark, sf_dir).collect()
         weights = {r["piece"]: int(r["logp_micro"]) for r in vocab_rows}
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_ids_from_docs(docs, weights)
+
+
+def unigram_ids_from_docs(
+    docs: DataFrame, weights: dict[str, int]
+) -> DataFrame:
+    """The unigram id-stream assembly over an ARBITRARY
+    (doc_id, lang, text) frame and an ALREADY-LOADED weight table —
+    shared by the batch paths and the streaming encode twin (encoding
+    under a frozen vocab is a pure per-doc map, so batch and
+    micro-batch runs agree row-for-row by construction)."""
     pid = {p: i for i, p in enumerate(sorted(weights))}
     idmap = F.create_map(
         *[x for p in sorted(pid) for x in (F.lit(p), F.lit(pid[p]))]
     )
-    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         "lang",

@@ -97,6 +97,14 @@ PROBES = [
     "html_extract_text",
     "url_dedup_survivors",
     "unigram_encode_ids",
+    # round-14: encode from the FROZEN artifact (must track tokens —
+    # and its gap vs unigram_encode_ids is the train cost the artifact
+    # saves), byte-level BPE ids (byte-linear, ~4-5× the char token
+    # count, never more), and the MJPEG AVI walk (map-only container
+    # decode — time must track docs)
+    "unigram_encode_ids_frozen",
+    "byte_bpe_encode_ids",
+    "multimodal_frame_sample_mjpeg",
 ]
 INPUT_TABLES = {
     "q1_pricing_summary": "lineitem",
@@ -133,6 +141,9 @@ INPUT_TABLES = {
     "html_extract_text": "documents",
     "url_dedup_survivors": "documents",
     "unigram_encode_ids": "documents",
+    "unigram_encode_ids_frozen": "documents",
+    "byte_bpe_encode_ids": "documents",
+    "multimodal_frame_sample_mjpeg": "documents",
 }
 
 

@@ -186,6 +186,196 @@ def test_byte_bpe_merges_cross_word_boundary_chars(spark, tmp_path):
     assert non_ascii, "expected at least one multi-byte-char merge"
 
 
+# ---- MJPEG-in-AVI frame sampling --------------------------------------------
+
+
+def test_mjpeg_avi_roundtrip_and_closed_form():
+    """Container round-trip: the walk recovers exactly the generated
+    frames, each decodes bit-exact (DC-only blocks), and the sampled
+    sum matches the closed form the oracle uses."""
+    from mimir_spark.operators.jpeg import decode_jpeg_auto
+    from mimir_spark.operators.multimodal import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    for d in [0, 1, 2, 3, 5, 7, 13, 123]:
+        w, h, frames = decode_mjpeg_avi(encode_mjpeg_avi(d))
+        assert len(frames) == (d % 5) + 2
+        assert (w, h) == (8 * ((d % 4) + 1), 8 * ((d % 2) + 1))
+        total = 0
+        for f in frames[::2]:
+            fw, fh, bpp, npx, s = decode_jpeg_auto(f)
+            assert (fw, fh, bpp) == (w, h, 24)
+            total += s
+        nb = ((d % 4) + 1) * ((d % 2) + 1)
+        expect = sum(
+            3 * 64 * sum((d * 31 + 17 * f + 7 * b) % 256 for b in range(nb))
+            for f in range(0, (d % 5) + 2, 2)
+        )
+        assert total == expect
+
+
+def test_mjpeg_avi_rejects_corrupt_containers():
+    """The parser is a real validator: bad signature, RIFF length
+    mismatch, avih/movi frame-count disagreement, and truncation all
+    raise instead of returning garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from mimir_spark.operators.multimodal import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    good = encode_mjpeg_avi(3)
+    with _pytest.raises(ValueError):
+        decode_mjpeg_avi(b"RIFX" + good[4:])
+    with _pytest.raises(ValueError):
+        decode_mjpeg_avi(
+            good[:4] + struct.pack("<I", len(good)) + good[8:]
+        )
+    with _pytest.raises(ValueError):
+        decode_mjpeg_avi(good[:-40])  # truncated inside movi
+    # frame-count mismatch: bump avih dwTotalFrames in place
+    idx = good.index(b"avih") + 8 + 16
+    bad = bytearray(good)
+    bad[idx : idx + 4] = struct.pack(
+        "<I", struct.unpack_from("<I", good, idx)[0] + 1
+    )
+    with _pytest.raises(ValueError):
+        decode_mjpeg_avi(bytes(bad))
+
+
+def test_mjpeg_avi_word_alignment_exercised():
+    """At least one doc in the test id range emits an odd-length JPEG
+    chunk, so the word-aligned advance is actually on the tested
+    path (a parser that forgets the pad byte desyncs and fails the
+    round-trip above)."""
+    from mimir_spark.operators.jpeg import encode_jpeg
+    from mimir_spark.operators.multimodal import _mjpeg_frame_pixels
+
+    odd = [
+        d
+        for d in range(50)
+        for f in range((d % 5) + 2)
+        if len(encode_jpeg(_mjpeg_frame_pixels(d, f))) % 2 == 1
+    ]
+    assert odd, "generator never produces an odd-length frame payload"
+
+
+# ---- streaming twins: web front half ----------------------------------------
+
+
+def _split_corpus_stream_dir(spark, sf, tmp_path, n_batches=3) -> str:
+    """The langid-test scaffolding: split the corpus into n_batches
+    single-file parquets so the file source delivers them as separate
+    micro-batches."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mimir_spark.sources.tables import load_table
+
+    in_dir = str(tmp_path / "docs_in")
+    docs = load_table(spark, sf, "documents")
+    for m in range(n_batches):
+        docs.filter(F.col("doc_id") % n_batches == m).coalesce(1).write.parquet(
+            f"{in_dir}/b{m}", compression="none"
+        )
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, part in enumerate(
+        sorted(globmod.glob(in_dir + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(part, f"{flat}/batch_{i}.parquet")
+    return flat
+
+
+def test_streaming_html_extract_matches_batch(spark, sf_smoke, tmp_path):
+    """Stateless-map twin: micro-batch extraction + plain union equals
+    the batch operator row-for-row over a 3-way split corpus."""
+    from mimir_spark.operators.html import html_extract_text
+    from mimir_spark.streaming.htmlext import (
+        finalize_html_extract,
+        streaming_html_extract,
+    )
+
+    flat = _split_corpus_stream_dir(spark, sf_smoke, tmp_path)
+    q = streaming_html_extract(
+        spark, flat, str(tmp_path / "ext"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        tuple(r)
+        for r in finalize_html_extract(
+            spark, str(tmp_path / "ext")
+        ).collect()
+    }
+    want = {tuple(r) for r in html_extract_text(spark, sf_smoke).collect()}
+    assert got == want and got
+
+
+def test_streaming_unigram_encode_matches_frozen_batch(
+    spark, sf_smoke, tmp_path
+):
+    """Frozen-artifact streaming encode: the stream loads the
+    persisted unigram model once and each micro-batch encodes its own
+    docs; union equals unigram_encode_ids_from_model over the same
+    artifact row-for-row, regardless of batch boundaries."""
+    from mimir_spark.operators import tokenizer as tok
+    from mimir_spark.streaming.encode import (
+        finalize_unigram_encode_ids,
+        streaming_unigram_encode_ids,
+    )
+
+    md = str(tmp_path / "uni_model")
+    tok.write_unigram_model(spark, sf_smoke, md)
+    flat = _split_corpus_stream_dir(spark, sf_smoke, tmp_path)
+    q = streaming_unigram_encode_ids(
+        spark, md, flat, str(tmp_path / "ids"), str(tmp_path / "ckpt2")
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        tuple(r)
+        for r in finalize_unigram_encode_ids(
+            spark, str(tmp_path / "ids")
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in tok.unigram_encode_ids_from_model(
+            spark, sf_smoke, md
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_streaming_finalizers_empty_stream_reads_empty(spark, tmp_path):
+    """The explicit-schema finalizer contract: a stream whose every
+    batch was empty (no part-files at all) reads as the correct empty
+    frame, not a schema-inference error."""
+    import os
+
+    from mimir_spark.streaming.encode import finalize_unigram_encode_ids
+    from mimir_spark.streaming.htmlext import finalize_html_extract
+    from mimir_spark.streaming.urldedup import finalize_url_dedup
+
+    for name, fn in [
+        ("e1", finalize_html_extract),
+        ("e2", finalize_unigram_encode_ids),
+        ("e3", finalize_url_dedup),
+    ]:
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        assert fn(spark, d).count() == 0
+
+
 def test_model_cache_dir_is_per_user_and_stamped(spark):
     """Cache key folds in (path, mtime, size): two SFs never collide,
     and the root is the per-uid 0700 dir."""
