@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mimir_spark.sources.tables import load_table
+from mimir_spark.sources.tables import load_table, maybe_broadcast
 
 MAX_LEVELS = 8
 # ~4M ids × 8 B ≈ 32 MB serialized — comfortably under executor
@@ -311,24 +311,43 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs inside the join row (measured ~20% faster end-to-end, and
     one fewer job since n_edges falls out of the same aggregate).
     """
-    edges = _part_cooccurrence_edges(spark, sf_dir)
+    # The edge set is referenced by degree counting, orientation and
+    # the final intersection join — without a lineage cut the
+    # lineitem self-join + distinct re-enters the plan once per
+    # reference (15 scan copies in the explained plan; AQE exchange
+    # reuse only dedups the branches whose subtrees stay canonically
+    # identical). One lazy checkpoint computes it once.
+    edges = _part_cooccurrence_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     deg = (
         edges.select(F.col("u").alias("n"))
         .union(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("deg"))
     )
-    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    # deg is NODE-sized (bounded by |part|) — orders of magnitude
+    # smaller than the edge set it annotates, so the size-gated
+    # broadcast turns both degree joins from edge-set shuffles into
+    # map-side hash joins (falls back to shuffle joins at a scale
+    # where the node table outgrows the gate).
+    du = maybe_broadcast(
+        deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    )
+    dv = maybe_broadcast(
+        deg.select(F.col("n").alias("v"), F.col("deg").alias("deg_v"))
+    )
     # orient: src = endpoint with smaller (deg, id)
     with_deg = edges.join(du, "u").join(dv, "v")
     u_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
+    # oriented feeds the adjacency build AND both sides of the
+    # intersection join — same multiple-reference argument as edges.
     oriented = with_deg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     au = adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nv"))

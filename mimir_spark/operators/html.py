@@ -42,6 +42,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from mimir_spark.sources.tables import load_table
+from mimir_spark.functions.spread import spread_small_scan
 
 # generation-rule constants (the oracle re-derives everything from
 # these — change one and the oracle changes with it via oracle_sql)
@@ -206,7 +207,7 @@ def html_extract_docs(docs: DataFrame) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(_kernel, HTML_SCHEMA)
+    return spread_small_scan(docs).mapInPandas(_kernel, HTML_SCHEMA)
 
 
 def expected_extraction(doc_id: int, text: str) -> dict:

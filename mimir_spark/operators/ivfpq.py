@@ -33,7 +33,7 @@ from mimir_spark.operators.pq import (
     PQ_ITERS,
     K_CODES,
     TOP_K,
-    _adc_term,
+    _dists_hof,
     _normalized_pts,
     pq_codebooks_from,
     pq_encode,
@@ -117,14 +117,26 @@ def ann_ivfpq_topk(
             "cell_id",
             F.zip_with("qe", "cent", lambda x, y: x - y).alias("qres"),
         )
+        # ADC distance TABLES per (query, probed cell): dt_s = [‖qres_s
+        # − c‖² for c in book_s], the same fixed-order _sq_dist fold,
+        # hoisted from the corpus-sized code scan to the nprobe·queries
+        # broadcast side (TPAMI'11 §IV lookup tables; see ann_pq_topk).
+        .select(
+            "query_id",
+            "cell_id",
+            *[
+                _dists_hof(book, s, "qres").alias(f"dt{s}")
+                for s, book in enumerate(books)
+            ],
+        )
     )
 
     joined = codes.join(F.broadcast(q_probe), "cell_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     adc = None
-    for s, book in enumerate(books):
-        term = _adc_term("qres", s, book, f"code{s}")
+    for s in range(len(books)):
+        term = F.element_at(f"dt{s}", F.col(f"code{s}").cast("int"))
         adc = term if adc is None else adc + term
     scored = joined.select(
         "query_id", "neighbor_id", F.round(adc, 6).alias("adc")
@@ -293,6 +305,15 @@ def ann_ivfpq_query_indexed(
             "cell_id",
             F.zip_with("qe", "cent", lambda x, y: x - y).alias("qres"),
         )
+        # hoisted ADC lookup tables — see ann_ivfpq_topk
+        .select(
+            "query_id",
+            "cell_id",
+            *[
+                _dists_hof(book, s, "qres").alias(f"dt{s}")
+                for s, book in enumerate(books)
+            ],
+        )
     )
     probed = [
         r.cell_id for r in q_probe.select("cell_id").distinct().collect()
@@ -304,8 +325,8 @@ def ann_ivfpq_query_indexed(
         F.col("neighbor_id") != F.col("query_id")
     )
     adc = None
-    for s, book in enumerate(books):
-        term = _adc_term("qres", s, book, f"code{s}")
+    for s in range(len(books)):
+        term = F.element_at(f"dt{s}", F.col(f"code{s}").cast("int"))
         adc = term if adc is None else adc + term
     scored = joined.select(
         "query_id", "neighbor_id", F.round(adc, 6).alias("adc")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mimir_spark.sources.tables import load_table
+from mimir_spark.functions.spread import spread_small_scan
 
 META_SCHEMA = (
     "doc_id long, n_bytes int, fake_width int, fake_height int, modality string"
@@ -57,7 +58,9 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach an opaque binary column (here: utf-8 bytes of the text,
     standing in for image/audio bytes read from object storage)."""
-    return docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return spread_small_scan(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,7 +274,7 @@ def with_bmp_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_gen, "doc_id long, payload binary")
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(_gen, "doc_id long, payload binary")
 
 
 def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,7 +460,7 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_gen, "doc_id long, payload binary")
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(_gen, "doc_id long, payload binary")
 
 
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,7 +542,7 @@ def with_jpeg_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_gen, "doc_id long, payload binary")
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(_gen, "doc_id long, payload binary")
 
 
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,7 +689,7 @@ def with_wav_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_gen, "doc_id long, payload binary")
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(_gen, "doc_id long, payload binary")
 
 
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,7 +854,7 @@ def with_mixed_image_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_gen, "doc_id long, payload binary")
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(_gen, "doc_id long, payload binary")
 
 
 def multimodal_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,7 +1163,7 @@ def multimodal_frame_sample_gif(
                 ],
             )
 
-    return docs.select("doc_id").mapInPandas(_gen_dec, GIF_FRAME_SCHEMA)
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(_gen_dec, GIF_FRAME_SCHEMA)
 
 
 AUDIO_FRAME = 16
@@ -1220,7 +1223,7 @@ def multimodal_audio_features(
                 ],
             )
 
-    return docs.select("doc_id").mapInPandas(_feat, AUDIO_FEATURES_SCHEMA)
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(_feat, AUDIO_FEATURES_SCHEMA)
 
 
 # ---- Decoded-pixel features + real resize ------------------------------
@@ -1426,7 +1429,7 @@ def with_near_dup_image_payload(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(_gen, "doc_id long, payload binary")
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(_gen, "doc_id long, payload binary")
 
 
 def multimodal_dedup_images_near(
@@ -1717,4 +1720,4 @@ def multimodal_frame_sample_mjpeg(
                 ],
             )
 
-    return docs.select("doc_id").mapInPandas(_gen_dec, MJPEG_FRAME_SCHEMA)
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(_gen_dec, MJPEG_FRAME_SCHEMA)

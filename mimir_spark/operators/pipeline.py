@@ -197,9 +197,13 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("passes_gopher") == 1)
         .select("doc_id")
     )
-    clusters = dedup_clusters(spark, sf_dir, pair_source="lsh").localCheckpoint(
-        eager=True
-    )
+    # No checkpoint here: the cluster table is consumed exactly once
+    # (the losers window below), so a lineage cut buys nothing — the
+    # eager materialization it used to do just serialized one extra
+    # full pass of the cluster table before the composed plan could
+    # even be submitted. dedup_clusters' own internal per-round
+    # checkpoints still bound the label-propagation lineage.
+    clusters = dedup_clusters(spark, sf_dir, pair_source="lsh")
     docs_len = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )

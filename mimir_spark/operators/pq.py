@@ -112,7 +112,7 @@ def pq_codebooks_from(pts: DataFrame) -> list[list[list[float]]]:
     return books
 
 
-def _dists_hof(book: list[list[float]], s: int):
+def _dists_hof(book: list[list[float]], s: int, col: str = "e"):
     """Array of K_CODES squared distances from subspace s of `e` to
     each centroid of `book`, via higher-order functions over ONE
     nested array literal. The HOF lambdas run interpreted, but that
@@ -125,7 +125,7 @@ def _dists_hof(book: list[list[float]], s: int):
     NB: the inner lambda must stay SINGLE-argument — F.transform reads
     the lambda's arity and passes the array INDEX as a second
     argument, so a `s=s` default-capture silently rebinds s."""
-    sl = F.slice("e", s * D_SUB + 1, D_SUB)
+    sl = F.slice(col, s * D_SUB + 1, D_SUB)
     return F.transform(_book_lit(book), lambda ce: _sq_dist(sl, ce))
 
 
@@ -209,15 +209,25 @@ def ann_pq_topk(
     books = pq_codebooks(spark, sf_dir)
     pts = _normalized_pts(spark, sf_dir)
     codes = pq_encode(pts, books)
+    # ADC distance TABLES, computed once per QUERY row instead of once
+    # per scanned code row (the TPAMI'11 §IV lookup-table step): dt_s =
+    # [‖q_s − c‖² for c in book_s] is the same fixed-order _sq_dist
+    # fold as before, just hoisted to the tiny broadcast side — the
+    # corpus-sized scan pays one element_at per subspace instead of an
+    # interpreted 8-term HOF fold (HOFs run outside codegen).
     q = pts.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        *[
+            _dists_hof(book, s, "e").alias(f"dt{s}")
+            for s, book in enumerate(books)
+        ],
     )
     joined = codes.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
     )
     adc = None
-    for s, book in enumerate(books):
-        term = _adc_term("qe", s, book, f"code{s}")
+    for s in range(len(books)):
+        term = F.element_at(f"dt{s}", F.col(f"code{s}").cast("int"))
         adc = term if adc is None else adc + term
     scored = joined.select(
         "query_id", "neighbor_id", F.round(adc, 6).alias("adc")

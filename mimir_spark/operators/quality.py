@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from mimir_spark.functions.text import tokens_col
 from mimir_spark.operators.textstats import quality_score
 from mimir_spark.sources.tables import load_table
+from mimir_spark.functions.spread import spread_small_scan
 
 # Gopher rule thresholds (MassiveText defaults, line-free subset).
 MIN_WORDS, MAX_WORDS = 50, 100_000
@@ -546,15 +547,26 @@ def kneser_ney3_from_parts(dabc: DataFrame) -> DataFrame:
     path, so the streaming incremental builder's finalize is
     bit-identical to the single-pass operator (every LM table folds
     FROM the per-doc partials; see kneser_ney3_logppl for the model)."""
-    lm_abc = dabc.groupBy("w1", "w2", "w3").agg(
-        F.sum("c_dabc").alias("c_abc")
+    # lm_abc (trigram TYPES) feeds ctx_ab, adj2 and the scoring join;
+    # adj2 (bigram types) feeds ctx_b, adj1, nb2 and the scoring join.
+    # Both are bounded LM-state tables (type counts, not corpus rows)
+    # — exactly what a real LM build would materialize — so a lazy
+    # lineage cut computes each once instead of once per branch
+    # (runtime exchange reuse only shares the upstream dabc exchange,
+    # not these aggregations).
+    lm_abc = (
+        dabc.groupBy("w1", "w2", "w3")
+        .agg(F.sum("c_dabc").alias("c_abc"))
+        .localCheckpoint(eager=False)
     )
     ctx_ab = lm_abc.groupBy("w1", "w2").agg(
         F.sum("c_abc").alias("c_ab"),
         F.count("*").cast("long").alias("n1p_fw"),
     )
-    adj2 = lm_abc.groupBy("w2", "w3").agg(
-        F.count("*").cast("long").alias("a_bc")
+    adj2 = (
+        lm_abc.groupBy("w2", "w3")
+        .agg(F.count("*").cast("long").alias("a_bc"))
+        .localCheckpoint(eager=False)
     )
     ctx_b = adj2.groupBy("w2").agg(
         F.sum("a_bc").alias("a_b"),
@@ -712,7 +724,9 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.update(cols)
             yield pd.DataFrame(out)
 
-    raw = docs.select("doc_id", "text").mapInPandas(_rep_kernel, out_schema)
+    raw = spread_small_scan(
+        docs.select("doc_id", "text")
+    ).mapInPandas(_rep_kernel, out_schema)
     rounded = raw.select(
         "doc_id",
         *[

@@ -227,7 +227,13 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs keyed by doc — no corpus self-joins, no global sorts.
     """
     docs = load_table(spark, sf_dir, "documents")
-    model = lang_trigram_model(spark, sf_dir)
+    # The scorer reads the model THREE ways (vocab, per-lang floors,
+    # nonzero cells); without a checkpoint each branch re-runs the
+    # whole train subtree (scan → explode → topT window → crossJoin —
+    # measured 3× the build stages in one plan). The model is bounded
+    # (|langs|·|V| rows) so truncating lineage here is metadata-cheap;
+    # lazy so materialization rides the first consuming job.
+    model = lang_trigram_model(spark, sf_dir).localCheckpoint(eager=False)
     return lang_id_score_docs(docs, model)
 
 
@@ -414,7 +420,8 @@ def lang_id_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    model = lang_trigram_model(spark, sf_dir)
+    # bounded-model checkpoint — see lang_id
+    model = lang_trigram_model(spark, sf_dir).localCheckpoint(eager=False)
     scores = _lang_scores(docs, model)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("lang"))
     return (

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mimir_spark.sources.tables import load_table
+from mimir_spark.functions.spread import spread_small_scan
 
 WIN_K = 8  # k-gram length (chars)
 WIN_W = 8  # window: min over W consecutive k-gram hashes
@@ -55,7 +56,7 @@ def winnow_fingerprints(
         f" s -> array_min(slice(kh, s, {w}))))"
     )
     return (
-        docs.filter(F.length("text") >= k + w - 1)
+        spread_small_scan(docs.filter(F.length("text") >= k + w - 1))
         .selectExpr("doc_id", f"{kh} AS kh")
         .selectExpr("doc_id", f"explode({wins}) AS fp")
     )

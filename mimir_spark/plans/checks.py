@@ -35,3 +35,18 @@ def assert_broadcast_join(df: DataFrame, at_least: int = 1) -> None:
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
+
+
+def assert_only_roundrobin_exchanges(plan: str) -> None:
+    """Assert the plan has no DATA-DEPENDENT shuffle: the only Exchange
+    allowed is a round-robin repartition (the scale-adaptive spread in
+    mimir_spark.functions.spread, a no-op on cluster-scale inputs).
+    Works on both `explain("formatted")` output (partitioning on an
+    Arguments: line) and executedPlan().toString() (inline). Every
+    shuffle exchange carries exactly one of hash/range/single/
+    round-robin partitioning, so banning the first three — plus
+    BroadcastExchange — leaves round-robin as the only legal Exchange."""
+    low = plan.lower()
+    for banned in ("hashpartitioning", "rangepartitioning",
+                   "singlepartition", "broadcastexchange"):
+        assert banned not in low, f"real shuffle ({banned}) in plan:\n{plan}"

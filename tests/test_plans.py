@@ -12,6 +12,7 @@ from mimir_spark.operators import core, relational, relational3
 from mimir_spark.plans.checks import (
     assert_broadcast_join,
     assert_no_cartesian,
+    assert_only_roundrobin_exchanges,
     assert_pushed_filters,
     formatted_plan,
 )
@@ -690,7 +691,10 @@ def test_gopher_repetition_filter_is_map_only(spark, sf_smoke):
     from mimir_spark.operators.quality import gopher_repetition_filter
 
     plan = formatted_plan(gopher_repetition_filter(spark, sf_smoke))
-    assert "Exchange" not in plan, plan
+    # No data-dependent shuffle: the only Exchange allowed is the
+    # scale-adaptive spread's RoundRobin repartition (a no-op on
+    # cluster-scale inputs — see mimir_spark.functions.spread).
+    assert_only_roundrobin_exchanges(plan)
     assert "ReadSchema" in plan and "text" in plan
 
 

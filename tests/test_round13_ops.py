@@ -93,7 +93,12 @@ def test_html_extract_spark_plan_is_single_scan(spark):
 
     df = html_extract_text(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # No data-dependent shuffle: the scale-adaptive spread's RoundRobin
+    # repartition (a no-op on cluster-scale inputs) is the only
+    # Exchange allowed.
+    from mimir_spark.plans.checks import assert_only_roundrobin_exchanges
+
+    assert_only_roundrobin_exchanges(plan)
     assert "doc_id:bigint,text:string" in plan.replace(" ", "")
     rows = {r.doc_id: r for r in df.collect()}
     assert rows and all(

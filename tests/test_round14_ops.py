@@ -388,3 +388,26 @@ def test_model_cache_dir_is_per_user_and_stamped(spark):
     assert a != b
     uid = os.getuid()
     assert f"mimir_spark_idx-{uid}" in a
+
+
+def test_spread_small_scan_gate(spark, sf_smoke):
+    """spread_small_scan fans a 1-split scan out to defaultParallelism
+    and passes an already-wide input through untouched (the gate that
+    makes it safe in a 100 TB plan); row values are unchanged."""
+    from mimir_spark.functions.spread import spread_small_scan
+    from mimir_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    out = spread_small_scan(docs)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # identical multiset of rows
+    assert (
+        out.exceptAll(docs).count() == 0 and docs.exceptAll(out).count() == 0
+    )
+    # no-op path: input already at/above target parallelism
+    wide = docs.repartition(spark.sparkContext.defaultParallelism + 1)
+    assert spread_small_scan(wide) is wide
