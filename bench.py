@@ -288,6 +288,21 @@ def main() -> None:
     stage_metrics: dict[str, dict] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # Measurement-isolation fix (round 14, documented in
+        # OPTIMIZATION_r14.md): queries that .cache() an intermediate
+        # (bfs_levels' edge table, pagerank's dst-partitioned
+        # contribution table) register it in the session CacheManager,
+        # which holds the entry FOREVER — so query N's storage squeezed
+        # query N+k's live cache out of the unified pool and the bench
+        # measured eviction-recompute, not the query (pagerank: 9.99s /
+        # 93 stages / 43 MB shuffled in-bench vs 4.9s / 78 stages / 9.7
+        # MB solo). Dropping dead entries BETWEEN queries (never between
+        # the best-of runs of one query, which legitimately share their
+        # warm cache) plus a driver GC (so the ContextCleaner can
+        # reclaim checkpoint/broadcast blocks whose references died)
+        # isolates each query's measurement. Timed region unchanged.
+        spark.catalog.clearCache()
+        jvm.java.lang.System.gc()
         # Per-query codegen warmup: the SAME plan at sf0.001 (1000×
         # less data) compiles every whole-stage-codegen fragment the
         # timed run reuses from the codegen cache. Single-shot cold

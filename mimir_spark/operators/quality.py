@@ -259,16 +259,16 @@ def bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_ppl_from_parts(dab, words)
 
 
-def bigram_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """The two SUM/SET-monoid state tables the bigram LM needs:
-    per-doc bigram counts (doc_id, w1, w2, c_dab) and per-doc distinct
-    words (doc_id, w). Shared by the batch operator and the streaming
-    incremental builder — both are per-doc partials that merge across
-    disjoint batches into exactly the single-pass tables."""
+def _bigram_stream(docs: DataFrame) -> DataFrame:
+    """The ungrouped (doc_id, w1, w2) bigram-occurrence stream — one
+    scan, map-only. Shared by bigram_parts (which groups it into the
+    per-doc count state) and dsir_weights' bucket-stats pass (which
+    folds it straight into the 1024-row feature table, no per-type
+    grouping needed)."""
     toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
         F.size("t") >= 2
     )
-    bg = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -280,7 +280,15 @@ def bigram_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    dab = bg.groupBy("doc_id", "w1", "w2").agg(
+
+
+def bigram_parts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two SUM/SET-monoid state tables the bigram LM needs:
+    per-doc bigram counts (doc_id, w1, w2, c_dab) and per-doc distinct
+    words (doc_id, w). Shared by the batch operator and the streaming
+    incremental builder — both are per-doc partials that merge across
+    disjoint batches into exactly the single-pass tables."""
+    dab = _bigram_stream(docs).groupBy("doc_id", "w1", "w2").agg(
         F.count("*").cast("long").alias("c_dab")
     )
     words = docs.select(
@@ -343,34 +351,51 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln contract as bigram_logppl, which the gate has hash-verified
     since r5."""
     docs = load_table(spark, sf_dir, "documents")
-    dab, _ = bigram_parts(docs)
-    return dsir_weights_from_parts(dab)
-
-
-def dsir_weights_from_parts(dab: DataFrame) -> DataFrame:
-    """Score from the per-doc bigram-count state table — the only
-    scoring code path, shared by the batch operator and the streaming
-    finalizer (streaming/ngram_lm.finalize_dsir_weights): bucket
-    counts and totals are SUM monoids over disjoint doc batches, so
-    incremental and single-pass weights are bit-identical."""
+    bg = _bigram_stream(docs)
+    # Bucket stats folded straight from the OCCURRENCE stream (round
+    # 14, guide §2.3/§2.4): Σ_types c_dab·is_target grouped by bucket
+    # is identically Σ_occurrences is_target — pure integer sums, so
+    # ct/cs/tt/ts (and hence every llr double) are bit-identical to
+    # the per-type fold — and the stats pass no longer needs the
+    # (doc, w1, w2) string-keyed shuffle at all: its aggregate state
+    # is the FIXED 1024-row bucket table, fully map-side combined.
+    # The before-plan executed the scan → explode → string-keyed
+    # groupBy subtree THREE times (main + stats + totals; no exchange
+    # reuse — the main branch's pushed-down eval-slice filter makes
+    # its subtree non-identical); now the string shuffle happens once
+    # (the per-type scoring sum, whose FP grouping the oracle pins)
+    # and the stats scan is map-only.
     from mimir_spark.functions.text import portable_token_hash31
 
-    bucketed = dab.withColumn(
-        "bucket",
+    occ = bg.select(
         F.pmod(
             portable_token_hash31(F.concat_ws(" ", "w1", "w2")),
             F.lit(DSIR_BUCKETS),
+        ).alias("bucket"),
+        (F.col("doc_id") % DSIR_EVAL_MOD == 0).cast("long").alias(
+            "is_target"
         ),
-    ).withColumn(
-        "is_target", (F.col("doc_id") % DSIR_EVAL_MOD == 0).cast("long")
     )
-    stats = bucketed.groupBy("bucket").agg(
-        F.sum(F.col("c_dab") * F.col("is_target")).alias("ct"),
-        F.sum(F.col("c_dab") * (1 - F.col("is_target"))).alias("cs"),
+    stats = occ.groupBy("bucket").agg(
+        F.sum("is_target").alias("ct"),
+        F.sum(1 - F.col("is_target")).alias("cs"),
     )
-    totals = stats.agg(
-        F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
+    dab = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("c_dab")
     )
+    return _dsir_score(dab, stats)
+
+
+def _dsir_score(dab: DataFrame, stats: DataFrame) -> DataFrame:
+    """Laplace log-ratio fold + per-doc weighted sum over a per-doc
+    bigram-count table and a (bucket, ct, cs) stats table. The stats
+    table is O(DSIR_BUCKETS) rows — bounded state — so one lazy
+    lineage cut lets `totals` fold from it instead of re-running the
+    corpus pass that produced it (guide §3.3/§5)."""
+    from mimir_spark.functions.text import portable_token_hash31
+
+    stats = stats.localCheckpoint(eager=False)
+    totals = stats.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
     llr = stats.crossJoin(F.broadcast(totals)).select(
         "bucket",
         (
@@ -385,7 +410,14 @@ def dsir_weights_from_parts(dab: DataFrame) -> DataFrame:
         ).alias("llr"),
     )
     return (
-        bucketed.filter(F.col("is_target") == 0)
+        dab.filter(F.col("doc_id") % DSIR_EVAL_MOD != 0)
+        .withColumn(
+            "bucket",
+            F.pmod(
+                portable_token_hash31(F.concat_ws(" ", "w1", "w2")),
+                F.lit(DSIR_BUCKETS),
+            ),
+        )
         .join(F.broadcast(llr), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -393,6 +425,34 @@ def dsir_weights_from_parts(dab: DataFrame) -> DataFrame:
             F.round(F.sum(F.col("c_dab") * F.col("llr")), 6).alias("logw"),
         )
     )
+
+
+def dsir_weights_from_parts(dab: DataFrame) -> DataFrame:
+    """Score from the per-doc bigram-count state table — the only
+    scoring code path, shared by the batch operator and the streaming
+    finalizer (streaming/ngram_lm.finalize_dsir_weights): bucket
+    counts and totals are SUM monoids over disjoint doc batches, so
+    incremental and single-pass weights are bit-identical."""
+    from mimir_spark.functions.text import portable_token_hash31
+
+    stats = (
+        dab.withColumn(
+            "bucket",
+            F.pmod(
+                portable_token_hash31(F.concat_ws(" ", "w1", "w2")),
+                F.lit(DSIR_BUCKETS),
+            ),
+        )
+        .withColumn(
+            "is_target", (F.col("doc_id") % DSIR_EVAL_MOD == 0).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("c_dab") * F.col("is_target")).alias("ct"),
+            F.sum(F.col("c_dab") * (1 - F.col("is_target"))).alias("cs"),
+        )
+    )
+    return _dsir_score(dab, stats)
 
 
 def dsir_select(

@@ -43,7 +43,21 @@ def get_spark(app_name: str = "mimir_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.codegen.maxFields", "256")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g, not 8g: local[32] runs 32 concurrent tasks in ONE JVM, so
+        # the unified memory pool is split 32 ways; at 8g the storage
+        # fraction (~2.3g) could not hold one query's cached tables plus
+        # the previous queries' not-yet-collected checkpoint blocks, and
+        # pagerank's dst-partitioned contribution cache was observed
+        # evicted mid-bench (93 stages / 43 MB shuffled vs 78 / 9.7 MB
+        # warm). Parameterised: production sets executor memory per
+        # deployment; this is only the local-mode default.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # The ContextCleaner only reclaims dead checkpoint/broadcast/
+        # shuffle blocks after a driver GC notices the references died;
+        # the default periodicGC.interval (30min) is longer than a whole
+        # bench run, so blocks from finished queries piled up and evicted
+        # live caches. 90s bounds the pile-up at negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "90s")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
