@@ -1047,15 +1047,19 @@ def dup_span_fraction(
             )
         ).alias("sh"),
     )
+    # only `n_docs >= 2` is ever consumed, and ≥2 distinct docs ⟺
+    # min(doc_id) < max(doc_id): plain min/max partial-aggregate in one
+    # exchange where countDistinct planned an extra distinct pass over
+    # the corpus-token-sized shingle stream (guide §2.3).
     docs_per_sh = pos.groupBy("sh").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+        F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max")
     )
     return (
         pos.join(docs_per_sh, "sh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            F.sum(F.when(F.col("d_min") < F.col("d_max"), 1).otherwise(0))
             .cast("long")
             .alias("n_dup_shingles"),
         )
@@ -1083,18 +1087,21 @@ def dedup_span_removal(
     canonical copy. Returns per-doc (n_tokens, n_removed,
     cleaned_text).
 
-    Shape (all linear in corpus tokens, no self-join):
-    positional-shingle explode → per-shingle stats (distinct docs +
-    first occurrence as one packed BIGINT min — a portable argmin) →
-    join back (fan-out exactly 1) → covered-position explode (×n
-    constant) → anti-join the token table → per-doc ordered
-    reassembly via array_sort(collect_list(struct(pos, word))).
-    The only corpus-sized shuffles are keyed on shingle and doc_id."""
+    Shape (all linear in corpus tokens, no self-join; round-14 form —
+    guide §2.3/§2.4): positional-shingle explode → per-shingle stats
+    (min/max doc_id + first occurrence as one packed BIGINT min — a
+    portable argmin; `min < max` replaces countDistinct(doc_id) ≥ 2
+    exactly, saving the distinct-aggregate's extra (h, doc_id)
+    exchange) → join back (fan-out exactly 1) → per-doc removable-
+    START list (one doc_id-keyed exchange of start positions only) →
+    ROW-LOCAL rebuild against the tokenized doc (covered set, kept
+    positions and the space-joined cleaned text are all per-row array
+    arithmetic). The previous tail shuffled the corpus-token-sized
+    (doc_id, pos, word) table three more times (covered distinct,
+    anti-join, collect_list reassembly) and tokenized the corpus
+    twice; now tokens never leave their row and the only corpus-sized
+    shuffles are one shingle-keyed and one doc_id-keyed exchange."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _spread(docs).select("doc_id", tokens_col("text").alias("t"))
-    tok = toks.select(
-        "doc_id", F.posexplode("t").alias("pos0", "word")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
     # the shingle string exists only inside the row it was built in:
     # the shuffle key is its 64-bit hash (8 bytes moved and compared
     # instead of a ~40-byte string; a cross-shingle collision would
@@ -1107,45 +1114,55 @@ def dedup_span_removal(
         "doc_id", (F.col("pos0") + 1).alias("pos"), F.xxhash64("sh").alias("h")
     )
     stats = sh.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("d_min"),
+        F.max("doc_id").alias("d_max"),
         F.min(F.col("doc_id") * POS_BASE + F.col("pos")).alias("first_key"),
     )
     removable = (
         sh.join(stats, "h")
         .filter(
-            (F.col("n_docs") >= 2)
+            (F.col("d_min") < F.col("d_max"))
             & (F.col("doc_id") * POS_BASE + F.col("pos") != F.col("first_key"))
         )
         .select("doc_id", "pos")
     )
-    covered = removable.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(n_words - 1))
-        ).alias("pos"),
-    ).distinct()
-    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda x: x["word"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
-    n_tok = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tokens"))
-    return (
-        n_tok.join(rebuilt, "doc_id", "left")
+    # per-doc covered-position set, expanded ROW-LOCALLY from the
+    # start positions (×n_words constant, array arithmetic instead of
+    # an exploded + distinct-shuffled position table)
+    cov = (
+        removable.groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
         .select(
             "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "starts",
+                        lambda p: F.sequence(p, p + F.lit(n_words - 1)),
+                    )
+                )
+            ).alias("cov"),
         )
+    )
+    # zero-token docs emit no row — the explode-based tail had no
+    # (doc_id, pos, word) rows for them either
+    toks = (
+        _spread(docs)
+        .select("doc_id", tokens_col("text").alias("t"))
+        .filter(F.size("t") >= 1)
+    )
+    n = F.size("t")
+    # every shingle start satisfies pos + n_words − 1 ≤ n_tokens, so
+    # cov ⊆ [1..n] and kept = positions ∖ cov reproduces the anti-join
+    covc = F.coalesce("cov", F.array().cast("array<int>"))
+    kept_pos = F.array_except(F.sequence(F.lit(1), n), covc)
+    return toks.join(cov, "doc_id", "left").select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept_pos)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at("t", p)), " "
+        ).alias("cleaned_text"),
     )
 
 

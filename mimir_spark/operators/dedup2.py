@@ -79,11 +79,20 @@ def dedup_jaccard_prefix(
     prefix by one element (p+1 covers the band) if bit-equality with
     the rounded filter must hold."""
     docs = load_table(spark, sf_dir, "documents")
-    hsets = _spread(docs).select(
-        "doc_id",
-        F.transform(
-            word_shingles("text", SHINGLE_WORDS), lambda s: F.xxhash64(s)
-        ).alias("hs"),
+    # hsets feeds FOUR branches (df explode, the ordered join, and
+    # both verify sides); un-cut, each branch re-runs the tokenize +
+    # shingle-concat + hash pass (the before-plan held 12 parquet
+    # scans). One lazy lineage cut computes it once (guide §3.3/§5);
+    # lazy, so materialization rides the first consuming job.
+    hsets = (
+        _spread(docs)
+        .select(
+            "doc_id",
+            F.transform(
+                word_shingles("text", SHINGLE_WORDS), lambda s: F.xxhash64(s)
+            ).alias("hs"),
+        )
+        .localCheckpoint(eager=False)
     )
     ex = hsets.select("doc_id", F.explode("hs").alias("h"))
     df_tbl = ex.groupBy("h").agg(F.count("*").alias("df"))
@@ -294,11 +303,16 @@ def dedup_containment_prefix(
     the note on the 6dp rounding-boundary asymmetry, which applies
     here one-sided too)."""
     docs = load_table(spark, sf_dir, "documents")
-    hsets = _spread(docs).select(
-        "doc_id",
-        F.transform(
-            word_shingles("text", SHINGLE_WORDS), lambda s: F.xxhash64(s)
-        ).alias("hs"),
+    # shared-shingle-table lineage cut — see dedup_jaccard_prefix
+    hsets = (
+        _spread(docs)
+        .select(
+            "doc_id",
+            F.transform(
+                word_shingles("text", SHINGLE_WORDS), lambda s: F.xxhash64(s)
+            ).alias("hs"),
+        )
+        .localCheckpoint(eager=False)
     )
     ex = hsets.select(
         "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")

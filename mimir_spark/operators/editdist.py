@@ -218,14 +218,20 @@ def edit_pairs(
     tb = docs_all.select(
         F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
     )
+    # BANDED verify (guide §1.2 per-task work): levenshtein with a
+    # threshold runs the O(len·k) diagonal band instead of the full
+    # O(len²) DP — for ~3000-char docs and k=8 that is ~150× less work
+    # per candidate. Semantics are exact below the band: the 3-arg form
+    # returns the true distance when it is ≤ k and −1 otherwise, so
+    # `>= 0` keeps exactly the rows `<= k` kept, with identical values.
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn(
             "edit_distance",
-            F.levenshtein("text_a", "text_b").cast("long"),
+            F.levenshtein("text_a", "text_b", k).cast("long"),
         )
-        .filter(F.col("edit_distance") <= k)
+        .filter(F.col("edit_distance") >= 0)
         .select("doc_a", "doc_b", "edit_distance")
     )
 

@@ -59,23 +59,47 @@ def _cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell_id, res): every normalized vector assigned to its
     nearest trained centroid (cos argmax, ties → lowest cell — the
     ann_ivf_topk rule) with the elementwise residual e − centroid.
-    One broadcast join + a bounded window; the corpus never
-    self-joins."""
-    cents = _ivf_centroids(spark, sf_dir)
-    pts = _normalized_pts(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("cell_id")
+
+    ONE ARROW KERNEL (round 14, guide §2.4/§4.2): sims to all N_CELLS
+    centroids, the first-max argmax (ties → lowest cell, the old
+    window's rule) and the elementwise residual are computed per Arrow
+    batch with strictly-sequential NumPy folds — bit-identical doubles
+    to the former cosine_sim over exploded join rows (see
+    _nearest_cells_np). The previous form fanned the corpus ×N_CELLS
+    through a broadcast join, ran three interpreted 64-term HOF folds
+    per fan-out row, and ranked the fan-out back down with a
+    per-vector window — a corpus-sized exchange + sort that existed
+    only to pick a per-row maximum."""
+    import numpy as np
+    import pandas as pd
+
+    from mimir_spark.functions.spread import spread_small_scan
+    from mimir_spark.operators.similarity import (
+        _ivf_centroid_list,
+        _nearest_cells_np,
     )
-    return (
-        pts.join(F.broadcast(cents))
-        .withColumn("sim", cosine_sim("e", "cent"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "vec_id",
-            "cell_id",
-            F.zip_with("e", "cent", lambda x, y: x - y).alias("res"),
-        )
+
+    cent_list = _ivf_centroid_list(spark, sf_dir)
+    C = np.array(cent_list, dtype=np.float64)
+    nc = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+    pts = _normalized_pts(spark, sf_dir)
+
+    def _k(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(list(pdf["e"]), dtype=np.float64)
+            cell = _nearest_cells_np(E, C, nc)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell_id": cell.astype(np.int64),
+                    "res": list(E - C[cell]),
+                }
+            )
+
+    return spread_small_scan(pts).mapInPandas(
+        _k, "vec_id long, cell_id long, res array<double>"
     )
 
 

@@ -180,20 +180,55 @@ def pq_encode(
     books: list[list[list[float]]],
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Map-only encode: per subspace the argmin over K_CODES literal
-    centroids (ties → lowest code, 1-based like array_position). The
-    corpus never shuffles; output is id + m small ints (+ any
-    passthrough columns, e.g. IVF-PQ's cell_id)."""
-    cols = [F.col("vec_id").alias("neighbor_id")]
-    cols += [F.col(c) for c in extra_cols]
-    for s, book in enumerate(books):
-        dists = _dists_hof(book, s)
-        cols.append(
-            F.array_position(dists, F.array_min(dists))
-            .cast("long")
-            .alias(f"code{s}")
-        )
-    return pts.select(*cols)
+    """Map-only encode: per subspace the argmin over K_CODES centroids
+    (ties → lowest code, 1-based like array_position). The corpus
+    never shuffles; output is id + m small ints (+ any passthrough
+    columns, e.g. IVF-PQ's cell_id).
+
+    ONE ARROW KERNEL (round 14, guide §4.2): the former per-subspace
+    `array_position(dists, array_min(dists))` referenced the
+    interpreted 16-fold HOF distance array TWICE per subspace (HOFs
+    run outside codegen and projection collapse re-inlines them), so
+    every row paid ~2·m·k interpreted 8-term folds. The kernel runs
+    the identical arithmetic — elementwise (x−y)² then the
+    strictly-sequential np.cumsum left fold (bit-identical to the
+    `aggregate` HOF, see similarity._nearest_cells_np), first-min
+    argmin — once per batch, vectorized. Streaming inputs pass
+    through untouched by the spread (mapInPandas is
+    micro-batch-safe)."""
+    import numpy as np
+    import pandas as pd
+
+    from mimir_spark.functions.spread import spread_small_scan
+
+    B = [np.array(book, dtype=np.float64) for book in books]
+    m = len(books)
+    extra_fields = {
+        f.name: f.dataType.simpleString()
+        for f in pts.schema.fields
+    }
+
+    def _k(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(list(pdf["e"]), dtype=np.float64)
+            out = {"neighbor_id": pdf["vec_id"]}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            for s in range(m):
+                sl = E[:, s * D_SUB : (s + 1) * D_SUB]
+                diff = sl[:, None, :] - B[s][None, :, :]
+                d = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                out[f"code{s}"] = (d.argmin(axis=1) + 1).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(
+        ["neighbor_id long"]
+        + [f"{c} {extra_fields[c]}" for c in extra_cols]
+        + [f"code{s} long" for s in range(m)]
+    )
+    return spread_small_scan(pts).mapInPandas(_k, schema)
 
 
 def ann_pq_topk(

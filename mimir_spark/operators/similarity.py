@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mimir_spark.functions.spread import spread_small_scan
 from mimir_spark.functions.vectors import cosine_sim, dot
 from mimir_spark.sources.tables import load_table
 
@@ -213,6 +214,20 @@ IVF_KMEANS_ITERS = 5
 _IVF_CENTROID_CACHE: dict[tuple, list] = {}
 
 
+def _ivf_centroid_list(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Trained IVF centroids as driver-side bounded metadata (k·dim
+    floats) — the memoized Lloyd result both the DataFrame wrapper and
+    the literal-expression assignment below share."""
+    from mimir_spark.operators.clustering import lloyd_centroids
+
+    key = (sf_dir, N_CELLS, IVF_KMEANS_ITERS)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[key] = lloyd_centroids(
+            spark, sf_dir, k=N_CELLS, n_iters=IVF_KMEANS_ITERS
+        )
+    return _IVF_CENTROID_CACHE[key]
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained IVF centroids as a (cell_id, cent) DataFrame: Lloyd
     k-means on normalized embeddings (clustering.lloyd_centroids)
@@ -221,16 +236,64 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher recall@k at the same probe count (ann_ivf_recall: mean
     0.70 → with trained centroids, see test floor). k·dim driver-side
     floats — bounded metadata, the k-means-centroid class."""
-    from mimir_spark.operators.clustering import lloyd_centroids
-
-    key = (sf_dir, N_CELLS, IVF_KMEANS_ITERS)
-    if key not in _IVF_CENTROID_CACHE:
-        _IVF_CENTROID_CACHE[key] = lloyd_centroids(
-            spark, sf_dir, k=N_CELLS, n_iters=IVF_KMEANS_ITERS
-        )
     return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(_IVF_CENTROID_CACHE[key])],
+        [
+            (i, c)
+            for i, c in enumerate(_ivf_centroid_list(spark, sf_dir))
+        ],
         "cell_id long, cent array<double>",
+    )
+
+
+def _nearest_cells_np(E, C, nc):
+    """Per-row argmax cell over cosine sims, vectorized — BIT-IDENTICAL
+    to the former join+window plan's doubles: products are elementwise
+    IEEE multiplies and every Σ is np.cumsum's strictly-sequential
+    left fold, the same ((0+v₁)+v₂)+… association as the engine-side
+    `aggregate` HOF (verified bitwise on the real corpus); argmax
+    takes the FIRST maximum, which is the (sim desc, cell_id)
+    row_number()==1 tie rule. One centroid at a time keeps the temp
+    at batch×dim doubles."""
+    import numpy as np
+
+    ne = np.sqrt(np.cumsum(E * E, axis=1)[:, -1])
+    sims = np.empty((E.shape[0], C.shape[0]), dtype=np.float64)
+    for j in range(C.shape[0]):
+        dots = np.cumsum(E * C[j][None, :], axis=1)[:, -1]
+        sims[:, j] = dots / (ne * nc[j])
+    return sims.argmax(axis=1)
+
+
+def _assign_cells(df: DataFrame, cent_list: list[list[float]]) -> DataFrame:
+    """(neighbor_id, ce, cell_id): every corpus vector labeled with its
+    nearest trained centroid (cos argmax, ties → lowest cell) — ONE
+    Arrow kernel pass (guide §2.4/§4.2). The former plan fanned the
+    corpus ×N_CELLS through a broadcast join, evaluated three
+    interpreted 64-term HOF folds per (vector, cell) row, and ranked
+    the fan-out back down with a per-vector window — a corpus-sized
+    exchange + sort that existed only to pick a per-row maximum."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(cent_list, dtype=np.float64)
+    nc = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+
+    def _k(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(list(pdf["ce"]), dtype=np.float64)
+            cell = _nearest_cells_np(E, C, nc)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "ce": pdf["ce"],
+                    "cell_id": cell.astype(np.int64),
+                }
+            )
+
+    return df.select("neighbor_id", "ce").mapInPandas(
+        _k, "neighbor_id long, ce array<float>, cell_id long"
     )
 
 
@@ -242,22 +305,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     the cell assignment is written once as a bucketed column and probes
     become partition pruning."""
     cents = _ivf_centroids(spark, sf_dir)
+    cent_list = _ivf_centroid_list(spark, sf_dir)
     q, c = _queries_and_corpus(spark, sf_dir)
-    # assign corpus vectors to nearest centroid
-    c_scored = (
-        c.join(F.broadcast(cents))
-        .withColumn("sim", cosine_sim("ce", "cent"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.col("sim").desc(), F.col("cell_id")
-                )
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("neighbor_id", "ce", "cell_id")
-    )
+    # assign corpus vectors to nearest centroid — one Arrow kernel
+    # (same sims, same tie rule as the former ×N_CELLS join +
+    # per-vector window; see _assign_cells)
+    c_scored = _assign_cells(spread_small_scan(c), cent_list)
     # each query probes its N_PROBE nearest cells
     q_cells = (
         q.join(F.broadcast(cents))
@@ -483,20 +536,16 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     At 100 TB this is the difference between an index and a scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(spark, sf_dir)
-    assigned = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-        .join(F.broadcast(cents))
-        .withColumn("sim", cosine_sim("ce", "cent"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy(
-                    F.col("sim").desc(), F.col("cell_id")
-                )
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("neighbor_id", "ce", "cell_id")
+    cent_list = _ivf_centroid_list(spark, sf_dir)
+    # one-kernel nearest-centroid assignment — see _assign_cells
+    assigned = _assign_cells(
+        spread_small_scan(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ce"),
+            )
+        ),
+        cent_list,
     )
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(

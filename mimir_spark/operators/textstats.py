@@ -131,8 +131,14 @@ def lang_trigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") >= 3)
         .selectExpr("lang", f"explode({_TRIGRAMS}) AS tg")
     )
-    counts = tg.groupBy("lang", "tg").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # counts feeds three branches (topT window, lang list, the dense
+    # cell join); it is a bounded (|langs| × slice-vocab) aggregate, so
+    # one lazy lineage cut computes the train explode once instead of
+    # re-entering it per branch (guide §3.3 plan truncation).
+    counts = (
+        tg.groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 
@@ -254,14 +260,27 @@ def _lang_scores(docs: DataFrame, model: DataFrame) -> DataFrame:
     nz = model.filter(F.col("c") > 0).select(
         "lang", "tg", (F.col("w") - F.col("w0")).alias("dw")
     )
-    iv = doc_tg.join(F.broadcast(vocab), "tg", "left_semi")
-    n_iv = iv.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_iv")
+    # One corpus pass (round 14, guide §2.4): both consumers (the
+    # per-doc occurrence count and the per-(doc, lang) delta sum) used
+    # to re-evaluate the scan → explode → semi-join subtree; they now
+    # read ONE shared (doc_id, tg)-keyed exchange of map-side-combined
+    # occurrence counts — byte-identical exchange subtrees, so Spark's
+    # exchange reuse computes the explode once, and the exchange moves
+    # one row per DISTINCT (doc, trigram) instead of one per
+    # occurrence. n_iv = Σ cnt and delta = Σ cnt·dw are exact integer
+    # identities of the per-occurrence forms.
+    occ = (
+        doc_tg.join(F.broadcast(vocab), "tg", "left_semi")
+        .groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_iv = occ.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_iv")
     )
     deltas = (
-        iv.join(F.broadcast(nz), "tg")
+        occ.join(F.broadcast(nz), "tg")
         .groupBy("doc_id", "lang")
-        .agg(F.sum("dw").cast("long").alias("delta"))
+        .agg(F.sum(F.col("cnt") * F.col("dw")).cast("long").alias("delta"))
     )
     return (
         n_iv.crossJoin(F.broadcast(w0s))

@@ -670,7 +670,7 @@ def unigram_ids_from_docs(
         .localCheckpoint(eager=True)
     )
     pcs = (
-        tok.join(wseg, "word")
+        tok.join(_gated_broadcast_vocab(wseg), "word")
         .select(
             "doc_id",
             "lang",
@@ -686,6 +686,27 @@ def unigram_ids_from_docs(
         ).alias("ids"),
         F.count(F.lit(1)).cast("long").alias("n_ids"),
     )
+
+
+# ~60 B/row (word + segs array): 1M rows ≈ 60 MB serialized — inside
+# executor broadcast budgets; a larger working vocabulary falls back
+# to the shuffle join (the BFS BROADCAST_MAX_ROWS precedent).
+VOCAB_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _gated_broadcast_vocab(wseg: DataFrame) -> DataFrame:
+    """Size-gated broadcast of the distinct-word segmentation table
+    (guide §3.1): the positional token stream is CORPUS-sized while
+    wseg is working-vocabulary-sized, so broadcasting it turns the
+    encode join map-side and deletes the token stream's (word)-keyed
+    exchange + sort — the largest shuffle in every encode plan. wseg
+    is already eagerly checkpointed, so the row-count gate is a cheap
+    job over materialized blocks (a checkpointed RDD reports no size
+    statistic, which is why tables.maybe_broadcast cannot gate this
+    one)."""
+    if wseg.count() <= VOCAB_BROADCAST_MAX_ROWS:
+        return F.broadcast(wseg)
+    return wseg
 
 
 def _ids_digest_projection(ids: DataFrame) -> DataFrame:
@@ -778,7 +799,7 @@ def _merge_fold_corpus_ids(
         *[x for i, p in enumerate(universe) for x in (F.lit(p), F.lit(i))]
     )
     pcs = (
-        tok.join(wseg, "word")
+        tok.join(_gated_broadcast_vocab(wseg), "word")
         .select(
             "doc_id", "lang", "pos", F.posexplode("segs").alias("j", "piece")
         )
