@@ -526,7 +526,6 @@ def containment_lsh_pairs(
     from mimir_spark.operators.dedup import (
         N_HASHES,
         _minhash_doc_table,
-        portable_band_bucket,
     )
 
     # ONE shuffle-free Arrow pass yields the signatures AND the
@@ -534,8 +533,10 @@ def containment_lsh_pairs(
     # this replaces two separate corpus passes (a string-shingle +
     # xxhash64 fold for verification and a signature pass). Both
     # engines now verify on the SAME md5-31 folded family, so a
-    # 31-bit merge happens identically on both sides.
-    tbl = _minhash_doc_table(docs).localCheckpoint(eager=True)
+    # 31-bit merge happens identically on both sides. LAZY cut: the
+    # classes collect just below materializes it, so the kernel pass
+    # and the class scan share ONE job instead of two barriers.
+    tbl = _minhash_doc_table(docs).localCheckpoint(eager=False)
     hsets = tbl.select("doc_id", F.col("sh_set").alias("hs"))
     side = tbl.select(
         "doc_id",
@@ -554,34 +555,72 @@ def containment_lsh_pairs(
     a_cls = {r: sorted({i for i, _, rr in cfg if rr == r}) for r in rs}
     b_cls = {r: sorted({j for _, j, rr in cfg if rr == r}) for r in rs}
 
+    # Bucket rows as ONE Arrow kernel per side (round 14 — the
+    # _icws_bucket_rows precedent applied to the set-sketch side, for
+    # a different reason: the expression form built an
+    # (N_HASHES//r)-struct literal array per r tier, and Catalyst
+    # spent a measured ~6.7 s PER RUN re-optimizing that tree — a
+    # driver-side stall between jobs (guide §7.3) longer than all the
+    # stages combined. The kernel computes the identical
+    # fixed-coefficient int64 arithmetic (Σ sig[b·r+j]·C[j]; integer
+    # adds are associative, so the vectorized sum is bit-exact) with
+    # the per-r class restriction applied as a mask, emitting every
+    # tier from one pass over the checkpointed doc table.)
+    import numpy as np
+    import pandas as pd
+
+    from mimir_spark.operators.dedup import BUCKET_COEFFS
+
+    coeff = {
+        r: np.array(
+            [BUCKET_COEFFS[p % r] for p in range(N_HASHES)], dtype=np.int64
+        )
+        for r in rs
+    }
+
     def _bucket_rows(side_cls: dict[int, list[int]]) -> DataFrame:
-        parts = []
-        for r in rs:
-            if not side_cls[r]:
-                continue
-            bands_r = F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        portable_band_bucket("sig", b * r, r).alias("bucket"),
+        cls_lists = {r: np.array(side_cls[r], dtype=np.int64) for r in rs}
+
+        def _k(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sig = np.array(list(pdf["sig"]), dtype=np.int64)
+                cls = pdf["cls"].to_numpy(np.int64)
+                ids = pdf["doc_id"].to_numpy(np.int64)
+                outs = []
+                for r in rs:
+                    if len(cls_lists[r]) == 0:
+                        continue
+                    mask = np.isin(cls, cls_lists[r])
+                    if not mask.any():
+                        continue
+                    S = sig[mask]
+                    nb = N_HASHES // r
+                    b = (S * coeff[r][None, :]).reshape(
+                        len(S), nb, r
+                    ).sum(axis=2)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": np.repeat(ids[mask], nb),
+                                "cls": np.repeat(cls[mask], nb),
+                                "r": np.full(
+                                    len(S) * nb, r, dtype=np.int64
+                                ),
+                                "band": np.tile(
+                                    np.arange(nb, dtype=np.int64), len(S)
+                                ),
+                                "bucket": b.reshape(-1),
+                            }
+                        )
                     )
-                    for b in range(N_HASHES // r)
-                ]
-            )
-            parts.append(
-                side.filter(F.col("cls").isin(side_cls[r]))
-                .select(
-                    "doc_id",
-                    "cls",
-                    F.lit(r).alias("r"),
-                    F.explode(bands_r).alias("bb"),
-                )
-                .select("doc_id", "cls", "r", "bb.band", "bb.bucket")
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return side.mapInPandas(
+            _k, "doc_id long, cls int, r int, band int, bucket long"
+        )
 
     # (cls_a, cls_b, r) validity as ONE packed-int isin (cls <= 20,
     # r <= 32, so cls_a*4096 + cls_b*64 + r is collision-free and far

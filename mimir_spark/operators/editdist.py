@@ -170,8 +170,17 @@ def edit_pairs(
         )
     )
 
+    # SHUFFLE_HASH with the chunk table as build side (guide §3.1):
+    # left alone, Catalyst BROADCASTS the probe side — the explode's
+    # size estimate hides that it is ~K² substrings per doc, so the
+    # planner collected the ~900×|docs|-row probe relation to the
+    # driver and rebroadcast it (measured: a 12 s build stage plus a
+    # 3.3 s single-threaded driver stall per run). Both sides grow
+    # with the corpus, so the scale-correct plan is the (ci, h)-keyed
+    # shuffle the module docstring promises; the chunk side is K+1
+    # rows/doc, a small per-partition hash build.
     passjoin_cand = (
-        idx.join(probe, ["ci", "h"])
+        idx.hint("shuffle_hash").join(probe, ["ci", "h"])
         .filter(
             (F.col("id_s") != F.col("id_r"))
             & (F.abs(F.col("len_s") - F.col("len_r")) <= k)
