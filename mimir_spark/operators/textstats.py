@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimir_spark.functions.spread import spread_small_scan
 from mimir_spark.functions.text import MOD, BASE, tokens_col
 from mimir_spark.sources.tables import load_table
 
@@ -127,7 +128,7 @@ def lang_trigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(LANG_SEED.items()), "lang string, text string"
     )
     tg = (
-        train.unionByName(seed)
+        spread_small_scan(train.unionByName(seed))
         .filter(F.length("text") >= 3)
         .selectExpr("lang", f"explode({_TRIGRAMS}) AS tg")
     )
@@ -252,9 +253,13 @@ def _lang_scores(docs: DataFrame, model: DataFrame) -> DataFrame:
     one broadcast join touches only c>0 cells. Identical scores to
     the dense fold (pytest-pinned), ~|langs|/nnz-per-trigram less
     join traffic."""
-    doc_tg = docs.filter(F.length("text") >= 3).selectExpr(
-        "doc_id", f"explode({_TRIGRAMS}) AS tg"
-    )
+    # spread: a single-split corpus file would run the whole trigram
+    # explode + occurrence aggregation on ONE core (measured as a
+    # 2.6 s single-task map stage at sf0.1 — the dominant stage of the
+    # scoring path); no-op at cluster scale and on streaming inputs.
+    doc_tg = spread_small_scan(
+        docs.filter(F.length("text") >= 3)
+    ).selectExpr("doc_id", f"explode({_TRIGRAMS}) AS tg")
     vocab = model.select("tg").distinct()
     w0s = model.select("lang", "w0").distinct()
     nz = model.filter(F.col("c") > 0).select(
