@@ -96,6 +96,159 @@ _TRIGRAMS = (
 )
 
 
+# ---- Arrow twins of the trigram explode (round 15, guide §4.2) ----------
+#
+# explode(_TRIGRAMS) is a higher-order transform: it runs INTERPRETED
+# (outside whole-stage codegen), one substring allocation per character
+# position — ~15M interpreted calls per sf0.1 scoring pass, measured as
+# the dominant stage of lang_id. The kernels below compute the SAME
+# (exact integer) per-doc / per-lang trigram counts in one vectorized
+# NumPy pass: codepoints via utf-32 (Spark's substring indexes
+# codepoints; BMP-only parity caveat documented at _TRIGRAMS), each
+# trigram packed into one int64 (3 × 21 bits — max codepoint 0x10FFFF
+# < 2^21), counted with searchsorted/bincount. Counts are exact, so
+# every downstream integer score is bit-identical (pinned by
+# tests/test_round12_ops.py parity + the oracle hash gate).
+
+
+def _cp_codes(s: str):
+    import numpy as np
+
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+
+
+def _pack_tri(c):
+    """int64 array of packed 3-codepoint windows of a codes array."""
+    return (c[:-2] << 42) | (c[1:-1] << 21) | c[2:]
+
+
+def _lang_score_kernel(model_rows: list):
+    """mapInPandas fn: (doc_id, text) → (doc_id, lang, score) for every
+    doc with ≥ 1 in-vocabulary trigram — the Arrow twin of the whole
+    sparse scorer (occurrence count ⋈ nonzero cells + n_iv·w0 floor).
+    `model_rows` is the COLLECTED bounded model (≤ |langs|·|V| rows of
+    (lang, tg, w, w0)); every weight is an integer micro-log, so the
+    matmul below is int64-exact (and int64 overflow wraps identically
+    in NumPy and the JVM). Cells with c == 0 carry w == w0, i.e.
+    dw == 0, so scoring against the DENSE (vocab × lang) dw matrix is
+    the same integer as the old c>0-only broadcast join."""
+    langs = sorted({r[0] for r in model_rows})
+    vocab = sorted({r[1] for r in model_rows})
+    lang_i = {v: i for i, v in enumerate(langs)}
+    vocab_i = {v: i for i, v in enumerate(vocab)}
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        if not vocab:  # degenerate model: nothing can be in-vocab
+            for _ in batches:
+                pass
+            return
+        V, L = len(vocab), len(langs)
+        vcodes = np.array(
+            [int(_pack_tri(_cp_codes(t))[0]) for t in vocab],
+            dtype=np.int64,
+        )
+        order = np.argsort(vcodes)
+        vsorted = vcodes[order]
+        # vocab index (original sort order) of each vsorted slot
+        unsort = np.argsort(order)
+        w0v = np.zeros(L, dtype=np.int64)
+        dw = np.zeros((V, L), dtype=np.int64)
+        for lang, tg, w, w0 in model_rows:
+            li = lang_i[lang]
+            w0v[li] = w0
+            dw[vocab_i[tg], li] = w - w0
+        lang_arr = np.array(langs, dtype=object)
+        for pdf in batches:
+            texts = pdf["text"].values
+            n = len(texts)
+            for lo in range(0, n, 256):
+                chunk = texts[lo : lo + 256]
+                ids = pdf["doc_id"].values[lo : lo + 256]
+                tris, owner = [], []
+                for j, text in enumerate(chunk):
+                    c = _cp_codes(text)
+                    if len(c) < 3:
+                        continue
+                    t = _pack_tri(c)
+                    tris.append(t)
+                    owner.append(np.full(len(t), j, dtype=np.int64))
+                if not tris:
+                    continue
+                tri = np.concatenate(tris)
+                own = np.concatenate(owner)
+                pos = np.searchsorted(vsorted, tri).clip(
+                    max=len(vsorted) - 1
+                )
+                hit = vsorted[pos] == tri
+                if not hit.any():
+                    continue
+                key = own[hit] * V + unsort[pos[hit]]
+                cc = np.bincount(key, minlength=len(chunk) * V).reshape(
+                    len(chunk), V
+                )
+                n_iv = cc.sum(axis=1)
+                keep = np.nonzero(n_iv)[0]
+                if not len(keep):
+                    continue
+                # exact integer identity: score = n_iv·w0 + Σ cnt·dw
+                sc = n_iv[keep, None] * w0v[None, :] + cc[keep] @ dw
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(
+                            ids[keep].astype(np.int64), L
+                        ),
+                        "lang": np.tile(lang_arr, len(keep)),
+                        "score": sc.reshape(-1),
+                    }
+                )
+
+    return fn
+
+
+def _trigram_train_kernel(batches):
+    """mapInPandas fn: (lang, text) → per-PARTITION partial
+    (lang, tg, c) trigram counts — the Arrow twin of
+    explode(_TRIGRAMS) → groupBy(lang, tg).count()'s map side. The
+    partials are exact integer counts over disjoint rows, so the
+    reduce-side SUM reproduces the occurrence count bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    acc: dict = {}
+    for pdf in batches:
+        for lang, text in zip(pdf["lang"].values, pdf["text"].values):
+            c = _cp_codes(text)
+            if len(c) < 3:
+                continue
+            acc.setdefault(lang, []).append(_pack_tri(c))
+    out_lang, out_tg, out_c = [], [], []
+    for lang, chunks in acc.items():
+        codes, counts = np.unique(
+            np.concatenate(chunks), return_counts=True
+        )
+        out_lang.extend([lang] * len(codes))
+        out_tg.extend(
+            chr((v >> 42) & 0x1FFFFF)
+            + chr((v >> 21) & 0x1FFFFF)
+            + chr(v & 0x1FFFFF)
+            for v in codes.tolist()
+        )
+        out_c.extend(counts.tolist())
+    if out_lang:
+        yield pd.DataFrame(
+            {
+                "lang": out_lang,
+                "tg": out_tg,
+                "c": np.array(out_c, dtype=np.int64),
+            }
+        )
+
+
 def lang_trigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded per-(lang, trigram) naive-Bayes model table.
 
@@ -127,18 +280,25 @@ def lang_trigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = spark.createDataFrame(
         sorted(LANG_SEED.items()), "lang string, text string"
     )
-    tg = (
+    # Arrow trigram counting (round 15, guide §4.2): the interpreted
+    # explode(_TRIGRAMS) HOF is replaced by one NumPy kernel emitting
+    # per-partition partial (lang, tg, c) counts; the reduce-side SUM
+    # over disjoint partials equals the occurrence count exactly, so
+    # the model is bit-identical (oracle hash gate + round12 parity).
+    tg_parts = (
         spread_small_scan(train.unionByName(seed))
         .filter(F.length("text") >= 3)
-        .selectExpr("lang", f"explode({_TRIGRAMS}) AS tg")
+        .mapInPandas(
+            _trigram_train_kernel, "lang string, tg string, c long"
+        )
     )
     # counts feeds three branches (topT window, lang list, the dense
     # cell join); it is a bounded (|langs| × slice-vocab) aggregate, so
-    # one lazy lineage cut computes the train explode once instead of
+    # one lazy lineage cut computes the train kernel once instead of
     # re-entering it per branch (guide §3.3 plan truncation).
     counts = (
-        tg.groupBy("lang", "tg")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        tg_parts.groupBy("lang", "tg")
+        .agg(F.sum("c").cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
@@ -253,50 +413,30 @@ def _lang_scores(docs: DataFrame, model: DataFrame) -> DataFrame:
     one broadcast join touches only c>0 cells. Identical scores to
     the dense fold (pytest-pinned), ~|langs|/nnz-per-trigram less
     join traffic."""
-    # spread: a single-split corpus file would run the whole trigram
-    # explode + occurrence aggregation on ONE core (measured as a
-    # 2.6 s single-task map stage at sf0.1 — the dominant stage of the
-    # scoring path); no-op at cluster scale and on streaming inputs.
-    doc_tg = spread_small_scan(
-        docs.filter(F.length("text") >= 3)
-    ).selectExpr("doc_id", f"explode({_TRIGRAMS}) AS tg")
-    vocab = model.select("tg").distinct()
-    w0s = model.select("lang", "w0").distinct()
-    nz = model.filter(F.col("c") > 0).select(
-        "lang", "tg", (F.col("w") - F.col("w0")).alias("dw")
-    )
-    # One corpus pass (round 14, guide §2.4): both consumers (the
-    # per-doc occurrence count and the per-(doc, lang) delta sum) used
-    # to re-evaluate the scan → explode → semi-join subtree; they now
-    # read ONE shared (doc_id, tg)-keyed exchange of map-side-combined
-    # occurrence counts — byte-identical exchange subtrees, so Spark's
-    # exchange reuse computes the explode once, and the exchange moves
-    # one row per DISTINCT (doc, trigram) instead of one per
-    # occurrence. n_iv = Σ cnt and delta = Σ cnt·dw are exact integer
-    # identities of the per-occurrence forms.
-    occ = (
-        doc_tg.join(F.broadcast(vocab), "tg", "left_semi")
-        .groupBy("doc_id", "tg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    n_iv = occ.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_iv")
-    )
-    deltas = (
-        occ.join(F.broadcast(nz), "tg")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum(F.col("cnt") * F.col("dw")).cast("long").alias("delta"))
-    )
-    return (
-        n_iv.crossJoin(F.broadcast(w0s))
-        .join(deltas, ["doc_id", "lang"], "left")
-        .select(
-            "doc_id",
-            "lang",
-            (F.col("n_iv") * F.col("w0") + F.coalesce("delta", F.lit(0)))
-            .cast("long")
-            .alias("score"),
-        )
+    # The whole sparse scorer as ONE Arrow kernel (round 15, guide
+    # §4.2): the model is bounded (≤ |langs|·|V| rows at any corpus
+    # size), so it is collected once and compiled into the kernel —
+    # the same bytes the broadcast joins would ship — and the
+    # interpreted explode(_TRIGRAMS) HOF + semi-join + three
+    # aggregation exchanges (~15M interpreted substring calls at
+    # sf0.1, the measured dominant stage) collapse into a vectorized
+    # per-batch bincount + int64 matmul emitting the identical
+    # (doc_id, lang, score) rows. The round-14 two-consumer exchange
+    # design does NOT carry over to mapInPandas subtrees: plan
+    # canonicalization of Python-function nodes defeats AQE exchange
+    # reuse, so the kernel ran TWICE (two 6.9 MB map stages in the
+    # timeline); emitting final scores leaves one consumer and zero
+    # joins. spread: a single-split corpus file would run the kernel
+    # on ONE core; no-op at cluster scale.
+    model_rows = [
+        (r["lang"], r["tg"], r["w"], r["w0"])
+        for r in model.select("lang", "tg", "w", "w0").collect()
+    ]
+    return spread_small_scan(
+        docs.filter(F.length("text") >= 3).select("doc_id", "text")
+    ).mapInPandas(
+        _lang_score_kernel(model_rows),
+        "doc_id long, lang string, score long",
     )
 
 
