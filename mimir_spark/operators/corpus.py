@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mimir_spark.functions.spread import spread_small_scan
 from mimir_spark.functions.text import tokens_col, word_shingles
 from mimir_spark.operators.dedup import SHINGLE_WORDS
 from mimir_spark.sources.tables import load_table
@@ -34,7 +35,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     The only shuffle is the (doc, eval_doc) counting aggregate, which
     is candidate-sized.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the shingle explode + broadcast probe ran on ONE core on
+    # a single-split corpus (a 0.5 s single-task stage inside
+    # corpus_keep_list at sf0.1); no-op at cluster scale.
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.explode(word_shingles("text", SHINGLE_WORDS)).alias("sh")
     )

@@ -314,22 +314,45 @@ def lsh_candidates(
     incremental-streaming per-batch cost is O(batch × history) bucket
     collisions, never O(history²)."""
     rows = n_hashes // n_bands
-    # Bucket id over the band's raw longs: fixed-coefficient linear
-    # hash (portable_band_bucket) — no array→string materialization
-    # per band, and the oracle SQL computes the identical value.
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                portable_band_bucket("sig", i * rows, rows).alias("bucket"),
-            )
-            for i in range(n_bands)
-        ]
+    # Bucket rows as ONE Arrow kernel (round 15 — the dedup2
+    # containment-bucket precedent applied to the plain banding path):
+    # the expression form built an n_bands-struct literal array per
+    # side, and CONSTRUCTING + analyzing that tree cost a measured
+    # ~1.2 s of driver time per query (plus interpreted element_at
+    # evaluation per row). The kernel computes the identical
+    # fixed-coefficient linear hash bucket[b] = Σ_j sig[b·rows+j]·C_j
+    # (portable_band_bucket's formula) in one int64 matmul — integer
+    # adds are associative and np.int64 wraps like the JVM long, so
+    # the buckets are bit-exact.
+    import numpy as np
+    import pandas as pd
+
+    coef = np.tile(
+        np.array(BUCKET_COEFFS[:rows], dtype=np.int64), n_bands
     )
+    band_ids = np.arange(n_bands, dtype=np.int64)
+
+    def _bucket_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig = np.array(list(pdf["sig"]), dtype=np.int64)
+            b = (sig * coef[None, :]).reshape(
+                len(sig), n_bands, rows
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(np.int64), n_bands
+                    ),
+                    "band": np.tile(band_ids, len(sig)),
+                    "bucket": b.reshape(-1),
+                }
+            )
 
     def _buckets(df: DataFrame) -> DataFrame:
-        return df.select("doc_id", F.explode(bands).alias("bb")).select(
-            "doc_id", "bb.band", "bb.bucket"
+        return df.mapInPandas(
+            _bucket_kernel, "doc_id long, band long, bucket long"
         )
 
     b = _buckets(sig).alias("b")
@@ -483,10 +506,28 @@ def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     (near-dup components are mutually-similar cliques, so diameter
     stays small at any corpus size). Returns (doc_id, cluster_id =
     component-min doc_id) for every doc that appears in a pair."""
+    from mimir_spark.operators.graph import _maybe_broadcast
+
+    # dst-partitioned CACHE of the edge table (round 15 — the pagerank
+    # precedent): cached, not checkpointed, because an
+    # InMemoryTableScan reports the stored dst hash-partitioning while
+    # a checkpointed RDD scan reports UnknownPartitioning. With that
+    # layout, a round is ONE map stage while the label table fits the
+    # broadcast gate: edges ⋈ broadcast(labels) preserves the streamed
+    # side's dst partitioning, so the groupBy(dst) min needs no
+    # exchange, and the label update joins broadcast(neighbour_min) —
+    # zero per-round shuffles (the round-14 form re-shuffled the edge
+    # table by src AND the labels by node EVERY round). Past the gate
+    # (labels > BROADCAST_MAX_ROWS at some corpus size) the hints drop
+    # and rounds degrade to the old shuffle joins. Cache substitution
+    # happens on the analyzed plan, so each round also plans against
+    # the flat InMemoryRelation instead of re-optimizing the whole
+    # upstream pair pipeline.
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .toDF("src", "dst")
-        .localCheckpoint(eager=True)
+        .repartition("dst")
+        .cache()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -494,9 +535,14 @@ def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # node count is free here (the checkpoint is materialized anyway)
+    # and gates every per-round broadcast below.
+    n_nodes = labels.count()
     for _ in range(max_iters):
         neighbour_min = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(
+                _maybe_broadcast(labels, n_nodes), edges.src == labels.node
+            )
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -504,7 +550,11 @@ def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # first action, so it materializes the checkpoint in the same
         # job (eager + count would run two jobs per round).
         new_labels = (
-            labels.join(neighbour_min, labels.node == F.col("node2"), "left")
+            labels.join(
+                _maybe_broadcast(neighbour_min, n_nodes),
+                labels.node == F.col("node2"),
+                "left",
+            )
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
@@ -517,6 +567,7 @@ def min_label_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels.select("node", "label")
         if n_changed == 0:
             break
+    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mimir_spark.functions.spread import spread_small_scan
 from mimir_spark.functions.text import tokens_col
 from mimir_spark.sources.tables import load_table
 
@@ -44,7 +45,10 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, word) count — both map-side-combined. No stage
     materializes an intermediate corpus, which is what makes
     clean-then-tokenize one job instead of three at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the xxhash window key and the token explode below ran on
+    # ONE core on a single-split corpus (two 0.3 s single-task stages
+    # inside corpus_keep_list at sf0.1); no-op at cluster scale.
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     # survivors of exact dedup: smallest doc_id per identical text.
     # Key = (hash, length, text): the fixed-width prefix carries the
     # shuffle/sort work, the trailing text makes equality exact (no

@@ -51,7 +51,11 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection inside codegen — at 100 TB this is a map-only pass that
     fuses with whatever scan feeds it (corpus_clean_pipeline-style).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the interpreted HOF flag lambdas below ran on ONE core
+    # when the corpus arrives as a single split (measured as a 0.4 s
+    # single-task stage inside corpus_keep_list at sf0.1); no-op at
+    # cluster scale and on multi-split inputs.
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     # Layered selects, not one flat projection: HOF lambdas (filter)
     # run OUTSIDE whole-stage codegen, where repeated subexpressions
     # are NOT eliminated — a flat projection re-ran split(text) ~15×
